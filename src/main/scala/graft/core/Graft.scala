@@ -1,0 +1,52 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table loader for the graft engine.
+  *
+  * The reference (kambatla/hadoop-1) configures each job via a `JobConf`
+  * (`src/mapred/org/apache/hadoop/mapred/JobConf.java`); here the analogous
+  * knobs live on one tuned `SparkSession`. All settings are chosen for the
+  * 100 TB posture: AQE on (runtime re-plan, skew-join splitting, partition
+  * coalescing), explicit shuffle parallelism, and broadcast joins enabled so
+  * small dimension tables never shuffle.
+  */
+object Graft {
+
+  /** Create (or reuse) a tuned local session. `cores` defaults to the env the
+    * driver passes; on a real cluster the same conf minus `master` applies.
+    */
+  def session(appName: String = "graft",
+              cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+              shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply the graft tuning to a session someone else built (e.g. the
+    * driver-created one in Verify/Bench). Runtime-mutable confs only.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    spark
+  }
+
+  /** Load one of the driver tables (TESTDATA.md): `$dir/$name.parquet`. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hash columns.
+  *
+  * The reference samples and routes records by hash — e.g.
+  * `SequenceFileInputFilter.MD5Filter` keeps records with
+  * `MD5(key) % f == 0` (`src/mapred/org/apache/hadoop/mapred/
+  * SequenceFileInputFilter.java:195`) and `HashPartitioner` routes by
+  * `hash % numReduce` (`src/mapred/org/apache/hadoop/mapred/lib/
+  * HashPartitioner.java:36`). We standardize on an MD5-derived 32-bit
+  * unsigned hash because MD5 is bit-identical in every engine (Spark,
+  * DuckDB, the reference's `MD5Hash.java`), so oracle SQL can reproduce
+  * every hash-driven operator (sampling, MinHash, SimHash, LSH) exactly.
+  *
+  * All of these compile to codegen'd Catalyst builtins (md5 / conv /
+  * substring) — no UDFs, so they stay inside WholeStageCodegen and
+  * distribute trivially.
+  */
+object Hashing {
+
+  /** Unsigned 32-bit hash of the UTF-8 string form of `c`, as LongType
+    * in [0, 2^32). Equivalent DuckDB SQL:
+    * `('0x' || substring(md5(c), 1, 8))::BIGINT`.
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Seeded variant: independent hash families for MinHash / LSH.
+    * DuckDB: `('0x' || substring(md5(seed || ':' || c), 1, 8))::BIGINT`.
+    */
+  def hash32(c: Column, seed: Int): Column =
+    hash32(concat(lit(seed.toString), lit(":"), c.cast("string")))
+
+  /** Deterministic 1-in-`f` sampler on a key (MD5Filter semantics). */
+  def md5Sample(key: Column, f: Int): Column = hash32(key) % f === 0
+
+  /** A single bit (0/1) of the hash — building block for SimHash and
+    * sign-random-projection LSH. `bit` in [0, 32).
+    */
+  def hashBit(c: Column, seed: Int, bit: Int): Column =
+    shiftright(hash32(c, seed), bit) % 2
+}
