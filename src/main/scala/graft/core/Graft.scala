@@ -43,6 +43,7 @@ object Graft {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
 

@@ -56,7 +56,7 @@ object FieldSelection {
       case Closed(a, b) =>
         when(size(arr) > a, slice(arr, a + 1, b - a + 1)).otherwise(array())
       case Open(a) =>
-        when(size(arr) > a, slice(arr, a + 1, size(arr) - a)).otherwise(array())
+        when(size(arr) > a, slice(arr, lit(a + 1), size(arr) - a)).otherwise(array())
     }
     if (pieces.isEmpty) array() else flatten(array(pieces: _*))
   }

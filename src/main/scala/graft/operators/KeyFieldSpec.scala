@@ -61,7 +61,7 @@ object KeyFieldSpec {
     val joined =
       if (k.startField == endF) get(arr, lit(k.startField - 1))
       else if (k.endField.isEmpty)
-        array_join(slice(arr, k.startField, greatest(size(arr) - k.startField + 1, lit(0))), sep)
+        array_join(slice(arr, lit(k.startField), greatest(size(arr) - k.startField + 1, lit(0))), sep)
       else array_join(slice(arr, k.startField, endF - k.startField + 1), sep)
     val fromChar =
       if (k.startChar > 1) substring(joined, k.startChar, Int.MaxValue) else joined

@@ -51,8 +51,11 @@ object CoreQueries {
 
   /** Grep (`src/examples/org/apache/hadoop/examples/Grep.java:48-84`):
     * regex-extract → count → global sort desc by count. The output order is
-    * the point of the second job, so it's encoded as a `rank` column
-    * (deterministic tiebreak on the word).
+    * the point of the second job, so it's encoded as a `rank` column with a
+    * deterministic tiebreak on the word, bounded to the top 100 so the
+    * ranking never funnels the full distinct-word set through one task:
+    * `row_number <= k` plans as WindowGroupLimit (per-partition top-k prune
+    * before the final window), scale-safe at 100 TB.
     */
   val q02Grep = Q.checked(
     "q02_grep",
@@ -61,13 +64,16 @@ object CoreQueries {
       |), counts AS (
       |  SELECT word, count(*) AS cnt FROM words GROUP BY word
       |)
-      |SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rank
-      |FROM counts""") { (s, dir) =>
+      |SELECT word, cnt, rank FROM (
+      |  SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rank
+      |  FROM counts
+      |) WHERE rank <= 100""") { (s, dir) =>
     table(s, dir, "documents")
       .select(explode(regexp_extract_all(col("text"), lit("s[a-z]+"), lit(0))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("rank",
         row_number().over(Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
+      .filter(col("rank") <= 100)
   }
 
   /** WordCount (`src/examples/org/apache/hadoop/examples/WordCount.java`):
@@ -76,11 +82,11 @@ object CoreQueries {
   val q03WordCount = Q.checked(
     "q03_wordcount",
     """SELECT word, count(*) AS cnt
-      |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+      |FROM (SELECT unnest(string_split_regex(text, '[ \t\n\r\f\x0B]+')) AS word FROM documents)
       |WHERE length(word) > 0
       |GROUP BY word""") { (s, dir) =>
     table(s, dir, "documents")
-      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .select(explode(split(col("text"), "[ \t\n\r\f\\x0B]+")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
   }
@@ -101,8 +107,10 @@ object CoreQueries {
   }
 
   /** Top-k: the reference's single-reducer "sort desc, take head" pattern
-    * (`Grep.java:79`, gridmix "reference select"). Spark plans this as
-    * TakeOrderedAndProject — no global shuffle of the full data.
+    * (`Grep.java:79`, gridmix "reference select"). One pass: the
+    * `row_number <= k` filter plans as WindowGroupLimit, so each partition
+    * is pruned to its top 10 before the final bounded window — no global
+    * shuffle of the full data.
     */
   val q05TopK = Q.checked(
     "q05_topk",
@@ -110,11 +118,10 @@ object CoreQueries {
       |       row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
       |FROM orders
       |QUALIFY rank <= 10""") { (s, dir) =>
-    val top = table(s, dir, "orders")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      .limit(10)
-    top.withColumn("rank",
-      row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
+    table(s, dir, "orders")
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
+      .filter(col("rank") <= 10)
       .select(col("o_orderkey"), col("o_totalprice"), col("rank"))
   }
 
