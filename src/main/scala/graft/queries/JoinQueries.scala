@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.Q
+import graft.core.Graft.table
+import graft.operators.Joins
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The join surface (SURVEY §2.3): composite inner/outer/override
+  * (`src/mapred/org/apache/hadoop/mapred/join/` — TestDatamerge semantics),
+  * the reduce-side tagged join (`src/contrib/data_join/.../DataJoinReducerBase.java:237`),
+  * the broadcast DistributedCache pattern, and semi/anti derivations.
+  *
+  * Scale notes: dimension sides (nation, region) sit far under the 64 MB
+  * broadcast threshold so Catalyst plans BroadcastHashJoin — no shuffle of
+  * the fact side. The orders⋈lineitem tagged join is the genuine large-large
+  * case: both sides shuffle on the join key once (SMJ), AQE handles skew.
+  */
+object JoinQueries {
+
+  private val D = DecimalType(18, 4)
+
+  /** Inner composite: customer ⋈ nation (broadcast dim) ⋈ orders (fact).
+    * Duplicate keys on the orders side exercise the per-key cross product
+    * (`CompositeRecordReader.JoinCollector`).
+    */
+  val q10JoinInner = Q.checked(
+    "q10_join_inner",
+    """SELECT o.o_orderkey, c.c_name, n.n_name, o.o_totalprice
+      |FROM customer c
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN orders o ON o.o_custkey = c.c_custkey""") { (s, dir) =>
+    val c = table(s, dir, "customer")
+    val n = broadcast(table(s, dir, "nation"))
+    val o = table(s, dir, "orders")
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(o, o("o_custkey") === c("c_custkey"))
+      .select(o("o_orderkey"), c("c_name"), n("n_name"), o("o_totalprice"))
+  }
+
+  /** Outer composite over two sources with keys missing on BOTH sides
+    * (customers filtered by acctbal vs order-count aggregate): per-source
+    * null ⇔ absent, the TupleWritable presence bitmask re-expressed.
+    */
+  val q11JoinOuter = Q.checked(
+    "q11_join_outer",
+    """WITH a AS (SELECT c_custkey AS k, c_name AS v FROM customer WHERE c_acctbal > 0),
+      |     b AS (SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY o_custkey)
+      |SELECT coalesce(a.k, b.k) AS k, a.v AS name, b.cnt AS cnt
+      |FROM a FULL OUTER JOIN b ON a.k = b.k""") { (s, dir) =>
+    val a = Joins.source(
+      table(s, dir, "customer").filter(col("c_acctbal") > 0),
+      col("c_custkey"), col("c_name"))
+    val b = Joins.source(
+      table(s, dir, "orders").groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt")),
+      col("o_custkey"), col("cnt"))
+    Joins.outer(a, b)
+      .select(col("k"), col("v.v0").as("name"), col("v.v1").as("cnt"))
+  }
+
+  /** Override composite via the expression DSL — rightmost source holding
+    * the key wins (`OverrideRecordReader.java:36`). Three nation-keyed
+    * sources with different coverage.
+    */
+  val q12JoinOverride = Q.checked(
+    "q12_join_override",
+    """WITH s1 AS (SELECT n_nationkey AS k, n_name AS v FROM nation),
+      |     s2 AS (SELECT n_nationkey AS k, upper(n_name) AS v FROM nation WHERE n_regionkey < 3),
+      |     s3 AS (SELECT n_nationkey AS k, 'X' || n_name AS v FROM nation WHERE n_nationkey % 5 = 0)
+      |SELECT coalesce(s1.k, s2.k, s3.k) AS k,
+      |       coalesce(s3.v, s2.v, s1.v) AS v
+      |FROM s1
+      |FULL OUTER JOIN s2 ON s1.k = s2.k
+      |FULL OUTER JOIN s3 ON coalesce(s1.k, s2.k) = s3.k""") { (s, dir) =>
+    val nation = table(s, dir, "nation")
+    val sources = Map(
+      "s1" -> Joins.source(nation, col("n_nationkey"), col("n_name")),
+      "s2" -> Joins.source(nation.filter(col("n_regionkey") < 3),
+        col("n_nationkey"), upper(col("n_name"))),
+      "s3" -> Joins.source(nation.filter(col("n_nationkey") % 5 === 0),
+        col("n_nationkey"), concat(lit("X"), col("n_name"))))
+    Joins.run("override(tbl(s1),tbl(s2),tbl(s3))", sources)
+      .select(col("k").cast("int").as("k"), col("v"))
+  }
+
+  /** Reduce-side tagged join (data_join contrib): the large-large shuffle
+    * join — orders ⋈ lineitem on orderkey, revenue per order priority.
+    * DECIMAL internally, one rounded DOUBLE at the end (cross-engine exact).
+    */
+  val q13JoinTagged = Q.checked(
+    "q13_join_tagged",
+    """SELECT o.o_orderpriority,
+      |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o.o_orderpriority""") { (s, dir) =>
+    val o = table(s, dir, "orders")
+    val l = table(s, dir, "lineitem")
+    o.join(l, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum(col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Semi/anti join (SURVEY §2.3 "approximable"): customers with vs without
+    * orders, via Spark's native left_semi / left_anti (no right columns, no
+    * duplicate explosion).
+    */
+  val q14SemiAnti = Q.checked(
+    "q14_semi_anti",
+    """SELECT
+      |  (SELECT count(*) FROM customer c WHERE EXISTS
+      |     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with,
+      |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+      |     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without""") { (s, dir) =>
+    val c = table(s, dir, "customer")
+    val o = table(s, dir, "orders")
+    val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_with"))
+    val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_without"))
+    withO.crossJoin(withoutO)
+  }
+
+  val all: Vector[Q] =
+    Vector(q10JoinInner, q11JoinOuter, q12JoinOverride, q13JoinTagged, q14SemiAnti)
+}
