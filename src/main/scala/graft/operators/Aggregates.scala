@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The aggregate framework (SURVEY §2.4): the reference's declarative
+  * GROUP-BY layer re-expressed as descriptor strings compiled to Catalyst
+  * aggregate `Column`s.
+  *
+  * Reference: `src/mapred/org/apache/hadoop/mapred/lib/aggregate/` —
+  * mappers emit `"aggType:id,value"` records and shared
+  * `ValueAggregatorMapper/Combiner/Reducer` classes fold them; the
+  * descriptor registry is `ValueAggregatorBaseDescriptor.java:94-112`
+  * (LongValueSum, DoubleValueSum, Long/StringValueMax/Min, UniqValueCount,
+  * ValueHistogram) wired via `aggregator.descriptor.N` conf entries
+  * (`ValueAggregatorJob.java:215-218`).
+  *
+  * Here a descriptor is `"AggType:column[:param]"`; `compile` turns a list
+  * of them into aggregate columns for `groupBy(key).agg(...)`. Catalyst
+  * provides the combiner (partial aggregation) automatically — the
+  * reference's `ValueAggregatorCombiner` is free.
+  *
+  * Cross-engine exactness: DoubleValueSum accumulates in DECIMAL(18,4) and
+  * emits one rounded DOUBLE (float accumulation order would differ between
+  * engines); UniqValueCount uses documented *sorted*-cap semantics — the
+  * reference caps by arrival order (`UniqValueCount.java:81-86`, a TreeMap
+  * fed until size exceeds the cap), which is nondeterministic under
+  * parallel execution, so we keep the first `cap` values in sorted order
+  * instead (deterministic on any cluster; divergence documented per SURVEY
+  * §7.4-3).
+  */
+object Aggregates {
+
+  private val D = DecimalType(18, 4)
+
+  final case class Descriptor(aggType: String, column: String, param: Option[Long])
+
+  def parse(spec: String): Descriptor = spec.split(":").toList match {
+    case t :: c :: Nil      => Descriptor(t, c, None)
+    case t :: c :: p :: Nil => Descriptor(t, c, Some(p.toLong))
+    case _ => sys.error(s"bad aggregate descriptor '$spec' (want AggType:column[:param])")
+  }
+
+  /** One descriptor → one aggregate Column (aliased `<aggtype>_<column>`). */
+  def toColumn(d: Descriptor): Column = {
+    val c = col(d.column)
+    val alias = s"${d.aggType.toLowerCase}_${d.column}"
+    val agg = d.aggType match {
+      case "LongValueSum"   => sum(c.cast("long"))
+      case "DoubleValueSum" => round(sum(c.cast(D)), 2).cast("double")
+      case "LongValueMax"   => max(c.cast("long"))
+      case "LongValueMin"   => min(c.cast("long"))
+      case "StringValueMax" => max(c.cast("string"))
+      case "StringValueMin" => min(c.cast("string"))
+      case "UniqValueCount" =>
+        val cap = d.param.getOrElse(Long.MaxValue).toInt
+        least(count_distinct(c), lit(cap.toLong))
+      case other => sys.error(s"unknown aggregator type '$other'")
+    }
+    agg.as(alias)
+  }
+
+  def compile(specs: Seq[String]): Seq[Column] = specs.map(s => toColumn(parse(s)))
+
+  /** Descriptor-driven aggregation: `groupBy(key).agg(descriptors...)`. */
+  def aggregate(df: DataFrame, key: Column, specs: Seq[String]): DataFrame = {
+    val cols = compile(specs)
+    df.groupBy(key).agg(cols.head, cols.tail: _*)
+  }
+
+  /** Capped UniqValueCount with full semantics: capped distinct count plus
+    * the first `cap` distinct values in sorted order, comma-joined.
+    */
+  def uniqValueCount(c: Column, cap: Int): (Column, Column) = (
+    least(count_distinct(c), lit(cap.toLong)),
+    array_join(slice(sort_array(collect_set(c.cast("string"))), 1, cap), ","))
+
+  /** ValueHistogram (`ValueHistogram.java:78-134`): per key, the frequency
+    * distribution of values, reported as [unique count, min, median, max,
+    * mean, population stddev] of the frequencies. Median is the reference's
+    * `counts[counts.length / 2]` — the upper-middle element of the sorted
+    * frequency array, not an interpolated percentile.
+    *
+    * Two-stage distributed shape (freq count, then stats over freqs) rather
+    * than a map-buffer UDAF: a per-group Map[value, count] buffer is
+    * unbounded at 100 TB; two hash aggregations spill and scale. Mean and
+    * stddev are derived from exact long moments (Σf, Σf²) with a fixed
+    * IEEE op tree, so both engines produce bit-identical doubles.
+    */
+  def valueHistogram(df: DataFrame, key: Column, value: Column): DataFrame = {
+    val freq = df.groupBy(key.as("k"), value.as("v")).agg(count(lit(1)).as("f"))
+    freq.groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("uniq"),
+        min(col("f")).as("min_f"),
+        max(col("f")).as("max_f"),
+        sum(col("f")).as("s"),
+        sum(col("f") * col("f")).as("ssq"),
+        sort_array(collect_list(col("f"))).as("fs"))
+      .select(
+        col("k"),
+        col("uniq"),
+        col("min_f"),
+        element_at(col("fs"), (col("uniq") / 2).cast("int") + 1).as("median_f"),
+        col("max_f"),
+        (col("s").cast("double") / col("uniq")).as("avg_f"),
+        sqrt((col("ssq").cast("double") - col("s").cast("double") * col("s").cast("double") / col("uniq")) / col("uniq"))
+          .as("sd_f"))
+  }
+}

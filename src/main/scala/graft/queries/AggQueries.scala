@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.Q
+import graft.core.Graft.table
+import graft.operators.Aggregates
+import graft.functions.TypedAggs
+import org.apache.spark.sql.functions._
+
+/** The aggregate framework surface (SURVEY §2.4): descriptor DSL, capped
+  * UniqValueCount, ValueHistogram report, Long/String max/min, distinct,
+  * and the typed-Aggregator UDAF path. Mirrors
+  * `src/test/org/apache/hadoop/mapred/lib/aggregate/TestAggregates.java`.
+  */
+object AggQueries {
+
+  /** Descriptor-DSL aggregation (`aggregator.descriptor.N`,
+    * `ValueAggregatorJob.java:215-218`): five registry types compiled to
+    * one groupBy over events. Catalyst's partial aggregation is the
+    * reference's ValueAggregatorCombiner, free.
+    */
+  val q20AggDescriptor = Q.checked(
+    "q20_agg_descriptor",
+    """SELECT event_type,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS doublevaluesum_value,
+      |  max(user_id) AS longvaluemax_user_id,
+      |  min(user_id) AS longvaluemin_user_id,
+      |  max(props) AS stringvaluemax_props,
+      |  min(props) AS stringvaluemin_props,
+      |  CAST(sum(user_id) AS BIGINT) AS longvaluesum_user_id
+      |FROM events GROUP BY event_type""") { (s, dir) =>
+    Aggregates.aggregate(
+      table(s, dir, "events"),
+      col("event_type"),
+      Seq(
+        "DoubleValueSum:value",
+        "LongValueMax:user_id",
+        "LongValueMin:user_id",
+        "StringValueMax:props",
+        "StringValueMin:props",
+        "LongValueSum:user_id"))
+  }
+
+  /** Capped UniqValueCount (`UniqValueCount.java:36,81-86`) with the
+    * engine's deterministic sorted-cap semantics: capped distinct count +
+    * the first 10 distinct values in sorted order.
+    */
+  val q21UniqCapped = Q.checked(
+    "q21_uniq_capped",
+    """SELECT event_type,
+      |  least(count(DISTINCT user_id % 97), 10) AS uniq_cnt,
+      |  array_to_string(list_slice(list_sort(list(DISTINCT CAST(user_id % 97 AS VARCHAR))), 1, 10), ',') AS uniq_items
+      |FROM events GROUP BY event_type""") { (s, dir) =>
+    val v = col("user_id") % 97
+    val (cnt, items) = Aggregates.uniqValueCount(v, 10)
+    table(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(cnt.as("uniq_cnt"), items.as("uniq_items"))
+  }
+
+  /** ValueHistogram report (`ValueHistogram.java:78-134`): frequency
+    * distribution of value buckets per event type — [uniq, min, median,
+    * max, mean, stddev_pop] of the frequencies, median = sorted
+    * counts[n/2] exactly as the reference computes it.
+    */
+  val q22Histogram = Q.checked(
+    "q22_histogram",
+    """WITH freq AS (
+      |  SELECT event_type AS k, CAST(floor(value / 50) AS BIGINT) AS v, count(*) AS f
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT k, count(*) AS uniq, min(f) AS min_f,
+      |  (list_sort(list(f)))[CAST(count(*) // 2 AS BIGINT) + 1] AS median_f,
+      |  max(f) AS max_f,
+      |  CAST(sum(f) AS DOUBLE) / count(*) AS avg_f,
+      |  sqrt((CAST(sum(f*f) AS DOUBLE) - CAST(sum(f) AS DOUBLE) * CAST(sum(f) AS DOUBLE) / count(*)) / count(*)) AS sd_f
+      |FROM freq GROUP BY k""") { (s, dir) =>
+    Aggregates.valueHistogram(
+      table(s, dir, "events"),
+      col("event_type"),
+      floor(col("value") / 50).cast("long"))
+  }
+
+  /** Long/String ValueMax/Min quick wins over supplier per nation. */
+  val q23MaxMin = Q.checked(
+    "q23_maxmin",
+    """SELECT s_nationkey,
+      |  max(s_acctbal) AS max_bal, min(s_acctbal) AS min_bal,
+      |  max(s_name) AS max_name, min(s_name) AS min_name
+      |FROM supplier GROUP BY s_nationkey""") { (s, dir) =>
+    table(s, dir, "supplier")
+      .groupBy(col("s_nationkey"))
+      .agg(
+        max(col("s_acctbal")).as("max_bal"), min(col("s_acctbal")).as("min_bal"),
+        max(col("s_name")).as("max_name"), min(col("s_name")).as("min_name"))
+      .select(col("s_nationkey").cast("int").as("s_nationkey"), col("max_bal"),
+        col("min_bal"), col("max_name"), col("min_name"))
+  }
+
+  /** distinct / dropDuplicates (SURVEY §2.4 "distinct (pattern)"). */
+  val q24Distinct = Q.checked(
+    "q24_distinct",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders") { (s, dir) =>
+    table(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .dropDuplicates()
+  }
+
+  /** The typed-Aggregator UDAF path (SURVEY §2.10): CappedUniq as a custom
+    * `Aggregator` with a bounded sorted buffer, exercised per event_type
+    * over a different derived value than q21.
+    */
+  val q25UniqTyped = Q.checked(
+    "q25_uniq_typed",
+    """SELECT event_type,
+      |  least(count(DISTINCT user_id % 13), 5) AS cnt,
+      |  array_to_string(list_slice(list_sort(list(DISTINCT CAST(user_id % 13 AS VARCHAR))), 1, 5), ',') AS items
+      |FROM events GROUP BY event_type""") { (s, dir) =>
+    val cappedUniq = udaf(new TypedAggs.CappedUniq(5))
+    table(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(cappedUniq((col("user_id") % 13).cast("string")).as("r"))
+      .select(col("event_type"), col("r.cnt").as("cnt"), col("r.items").as("items"))
+  }
+
+  val all: Vector[Q] =
+    Vector(q20AggDescriptor, q21UniqCapped, q22Histogram, q23MaxMin,
+      q24Distinct, q25UniqTyped)
+}
