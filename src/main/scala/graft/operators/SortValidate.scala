@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Global total-order sort + SortValidator invariant (SURVEY §2.6, §5.4).
+  *
+  * Reference: `Sort.java:97-161` (TotalOrderPartitioner + InputSampler) and
+  * `src/test/org/apache/hadoop/mapred/SortValidator.java:97` — validation
+  * checks (a) the output is globally sorted and (b) the xor of record
+  * hashes is identical between input and output (sort = permutation).
+  *
+  * Spark's `orderBy` already IS the reference's total-order machinery: the
+  * RangePartitioner reservoir-samples split points exactly like
+  * InputSampler.writePartitionFile. What we add is the validator: a
+  * single pass over the sorted result computing per-partition
+  * (first, last, sorted-within, xor, count), then an O(#partitions) driver
+  * check that partition boundaries are non-decreasing. No full collect —
+  * one small row per partition, scale-independent.
+  */
+object SortValidate {
+
+  private final case class PartStat(
+      idx: Int, first: Long, last: Long, sortedWithin: Boolean,
+      xor: Long, cnt: Long)
+
+  /** Sort `df` globally by `sortKey` (a sortable long expression) and
+    * validate; returns a single-row DataFrame
+    * (total_rows, xor_hash, is_sorted). `recHash` is the per-record
+    * portable hash that feeds the xor invariant.
+    */
+  def sortAndValidate(
+      spark: SparkSession,
+      df: DataFrame,
+      sortKey: Column,
+      tieBreak: Column,
+      recHash: Column): DataFrame = {
+    import spark.implicits._
+    val sorted = df
+      .select(sortKey.cast("long").as("k"), tieBreak.cast("long").as("t"),
+        recHash.cast("long").as("h"))
+      .orderBy(col("k"), col("t"))
+    val stats = sorted
+      .mapPartitions { rows =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          var first = Long.MinValue; var last = Long.MinValue
+          var prevK = Long.MinValue; var prevT = Long.MinValue
+          var sortedWithin = true; var xor = 0L; var cnt = 0L
+          var started = false
+          for (r <- rows) {
+            val k = r.getLong(0); val t = r.getLong(1); val h = r.getLong(2)
+            if (!started) { first = k; started = true }
+            else if (k < prevK || (k == prevK && t < prevT)) sortedWithin = false
+            prevK = k; prevT = t; last = k; xor ^= h; cnt += 1
+          }
+          Iterator.single(PartStat(org.apache.spark.TaskContext.getPartitionId(),
+            first, last, sortedWithin, xor, cnt))
+        }
+      }
+      .collect()
+      .sortBy(_.idx)
+    val boundariesOk = stats.sliding(2).forall {
+      case Array(a, b) => a.last <= b.first
+      case _           => true
+    }
+    val isSorted = boundariesOk && stats.forall(_.sortedWithin)
+    val totalXor = stats.foldLeft(0L)(_ ^ _.xor)
+    val totalCnt = stats.map(_.cnt).sum
+    Seq((totalCnt, totalXor, isSorted))
+      .toDF("total_rows", "xor_hash", "is_sorted")
+  }
+
+  /** Portable per-record hash for the xor invariant (engine-identical, see
+    * [[Hashing.hash32]]).
+    */
+  def recordHash(c: Column): Column = Hashing.hash32(c)
+}

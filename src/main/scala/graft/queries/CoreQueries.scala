@@ -72,8 +72,9 @@ object CoreQueries {
       .select(explode(regexp_extract_all(col("text"), lit("s[a-z]+"), lit(0))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("rank",
-        row_number().over(Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
-      .filter(col("rank") <= 100)
+        row_number().over(Window.orderBy(col("cnt").desc, col("word"))))
+      .filter(col("rank") <= 100) // direct rank filter → InferWindowGroupLimit
+      .withColumn("rank", col("rank").cast("long"))
   }
 
   /** WordCount (`src/examples/org/apache/hadoop/examples/WordCount.java`):
@@ -120,9 +121,9 @@ object CoreQueries {
       |QUALIFY rank <= 10""") { (s, dir) =>
     table(s, dir, "orders")
       .withColumn("rank",
-        row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
-      .filter(col("rank") <= 10)
-      .select(col("o_orderkey"), col("o_totalprice"), col("rank"))
+        row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rank") <= 10) // direct rank filter → InferWindowGroupLimit
+      .select(col("o_orderkey"), col("o_totalprice"), col("rank").cast("long").as("rank"))
   }
 
   /** InverseMapper (`src/mapred/.../lib/InverseMapper.java`): (k,v)→(v,k). */

@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.Q
+import graft.core.Graft.table
+import graft.operators.{FieldSelection, KeyFieldSpec, SecondarySort, SortValidate}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Sorts + the two text DSLs (SURVEY §2.6, §2.2): global total-order sort
+  * with the SortValidator invariant, the secondary-sort contract, key-field
+  * sort spec, and field-selection projection.
+  */
+object SortQueries {
+
+  /** Global total-order sort over events by (ts, event_id) with the
+    * SortValidator check (`SortValidator.java:97`): output row count, xor
+    * of portable record hashes, and a global-sortedness flag — the
+    * TeraSort/TeraValidate stand-in on the driver tables.
+    */
+  val q30SortValidate = Q.checked(
+    "q30_sort_validate",
+    """SELECT count(*) AS total_rows,
+      |       bit_xor(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT) AS xor_hash,
+      |       TRUE AS is_sorted
+      |FROM events""") { (s, dir) =>
+    val ev = table(s, dir, "events")
+    SortValidate.sortAndValidate(
+      s, ev,
+      sortKey = col("ts"),
+      tieBreak = col("event_id"),
+      recHash = SortValidate.recordHash(col("event_id")))
+  }
+
+  /** Secondary sort (`SecondarySort.java:57-224`): group events by user,
+    * values iterated in (ts, event_id) order — the literal
+    * reduce(key, sortedValues) contract via repartition +
+    * sortWithinPartitions + streaming group fold.
+    */
+  val q31SecondarySort = Q.checked(
+    "q31_secondary_sort",
+    """SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+      |FROM events GROUP BY user_id""") { (s, dir) =>
+    val ev = table(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    import s.implicits._
+    SecondarySort.sortedGroups[(Long, String)](
+      ev, col("user_id"), Seq(col("ts"), col("event_id")))(
+      _.getLong(0)) { (k, rows) =>
+      val sb = new StringBuilder
+      for (r <- rows) {
+        if (sb.nonEmpty) sb.append(',')
+        sb.append(r.getString(3))
+      }
+      (k.asInstanceOf[Long], sb.toString)
+    }.toDF("user_id", "seq")
+  }
+
+  /** Key-field sort spec (`KeyFieldHelper.java:23-39`): supplier rows as
+    * tab-separated lines sorted by `-k3n -k1r` (numeric field 3 asc,
+    * field 1 desc), top 50 ranks encoded WindowGroupLimit-style.
+    */
+  val q32KeyFieldSort = Q.checked(
+    "q32_keyfield_sort",
+    """WITH lines AS (
+      |  SELECT s_name || chr(9) || CAST(s_suppkey AS VARCHAR) || chr(9) || CAST(s_nationkey AS VARCHAR) AS line
+      |  FROM supplier
+      |)
+      |SELECT line, rank FROM (
+      |  SELECT line, row_number() OVER (ORDER BY
+      |    coalesce(nullif(regexp_extract(split_part(line, chr(9), 3), '^[-+]?\d*\.?\d+'), '')::DOUBLE, 0) ASC,
+      |    split_part(line, chr(9), 1) DESC,
+      |    line) AS rank
+      |  FROM lines
+      |) WHERE rank <= 50""") { (s, dir) =>
+    val lines = table(s, dir, "supplier")
+      .select(concat_ws("\t", col("s_name"), col("s_suppkey"), col("s_nationkey")).as("line"))
+    val keys = KeyFieldSpec.sortColumns(col("line"), "\t", "-k3n -k1r") :+ col("line").asc
+    lines
+      .withColumn("rank", row_number().over(Window.orderBy(keys: _*)))
+      .filter(col("rank") <= 50) // direct rank filter → InferWindowGroupLimit
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** Field-selection DSL (`FieldSelectionHelper.java:60-79`): customer rows
+    * as ':'-separated records, spec `"2,0:3-"` → key = fields 2,0; value =
+    * fields 3..end.
+    */
+  val q33FieldSel = Q.checked(
+    "q33_fieldsel",
+    """WITH recs AS (
+      |  SELECT CAST(c_custkey AS VARCHAR) || ':' || c_name || ':' || c_mktsegment || ':' ||
+      |         CAST(c_nationkey AS VARCHAR) || ':' || c_name AS line
+      |  FROM customer
+      |)
+      |SELECT split_part(line, ':', 3) || ':' || split_part(line, ':', 1) AS key,
+      |       split_part(line, ':', 4) || ':' || split_part(line, ':', 5) AS value
+      |FROM recs""") { (s, dir) =>
+    val recs = table(s, dir, "customer")
+      .select(concat_ws(":",
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_nationkey"), col("c_name")).as("line"))
+    val (k, v) = FieldSelection.project(col("line"), ":", "2,0:3-")
+    recs.select(k.as("key"), v.as("value"))
+  }
+
+  val all: Vector[Q] =
+    Vector(q30SortValidate, q31SecondarySort, q32KeyFieldSort, q33FieldSel)
+}

@@ -1,0 +1,32 @@
+package graft
+
+import graft.functions.TypedAggs.CappedUniq
+import graft.operators.Aggregates
+import org.scalatest.funsuite.AnyFunSuite
+
+class AggregatesSpec extends AnyFunSuite {
+
+  test("descriptor parse") {
+    val d = Aggregates.parse("UniqValueCount:user_id:10")
+    assert(d.aggType == "UniqValueCount" && d.column == "user_id" && d.param.contains(10L))
+    intercept[Exception](Aggregates.parse("nope"))
+    intercept[Exception](Aggregates.toColumn(Aggregates.parse("Bogus:x")))
+  }
+
+  test("CappedUniq result = sorted distinct take cap, any fold/merge order") {
+    val agg = new CappedUniq(5)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val vs = List.fill(rnd.nextInt(30))(rnd.alphanumeric.take(1 + rnd.nextInt(3)).mkString)
+      val folded = vs.foldLeft(agg.zero)(agg.reduce)
+      val (l, r) = vs.splitAt(if (vs.isEmpty) 0 else rnd.nextInt(vs.size + 1))
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      val expect = vs.distinct.sorted.take(5)
+      assert(folded == expect, s"fold of $vs")
+      assert(merged == expect, s"merge of $l / $r")
+      val res = agg.finish(folded)
+      assert(res.cnt == expect.size && res.items == expect.mkString(","))
+    }
+  }
+}

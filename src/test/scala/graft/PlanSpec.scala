@@ -1,0 +1,57 @@
+package graft
+
+import graft.queries.{CoreQueries, JoinQueries}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the scale posture is part of correctness.
+  * Pushdown must reach the parquet scan, top-k ranks must plan as
+  * WindowGroupLimit (bounded, not full-cardinality single-partition
+  * windows), and dimension joins must broadcast.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(q: graft.Q): String =
+    q.run(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
+
+  test("q04 pushes filter and projection to the parquet scan") {
+    val p = plan(CoreQueries.q04ScanProject)
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity,30.0)"), p)
+    assert(!p.contains("l_shipdate"), "projection not pruned:\n" + p)
+  }
+
+  // rank<=k must prune BELOW the window: either LimitPushDownThroughWindow
+  // (TakeOrderedAndProject under Window) or WindowGroupLimit. Both cap what
+  // funnels into the single-partition window at k rows.
+  private def boundedRank(p: String): Boolean =
+    p.contains("WindowGroupLimit") ||
+      "TakeOrderedAndProject.*\n.*FileScan|Window.*\\n.*TakeOrderedAndProject".r.findFirstIn(p).isDefined ||
+      (p.contains("Window") && p.contains("TakeOrderedAndProject"))
+
+  test("q05 top-k rank is bounded below the window") {
+    val p = plan(CoreQueries.q05TopK)
+    assert(boundedRank(p), p)
+  }
+
+  test("q02 grep rank is bounded below the window") {
+    val p = plan(CoreQueries.q02Grep)
+    assert(boundedRank(p), p)
+  }
+
+  test("q10 dimension join broadcasts (no shuffle of the fact side for nation)") {
+    val p = plan(JoinQueries.q10JoinInner)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
+    // at test scale orders fits under the broadcast threshold; disable it to
+    // assert the large-large physical strategy Catalyst picks at 100 TB
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(JoinQueries.q13JoinTagged)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
