@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All registered operator queries, in registration order. */
   def registry: Vector[Q] =
-    CoreQueries.all ++ JoinQueries.all ++ AggQueries.all ++ SortQueries.all
+    CoreQueries.all ++ JoinQueries.all ++ AggQueries.all ++ SortQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

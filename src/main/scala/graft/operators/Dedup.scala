@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines: exact (hash-group), MinHash + banded LSH (near-dup candidate
+  * generation without all-pairs), SimHash bit signatures, and n-gram
+  * Jaccard verification over candidate pairs.
+  *
+  * Scale posture (the whole point): candidate pairs are generated ONLY
+  * inside LSH band buckets — a self-join on the band key — never by an
+  * all-pairs cross product. At 100 TB the band key is the shuffle key;
+  * bucket sizes are bounded by signature agreement, and AQE's skew-join
+  * splitting handles hot buckets. Every hash is the engine-portable
+  * MD5-derived [[Hashing.hash32]], so a DuckDB oracle reproduces the exact
+  * pipeline (seeded families documented there).
+  */
+object Dedup {
+
+  /** Whitespace word tokens of a document. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word 2-shingles ("w1 w2") — more discriminative than unigrams over a
+    * small vocabulary; empty when the document has fewer than 2 tokens.
+    */
+  def bigrams(text: Column): Column = {
+    val t = tokens(text)
+    // slice length must be exact: start+length overflows int if padded
+    val rest = slice(t, lit(2), greatest(size(t) - 1, lit(0)))
+    filter(
+      zip_with(t, rest, (a, b) => concat_ws(" ", a, b)),
+      x => x.isNotNull && length(x) > 0 && instr(x, " ") > 0)
+  }
+
+  /** MinHash signature: per id, `nSeeds` columns `mh0..mh{n-1}`,
+    * `mh_i = min(hash32(i ++ ":" ++ shingle))` over the document's distinct
+    * shingles. One explode + one grouped aggregation — partial aggregation
+    * (map-side combine) keeps the shuffle narrow.
+    */
+  def minhash(df: DataFrame, id: Column, shingles: Column, nSeeds: Int): DataFrame = {
+    val exploded = df
+      .select(id.as("id"), explode(shingles).as("sh"))
+      .distinct()
+    val aggs = (0 until nSeeds).map(i =>
+      min(Hashing.hash32(col("sh"), i)).as(s"mh$i"))
+    exploded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band a minhash signature: (id, band, key) with
+    * `key = mh[b*r] ++ "_" ++ ... ++ mh[b*r + r-1]` — docs sharing any
+    * band key are near-dup candidates (classic banded LSH).
+    */
+  def lshBands(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val key = concat_ws("_",
+        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    sig.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Distinct candidate pairs (a < b) from any shared band bucket — the
+    * bucket-join, never all-pairs. Dataset aliases keep the self-join's
+    * two sides as distinct attribute sets.
+    */
+  def candidatePairs(bands: DataFrame): DataFrame =
+    bands.alias("l")
+      .join(bands.alias("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+
+  /** SimHash signature of `bits` bits over distinct tokens:
+    * bit b = 1 iff Σ_tokens (2·((hash32(token) >> b) & 1) − 1) > 0.
+    * One grouped aggregation with `bits` sums — no per-bit passes.
+    */
+  def simhash(df: DataFrame, id: Column, toks: Column, bits: Int): DataFrame = {
+    val exploded = df.select(id.as("id"), explode(toks).as("tok")).distinct()
+    val h = Hashing.hash32(col("tok"))
+    val sums = (0 until bits).map(b =>
+      sum(shiftright(h, b) % 2 * 2 - 1).as(s"s$b"))
+    val sig = (0 until bits)
+      .map(b => when(col(s"s$b") > 0, 1L << b).otherwise(0L))
+      .reduce(_ + _)
+    exploded.groupBy(col("id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("id"), sig.as("simhash"))
+  }
+
+  /** Jaccard similarity over distinct tokens for given candidate pairs
+    * (a, b): |A∩B| / |A∪B|, exact-integer division emitted as one double.
+    * Token sets are joined, not collected — no giant arrays in memory.
+    */
+  def jaccard(pairs: DataFrame, docTokens: DataFrame): DataFrame = {
+    // docTokens: (id, tok) distinct
+    val sizes = docTokens.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val common = pairs.alias("p")
+      .join(docTokens.alias("ta"), col("p.a") === col("ta.id"))
+      .join(docTokens.alias("tb"),
+        col("p.b") === col("tb.id") && col("ta.tok") === col("tb.tok"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    common.alias("m")
+      .join(sizes.alias("sa"), col("m.a") === col("sa.id"))
+      .join(sizes.alias("sb"), col("m.b") === col("sb.id"))
+      .select(col("m.a").as("a"), col("m.b").as("b"),
+        (col("m.c").cast("double") / (col("sa.n") + col("sb.n") - col("m.c"))).as("jaccard"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.Q
+import graft.core.Graft.table
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `embeddings` (builder brief): exact
+  * brute-force cosine top-k baseline, and the sign-random-projection LSH
+  * bucketed variant that is the 100 TB scale path.
+  */
+object SimilarityQueries {
+
+  private val K = 3
+  private val NQueries = 5
+  private val Planes = 6
+  private val Dims = 64
+
+  private val dotSql =
+    "CAST(sum(CAST(CAST(qa AS DOUBLE) AS DECIMAL(12,7)) * CAST(CAST(xa AS DOUBLE) AS DECIMAL(12,7))) AS DOUBLE)"
+
+  /** Brute-force cosine top-k: 5 query vectors (vec_id < 5) against the
+    * full corpus; exact decimal dot products, per-query bounded rank.
+    */
+  val q60AnnCosine = Q.checked(
+    "q60_ann_cosine",
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQueries),
+       |el AS (
+       |  SELECT qid, x.vec_id AS xid, unnest(qv) AS qa, unnest(x.embedding) AS xa
+       |  FROM q, embeddings x
+       |), dots AS (
+       |  SELECT qid, xid,
+       |    $dotSql AS dqx,
+       |    CAST(sum(CAST(CAST(qa AS DOUBLE) AS DECIMAL(12,7)) * CAST(CAST(qa AS DOUBLE) AS DECIMAL(12,7))) AS DOUBLE) AS dqq,
+       |    CAST(sum(CAST(CAST(xa AS DOUBLE) AS DECIMAL(12,7)) * CAST(CAST(xa AS DOUBLE) AS DECIMAL(12,7))) AS DOUBLE) AS dxx
+       |  FROM el GROUP BY qid, xid
+       |)
+       |SELECT qid, xid, cos, rank FROM (
+       |  SELECT qid, xid, dqx / (sqrt(dqq) * sqrt(dxx)) AS cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY dqx / (sqrt(dqq) * sqrt(dxx)) DESC, xid) AS rank
+       |  FROM dots
+       |) WHERE rank <= $K""") { (s, dir) =>
+    val emb = table(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    Similarity.bruteForceTopK(queries, corpus, K)
+  }
+
+  private lazy val signs = Similarity.srpSigns(Planes, Dims)
+
+  private def planeSql(j: Int): String = signs(j).mkString("[", ",", "]")
+
+  /** LSH-bucketed ANN: 6 deterministic ±1 hyperplanes → 64 buckets;
+    * candidates restricted to the query's bucket before exact cosine.
+    * The hyperplane matrix is shared with the oracle as literals.
+    */
+  val q61AnnLsh = Q.checked(
+    "q61_ann_lsh",
+    s"""WITH el AS (
+       |  SELECT vec_id, unnest(embedding) AS e${(0 until Planes).map(j => s", unnest(${planeSql(j)}) AS p$j").mkString}
+       |  FROM embeddings
+       |), b AS (
+       |  SELECT vec_id,
+       |    ${(0 until Planes).map(j => s"(CASE WHEN sum(CAST(CAST(e AS DOUBLE) AS DECIMAL(12,7)) * CAST(p$j AS DECIMAL(12,7))) > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS bucket
+       |  FROM el GROUP BY vec_id
+       |), q AS (
+       |  SELECT x.vec_id AS qid, x.embedding AS qv, b.bucket
+       |  FROM embeddings x JOIN b ON b.vec_id = x.vec_id WHERE x.vec_id < $NQueries
+       |), cand AS (
+       |  SELECT q.qid, x.vec_id AS xid, q.qv, x.embedding AS xv
+       |  FROM q JOIN b xb ON xb.bucket = q.bucket JOIN embeddings x ON x.vec_id = xb.vec_id
+       |), el2 AS (
+       |  SELECT qid, xid, unnest(qv) AS qa, unnest(xv) AS xa FROM cand
+       |), dots AS (
+       |  SELECT qid, xid,
+       |    $dotSql AS dqx,
+       |    CAST(sum(CAST(CAST(qa AS DOUBLE) AS DECIMAL(12,7)) * CAST(CAST(qa AS DOUBLE) AS DECIMAL(12,7))) AS DOUBLE) AS dqq,
+       |    CAST(sum(CAST(CAST(xa AS DOUBLE) AS DECIMAL(12,7)) * CAST(CAST(xa AS DOUBLE) AS DECIMAL(12,7))) AS DOUBLE) AS dxx
+       |  FROM el2 GROUP BY qid, xid
+       |)
+       |SELECT qid, xid, cos, rank FROM (
+       |  SELECT qid, xid, dqx / (sqrt(dqq) * sqrt(dxx)) AS cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY dqx / (sqrt(dqq) * sqrt(dxx)) DESC, xid) AS rank
+       |  FROM dots
+       |) WHERE rank <= $K""") { (s, dir) =>
+    val emb = table(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    Similarity.lshTopK(queries, corpus, signs, K)
+  }
+
+  val all: Vector[Q] = Vector(q60AnnCosine, q61AnnLsh)
+}
