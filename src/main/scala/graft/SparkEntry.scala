@@ -14,7 +14,8 @@ object SparkEntry {
   /** All registered operator queries, in registration order. */
   def registry: Vector[Q] =
     CoreQueries.all ++ JoinQueries.all ++ AggQueries.all ++ SortQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all
+      DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
+      SourceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

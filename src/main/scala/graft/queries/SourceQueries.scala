@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.Q
+import graft.core.Graft.table
+import graft.functions.Hashing
+import org.apache.spark.sql.functions._
+
+/** Sources/sinks surface (SURVEY §2.1): KV-text in/out with
+  * first-separator split, partitionBy multi-output routing, the
+  * SequenceFile shim, scan-time record filters, heterogeneous
+  * MultipleInputs union, and set operations. Round-trips write to a
+  * per-query temp dir then read back — the read path is what's verified.
+  */
+object SourceQueries {
+
+  private def tmp(name: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft-$name"
+    d
+  }
+
+  /** KV-text sink + source (`TextOutputFormat` / `KeyValueTextInputFormat`
+    * + `KeyValueLineRecordReader`): write `key \t value` lines, read back,
+    * split on the FIRST separator only (a tab inside the value survives).
+    */
+  val q40KvText = Q.checked(
+    "q40_kvtext",
+    """SELECT n_name AS key, CAST(n_nationkey AS VARCHAR) || chr(9) || CAST(n_regionkey AS VARCHAR) AS value
+      |FROM nation""") { (s, dir) =>
+    val out = tmp("kvtext")
+    table(s, dir, "nation")
+      .select(concat_ws("\t", col("n_name"), col("n_nationkey"), col("n_regionkey")).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(out)
+    // read back: key = text before the first \t, value = everything after
+    s.read.text(out)
+      .select(
+        substring_index(col("value"), "\t", 1).as("key"),
+        expr("substring(value, instr(value, '\t') + 1)").as("value"))
+  }
+
+  /** Multi-output routing (`MultipleOutputs`/`MultipleOutputFormat`):
+    * write orders partitioned by status (file-name-from-key), read the
+    * partitioned layout back and aggregate — the round trip proves the
+    * routing preserved every record under its key-derived path.
+    */
+  val q41MultiOutput = Q.checked(
+    "q41_multi_output",
+    """SELECT o_orderstatus, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+      |FROM orders GROUP BY o_orderstatus""") { (s, dir) =>
+    val out = tmp("multiout")
+    table(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_custkey"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"))
+  }
+
+  /** SequenceFile shim (`SequenceFileInput/OutputFormat`): RDD
+    * saveAsSequenceFile → sc.sequenceFile round trip for K/V compat with
+    * reference-era data; Parquet remains the native format.
+    */
+  val q42SeqFile = Q.checked(
+    "q42_seqfile",
+    "SELECT n_name AS key, CAST(n_nationkey AS VARCHAR) AS value FROM nation") { (s, dir) =>
+    val out = tmp("seqfile")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(out), true)
+    table(s, dir, "nation")
+      .select(col("n_name"), col("n_nationkey").cast("string"))
+      .rdd.map(r => (r.getString(0), r.getString(1)))
+      .saveAsSequenceFile(out)
+    import s.implicits._
+    s.sparkContext.sequenceFile[String, String](out).toDF("key", "value")
+  }
+
+  /** Scan-time record filters (`SequenceFileInputFilter`:
+    * Regex / MD5-sample / percent): three filter modes over customer keys,
+    * reported as per-mode counts. The MD5 filter reuses the portable hash
+    * so sampling is deterministic on any engine or cluster.
+    */
+  val q43ScanFilters = Q.checked(
+    "q43_scan_filters",
+    """SELECT
+      |  (SELECT count(*) FROM customer WHERE regexp_matches(c_name, 'Customer#0*1[0-9]$')) AS regex_n,
+      |  (SELECT count(*) FROM customer WHERE ('0x' || substring(md5(c_name), 1, 8))::BIGINT % 16 = 0) AS md5_n,
+      |  (SELECT count(*) FROM customer WHERE c_custkey % 10 = 0) AS nth_n""") { (s, dir) =>
+    val c = table(s, dir, "customer")
+    val regexN = c.filter(col("c_name").rlike("Customer#0*1[0-9]$"))
+      .agg(count(lit(1)).as("regex_n"))
+    val md5N = c.filter(Hashing.md5Sample(col("c_name"), 16))
+      .agg(count(lit(1)).as("md5_n"))
+    val nthN = c.filter(col("c_custkey") % 10 === 0)
+      .agg(count(lit(1)).as("nth_n"))
+    regexN.crossJoin(md5N).crossJoin(nthN)
+  }
+
+  /** MultipleInputs heterogeneous union (`DelegatingInputFormat`): two
+    * differently-shaped sources normalized per-path then unioned by name
+    * with a source tag.
+    */
+  val q44MultiInputs = Q.checked(
+    "q44_multi_inputs",
+    """SELECT src, count(*) AS n, min(name) AS min_name FROM (
+      |  SELECT 'customer' AS src, c_name AS name FROM customer
+      |  UNION ALL
+      |  SELECT 'supplier' AS src, s_name AS name FROM supplier
+      |) GROUP BY src""") { (s, dir) =>
+    val c = table(s, dir, "customer")
+      .select(lit("customer").as("src"), col("c_name").as("name"))
+    val p = table(s, dir, "supplier")
+      .select(lit("supplier").as("src"), col("s_name").as("name"))
+    c.unionByName(p)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), min(col("name")).as("min_name"))
+  }
+
+  /** Set operations (SURVEY §2.7): customers having both an 'O' and an 'F'
+    * order (intersect) and 'O'-only customers (except), via Spark's native
+    * INTERSECT/EXCEPT.
+    */
+  val q45SetOps = Q.checked(
+    "q45_setops",
+    """SELECT
+      |  (SELECT count(*) FROM (
+      |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |     INTERSECT
+      |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS both_n,
+      |  (SELECT count(*) FROM (
+      |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |     EXCEPT
+      |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS only_o_n""") { (s, dir) =>
+    val o = table(s, dir, "orders")
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val filled = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    open.intersect(filled).agg(count(lit(1)).as("both_n"))
+      .crossJoin(open.except(filled).agg(count(lit(1)).as("only_o_n")))
+  }
+
+  val all: Vector[Q] =
+    Vector(q40KvText, q41MultiOutput, q42SeqFile, q43ScanFilters,
+      q44MultiInputs, q45SetOps)
+}

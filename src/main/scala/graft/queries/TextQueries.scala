@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.Q
+import graft.core.Graft.table
+import graft.functions.Hashing
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** Text-analysis operators over `documents` (builder brief): language-ID
+  * heuristic, quality scoring, token counting (whitespace + BPE-ish regex),
+  * and rolling-hash document fingerprinting. All per-document map work —
+  * embarrassingly parallel, codegen'd builtins, no UDFs, no shuffle except
+  * the final aggregations.
+  */
+object TextQueries {
+
+  /** Marker stopword lists per candidate language (n-gram heuristic — the
+    * scoring function is the operator; on this synthetic corpus most docs
+    * score 'en' because the shared vocabulary is English-ish).
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "en" -> Seq("the", "a", "data", "order", "value"),
+    "es" -> Seq("el", "la", "los", "de", "y"),
+    "fr" -> Seq("le", "les", "et", "un", "une"),
+    "zh" -> Seq("de", "shi", "le", "bu", "zai"))
+
+  private def scoreSql(ms: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), x -> x IN (${ms.map("'" + _ + "'").mkString(",")})))"
+
+  private def scoreCol(ms: Seq[String]): Column =
+    size(filter(split(col("text"), " "), x => x.isInCollection(ms)))
+
+  /** Deterministic argmax with alphabetical tiebreak as a CASE chain —
+    * identical shape in both engines.
+    */
+  val q70LangId = Q.checked(
+    "q70_langid",
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang AS true_lang,
+       |    ${markers.map { case (l, ms) => s"${scoreSql(ms)} AS s_$l" }.mkString(",\n    ")}
+       |  FROM documents
+       |)
+       |SELECT doc_id, true_lang,
+       |  CASE
+       |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |    WHEN s_fr >= s_zh THEN 'fr'
+       |    ELSE 'zh'
+       |  END AS pred_lang
+       |FROM scored""") { (s, dir) =>
+    val scored = table(s, dir, "documents")
+      .select(col("doc_id") +: col("lang").as("true_lang") +:
+        markers.map { case (l, ms) => scoreCol(ms).as(s"s_$l") }: _*)
+    scored.select(col("doc_id"), col("true_lang"),
+      when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
+        col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+        .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+          col("s_en") >= col("s_zh"), "en")
+        .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+        .when(col("s_fr") >= col("s_zh"), "fr")
+        .otherwise("zh").as("pred_lang"))
+  }
+
+  /** Quality scoring: token count, mean token length, stopword ratio, and
+    * a combined score — exact-integer ratios emitted through one fixed
+    * double op tree.
+    */
+  val q71Quality = Q.checked(
+    "q71_quality",
+    """WITH t AS (
+      |  SELECT doc_id, n_chars, string_split(text, ' ') AS w,
+      |         len(list_filter(string_split(text, ' '), x -> x IN ('the','a'))) AS stops
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_chars, len(w) AS n_tokens,
+      |  CAST(n_chars AS DOUBLE) / len(w) AS chars_per_token,
+      |  CAST(stops AS DOUBLE) / len(w) AS stop_ratio,
+      |  CAST(n_chars AS DOUBLE) / len(w) - 2.0 * (CAST(stops AS DOUBLE) / len(w)) AS quality
+      |FROM t""") { (s, dir) =>
+    val w = split(col("text"), " ")
+    val stops = size(filter(w, x => x.isInCollection(Seq("the", "a"))))
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), w.as("w"), stops.as("stops"))
+      .select(col("doc_id"), col("n_chars"), size(col("w")).cast("long").as("n_tokens"),
+        (col("n_chars").cast("double") / size(col("w"))).as("chars_per_token"),
+        (col("stops").cast("double") / size(col("w"))).as("stop_ratio"),
+        (col("n_chars").cast("double") / size(col("w")) -
+          lit(2.0) * (col("stops").cast("double") / size(col("w")))).as("quality"))
+  }
+
+  /** Token counting two ways — whitespace tokens and a BPE-ish regex
+    * lexer (letter runs / digit runs / single other) — rolled up per
+    * source: the per-corpus token-budget accounting a training pipeline
+    * runs.
+    */
+  val q72TokenCount = Q.checked(
+    "q72_token_count",
+    """SELECT source,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpe_tokens,
+      |  count(*) AS docs
+      |FROM documents GROUP BY source""") { (s, dir) =>
+    table(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        sum(size(split(col("text"), " "))).as("ws_tokens"),
+        sum(size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))).as("bpe_tokens"),
+        count(lit(1)).as("docs"))
+  }
+
+  /** Document fingerprinting: min-hash over all char 8-grams (rolling
+    * window) plus the whole-text hash — the winnowing-style signature used
+    * for fast near-dup prefiltering.
+    */
+  val q73Fingerprint = Q.checked(
+    "q73_fingerprint",
+    """SELECT doc_id,
+      |  list_min(list_transform(generate_series(1, length(text) - 7),
+      |           i -> ('0x' || substring(md5(substr(text, i, 8)), 1, 8))::BIGINT)) AS fp_min,
+      |  ('0x' || substring(md5(text), 1, 8))::BIGINT AS fp_full
+      |FROM documents""") { (s, dir) =>
+    val grams = expr("transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))")
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        array_min(transform(grams, g => Hashing.hash32(g))).as("fp_min"),
+        Hashing.hash32(col("text")).as("fp_full"))
+  }
+
+  val all: Vector[Q] = Vector(q70LangId, q71Quality, q72TokenCount, q73Fingerprint)
+}
