@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** External-process operator — the reference's any-language UDF surface.
+  *
+  * Reference: Hadoop streaming `PipeMapRed` forks the user executable and
+  * feeds `key \t value \n` lines over stdin, reading the same framing back
+  * (`src/contrib/streaming/src/java/org/apache/hadoop/streaming/PipeMapRed.java:204-214`;
+  * separator rules `PipeMapper.java:78-80`: a missing separator means the
+  * whole line is the key and the value is empty).
+  *
+  * Spark shape: `rdd.pipe(cmd)` — identical fork model, one process per
+  * partition, streaming both directions (no buffering of the partition in
+  * memory). Scale: the external process is per-task; 1000 executors fork
+  * 1000 pipelines, exactly like the reference's one-per-map-task.
+  */
+object Pipe {
+
+  /** Pipe (key, value) rows through `cmd` as `key \t value` lines; parse
+    * the output back with first-separator splitting.
+    */
+  def pipeKV(spark: SparkSession, df: DataFrame, cmd: String): DataFrame = {
+    import spark.implicits._
+    val lines = df.select(
+      concat_ws("\t", col("key"), col("value")).as("line"))
+      .as[String]
+      .rdd
+      .pipe(cmd)
+    lines.toDF("line").select(
+      substring_index(col("line"), "\t", 1).as("key"),
+      when(instr(col("line"), "\t") > 0,
+        expr("substring(line, instr(line, '\t') + 1)")).otherwise("").as("value"))
+  }
+}

@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.Q
+import graft.core.Graft.table
+import graft.functions.Hashing
+import graft.operators.{Multimodal, Pipe}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The remaining reference corpus + extension surface: SkipBadRecords,
+  * Logalyzer, PiEstimator, TeraGen, JDBC in/out (DBCountPageView), the
+  * multimodal binary pipeline, the pipe operator, and the XML record
+  * scanner.
+  */
+object MiscQueries {
+
+  /** SkipBadRecords (`SkipBadRecords.java:51`): records that crash the
+    * user transform are skipped and counted, not fatal. Corruption is
+    * injected deterministically; `try_cast` is the per-record try/catch.
+    */
+  val q46SkipBad = Q.checked(
+    "q46_skipbad",
+    """WITH raw AS (
+      |  SELECT CASE WHEN user_id % 10 < 3 THEN 'x' || props
+      |              ELSE CAST(user_id AS VARCHAR) END AS rec
+      |  FROM events
+      |), parsed AS (SELECT TRY_CAST(rec AS BIGINT) AS v FROM raw)
+      |SELECT count(*) AS total,
+      |       count(*) - count(v) AS skipped,
+      |       CAST(sum(v) AS BIGINT) AS kept_sum
+      |FROM parsed""") { (s, dir) =>
+    val raw = table(s, dir, "events")
+      .select(when(col("user_id") % 10 < 3, concat(lit("x"), col("props")))
+        .otherwise(col("user_id").cast("string")).as("rec"))
+    raw.select(expr("try_cast(rec AS BIGINT)").as("v"))
+      .agg(count(lit(1)).as("total"),
+        (count(lit(1)) - count(col("v"))).as("skipped"),
+        sum(col("v")).as("kept_sum"))
+  }
+
+  /** Logalyzer (`src/tools/org/apache/hadoop/tools/Logalyzer.java:64-110`):
+    * grep the "log" + multi-column sorted report, rank-bounded.
+    */
+  val q47Logalyzer = Q.checked(
+    "q47_logalyzer",
+    """SELECT event_type, user_id, n, rank FROM (
+      |  SELECT event_type, user_id, count(*) AS n,
+      |         row_number() OVER (ORDER BY count(*) DESC, event_type, user_id) AS rank
+      |  FROM events
+      |  WHERE regexp_matches(props, '"k": 1[0-9]$') OR regexp_matches(props, '"k": 1[0-9]}')
+      |  GROUP BY event_type, user_id
+      |) WHERE rank <= 25""") { (s, dir) =>
+    table(s, dir, "events")
+      .filter(col("props").rlike("\"k\": 1[0-9]$") || col("props").rlike("\"k\": 1[0-9]\\}"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("event_type"), col("user_id"))))
+      .filter(col("rank") <= 25)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** PiEstimator (`PiEstimator.java:75,140-208`): quasi-Monte-Carlo with
+    * the 2,3-Halton sequence — deterministic, distributed generation, one
+    * global aggregate. Rows-only (the Halton loop has no SQL oracle);
+    * the ScalaTest spec asserts |estimate − π| < 0.01.
+    */
+  val q48Pi = Q.rowsOnly("q48_pi") { (s, dir) =>
+    import s.implicits._
+    val n = 200000L
+    def halton(base: Int, i0: Long): Double = {
+      var r = 0.0; var f = 1.0 / base; var i = i0
+      while (i > 0) { r += f * (i % base); i /= base; f /= base }
+      r
+    }
+    val inside = s.range(1, n + 1)
+      .mapPartitions(_.map { i =>
+        val x = halton(2, i) - 0.5; val y = halton(3, i) - 0.5
+        if (x * x + y * y <= 0.25) 1L else 0L
+      })
+      .toDF("in")
+      .agg(sum(col("in")).as("inside"), count(lit(1)).as("n"))
+    inside.select(
+      (col("inside").cast("double") / col("n") * 4.0).as("pi_estimate"),
+      col("n"))
+  }
+
+  /** TeraGen (`TeraGen.java:50-53`): deterministic distributed synthetic
+    * records — 10-hex-char keys from the portable hash — validated by
+    * count + xor checksum (TeraValidate-style invariant).
+    */
+  val q49TeraGen = Q.checked(
+    "q49_teragen",
+    """WITH g AS (
+      |  SELECT substring(md5(CAST(i AS VARCHAR)), 1, 10) AS key
+      |  FROM range(0, 100000) t(i)
+      |)
+      |SELECT count(*) AS n,
+      |       bit_xor(('0x' || substring(md5(key), 1, 8))::BIGINT) AS xor_hash,
+      |       min(key) AS min_key, max(key) AS max_key
+      |FROM g""") { (s, dir) =>
+    val g = s.range(0, 100000)
+      .select(substring(md5(col("id").cast("string")), 1, 10).as("key"))
+    g.agg(count(lit(1)).as("n"),
+      expr("bit_xor(cast(conv(substring(md5(key), 1, 8), 16, 10) as bigint))").as("xor_hash"),
+      min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+  }
+
+  /** JDBC sink + source (`DBOutputFormat` / `DBInputFormat`) =
+    * DBCountPageView (`DBCountPageView.java:268-365`): aggregate pageview
+    * counts → write to an embedded Derby table → partitioned JDBC read
+    * back. The oracle sees only the original parquet, so equality proves
+    * the DB round trip lost nothing.
+    */
+  val q54Jdbc = Q.checked(
+    "q54_jdbc",
+    """SELECT event_type AS url, count(*) AS views
+      |FROM events GROUP BY event_type""") { (s, dir) =>
+    val url = s"jdbc:derby:${System.getProperty("java.io.tmpdir")}/graft-derby;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    table(s, dir, "events")
+      .groupBy(col("event_type").as("url"))
+      .agg(count(lit(1)).as("views"))
+      .write.mode("overwrite").jdbc(url, "pageviews", props)
+    s.read.jdbc(url, "pageviews",
+        columnName = "views", lowerBound = 0L, upperBound = 1L << 20,
+        numPartitions = 4, connectionProperties = props)
+      .select(col("url"), col("views"))
+  }
+
+  /** Multimodal binary pipeline: payload as BinaryType + typed metadata,
+    * stride frame-sampling as pure binary slicing, and the deterministic
+    * decode stub (real codec call goes there; the plumbing is real).
+    */
+  val q55Multimodal = Q.checked(
+    "q55_multimodal",
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  lower(hex(encode(substr(text, 1, 4)))) AS head_hex,
+      |  list_transform(generate_series(0, least((octet_length(encode(text)) - 1) // 32, 3)),
+      |                 i -> lower(hex(encode(substr(text, i * 32 + 1, 4))))) AS frames,
+      |  ('0x' || substring(md5(lower(hex(encode(text)))), 1, 8))::BIGINT AS feature
+      |FROM documents""") { (s, dir) =>
+    val withBin = Multimodal.attachBinary(
+      table(s, dir, "documents"), encode(col("text"), "UTF-8"))
+    withBin.select(
+      col("doc_id"),
+      col("meta.n_bytes").cast("long").as("n_bytes"),
+      col("meta.head_hex").as("head_hex"),
+      Multimodal.frameSample(col("bin"), 32, 4, 4).as("frames"),
+      Multimodal.decodeStub(col("bin")).as("feature"))
+  }
+
+  /** Pipe operator (`PipeMapRed.java:204-214`): fork `tr a-z A-Z` per
+    * partition, stream `key \t value` lines through it, parse back on the
+    * first separator.
+    */
+  val q90Pipe = Q.checked(
+    "q90_pipe",
+    """SELECT upper(n_name) AS key, CAST(n_nationkey AS VARCHAR) AS value
+      |FROM nation""") { (s, dir) =>
+    val kv = table(s, dir, "nation")
+      .select(col("n_name").as("key"), col("n_nationkey").cast("string").as("value"))
+    Pipe.pipeKV(s, kv, "/usr/bin/tr a-z A-Z")
+  }
+
+  /** XML-delimited record scanner (`StreamXmlRecordReader`): records
+    * delimited by begin/end tags, fields re-extracted — synthesized XML
+    * round trip.
+    */
+  val q91Xml = Q.checked(
+    "q91_xml",
+    """WITH xml AS (
+      |  SELECT '<rec><name>' || n_name || '</name><key>' || CAST(n_nationkey AS VARCHAR) || '</key></rec>' AS x
+      |  FROM nation
+      |)
+      |SELECT regexp_extract(x, '<name>([^<]*)</name>', 1) AS name,
+      |       CAST(regexp_extract(x, '<key>([0-9]+)</key>', 1) AS BIGINT) AS key
+      |FROM xml""") { (s, dir) =>
+    val xml = table(s, dir, "nation")
+      .select(concat(lit("<rec><name>"), col("n_name"), lit("</name><key>"),
+        col("n_nationkey").cast("string"), lit("</key></rec>")).as("x"))
+    xml.select(
+      regexp_extract(col("x"), "<name>([^<]*)</name>", 1).as("name"),
+      regexp_extract(col("x"), "<key>([0-9]+)</key>", 1).cast("long").as("key"))
+  }
+
+  val all: Vector[Q] =
+    Vector(q46SkipBad, q47Logalyzer, q48Pi, q49TeraGen, q54Jdbc,
+      q55Multimodal, q90Pipe, q91Xml)
+}
