@@ -17,6 +17,9 @@ object Bench {
       .getOrCreate()
     graft.core.Graft.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM/codegen/scan paths so the first measured query isn't
+    // charged for JIT + classloading (~5s on a cold session)
+    spark.read.parquet(s"$sfDir/nation.parquet").groupBy().count().collect()
     val errs = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()

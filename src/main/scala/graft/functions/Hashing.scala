@@ -34,6 +34,20 @@ object Hashing {
   def hash32(c: Column, seed: Int): Column =
     hash32(concat(lit(seed.toString), lit(":"), c.cast("string")))
 
+  /** Cheap hash family: one MD5 digest yields four independent 32-bit
+    * words, so families 0..3 slice `md5(c)` and 4..7 slice `md5('x:'||c)` —
+    * 8 family members for 2 digests instead of 8. DuckDB:
+    * `('0x' || substring(md5(c), 1+8*i, 8))::BIGINT` (i<4),
+    * `('0x' || substring(md5('x:'||c), 1+8*(i-4), 8))::BIGINT` (i>=4).
+    */
+  def hash32Family(c: Column, i: Int): Column = {
+    require(i >= 0 && i < 8, s"family index $i out of [0,8)")
+    val digest =
+      if (i < 4) md5(c.cast("string"))
+      else md5(concat(lit("x:"), c.cast("string")))
+    conv(substring(digest, 1 + 8 * (i % 4), 8), 16, 10).cast("long")
+  }
+
   /** Deterministic 1-in-`f` sampler on a key (MD5Filter semantics). */
   def md5Sample(key: Column, f: Int): Column = hash32(key) % f === 0
 

@@ -40,11 +40,11 @@ object Dedup {
     * (map-side combine) keeps the shuffle narrow.
     */
   def minhash(df: DataFrame, id: Column, shingles: Column, nSeeds: Int): DataFrame = {
-    val exploded = df
-      .select(id.as("id"), explode(shingles).as("sh"))
-      .distinct()
+    // no pre-distinct: min() is duplicate-insensitive, so one shuffle with
+    // map-side partial min beats a distinct shuffle + aggregation
+    val exploded = df.select(id.as("id"), explode(shingles).as("sh"))
     val aggs = (0 until nSeeds).map(i =>
-      min(Hashing.hash32(col("sh"), i)).as(s"mh$i"))
+      min(Hashing.hash32Family(col("sh"), i)).as(s"mh$i"))
     exploded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -96,18 +96,19 @@ object Dedup {
     * Token sets are joined, not collected — no giant arrays in memory.
     */
   def jaccard(pairs: DataFrame, docTokens: DataFrame): DataFrame = {
-    // docTokens: (id, tok) distinct
-    val sizes = docTokens.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val common = pairs.alias("p")
-      .join(docTokens.alias("ta"), col("p.a") === col("ta.id"))
-      .join(docTokens.alias("tb"),
-        col("p.b") === col("tb.id") && col("ta.tok") === col("tb.tok"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("c"))
-    common.alias("m")
-      .join(sizes.alias("sa"), col("m.a") === col("sa.id"))
-      .join(sizes.alias("sb"), col("m.b") === col("sb.id"))
-      .select(col("m.a").as("a"), col("m.b").as("b"),
-        (col("m.c").cast("double") / (col("sa.n") + col("sb.n") - col("m.c"))).as("jaccard"))
+    // docTokens: (id, tok) distinct. Token sets are aggregated once per doc
+    // and intersected per pair with array ops — two hash joins instead of
+    // an exploded token×token join (candidate-pair count × avg-set-size
+    // fewer shuffle rows; set sizes are document-bounded so the arrays are
+    // small and the intersect stays in codegen).
+    val sets = docTokens.groupBy(col("id"))
+      .agg(collect_set(col("tok")).as("toks"))
+    pairs.alias("p")
+      .join(sets.alias("sa"), col("p.a") === col("sa.id"))
+      .join(sets.alias("sb"), col("p.b") === col("sb.id"))
+      .withColumn("c", size(array_intersect(col("sa.toks"), col("sb.toks"))))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        (col("c").cast("double") /
+          (size(col("sa.toks")) + size(col("sb.toks")) - col("c"))).as("jaccard"))
   }
 }

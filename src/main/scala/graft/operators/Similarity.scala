@@ -47,10 +47,15 @@ object Similarity {
     */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    // queries: (qid, qvec); corpus: (xid, xvec)
-    val scored = corpus.crossJoin(broadcast(queries))
+    // queries: (qid, qvec); corpus: (xid, xvec). Norms are computed ONCE
+    // per vector (not per pair) — at N queries × M corpus rows that turns
+    // 3·N·M dot products into N·M + N + M.
+    val qn = queries.withColumn("qnorm", sqrt(dotDecimal(col("qvec"), col("qvec")).cast("double")))
+    val xn = corpus.withColumn("xnorm", sqrt(dotDecimal(col("xvec"), col("xvec")).cast("double")))
+    val scored = xn.crossJoin(broadcast(qn))
       .select(col("qid"), col("xid"),
-        cosine(col("qvec"), col("xvec")).as("cos"))
+        (dotDecimal(col("qvec"), col("xvec")).cast("double") /
+          (col("qnorm") * col("xnorm"))).as("cos"))
     import org.apache.spark.sql.expressions.Window
     scored
       .withColumn("rank", row_number().over(
@@ -97,12 +102,15 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       signs: Seq[Seq[Int]], k: Int): DataFrame = {
     val qb = queries.select(col("qid"), col("qvec"),
-      srpBucket(col("qvec"), signs).as("bucket"))
+      srpBucket(col("qvec"), signs).as("bucket"),
+      sqrt(dotDecimal(col("qvec"), col("qvec")).cast("double")).as("qnorm"))
     val xb = corpus.select(col("xid"), col("xvec"),
-      srpBucket(col("xvec"), signs).as("xbucket"))
+      srpBucket(col("xvec"), signs).as("xbucket"),
+      sqrt(dotDecimal(col("xvec"), col("xvec")).cast("double")).as("xnorm"))
     val scored = xb.join(broadcast(qb), col("bucket") === col("xbucket"))
       .select(col("qid"), col("xid"),
-        cosine(col("qvec"), col("xvec")).as("cos"))
+        (dotDecimal(col("qvec"), col("xvec")).cast("double") /
+          (col("qnorm") * col("xnorm"))).as("cos"))
     import org.apache.spark.sql.expressions.Window
     scored
       .withColumn("rank", row_number().over(
