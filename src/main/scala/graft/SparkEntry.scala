@@ -15,7 +15,7 @@ object SparkEntry {
   def registry: Vector[Q] =
     CoreQueries.all ++ JoinQueries.all ++ AggQueries.all ++ SortQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
-      SourceQueries.all ++ MiscQueries.all
+      SourceQueries.all ++ MiscQueries.all ++ StoreQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
