@@ -76,6 +76,13 @@ object Aggregates {
     least(count_distinct(c), lit(cap.toLong)),
     array_join(slice(sort_array(collect_set(c.cast("string"))), 1, cap), ","))
 
+  /** Huge-cardinality variant (SURVEY §2.4): HyperLogLog sketch instead of
+    * an exact distinct — constant memory per group at any cardinality, the
+    * only viable distinct count at 100 TB. rsd = relative standard error.
+    */
+  def uniqApprox(c: Column, rsd: Double = 0.05): Column =
+    approx_count_distinct(c, rsd)
+
   /** ValueHistogram (`ValueHistogram.java:78-134`): per key, the frequency
     * distribution of values, reported as [unique count, min, median, max,
     * mean, population stddev] of the frequencies. Median is the reference's

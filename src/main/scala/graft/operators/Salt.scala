@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling salted join: when one join key carries a disproportionate
+  * share of the rows (the 100 TB reality AQE's skew splitting handles
+  * reactively), salting handles it proactively: the skewed (large) side
+  * gets a random salt in [0, n), the small side is replicated n ways, and
+  * the join key becomes (key, salt) — the hot key's rows spread across n
+  * tasks instead of one.
+  *
+  * Use when the skew is known ahead of time (power-law keys in training
+  * corpora); prefer plain join + AQE otherwise. The salt is `pmod(hash)`
+  * of a uniform random, deterministic per run via the seed.
+  */
+object Salt {
+
+  /** Salted equi-join: `large ⋈ small` on `key`, skew spread over `n`
+    * salts. `small` is replicated n× (keep it the genuinely small side).
+    */
+  def saltedJoin(
+      large: DataFrame, small: DataFrame, key: String,
+      n: Int, seed: Long = 42L): DataFrame = {
+    val salted = large.withColumn("_salt", pmod(floor(rand(seed) * n).cast("int"), lit(n)))
+    val replicated = small.withColumn("_salt", explode(sequence(lit(0), lit(n - 1))))
+    salted.join(replicated,
+      salted(key) === replicated(key) && salted("_salt") === replicated("_salt"))
+      .drop(replicated(key))
+      .drop("_salt")
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.{Aggregates, Salt, Search}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-path operators: salted skew joins, bucketed shuffle-free SMJ,
+  * HLL distinct, distributed search fan-out.
+  */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("salted join equals plain join on skewed data") {
+    val large = (Seq.fill(500)(("hot", 1)) ++ Seq(("a", 2), ("b", 3)))
+      .toDF("k", "v")
+    val small = Seq(("hot", 10), ("a", 20), ("b", 30), ("unmatched", 0))
+      .toDF("k", "w")
+    val salted = Salt.saltedJoin(large, small, "k", n = 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+      .as[(String, Long, Long)].collect().toSet
+    val plain = large.join(small, "k")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(salted == plain)
+    assert(salted.exists { case (k, n, _) => k == "hot" && n == 500 })
+  }
+
+  test("bucketed tables sort-merge join without shuffle exchanges") {
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("va"))
+      .write.bucketBy(4, "k").sortBy("k").saveAsTable("bkt_a")
+    spark.range(0, 1000).select(col("id").as("k"), (col("id") * 3).as("vb"))
+      .write.bucketBy(4, "k").sortBy("k").saveAsTable("bkt_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join should not shuffle:\n" + plan)
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("approx distinct lands within rsd of exact") {
+    val df = spark.range(0, 20000).select((col("id") % 5000).as("v"))
+    val approx = df.agg(Aggregates.uniqApprox(col("v"), 0.05)).head().getLong(0)
+    assert(math.abs(approx - 5000) < 5000 * 0.15, s"approx=$approx")
+  }
+
+  test("distributed n-queens fan-out finds all 92 solutions for n=8") {
+    assert(Search.nQueensCount(spark, 8) == 92L)
+  }
+}
