@@ -43,6 +43,21 @@ object TypedBytes {
     case other => sys.error(s"typedbytes: unsupported ${other.getClass}")
   }
 
+  /** RawBytes framing (`io/RawBytesOutputReader.java`): no type tag, just
+    * int length + payload — the fastest pipe interchange mode.
+    */
+  def encodeRaw(b: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.length); out.write(b)
+    bos.toByteArray
+  }
+
+  def decodeRaw(bytes: Array[Byte]): Array[Byte] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt(); val b = new Array[Byte](n); in.readFully(b); b
+  }
+
   def read(in: DataInputStream): Any = in.readByte() match {
     case 0 => val n = in.readInt(); val b = new Array[Byte](n); in.readFully(b); b
     case 1 => in.readByte()

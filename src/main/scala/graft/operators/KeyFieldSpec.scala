@@ -17,10 +17,8 @@ import org.apache.spark.sql.functions._
   * §2.6), partition = `df.repartition(n, partitionColumns(...))` (hash of
   * the selected fields, `KeyFieldBasedPartitioner.java:53-56`).
   *
-  * Supported subset: char offsets on the start position always; an end char
-  * offset only when the group covers a single field (multi-field end-char
-  * slicing needs record-length arithmetic the library defers until a
-  * workload needs it).
+  * Full spec support, including multi-field groups with char offsets on
+  * both ends (`-k2.2,4.3`) and the `pos2` char-0 = end-of-field default.
   */
 object KeyFieldSpec {
 
@@ -54,22 +52,30 @@ object KeyFieldSpec {
       nullif(regexp_extract(s, "^[-+]?\\d*\\.?\\d+", 0), lit("")).cast("double"),
       lit(0.0))
 
-  /** The raw text of one `-k` group extracted from a line. */
+  /** The raw text of one `-k` group extracted from a line, with full
+    * `KeyFieldHelper` semantics: the key spans from (field f1, char c1) to
+    * (field f2, char c2) inclusive over the separator-joined field bytes;
+    * `c2 = 0` (or omitted) means the end of field f2
+    * (`KeyFieldHelper.java:31-39`).
+    */
   def extract(line: Column, sep: String, k: KeySpec): Column = {
     val arr = split(line, Pattern.quote(sep))
-    val endF = k.endField.getOrElse(Int.MaxValue)
-    val joined =
-      if (k.startField == endF) get(arr, lit(k.startField - 1))
-      else if (k.endField.isEmpty)
-        array_join(slice(arr, lit(k.startField), greatest(size(arr) - k.startField + 1, lit(0))), sep)
-      else array_join(slice(arr, k.startField, endF - k.startField + 1), sep)
-    val fromChar =
-      if (k.startChar > 1) substring(joined, k.startChar, Int.MaxValue) else joined
-    (k.endChar, k.endField) match {
-      case (Some(ec), Some(ef)) if ef == k.startField =>
-        substring(joined, k.startChar, ec - k.startChar + 1)
-      case _ => fromChar
+    val joined = k.endField match {
+      case None =>
+        array_join(slice(arr, lit(k.startField),
+          greatest(size(arr) - k.startField + 1, lit(0))), sep)
+      case Some(ef) =>
+        array_join(slice(arr, lit(k.startField),
+          lit(math.max(ef - k.startField + 1, 0))), sep)
     }
+    val endPos = (k.endField, k.endChar) match {
+      case (Some(ef), Some(c2)) if c2 > 0 =>
+        // position of char c2 of the LAST field within the joined string
+        length(joined) - coalesce(length(get(arr, lit(ef - 1))), lit(0)) + c2
+      case _ => length(joined) // c2 = 0 / omitted: end of field
+    }
+    substring(joined, lit(k.startChar),
+      greatest(endPos - k.startChar + 1, lit(0)))
   }
 
   /** Ordering columns for `orderBy`. */

@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   * check that partition boundaries are non-decreasing. No full collect —
   * one small row per partition, scale-independent.
   */
-object SortValidate {
+/** Per-partition stats row (top-level so the encoder codegen resolves the
+  * constructor — a nested class made Janino fall back to interpreted mode).
+  */
+final case class PartStat(
+    idx: Int, first: Long, last: Long, sortedWithin: Boolean,
+    xor: Long, cnt: Long)
 
-  private final case class PartStat(
-      idx: Int, first: Long, last: Long, sortedWithin: Boolean,
-      xor: Long, cnt: Long)
+object SortValidate {
 
   /** Sort `df` globally by `sortKey` (a sortable long expression) and
     * validate; returns a single-row DataFrame

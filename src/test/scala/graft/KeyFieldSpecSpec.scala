@@ -37,6 +37,28 @@ class KeyFieldSpecSpec extends AnyFunSuite {
     assert(got == Seq("c\t2", "b\t3", "a\t1"))
   }
 
+  test("multi-field span with char offsets '-k2.2,4.3'") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // fields: f1 f2 f3 f4; key = chars 2.. of f2 through char 3 of f4,
+    // over the joined "f2-f3-f4" bytes
+    val df = Seq("w-abc-xy-pqrs").toDF("line")
+    val k = KeyFieldSpec.parse("-k2.2,4.3").head
+    val got = df.select(KeyFieldSpec.extract(col("line"), "-", k)).as[String].head()
+    assert(got == "bc-xy-pqr")
+  }
+
+  test("pos2 char 0 means end of field: '-k2,3.0' == '-k2,3'") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq("a-bb-ccc-d").toDF("line")
+    val k1 = KeyFieldSpec.parse("-k2,3.0").head
+    val k2 = KeyFieldSpec.parse("-k2,3").head
+    val g1 = df.select(KeyFieldSpec.extract(col("line"), "-", k1)).as[String].head()
+    val g2 = df.select(KeyFieldSpec.extract(col("line"), "-", k2)).as[String].head()
+    assert(g1 == "bb-ccc" && g2 == "bb-ccc")
+  }
+
   test("char-offset slice within a single field '-k1.2,1.3'") {
     val spark = TestSpark.spark
     import spark.implicits._
