@@ -33,4 +33,57 @@ object Pipe {
       when(instr(col("line"), "\t") > 0,
         expr("substring(line, instr(line, '\t') + 1)")).otherwise("").as("value"))
   }
+
+  /** TypedBytes pipe mode (`-io typedbytes`): frame (key, value) records
+    * with the TypedBytes codec over the child's stdin/stdout — binary-safe,
+    * no line/separator ambiguity. A writer thread feeds stdin while the
+    * task thread consumes stdout (both directions stream; neither side
+    * buffers a partition).
+    */
+  def pipeTypedBytes(spark: SparkSession, df: DataFrame, cmd: Seq[String]): DataFrame = {
+    import graft.functions.TypedBytes
+    import spark.implicits._
+    val piped = df.select(col("key").cast("string"), col("value").cast("string"))
+      .as[(String, String)]
+      .mapPartitions { rows =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val proc = new ProcessBuilder(cmd: _*).start()
+          val writer = new Thread(() => {
+            val out = new java.io.DataOutputStream(
+              new java.io.BufferedOutputStream(proc.getOutputStream))
+            try {
+              rows.foreach { case (k, v) =>
+                TypedBytes.write(out, k); TypedBytes.write(out, v)
+              }
+              out.flush()
+            } finally out.close()
+          })
+          writer.setDaemon(true)
+          writer.start()
+          val in = new java.io.DataInputStream(
+            new java.io.BufferedInputStream(proc.getInputStream))
+          new Iterator[(String, String)] {
+            private var pending: (String, String) = _
+            private var done = false
+            private def advance(): Unit =
+              if (!done && pending == null) {
+                try {
+                  val k = TypedBytes.read(in).toString
+                  val v = TypedBytes.read(in).toString
+                  pending = (k, v)
+                } catch {
+                  case _: java.io.EOFException =>
+                    done = true; in.close(); proc.waitFor()
+                }
+              }
+            def hasNext: Boolean = { advance(); pending != null }
+            def next(): (String, String) = {
+              advance(); val p = pending; pending = null; p
+            }
+          }
+        }
+      }
+    piped.toDF("key", "value")
+  }
 }

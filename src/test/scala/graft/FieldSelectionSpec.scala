@@ -31,6 +31,17 @@ class FieldSelectionSpec extends AnyFunSuite {
     assert(rows("z-x") == "") // fields 3.. absent on the short record
   }
 
+  test("reference example: '6,5,1-3:0-' key fields and open-range value") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // FieldSelectionHelper.java:40-52 example over fields 0..6
+    val df = Seq("f0-f1-f2-f3-f4-f5-f6").toDF("line")
+    val (k, v) = FieldSelection.project(col("line"), "-", "6,5,1-3:0-")
+    val row = df.select(k.as("k"), v.as("v")).as[(String, String)].head()
+    assert(row._1 == "f6-f5-f1-f2-f3")
+    assert(row._2 == "f0-f1-f2-f3-f4-f5-f6")
+  }
+
   test("out-of-range single fields are skipped (short records)") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -28,6 +28,16 @@ class MiscSpec extends AnyFunSuite {
     assert(math.abs(est - math.Pi) < 0.01, s"pi estimate $est")
   }
 
+  test("typedbytes pipe round-trips records through an external process") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val kv = Seq(("k1", "v with \t tab"), ("k2", ""), ("k3", "väl"))
+      .toDF("key", "value")
+    val got = graft.operators.Pipe.pipeTypedBytes(spark, kv, Seq("/bin/cat"))
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("k1", "v with \t tab"), ("k2", ""), ("k3", "väl")))
+  }
+
   test("pipe handles lines with no separator (whole line = key)") {
     val spark = TestSpark.spark
     import spark.implicits._
