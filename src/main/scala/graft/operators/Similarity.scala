@@ -80,6 +80,52 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: assign every corpus vector to its nearest
+    * coarse centroid (the cell), probe only the query's `nProbe` nearest
+    * cells, score candidates exactly. At 100 TB the corpus is partitioned
+    * by cell id, so a query touches nProbe/nCells of the data — the
+    * classic coarse-quantizer trade. Centroids come from the caller
+    * (production: offline k-means; here a deterministic sample).
+    * Distances compare as d² = |x|² − 2x·c + |c|² from exact decimal
+    * moments, so assignments are engine-identical.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // distance of every corpus vector to every centroid (small C)
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .select(col("xid"), col("xvec"), col("cid"),
+        (dotDecimal(col("xvec"), col("xvec")).cast("double") -
+          lit(2) * dotDecimal(col("xvec"), col("cvec")).cast("double") +
+          dotDecimal(col("cvec"), col("cvec")).cast("double")).as("d2"))
+    val byDist = Window.partitionBy(col("xid")).orderBy(col("d2"), col("cid"))
+    val ranked = scored.withColumn("rn", row_number().over(byDist))
+    val assign = ranked.filter(col("rn") === 1).select(col("xid"), col("cid"))
+    val probes = ranked.alias("r")
+      .join(broadcast(queries.select(col("qid"))), col("r.xid") === col("qid"))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cid"))
+    val cand = probes.alias("p")
+      .join(assign.alias("a"), col("p.cid") === col("a.cid"))
+      .select(col("p.qid").as("qid"), col("a.xid").as("xid"))
+    val qn = queries.withColumn("qnorm",
+      sqrt(dotDecimal(col("qvec"), col("qvec")).cast("double")))
+    val xn = corpus.withColumn("xnorm",
+      sqrt(dotDecimal(col("xvec"), col("xvec")).cast("double")))
+    val exact = cand
+      .join(broadcast(qn), "qid")
+      .join(xn, "xid")
+      .select(col("qid"), col("xid"),
+        (dotDecimal(col("qvec"), col("xvec")).cast("double") /
+          (col("qnorm") * col("xnorm"))).as("cos"))
+    exact
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("xid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("xid"), col("cos"), col("rank").cast("long").as("rank"))
+  }
+
   /** Deterministic ±1 hyperplane matrix: sign(j,d) from the parity of the
     * portable MD5-derived hash of "j:d" — reproducible anywhere.
     */

@@ -116,6 +116,8 @@ object MiscQueries {
     "q54_jdbc",
     """SELECT event_type AS url, count(*) AS views
       |FROM events GROUP BY event_type""") { (s, dir) =>
+    // keep Derby's home (and derby.log) out of the working directory
+    System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
     val url = s"jdbc:derby:${System.getProperty("java.io.tmpdir")}/graft-derby;create=true"
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")

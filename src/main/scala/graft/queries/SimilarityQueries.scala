@@ -91,5 +91,52 @@ object SimilarityQueries {
     Similarity.lshTopK(queries, corpus, signs, K)
   }
 
-  val all: Vector[Q] = Vector(q60AnnCosine, q61AnnLsh)
+  private val Cells = 8
+  private val NProbe = 2
+
+  private val decSql = "CAST(CAST(%s AS DOUBLE) AS DECIMAL(12,7))"
+  private def dd(a: String, b: String): String =
+    s"CAST(sum(${decSql.format(a)} * ${decSql.format(b)}) AS DOUBLE)"
+
+  /** IVF-bucketed ANN: 8 deterministic coarse centroids (first corpus
+    * vectors standing in for offline k-means), nprobe=2, exact cosine
+    * within probed cells. The 100 TB path partitions the corpus by cell.
+    */
+  val q62AnnIvf = Q.checked(
+    "q62_ann_ivf",
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $Cells),
+       |el AS (
+       |  SELECT x.vec_id AS xid, c.cid, unnest(x.embedding) AS xa, unnest(c.cv) AS ca
+       |  FROM embeddings x, cent c
+       |), dots AS (
+       |  SELECT xid, cid, ${dd("xa", "ca")} AS dxc, ${dd("xa", "xa")} AS dxx, ${dd("ca", "ca")} AS dcc
+       |  FROM el GROUP BY xid, cid
+       |), ranked AS (
+       |  SELECT xid, cid, row_number() OVER (PARTITION BY xid ORDER BY dxx - 2*dxc + dcc, cid) AS rn
+       |  FROM dots
+       |), assign AS (SELECT xid, cid FROM ranked WHERE rn = 1),
+       |probes AS (SELECT xid AS qid, cid FROM ranked WHERE rn <= $NProbe AND xid < $NQueries),
+       |cand AS (SELECT p.qid, a.xid FROM probes p JOIN assign a ON a.cid = p.cid),
+       |el2 AS (
+       |  SELECT c.qid, c.xid, unnest(q.embedding) AS qa, unnest(x.embedding) AS xa
+       |  FROM cand c JOIN embeddings q ON q.vec_id = c.qid JOIN embeddings x ON x.vec_id = c.xid
+       |), dots2 AS (
+       |  SELECT qid, xid, ${dd("qa", "xa")} AS dqx, ${dd("qa", "qa")} AS dqq, ${dd("xa", "xa")} AS dxx
+       |  FROM el2 GROUP BY qid, xid
+       |)
+       |SELECT qid, xid, cos, rank FROM (
+       |  SELECT qid, xid, dqx / (sqrt(dqq) * sqrt(dxx)) AS cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY dqx / (sqrt(dqq) * sqrt(dxx)) DESC, xid) AS rank
+       |  FROM dots2
+       |) WHERE rank <= $K""") { (s, dir) =>
+    val emb = table(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val centroids = emb.filter(col("vec_id") < Cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.ivfTopK(queries, corpus, centroids, NProbe, K)
+  }
+
+  val all: Vector[Q] = Vector(q60AnnCosine, q61AnnLsh, q62AnnIvf)
 }
