@@ -104,6 +104,41 @@ object SortQueries {
     recs.select(k.as("key"), v.as("value"))
   }
 
+  /** Partitioned analytic window (the scale-safe window shape: state per
+    * user, never a global partition): running event count and lag of the
+    * previous event type, ordered by (ts, event_id) within each user.
+    * Exact: the running value is a count (integers), lag is a string.
+    */
+  val q36WindowRunning = Q.checked(
+    "q36_window_running",
+    """SELECT event_id, user_id,
+      |  CAST(row_number() OVER w AS BIGINT) AS seq_no,
+      |  count(*) OVER w AS running_n,
+      |  lag(event_type, 1) OVER w AS prev_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""") { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        row_number().over(w).cast("long").as("seq_no"),
+        count(lit(1)).over(w).as("running_n"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+  }
+
+  /** Rollup — a Catalyst free win the reference cannot express (SURVEY
+    * §2.4: "no grouping sets / cube / rollup anywhere"): subtotal rows per
+    * (returnflag), (returnflag, linestatus), and grand total in one pass.
+    */
+  val q37Rollup = Q.checked(
+    "q37_rollup",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""") { (s, dir) =>
+    table(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val all: Vector[Q] =
-    Vector(q30SortValidate, q31SecondarySort, q32KeyFieldSort, q33FieldSel)
+    Vector(q30SortValidate, q31SecondarySort, q32KeyFieldSort, q33FieldSel,
+      q36WindowRunning, q37Rollup)
 }
