@@ -2,41 +2,40 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Embedding similarity search: brute-force cosine top-k as the exact
   * baseline, and sign-random-projection LSH bucketing as the 100 TB path
   * (candidates restricted to matching hash buckets before exact scoring).
   *
-  * Cross-engine exactness: dot products accumulate in DECIMAL — each float
-  * element is cast to DECIMAL(12,7) (deterministic decimal rounding of the
-  * exact binary value; no float ever lands on a half-ulp decimal boundary,
-  * so both engines round identically), products and sums are exact, and
-  * the final cosine is one fixed tree of double ops — bit-identical in
-  * Spark and DuckDB. All vector math is codegen'd builtins
-  * (`zip_with`/`aggregate`), no UDFs.
+  * Cross-engine exactness: every float element is quantized ONCE to a
+  * scaled long, `round(x * 10^6)` — exact because float(24-bit) * 10^6
+  * (20-bit) fits a double mantissa, and no float lands on a .5 boundary
+  * (that would need a non-dyadic value). Dot products are then pure
+  * integer multiply-adds (|sum| < 2^45, no overflow), bit-identical in
+  * Spark and DuckDB, and convert exactly to double. Cosine is
+  * scale-invariant so the 10^12 factor drops out of the identical op
+  * tree. All vector math is codegen'd primitives — no UDFs, no boxed
+  * decimals in the hot loop.
   */
 object Similarity {
 
-  private val D = DecimalType(12, 7)
-
-  // accumulator precision stays under Spark's 38 cap so each addition is
-  // exact at scale 14 and the cast back never rounds (|sums| << 10^18)
-  private val Acc = DecimalType(32, 14)
-
-  /** Exact decimal dot product of two float-array columns. Floats widen to
-    * double BEFORE the decimal cast: Spark's float→decimal goes through the
-    * float's shortest 9-digit string, which can flip the 7th decimal versus
-    * the exact binary value DuckDB rounds — the double path is exact in
-    * both engines.
+  /** Quantize a float array to scaled longs: `round(x * 10^6)` per
+    * element (exact + engine-identical, see object doc). Do this ONCE per
+    * row; downstream dots are integer math.
     */
-  def dotDecimal(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double").cast(D) * y.cast("double").cast(D)),
-      lit(0).cast(Acc),
-      (acc, v) => (acc + v).cast(Acc))
+  def scaled(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1000000d).cast("long"))
 
-  /** Cosine similarity, computed as double from exact decimal moments. */
+  /** Integer dot product of two pre-scaled long arrays. */
+  def dotScaled(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact scaled dot product of two raw float-array columns. */
+  def dotDecimal(a: Column, b: Column): Column = dotScaled(scaled(a), scaled(b))
+
+  /** Cosine similarity over raw float arrays (scale factor cancels in the
+    * identical double op tree).
+    */
   def cosine(a: Column, b: Column): Column =
     dotDecimal(a, b).cast("double") /
       (sqrt(dotDecimal(a, a).cast("double")) * sqrt(dotDecimal(b, b).cast("double")))
@@ -50,11 +49,13 @@ object Similarity {
     // queries: (qid, qvec); corpus: (xid, xvec). Norms are computed ONCE
     // per vector (not per pair) — at N queries × M corpus rows that turns
     // 3·N·M dot products into N·M + N + M.
-    val qn = queries.withColumn("qnorm", sqrt(dotDecimal(col("qvec"), col("qvec")).cast("double")))
-    val xn = corpus.withColumn("xnorm", sqrt(dotDecimal(col("xvec"), col("xvec")).cast("double")))
+    val qn = queries.select(col("qid"), scaled(col("qvec")).as("qs"))
+      .withColumn("qnorm", sqrt(dotScaled(col("qs"), col("qs")).cast("double")))
+    val xn = corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
+      .withColumn("xnorm", sqrt(dotScaled(col("xs"), col("xs")).cast("double")))
     val scored = xn.crossJoin(broadcast(qn))
       .select(col("qid"), col("xid"),
-        (dotDecimal(col("qvec"), col("xvec")).cast("double") /
+        (dotScaled(col("qs"), col("xs")).cast("double") /
           (col("qnorm") * col("xnorm"))).as("cos"))
     import org.apache.spark.sql.expressions.Window
     scored
@@ -68,13 +69,17 @@ object Similarity {
     * `signs(j)(d)` ∈ {-1, 1} is a deterministic hyperplane matrix shared
     * (as literals) with the oracle.
     */
-  def srpBucket(vec: Column, signs: Seq[Seq[Int]]): Column = {
+  def srpBucket(vec: Column, signs: Seq[Seq[Int]]): Column =
+    srpBucketScaled(scaled(vec), signs)
+
+  /** Same, over an already-scaled long array (avoids re-quantizing when
+    * the caller keeps the scaled column around).
+    */
+  def srpBucketScaled(sv: Column, signs: Seq[Seq[Int]]): Column = {
     val bits = signs.zipWithIndex.map { case (row, j) =>
-      val signArr = typedlit(row)
+      val signArr = typedlit(row.map(_.toLong))
       val dot = aggregate(
-        zip_with(vec, signArr, (x, s) => x.cast("double").cast(D) * s.cast(D)),
-        lit(0).cast(Acc),
-        (acc, v) => (acc + v).cast(Acc))
+        zip_with(sv, signArr, (x, s) => x * s), lit(0L), (acc, v) => acc + v)
       when(dot > 0, 1L << j).otherwise(0L)
     }
     bits.reduce(_ + _)
@@ -94,11 +99,12 @@ object Similarity {
       nProbe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // distance of every corpus vector to every centroid (small C)
-    val scored = corpus.crossJoin(broadcast(centroids))
-      .select(col("xid"), col("xvec"), col("cid"),
-        (dotDecimal(col("xvec"), col("xvec")).cast("double") -
-          lit(2) * dotDecimal(col("xvec"), col("cvec")).cast("double") +
-          dotDecimal(col("cvec"), col("cvec")).cast("double")).as("d2"))
+    val scored = corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
+      .crossJoin(broadcast(centroids.select(col("cid"), scaled(col("cvec")).as("cs"))))
+      .select(col("xid"), col("xs"), col("cid"),
+        (dotScaled(col("xs"), col("xs")) -
+          lit(2L) * dotScaled(col("xs"), col("cs")) +
+          dotScaled(col("cs"), col("cs"))).as("d2"))
     val byDist = Window.partitionBy(col("xid")).orderBy(col("d2"), col("cid"))
     val ranked = scored.withColumn("rn", row_number().over(byDist))
     val assign = ranked.filter(col("rn") === 1).select(col("xid"), col("cid"))
@@ -109,15 +115,15 @@ object Similarity {
     val cand = probes.alias("p")
       .join(assign.alias("a"), col("p.cid") === col("a.cid"))
       .select(col("p.qid").as("qid"), col("a.xid").as("xid"))
-    val qn = queries.withColumn("qnorm",
-      sqrt(dotDecimal(col("qvec"), col("qvec")).cast("double")))
-    val xn = corpus.withColumn("xnorm",
-      sqrt(dotDecimal(col("xvec"), col("xvec")).cast("double")))
+    val qn = queries.select(col("qid"), scaled(col("qvec")).as("qs"))
+      .withColumn("qnorm", sqrt(dotScaled(col("qs"), col("qs")).cast("double")))
+    val xn = corpus.select(col("xid"), scaled(col("xvec")).as("xs2"))
+      .withColumn("xnorm", sqrt(dotScaled(col("xs2"), col("xs2")).cast("double")))
     val exact = cand
       .join(broadcast(qn), "qid")
       .join(xn, "xid")
       .select(col("qid"), col("xid"),
-        (dotDecimal(col("qvec"), col("xvec")).cast("double") /
+        (dotScaled(col("qs"), col("xs2")).cast("double") /
           (col("qnorm") * col("xnorm"))).as("cos"))
     exact
       .withColumn("rank", row_number().over(
@@ -147,15 +153,15 @@ object Similarity {
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       signs: Seq[Seq[Int]], k: Int): DataFrame = {
-    val qb = queries.select(col("qid"), col("qvec"),
-      srpBucket(col("qvec"), signs).as("bucket"),
-      sqrt(dotDecimal(col("qvec"), col("qvec")).cast("double")).as("qnorm"))
-    val xb = corpus.select(col("xid"), col("xvec"),
-      srpBucket(col("xvec"), signs).as("xbucket"),
-      sqrt(dotDecimal(col("xvec"), col("xvec")).cast("double")).as("xnorm"))
+    val qb = queries.select(col("qid"), scaled(col("qvec")).as("qs"),
+      srpBucket(col("qvec"), signs).as("bucket"))
+      .withColumn("qnorm", sqrt(dotScaled(col("qs"), col("qs")).cast("double")))
+    val xb = corpus.select(col("xid"), scaled(col("xvec")).as("xs"),
+      srpBucket(col("xvec"), signs).as("xbucket"))
+      .withColumn("xnorm", sqrt(dotScaled(col("xs"), col("xs")).cast("double")))
     val scored = xb.join(broadcast(qb), col("bucket") === col("xbucket"))
       .select(col("qid"), col("xid"),
-        (dotDecimal(col("qvec"), col("xvec")).cast("double") /
+        (dotScaled(col("qs"), col("xs")).cast("double") /
           (col("qnorm") * col("xnorm"))).as("cos"))
     import org.apache.spark.sql.expressions.Window
     scored

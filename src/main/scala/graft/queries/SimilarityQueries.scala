@@ -16,8 +16,10 @@ object SimilarityQueries {
   private val Planes = 6
   private val Dims = 64
 
-  private val dotSql =
-    "CAST(sum(CAST(CAST(qa AS DOUBLE) AS DECIMAL(12,7)) * CAST(CAST(xa AS DOUBLE) AS DECIMAL(12,7))) AS DOUBLE)"
+  // scaled-long dot product: round(x*1e6)::BIGINT per element, integer
+  // multiply-add, exact HUGEINT->DOUBLE at the end (|sum| < 2^45)
+  private def sc(x: String) = s"CAST(round(CAST($x AS DOUBLE) * 1000000) AS BIGINT)"
+  private val dotSql = s"CAST(sum(${sc("qa")} * ${sc("xa")}) AS DOUBLE)"
 
   /** Brute-force cosine top-k: 5 query vectors (vec_id < 5) against the
     * full corpus; exact decimal dot products, per-query bounded rank.
@@ -31,8 +33,8 @@ object SimilarityQueries {
        |), dots AS (
        |  SELECT qid, xid,
        |    $dotSql AS dqx,
-       |    CAST(sum(CAST(CAST(qa AS DOUBLE) AS DECIMAL(12,7)) * CAST(CAST(qa AS DOUBLE) AS DECIMAL(12,7))) AS DOUBLE) AS dqq,
-       |    CAST(sum(CAST(CAST(xa AS DOUBLE) AS DECIMAL(12,7)) * CAST(CAST(xa AS DOUBLE) AS DECIMAL(12,7))) AS DOUBLE) AS dxx
+       |    CAST(sum(${sc("qa")} * ${sc("qa")}) AS DOUBLE) AS dqq,
+       |    CAST(sum(${sc("xa")} * ${sc("xa")}) AS DOUBLE) AS dxx
        |  FROM el GROUP BY qid, xid
        |)
        |SELECT qid, xid, cos, rank FROM (
@@ -62,7 +64,7 @@ object SimilarityQueries {
        |  FROM embeddings
        |), b AS (
        |  SELECT vec_id,
-       |    ${(0 until Planes).map(j => s"(CASE WHEN sum(CAST(CAST(e AS DOUBLE) AS DECIMAL(12,7)) * CAST(p$j AS DECIMAL(12,7))) > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS bucket
+       |    ${(0 until Planes).map(j => s"(CASE WHEN sum(${sc("e")} * p$j) > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS bucket
        |  FROM el GROUP BY vec_id
        |), q AS (
        |  SELECT x.vec_id AS qid, x.embedding AS qv, b.bucket
@@ -75,8 +77,8 @@ object SimilarityQueries {
        |), dots AS (
        |  SELECT qid, xid,
        |    $dotSql AS dqx,
-       |    CAST(sum(CAST(CAST(qa AS DOUBLE) AS DECIMAL(12,7)) * CAST(CAST(qa AS DOUBLE) AS DECIMAL(12,7))) AS DOUBLE) AS dqq,
-       |    CAST(sum(CAST(CAST(xa AS DOUBLE) AS DECIMAL(12,7)) * CAST(CAST(xa AS DOUBLE) AS DECIMAL(12,7))) AS DOUBLE) AS dxx
+       |    CAST(sum(${sc("qa")} * ${sc("qa")}) AS DOUBLE) AS dqq,
+       |    CAST(sum(${sc("xa")} * ${sc("xa")}) AS DOUBLE) AS dxx
        |  FROM el2 GROUP BY qid, xid
        |)
        |SELECT qid, xid, cos, rank FROM (
@@ -94,9 +96,8 @@ object SimilarityQueries {
   private val Cells = 8
   private val NProbe = 2
 
-  private val decSql = "CAST(CAST(%s AS DOUBLE) AS DECIMAL(12,7))"
   private def dd(a: String, b: String): String =
-    s"CAST(sum(${decSql.format(a)} * ${decSql.format(b)}) AS DOUBLE)"
+    s"CAST(sum(${sc(a)} * ${sc(b)}) AS DOUBLE)"
 
   /** IVF-bucketed ANN: 8 deterministic coarse centroids (first corpus
     * vectors standing in for offline k-means), nprobe=2, exact cosine
