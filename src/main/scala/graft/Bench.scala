@@ -17,9 +17,18 @@ object Bench {
       .getOrCreate()
     graft.core.Graft.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen/scan paths so the first measured query isn't
-    // charged for JIT + classloading (~5s on a cold session)
-    spark.read.parquet(s"$sfDir/nation.parquet").groupBy().count().collect()
+    // warm the JVM/codegen/scan/agg/join paths so the first measured query
+    // isn't charged for JIT + classloading (~5s on a cold session)
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      n.groupBy(col("n_regionkey"))
+        .agg(sum(col("n_nationkey").cast(DecimalType(18, 4))), count(lit(1)))
+        .collect()
+      n.join(n.select(col("n_nationkey").as("k")), col("n_nationkey") === col("k"))
+        .count()
+    }
     val errs = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
