@@ -23,10 +23,12 @@ object Hashing {
 
   /** Unsigned 32-bit hash of the UTF-8 string form of `c`, as LongType
     * in [0, 2^32). Equivalent DuckDB SQL:
-    * `('0x' || substring(md5(c), 1, 8))::BIGINT`.
+    * `('0x' || substring(md5(c), 1, 8))::BIGINT`. Computed by the native
+    * [[Md5Word]] expression (digest bytes read directly — no hex-string
+    * round trip in the hot loop); value-identical to
+    * `conv(substring(md5(c), 1, 8), 16, 10)`.
     */
-  def hash32(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+  def hash32(c: Column): Column = Md5Word(c.cast("string"), 0)
 
   /** Seeded variant: independent hash families for MinHash / LSH.
     * DuckDB: `('0x' || substring(md5(seed || ':' || c), 1, 8))::BIGINT`.
@@ -42,10 +44,10 @@ object Hashing {
     */
   def hash32Family(c: Column, i: Int): Column = {
     require(i >= 0 && i < 8, s"family index $i out of [0,8)")
-    val digest =
-      if (i < 4) md5(c.cast("string"))
-      else md5(concat(lit("x:"), c.cast("string")))
-    conv(substring(digest, 1 + 8 * (i % 4), 8), 16, 10).cast("long")
+    val input =
+      if (i < 4) c.cast("string")
+      else concat(lit("x:"), c.cast("string"))
+    Md5Word(input, i % 4)
   }
 
   /** Deterministic 1-in-`f` sampler on a key (MD5Filter semantics). */
