@@ -1,0 +1,32 @@
+package graft.core
+
+import graft.functions.Md5Word
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions, so `spark.sql("SELECT graft_hash32(x)")`
+  * and the Column API share one implementation. Enable with
+  * `.config("spark.sql.extensions", "graft.core.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`.
+  *
+  * This is the (c) tier of SURVEY §7.3's custom-operator ladder — used
+  * only for expressions with proven hot-path value ([[Md5Word]]); all
+  * other operators stay composed builtins.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hash32"),
+      new ExpressionInfo(classOf[Md5Word].getName, "graft_hash32",
+        "graft_hash32(str[, word]) - unsigned 32-bit word of md5(str), portable across engines"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c)    => Md5Word(c, 0)
+        case Seq(c, w) => Md5Word(c, w.eval().toString.toInt)
+        case _ => throw new IllegalArgumentException(
+          "graft_hash32 expects (str) or (str, word)")
+      }))
+  }
+}
