@@ -23,8 +23,8 @@ import org.apache.spark.sql.functions._
   * constructor — a nested class made Janino fall back to interpreted mode).
   */
 final case class PartStat(
-    idx: Int, first: Long, last: Long, sortedWithin: Boolean,
-    xor: Long, cnt: Long)
+    idx: Int, firstK: Long, firstT: Long, lastK: Long, lastT: Long,
+    sortedWithin: Boolean, xor: Long, cnt: Long)
 
 object SortValidate {
 
@@ -48,25 +48,29 @@ object SortValidate {
       .mapPartitions { rows =>
         if (!rows.hasNext) Iterator.empty
         else {
-          var first = Long.MinValue; var last = Long.MinValue
+          var firstK = Long.MinValue; var firstT = Long.MinValue
           var prevK = Long.MinValue; var prevT = Long.MinValue
           var sortedWithin = true; var xor = 0L; var cnt = 0L
           var started = false
           for (r <- rows) {
             val k = r.getLong(0); val t = r.getLong(1); val h = r.getLong(2)
-            if (!started) { first = k; started = true }
+            if (!started) { firstK = k; firstT = t; started = true }
             else if (k < prevK || (k == prevK && t < prevT)) sortedWithin = false
-            prevK = k; prevT = t; last = k; xor ^= h; cnt += 1
+            prevK = k; prevT = t; xor ^= h; cnt += 1
           }
           Iterator.single(PartStat(org.apache.spark.TaskContext.getPartitionId(),
-            first, last, sortedWithin, xor, cnt))
+            firstK, firstT, prevK, prevT, sortedWithin, xor, cnt))
         }
       }
       .collect()
       .sortBy(_.idx)
+    // boundary order must hold on the FULL (key, tiebreak) tuple — a
+    // key tie across a partition edge with tiebreaks out of order is an
+    // ordering violation too
     val boundariesOk = stats.sliding(2).forall {
-      case Array(a, b) => a.last <= b.first
-      case _           => true
+      case Array(a, b) =>
+        a.lastK < b.firstK || (a.lastK == b.firstK && a.lastT <= b.firstT)
+      case _ => true
     }
     val isSorted = boundariesOk && stats.forall(_.sortedWithin)
     val totalXor = stats.foldLeft(0L)(_ ^ _.xor)
