@@ -62,16 +62,22 @@ object Dedup {
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Distinct candidate pairs (a < b) from any shared band bucket — the
-    * bucket-join, never all-pairs. Dataset aliases keep the self-join's
-    * two sides as distinct attribute sets.
+  /** Distinct candidate pairs (a < b) from any shared band bucket — within
+    * buckets only, never all-pairs. One grouped pass: bucket ids are
+    * collected (sorted, so a < b falls out of position order) and pairs
+    * exploded per bucket. A self-join would recompute the whole minhash
+    * subtree for both sides; this shape computes it once, and the per-key
+    * state is one id array per bucket — bounded by bucket size, which
+    * banded LSH keeps small by construction.
     */
   def candidatePairs(bands: DataFrame): DataFrame =
-    bands.alias("l")
-      .join(bands.alias("r"),
-        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"))
+    bands.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
 
   /** SimHash signature of `bits` bits over distinct tokens:
