@@ -128,5 +128,33 @@ object TextQueries {
         Hashing.hash32(col("text")).as("fp_full"))
   }
 
-  val all: Vector[Q] = Vector(q70LangId, q71Quality, q72TokenCount, q73Fingerprint)
+  /** Inverted-index build — the contrib Lucene index pattern
+    * (`src/contrib/index/.../IndexUpdater.java`: analyze docs →
+    * shard-routed intermediate forms → merged postings): token → sorted
+    * postings list + document frequency, sharded by the portable hash
+    * exactly like `IndexUpdateMapper`'s shard routing. The postings
+    * groupBy IS the merge; shards partition the index for parallel serving.
+    */
+  val q74InvertedIndex = Q.checked(
+    "q74_inverted_index",
+    """WITH toks AS (
+      |  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok, doc_id FROM documents
+      |)
+      |SELECT tok,
+      |  CAST(('0x' || substring(md5(tok), 1, 8))::BIGINT % 4 AS BIGINT) AS shard,
+      |  list_sort(list(doc_id)) AS postings,
+      |  count(*) AS df
+      |FROM toks GROUP BY tok""") { (s, dir) =>
+    table(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"), col("doc_id"))
+      .distinct()
+      .groupBy(col("tok"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("postings"),
+        count(lit(1)).as("df"))
+      .select(col("tok"), (Hashing.hash32(col("tok")) % 4).as("shard"),
+        col("postings"), col("df"))
+  }
+
+  val all: Vector[Q] =
+    Vector(q70LangId, q71Quality, q72TokenCount, q73Fingerprint, q74InvertedIndex)
 }
