@@ -44,6 +44,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("partitioned layout prunes partitions at the scan") {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-prune-test"
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    val p = spark.read.parquet(out)
+      .filter(col("o_orderstatus") === "F")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"), p)
+    assert(!p.contains("Filter (o_orderstatus"), "filter should be pruned, not post-scan:\n" + p)
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
