@@ -188,7 +188,38 @@ object MiscQueries {
       regexp_extract(col("x"), "<key>([0-9]+)</key>", 1).cast("long").as("key"))
   }
 
+  /** Gridmix "3-stage pipeline" job family (SURVEY §6,
+    * `src/benchmarks/gridmix/README`): filter-map stage → shuffle
+    * aggregation stage → bounded global-sort stage, as one declarative
+    * plan (Catalyst pipelines what the reference ran as three jobs with
+    * HDFS round trips between them).
+    */
+  val q39ThreeStage = Q.checked(
+    "q39_three_stage",
+    """SELECT user_id, n, total, rank FROM (
+      |  SELECT user_id, n, total,
+      |         row_number() OVER (ORDER BY total DESC, user_id) AS rank
+      |  FROM (
+      |    SELECT user_id, count(*) AS n,
+      |           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+      |    FROM events
+      |    WHERE event_type IN ('click', 'purchase') AND value > 10
+      |    GROUP BY user_id
+      |  )
+      |) WHERE rank <= 50""") { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    table(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase") && col("value") > 10)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 4))), 2).cast("double").as("total"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("total").desc, col("user_id"))))
+      .filter(col("rank") <= 50)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   val all: Vector[Q] =
-    Vector(q46SkipBad, q47Logalyzer, q48Pi, q49TeraGen, q54Jdbc,
-      q55Multimodal, q90Pipe, q91Xml)
+    Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q48Pi, q49TeraGen,
+      q54Jdbc, q55Multimodal, q90Pipe, q91Xml)
 }

@@ -30,6 +30,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream over the events table aggregates like batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // stream the real parquet fixture as a file source (one-batch read),
+    // aggregate per event_type, compare against the batch answer
+    val dir = TestSpark.sf0001
+    // file sources watch a directory; stage the fixture into one
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("file_stream_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT event_type, n FROM file_stream_out")
+        .as[(String, Long)].collect().toMap
+      val batch = spark.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
