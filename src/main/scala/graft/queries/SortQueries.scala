@@ -138,7 +138,31 @@ object SortQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Key-field partition routing (`KeyFieldBasedPartitioner.java:53-56`):
+    * rows route to reducers by the hash of the selected key fields. The
+    * routing function is the engine-portable hash, so the oracle verifies
+    * the exact bucket placement every row would get on any cluster size.
+    */
+  val q38KeyFieldPartition = Q.checked(
+    "q38_keyfield_partition",
+    """WITH lines AS (
+      |  SELECT s_name || chr(9) || CAST(s_suppkey AS VARCHAR) || chr(9) || CAST(s_nationkey AS VARCHAR) AS line
+      |  FROM supplier
+      |)
+      |SELECT ('0x' || substring(md5(split_part(line, chr(9), 3)), 1, 8))::BIGINT % 4 AS route,
+      |       count(*) AS n, min(line) AS min_line
+      |FROM lines GROUP BY route""") { (s, dir) =>
+    import graft.functions.Hashing
+    val lines = table(s, dir, "supplier")
+      .select(concat_ws("\t", col("s_name"), col("s_suppkey"), col("s_nationkey")).as("line"))
+    val key = KeyFieldSpec.partitionColumns(col("line"), "\t", "-k3").head
+    lines
+      .repartition(4, Hashing.hash32(key) % 4) // the physical routing
+      .groupBy((Hashing.hash32(key) % 4).as("route"))
+      .agg(count(lit(1)).as("n"), min(col("line")).as("min_line"))
+  }
+
   val all: Vector[Q] =
     Vector(q30SortValidate, q31SecondarySort, q32KeyFieldSort, q33FieldSel,
-      q36WindowRunning, q37Rollup)
+      q36WindowRunning, q37Rollup, q38KeyFieldPartition)
 }
