@@ -43,13 +43,13 @@ object KeyFieldSpec {
         reverse = opts.contains('r'))
     }.toVector
 
-  /** Leading-number parse for `n` (sort -n semantics: ignore trailing
-    * garbage, missing number sorts as 0 — `KeyFieldBasedComparator`
-    * numerical compare).
+  /** Leading-number parse for `n` (sort -n semantics: skip leading blanks,
+    * ignore trailing garbage, missing number sorts as 0 —
+    * `KeyFieldBasedComparator` numerical compare).
     */
   private def numericKey(s: Column): Column =
     coalesce(
-      nullif(regexp_extract(s, "^[-+]?\\d*\\.?\\d+", 0), lit("")).cast("double"),
+      nullif(regexp_extract(s, "^[ \\t]*([-+]?\\d*\\.?\\d+)", 1), lit("")).cast("double"),
       lit(0.0))
 
   /** The raw text of one `-k` group extracted from a line, with full

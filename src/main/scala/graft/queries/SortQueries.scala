@@ -68,7 +68,7 @@ object SortQueries {
       |)
       |SELECT line, rank FROM (
       |  SELECT line, row_number() OVER (ORDER BY
-      |    coalesce(nullif(regexp_extract(split_part(line, chr(9), 3), '^[-+]?\d*\.?\d+'), '')::DOUBLE, 0) ASC,
+      |    coalesce(nullif(regexp_extract(split_part(line, chr(9), 3), '^[ \t]*([-+]?\d*\.?\d+)', 1), '')::DOUBLE, 0) ASC,
       |    split_part(line, chr(9), 1) DESC,
       |    line) AS rank
       |  FROM lines

@@ -19,6 +19,15 @@ class KeyFieldSpecSpec extends AnyFunSuite {
     assert(ks.head.startChar == 2 && ks.head.endChar.contains(4))
   }
 
+  test("numeric sort skips leading blanks (sort -n)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq("a\t  30", "b\t4", "c\t 12").toDF("line")
+    val cols = KeyFieldSpec.sortColumns(col("line"), "\t", "-k2,2n")
+    val got = df.orderBy(cols: _*).select(col("line")).as[String].collect().toSeq
+    assert(got == Seq("b\t4", "c\t 12", "a\t  30"))
+  }
+
   test("numeric sort ignores trailing garbage, missing number is 0") {
     val spark = TestSpark.spark
     import spark.implicits._
