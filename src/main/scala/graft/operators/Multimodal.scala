@@ -42,4 +42,36 @@ object Multimodal {
     */
   def decodeStub(bin: Column): Column =
     graft.functions.Hashing.hash32(lower(hex(bin)))
+
+  /** Batched decode pipeline — the mapInPandas-equivalent shape: payloads
+    * stream through `mapPartitions` in fixed-size batches (real decoders
+    * amortize model/codec setup per batch, not per record), emitting
+    * (id, feature vector). The decoder itself is the documented STUB —
+    * a deterministic byte-derived vector; swap in the real codec call and
+    * nothing else changes: schema, batching, partitioning are the
+    * production plumbing.
+    */
+  def decodeBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    // df: (id: Long, bin: Array[Byte])
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("bin"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // per-batch "decoder init" happens here in production
+          batch.iterator.map { case (id, bytes) =>
+            // STUB decode: 4-dim feature from byte statistics
+            val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+            val feature = Array(
+              bytes.length.toFloat,
+              (sum.toDouble / bytes.length.max(1)).toFloat,
+              (bytes.headOption.map(_ & 0xff).getOrElse(0)).toFloat,
+              (bytes.lastOption.map(_ & 0xff).getOrElse(0)).toFloat)
+            (id, feature)
+          }
+        }
+      }
+      .toDF("id", "feature")
+  }
 }

@@ -35,6 +35,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq("61626364", "71727374", "36373839"))
   }
 
+  test("batched decode emits per-record features through mapPartitions batches") {
+    val df = Seq((1L, "abc"), (2L, ""), (3L, "zz"))
+      .toDF("id", "t")
+      .select(col("id"), encode(col("t"), "UTF-8").as("bin"))
+    val got = Multimodal.decodeBatched(df, batchSize = 2)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(got(1L) == Seq(3f, ((97 + 98 + 99) / 3).toFloat, 97f, 99f))
+    assert(got(2L) == Seq(0f, 0f, 0f, 0f))
+    assert(got(3L) == Seq(2f, 122f, 122f, 122f))
+  }
+
+  test("parquet compression codecs round-trip (snappy, zstd, gzip)") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    for (codec <- Seq("snappy", "zstd", "gzip")) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-codec-$codec"
+      df.write.mode("overwrite").option("compression", codec).parquet(out)
+      assert(spark.read.parquet(out).count() == 2, codec)
+    }
+  }
+
   test("sorted groups stream values in secondary order") {
     val df = Seq((1, 3, "c"), (1, 1, "a"), (2, 5, "z"), (1, 2, "b"))
       .toDF("k", "s", "v")
