@@ -34,6 +34,57 @@ object Pipe {
         expr("substring(line, instr(line, '\t') + 1)")).otherwise("").as("value"))
   }
 
+  /** RawBytes pipe mode (`-io rawbytes`, `io/RawBytesOutputReader.java`):
+    * length-prefixed key and value frames, no type tags — the fastest
+    * binary interchange. Same fork/stream shape as typedbytes.
+    */
+  def pipeRawBytes(spark: SparkSession, df: DataFrame, cmd: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val piped = df.select(col("key").cast("binary"), col("value").cast("binary"))
+      .as[(Array[Byte], Array[Byte])]
+      .mapPartitions { rows =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val proc = new ProcessBuilder(cmd: _*).start()
+          val writer = new Thread(() => {
+            val out = new java.io.DataOutputStream(
+              new java.io.BufferedOutputStream(proc.getOutputStream))
+            try {
+              rows.foreach { case (k, v) =>
+                out.writeInt(k.length); out.write(k)
+                out.writeInt(v.length); out.write(v)
+              }
+              out.flush()
+            } finally out.close()
+          })
+          writer.setDaemon(true)
+          writer.start()
+          val in = new java.io.DataInputStream(
+            new java.io.BufferedInputStream(proc.getInputStream))
+          def readFrame(): Array[Byte] = {
+            val n = in.readInt(); val b = new Array[Byte](n); in.readFully(b); b
+          }
+          new Iterator[(Array[Byte], Array[Byte])] {
+            private var pending: (Array[Byte], Array[Byte]) = _
+            private var done = false
+            private def advance(): Unit =
+              if (!done && pending == null) {
+                try pending = (readFrame(), readFrame())
+                catch {
+                  case _: java.io.EOFException =>
+                    done = true; in.close(); proc.waitFor()
+                }
+              }
+            def hasNext: Boolean = { advance(); pending != null }
+            def next(): (Array[Byte], Array[Byte]) = {
+              advance(); val p = pending; pending = null; p
+            }
+          }
+        }
+      }
+    piped.toDF("key", "value")
+  }
+
   /** TypedBytes pipe mode (`-io typedbytes`): frame (key, value) records
     * with the TypedBytes codec over the child's stdin/stdout — binary-safe,
     * no line/separator ambiguity. A writer thread feeds stdin while the
