@@ -46,6 +46,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) == Seq(2f, 122f, 122f, 122f))
   }
 
+  test("named side outputs: one cached frame, N filtered sinks (MultipleOutputs)") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-sideout"
+    val df = Seq((1, "even"), (2, "odd"), (3, "even"), (4, "odd"), (5, "even"))
+      .toDF("id", "tag").cache()
+    try {
+      df.filter(col("tag") === "even").write.mode("overwrite").parquet(s"$base/even")
+      df.filter(col("tag") === "odd").write.mode("overwrite").parquet(s"$base/odd")
+      assert(spark.read.parquet(s"$base/even").count() == 3)
+      assert(spark.read.parquet(s"$base/odd").count() == 2)
+    } finally df.unpersist()
+  }
+
   test("parquet compression codecs round-trip (snappy, zstd, gzip)") {
     val df = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
     for (codec <- Seq("snappy", "zstd", "gzip")) {
