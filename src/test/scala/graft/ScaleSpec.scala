@@ -45,6 +45,32 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE splits skewed join partitions at runtime") {
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key carrying ~100x the data of the rest
+      val left = spark.range(0, 50000)
+        .select(when(col("id") % 100 < 99, lit(7L)).otherwise(col("id")).as("k"),
+          lpad(col("id").cast("string"), 100, "x").as("pad"))
+      val right = spark.range(0, 2000).select(col("id").as("k"), col("id").as("w"))
+      val joined = left.join(right, "k")
+      joined.collect() // execute THIS QueryExecution so AQE finalizes it
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan.take(500))
+      assert(plan.contains("skew=true"), "no skew split in:\n" + plan.take(3000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("approx distinct lands within rsd of exact") {
     val df = spark.range(0, 20000).select((col("id") % 5000).as("v"))
     val approx = df.agg(Aggregates.uniqApprox(col("v"), 0.05)).head().getLong(0)

@@ -58,6 +58,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: watermarked dropDuplicates suppresses replays") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("eventType", "ts")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(ts("2026-01-01 10:00:00"), "a", 1.0),
+        Event(ts("2026-01-01 10:00:00"), "a", 1.0), // exact replay
+        Event(ts("2026-01-01 10:01:00"), "b", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(ts("2026-01-01 10:00:00"), "a", 1.0)) // cross-batch replay
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM dedup_out").head().getLong(0)
+      assert(n == 2, s"expected 2 deduped rows, got $n")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
