@@ -68,6 +68,11 @@ object Similarity {
   /** Sign-random-projection bucket id: bit j = 1 iff Σ_d vec[d]·sign[j][d] > 0.
     * `signs(j)(d)` ∈ {-1, 1} is a deterministic hyperplane matrix shared
     * (as literals) with the oracle.
+    *
+    * Sizing: expected bucket size = corpus / 2^planes, and within-bucket
+    * scoring is quadratic in bucket size — scale the plane count with
+    * log2(corpus) (e.g. ~17 planes for 10^9 vectors at ~10k/bucket); the
+    * test queries use 6 planes for a 5k-vector corpus.
     */
   def srpBucket(vec: Column, signs: Seq[Seq[Int]]): Column =
     srpBucketScaled(scaled(vec), signs)
