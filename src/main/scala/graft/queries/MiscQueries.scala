@@ -219,7 +219,40 @@ object MiscQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** Gridmix "reference select" family (`src/benchmarks/gridmix/README`
+    * job 3: keep 0.2% map-side, 5% reduce-side, single reducer):
+    * deterministic hash sample → aggregate → bounded top output. The
+    * md5-hash sample replaces the reference's random keep so any engine
+    * reproduces the exact row set.
+    */
+  val q63ReferenceSelect = Q.checked(
+    "q63_reference_select",
+    """WITH sampled AS (
+      |  SELECT l_suppkey, l_quantity FROM lineitem
+      |  WHERE ('0x' || substring(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 500 = 0
+      |), agg AS (
+      |  SELECT l_suppkey, count(*) AS n,
+      |         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty
+      |  FROM sampled GROUP BY l_suppkey
+      |)
+      |SELECT l_suppkey, n, qty, rank FROM (
+      |  SELECT l_suppkey, n, qty,
+      |         row_number() OVER (ORDER BY qty DESC, l_suppkey) AS rank
+      |  FROM agg
+      |) WHERE rank <= 20""") { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    table(s, dir, "lineitem")
+      .filter(Hashing.hash32(col("l_orderkey") * 10 + col("l_linenumber")) % 500 === 0)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast(DecimalType(18, 4))), 2).cast("double").as("qty"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("qty").desc, col("l_suppkey"))))
+      .filter(col("rank") <= 20)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   val all: Vector[Q] =
     Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q48Pi, q49TeraGen,
-      q54Jdbc, q55Multimodal, q90Pipe, q91Xml)
+      q54Jdbc, q55Multimodal, q63ReferenceSelect, q90Pipe, q91Xml)
 }
