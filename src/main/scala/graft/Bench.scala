@@ -33,7 +33,10 @@ object Bench {
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
       val ok =
-        try { q.run(spark, sfDir).count(); true }
+        // execute the query's OWN physical plan (toRdd) — a .count() would
+        // let Catalyst prune projections/regex work out of map-only
+        // queries and time a metadata count instead
+        try { q.run(spark, sfDir).queryExecution.toRdd.count(); true }
         catch {
           case e: Throwable =>
             errs += q.name

@@ -23,8 +23,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Md5Word].getName, "graft_hash32",
         "graft_hash32(str[, word]) - unsigned 32-bit word of md5(str), portable across engines"),
       (args: Seq[Expression]) => args match {
-        case Seq(c)    => Md5Word(c, 0)
-        case Seq(c, w) => Md5Word(c, w.eval().toString.toInt)
+        case Seq(c) => Md5Word(c, 0)
+        case Seq(c, w) =>
+          val word = w match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+                if v != null && v.toString.matches("[0-3]") => v.toString.toInt
+            case _ => throw new IllegalArgumentException(
+              "graft_hash32 word must be an integer literal in [0, 3]")
+          }
+          Md5Word(c, word)
         case _ => throw new IllegalArgumentException(
           "graft_hash32 expects (str) or (str, word)")
       }))

@@ -54,8 +54,8 @@ object Aggregates {
       case "StringValueMax" => max(c.cast("string"))
       case "StringValueMin" => min(c.cast("string"))
       case "UniqValueCount" =>
-        val cap = d.param.getOrElse(Long.MaxValue).toInt
-        least(count_distinct(c), lit(cap.toLong))
+        // cap stays a Long: Long.MaxValue.toInt would truncate to -1
+        least(count_distinct(c), lit(d.param.getOrElse(Long.MaxValue)))
       case other => sys.error(s"unknown aggregator type '$other'")
     }
     agg.as(alias)

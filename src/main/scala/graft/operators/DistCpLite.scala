@@ -19,15 +19,23 @@ object DistCpLite {
       spark.sparkContext.hadoopConfiguration)
     val srcPath = new Path(src)
     val fs = srcPath.getFileSystem(conf.value)
-    val files = fs.listStatus(srcPath).filter(_.isFile)
-      .map(f => (f.getPath.toString, f.getLen)).toSeq
+    // recursive listing — the source may be a partitioned tree
+    val it = fs.listFiles(srcPath, true)
+    val files = Iterator.continually(it)
+      .takeWhile(_.hasNext)
+      .map(_.next())
+      .map(f => (f.getPath.toString, f.getLen))
+      .toSeq
     fs.mkdirs(new Path(dst))
     val stats = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 32)))
       .map { case (f, len) =>
         val hc = conf.value
         val from = new Path(f)
-        val to = new Path(dst, from.getName)
+        // preserve the path relative to the source root
+        val rel = from.toUri.getPath.stripPrefix(new Path(src).toUri.getPath)
+          .stripPrefix("/")
+        val to = new Path(dst, rel)
         val dfs = to.getFileSystem(hc)
         if (update && dfs.exists(to) && dfs.getFileStatus(to).getLen == len) {
           (0L, 1L, 0L)

@@ -30,10 +30,14 @@ object Multimodal {
     * slicing (no UDF).
     */
   def frameSample(bin: Column, stride: Int, frameLen: Int, maxFrames: Int): Column =
-    transform(
-      sequence(lit(0),
-        least(floor((octet_length(bin) - 1) / stride).cast("int"), lit(maxFrames - 1))),
-      i => lower(hex(substring(bin, (i * stride + 1).cast("int"), lit(frameLen)))))
+    // empty payloads must yield an empty array — Spark's sequence(0, -1)
+    // would DESCEND and emit two bogus offsets
+    when(octet_length(bin) > 0,
+      transform(
+        sequence(lit(0),
+          least(floor((octet_length(bin) - 1) / stride).cast("int"), lit(maxFrames - 1))),
+        i => lower(hex(substring(bin, (i * stride + 1).cast("int"), lit(frameLen))))))
+      .otherwise(array().cast("array<string>"))
 
   /** STUB: deterministic fake "decoded feature" — a portable hash of the
     * payload standing in for the real decoder output (image embedding,

@@ -45,7 +45,9 @@ object Pipe {
       .mapPartitions { rows =>
         if (!rows.hasNext) Iterator.empty
         else {
-          val proc = new ProcessBuilder(cmd: _*).start()
+          val proc = new ProcessBuilder(cmd: _*)
+            .redirectError(ProcessBuilder.Redirect.INHERIT) // drain stderr
+            .start()
           val writer = new Thread(() => {
             val out = new java.io.DataOutputStream(
               new java.io.BufferedOutputStream(proc.getOutputStream))
@@ -72,7 +74,10 @@ object Pipe {
                 try pending = (readFrame(), readFrame())
                 catch {
                   case _: java.io.EOFException =>
-                    done = true; in.close(); proc.waitFor()
+                    done = true; in.close()
+                    val rc = proc.waitFor()
+                    if (rc != 0)
+                      throw new java.io.IOException(s"pipe command exited $rc")
                 }
               }
             def hasNext: Boolean = { advance(); pending != null }
@@ -99,7 +104,9 @@ object Pipe {
       .mapPartitions { rows =>
         if (!rows.hasNext) Iterator.empty
         else {
-          val proc = new ProcessBuilder(cmd: _*).start()
+          val proc = new ProcessBuilder(cmd: _*)
+            .redirectError(ProcessBuilder.Redirect.INHERIT) // drain stderr
+            .start()
           val writer = new Thread(() => {
             val out = new java.io.DataOutputStream(
               new java.io.BufferedOutputStream(proc.getOutputStream))
@@ -125,7 +132,10 @@ object Pipe {
                   pending = (k, v)
                 } catch {
                   case _: java.io.EOFException =>
-                    done = true; in.close(); proc.waitFor()
+                    done = true; in.close()
+                    val rc = proc.waitFor()
+                    if (rc != 0)
+                      throw new java.io.IOException(s"pipe command exited $rc")
                 }
               }
             def hasNext: Boolean = { advance(); pending != null }

@@ -19,6 +19,7 @@ object Search {
       b <- 0 until n
       if b != a && math.abs(b - a) != 1
     } yield (a, b)
+    if (prefixes.isEmpty) return solveFrom(n, Nil) // n <= 2: no valid fan-out
     spark.createDataset(prefixes)
       .repartition(math.min(prefixes.size, 32))
       .mapPartitions(_.map { case (a, b) => solveFrom(n, List(b, a)) })

@@ -113,10 +113,19 @@ object Similarity {
     val byDist = Window.partitionBy(col("xid")).orderBy(col("d2"), col("cid"))
     val ranked = scored.withColumn("rn", row_number().over(byDist))
     val assign = ranked.filter(col("rn") === 1).select(col("xid"), col("cid"))
-    val probes = ranked.alias("r")
-      .join(broadcast(queries.select(col("qid"))), col("r.xid") === col("qid"))
-      .filter(col("rn") <= nProbe)
-      .select(col("qid"), col("cid"))
+    // probe cells are ranked from the QUERY vectors themselves — queries
+    // need not be members of the corpus
+    val qScored = queries.select(col("qid"), scaled(col("qvec")).as("qsv"))
+      .crossJoin(broadcast(centroids.select(col("cid").as("qcid"), scaled(col("cvec")).as("qcs"))))
+      .select(col("qid"), col("qcid"),
+        (dotScaled(col("qsv"), col("qsv")) -
+          lit(2L) * dotScaled(col("qsv"), col("qcs")) +
+          dotScaled(col("qcs"), col("qcs"))).as("qd2"))
+    val probes = qScored
+      .withColumn("qrn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("qd2"), col("qcid"))))
+      .filter(col("qrn") <= nProbe)
+      .select(col("qid"), col("qcid").as("cid"))
     val cand = probes.alias("p")
       .join(assign.alias("a"), col("p.cid") === col("a.cid"))
       .select(col("p.qid").as("qid"), col("a.xid").as("xid"))

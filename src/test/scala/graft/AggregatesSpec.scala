@@ -13,6 +13,16 @@ class AggregatesSpec extends AnyFunSuite {
     intercept[Exception](Aggregates.toColumn(Aggregates.parse("Bogus:x")))
   }
 
+  test("UniqValueCount without a cap returns the full distinct count") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val df = Seq(("g", 1), ("g", 2), ("g", 2), ("g", 3)).toDF("k", "v")
+    val got = Aggregates.aggregate(df, lit("g"), Seq("UniqValueCount:v"))
+      .collect()(0).getLong(1)
+    assert(got == 3L) // regression: Long.MaxValue.toInt == -1 capped everything
+  }
+
   test("CappedUniq result = sorted distinct take cap, any fold/merge order") {
     val agg = new CappedUniq(5)
     val rnd = new scala.util.Random(42)

@@ -35,6 +35,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq("61626364", "71727374", "36373839"))
   }
 
+  test("frame sampling yields an empty array for empty payloads") {
+    val df = Seq("").toDF("t")
+    val got = df.select(
+      Multimodal.frameSample(encode(col("t"), "UTF-8"), 16, 4, 3).as("f"))
+      .as[Seq[String]].head()
+    assert(got.isEmpty) // regression: sequence(0,-1) descended to [0,-1]
+  }
+
   test("batched decode emits per-record features through mapPartitions batches") {
     val df = Seq((1L, "abc"), (2L, ""), (3L, "zz"))
       .toDF("id", "t")

@@ -80,4 +80,24 @@ class ScaleSpec extends AnyFunSuite {
   test("distributed n-queens fan-out finds all 92 solutions for n=8") {
     assert(Search.nQueensCount(spark, 8) == 92L)
   }
+
+  test("n-queens degenerate sizes (empty fan-out falls back to local solve)") {
+    assert(Search.nQueensCount(spark, 1) == 1L)
+    assert(Search.nQueensCount(spark, 2) == 0L)
+    assert(Search.nQueensCount(spark, 3) == 0L)
+  }
+
+  test("ivf serves queries that are NOT corpus members") {
+    import graft.operators.Similarity
+    val corpus = spark.range(0, 100)
+      .select(col("id").as("xid"),
+        array((0 until 8).map(d => (col("id") % 10 + d).cast("float") / 10f): _*).as("xvec"))
+    val centroids = corpus.filter(col("xid") < 4)
+      .select(col("xid").as("cid"), col("xvec").as("cvec"))
+    val queries = spark.range(1000, 1002) // ids outside the corpus
+      .select(col("id").as("qid"),
+        array((0 until 8).map(d => lit(0.3f + d / 10f)): _*).as("qvec"))
+    val got = Similarity.ivfTopK(queries, corpus, centroids, nProbe = 2, k = 3)
+    assert(got.count() > 0) // regression: probe join on corpus ids returned nothing
+  }
 }
