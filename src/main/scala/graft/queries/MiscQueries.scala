@@ -140,8 +140,8 @@ object MiscQueries {
     """SELECT doc_id,
       |  octet_length(encode(text)) AS n_bytes,
       |  lower(hex(encode(substr(text, 1, 4)))) AS head_hex,
-      |  list_transform(generate_series(0, least((octet_length(encode(text)) - 1) // 32, 3)),
-      |                 i -> lower(hex(encode(substr(text, i * 32 + 1, 4))))) AS frames,
+      |  array_to_string(list_transform(generate_series(0, least((octet_length(encode(text)) - 1) // 32, 3)),
+      |                 i -> lower(hex(encode(substr(text, i * 32 + 1, 4))))), ',') AS frames,
       |  ('0x' || substring(md5(lower(hex(encode(text)))), 1, 8))::BIGINT AS feature
       |FROM documents""") { (s, dir) =>
     val withBin = Multimodal.attachBinary(
@@ -150,7 +150,9 @@ object MiscQueries {
       col("doc_id"),
       col("meta.n_bytes").cast("long").as("n_bytes"),
       col("meta.head_hex").as("head_hex"),
-      Multimodal.frameSample(col("bin"), 32, 4, 4).as("frames"),
+      // string-joined: array-column stringification differs across the
+      // compare harness's dataframe libraries
+      array_join(Multimodal.frameSample(col("bin"), 32, 4, 4), ",").as("frames"),
       Multimodal.decodeStub(col("bin")).as("feature"))
   }
 

@@ -147,14 +147,14 @@ object TextQueries {
       |)
       |SELECT tok,
       |  CAST(('0x' || substring(md5(tok), 1, 8))::BIGINT % 4 AS BIGINT) AS shard,
-      |  list_sort(list(doc_id)) AS postings,
+      |  array_to_string(list_sort(list(doc_id)), ',') AS postings,
       |  count(*) AS df
       |FROM toks GROUP BY tok""") { (s, dir) =>
     table(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("tok"), col("doc_id"))
       .distinct()
       .groupBy(col("tok"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("postings"),
+      .agg(array_join(sort_array(collect_set(col("doc_id"))), ",").as("postings"),
         count(lit(1)).as("df"))
       .select(col("tok"), (Hashing.hash32(col("tok")) % 4).as("shard"),
         col("postings"), col("df"))
