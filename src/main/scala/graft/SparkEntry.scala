@@ -15,7 +15,8 @@ object SparkEntry {
   def registry: Vector[Q] =
     CoreQueries.all ++ JoinQueries.all ++ AggQueries.all ++ SortQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
-      SourceQueries.all ++ MiscQueries.all ++ StoreQueries.all
+      SourceQueries.all ++ MiscQueries.all ++ StoreQueries.all ++
+      StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,275 @@
+package graft.api
+
+import java.util.regex.Pattern
+
+import graft.operators.{KeyFieldSpec, Pipe}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parsed streaming-job invocation — the reference's `StreamJob` argument
+  * surface (`src/contrib/streaming/src/java/org/apache/hadoop/streaming/
+  * StreamJob.java:290-310`): repeatable `-input`, one `-output`, the three
+  * pipeline commands, `-io` framing, partitioner/reduce-count overrides and
+  * the free-form `-D`/`-jobconf` configuration map.
+  */
+final case class StreamArgs(
+    inputs: Vector[String] = Vector.empty,
+    output: Option[String] = None,
+    mapper: Option[String] = None,
+    combiner: Option[String] = None,
+    reducer: Option[String] = None,
+    io: String = "text",
+    partitioner: Option[String] = None,
+    numReduceTasks: Option[Int] = None,
+    conf: Map[String, String] = Map.empty) {
+
+  /** `stream.map.output.field.separator` (PipeMapRed.java:204-214). */
+  def mapSep: String = conf.getOrElse("stream.map.output.field.separator", "\t")
+
+  /** `stream.num.map.output.key.fields` (StreamJob.java:760-764): the key
+    * is the first N separator-joined fields of a mapper output line.
+    */
+  def numMapKeyFields: Int =
+    conf.getOrElse("stream.num.map.output.key.fields", "1").toInt
+
+  def reduceSep: String =
+    conf.getOrElse("stream.reduce.output.field.separator", "\t")
+
+  def numReduceKeyFields: Int =
+    conf.getOrElse("stream.num.reduce.output.key.fields", "1").toInt
+}
+
+/** The Hadoop-streaming CLI front door (SURVEY §7.1-8): composes the
+  * engine's Pipe / KeyFieldSpec / aggregate pieces from a `StreamJob`-shaped
+  * argument vector, so a reference user's invocation
+  * `-input X -mapper 'cmd' -reducer aggregate -output Y` runs unchanged.
+  *
+  * Semantics per the reference (`StreamJob.java:690-814`):
+  *  - a command that is not a known Java class forks as an external process
+  *    fed `key \t value` lines (PipeMapper/PipeReducer);
+  *  - `-reducer aggregate` routes to ValueAggregatorReducer: mapper output
+  *    keys are `AggType:id`, the reduce emits `id \t report`
+  *    (`ValueAggregatorReducer.java:57-72`), with the combiner applied
+  *    automatically (here: Catalyst partial aggregation);
+  *  - `-reducer NONE` / `-numReduceTasks 0` means map-only;
+  *  - a mapper output line with fewer than `stream.num.map.output.key.fields`
+  *    separators is all key, empty value (PipeMapper.java:78-80);
+  *  - `-partitioner KeyFieldBasedPartitioner` honors
+  *    `mapred.text.key.partitioner.options`, and the shuffle sort honors
+  *    `mapred.text.key.comparator.options` (KeyFieldBasedComparator).
+  *
+  * Spark shape: map = per-partition fork over the scan (no shuffle);
+  * shuffle = one `repartition(n, keyCols)` + per-partition sort — exactly
+  * the reference's partition/sort/reduce contract — then one fork per
+  * reduce partition. At 1000 executors this is one pipeline fork per task,
+  * the same process model the reference runs.
+  */
+object StreamJob {
+
+  val ReduceNone = "NONE"
+
+  /** Parse an argv vector (StreamJob.java:290-310 option set). Unknown
+    * options fail fast, matching the reference's `fail(...)`.
+    */
+  def parseArgs(argv: Seq[String]): StreamArgs = {
+    @annotation.tailrec
+    def loop(rest: List[String], s: StreamArgs): StreamArgs = rest match {
+      case Nil => s
+      case "-input" :: v :: t => loop(t, s.copy(inputs = s.inputs :+ v))
+      case "-output" :: v :: t => loop(t, s.copy(output = Some(v)))
+      case "-mapper" :: v :: t => loop(t, s.copy(mapper = Some(v)))
+      case "-combiner" :: v :: t => loop(t, s.copy(combiner = Some(v)))
+      case "-reducer" :: v :: t => loop(t, s.copy(reducer = Some(v)))
+      case "-io" :: v :: t => loop(t, s.copy(io = v))
+      case "-partitioner" :: v :: t => loop(t, s.copy(partitioner = Some(v)))
+      case "-numReduceTasks" :: v :: t =>
+        loop(t, s.copy(numReduceTasks = Some(v.toInt)))
+      // -jobconf is the deprecated alias of -D (StreamJob.java:306-310)
+      case ("-D" | "-jobconf") :: kv :: t =>
+        kv.split("=", 2) match {
+          case Array(k, v) => loop(t, s.copy(conf = s.conf + (k -> v)))
+          case _ => sys.error(s"bad -D '$kv' (want key=value)")
+        }
+      // files ship with the Spark job submit; nothing to do per-job
+      case "-file" :: _ :: t => loop(t, s)
+      case "-inputformat" :: v :: t =>
+        if (v.contains("Text")) loop(t, s)
+        else sys.error(s"-inputformat: only text formats supported, got $v")
+      case "-outputformat" :: v :: t =>
+        if (v.contains("Text")) loop(t, s)
+        else sys.error(s"-outputformat: only TextOutputFormat supported, got $v")
+      case other :: _ => sys.error(s"unrecognized streaming option: $other")
+    }
+    loop(argv.toList, StreamArgs())
+  }
+
+  /** Shell-style command tokenizer: whitespace-split with single/double
+    * quote grouping — enough for `awk -F'\t' '{...}'`-class commands
+    * (the reference tokenizes with quoting in `StreamUtil`).
+    */
+  def tokenize(cmd: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    var sawToken = false
+    cmd.foreach { ch =>
+      if (quote != 0) {
+        if (ch == quote) quote = 0 else cur += ch
+      } else if (ch == '\'' || ch == '"') { quote = ch; sawToken = true }
+      else if (ch.isWhitespace) {
+        if (sawToken || cur.nonEmpty) { out += cur.toString; cur.clear(); sawToken = false }
+      } else cur += ch
+    }
+    if (sawToken || cur.nonEmpty) out += cur.toString
+    out.result()
+  }
+
+  /** Split pipe-output lines into (key, value) on the Nth separator:
+    * key = first `nKey` fields; fewer separators than `nKey` means the
+    * whole line is the key and the value is empty (PipeMapper.java:78-80,
+    * UTF8ByteArrayUtils.splitKeyVal). Declarative — stays in codegen.
+    */
+  def splitKeyVal(lines: DataFrame, sep: String, nKey: Int): DataFrame = {
+    val arr = split(col("line"), Pattern.quote(sep), -1)
+    lines.select(
+      when(size(arr) <= nKey, col("line"))
+        .otherwise(array_join(slice(arr, lit(1), lit(nKey)), sep)).as("key"),
+      when(size(arr) <= nKey, lit(""))
+        .otherwise(array_join(slice(arr, lit(nKey + 1), size(arr) - nKey), sep))
+        .as("value"))
+  }
+
+  /** One external-command stage over (key, value) rows: frame as
+    * `key sep value` lines, fork per partition, re-split the output.
+    */
+  private def pipeStage(
+      spark: SparkSession, kv: DataFrame, cmd: String,
+      sep: String, nKeyOut: Int): DataFrame = {
+    import spark.implicits._
+    val lines = kv
+      .select(concat(col("key"), lit(sep), col("value")).as("line"))
+      .as[String].rdd
+      .pipe(tokenize(cmd))
+    splitKeyVal(lines.toDF("line"), sep, nKeyOut)
+  }
+
+  /** ValueAggregatorReducer (`ValueAggregatorReducer.java:57-72`): keys are
+    * `AggType:id`; emit `id \t report`. All candidate folds run in ONE hash
+    * aggregation (map-side partials = the reference's auto combiner), the
+    * per-type report is selected afterwards. DoubleValueSum accumulates in
+    * DECIMAL so the report is engine-portable.
+    */
+  private def aggregateReduce(kv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val parsed = kv.select(
+      substring_index(col("key"), ":", 1).as("atype"),
+      expr("substring(key, instr(key, ':') + 1)").as("id"),
+      col("value"))
+    // try_cast, not cast: ANSI mode would fail the whole job on the first
+    // non-numeric value reaching a numeric fold it doesn't belong to
+    val asLong = expr("try_cast(value AS BIGINT)")
+    parsed.groupBy(col("atype"), col("id"))
+      .agg(
+        sum(asLong).as("lsum"),
+        round(sum(expr(s"try_cast(value AS DECIMAL(18,4))")), 2)
+          .cast("double").as("dsum"),
+        max(asLong).as("lmax"),
+        min(asLong).as("lmin"),
+        max(col("value")).as("smax"),
+        min(col("value")).as("smin"),
+        count_distinct(col("value")).as("uniq"))
+      .select(
+        col("id").as("key"),
+        when(col("atype") === "LongValueSum", col("lsum").cast("string"))
+          .when(col("atype") === "DoubleValueSum", col("dsum").cast("string"))
+          .when(col("atype") === "LongValueMax", col("lmax").cast("string"))
+          .when(col("atype") === "LongValueMin", col("lmin").cast("string"))
+          .when(col("atype") === "StringValueMax", col("smax"))
+          .when(col("atype") === "StringValueMin", col("smin"))
+          .when(col("atype") === "UniqValueCount", col("uniq").cast("string"))
+          .as("value"))
+      .filter(col("value").isNotNull)
+  }
+
+  /** Run a parsed streaming job and return the (key, value) result. Also
+    * writes `-output` as `key sep value` text (un-coalesced — one file per
+    * reduce partition, like the reference's part-NNNNN files).
+    */
+  def run(spark: SparkSession, args: StreamArgs): DataFrame = {
+    require(args.inputs.nonEmpty, "streaming job needs at least one -input")
+    import spark.implicits._
+
+    val rawLines = spark.read.textFile(args.inputs: _*).toDF("line")
+
+    // ---- map phase: external fork (or IdentityMapper when -mapper absent)
+    val mapped: DataFrame = args.mapper match {
+      case Some(cmd) if args.io == "typedbytes" || args.io == "rawbytes" =>
+        // KV framing through the binary codecs; input lines split first-sep
+        val kvIn = splitKeyVal(rawLines, args.mapSep, 1)
+        if (args.io == "typedbytes") Pipe.pipeTypedBytes(spark, kvIn, tokenize(cmd))
+        else Pipe.pipeRawBytes(spark, kvIn, tokenize(cmd))
+          .select(col("key").cast("string"), col("value").cast("string"))
+      case Some(cmd) =>
+        val out = rawLines.as[String].rdd.pipe(tokenize(cmd))
+        splitKeyVal(out.toDF("line"), args.mapSep, args.numMapKeyFields)
+      case None =>
+        splitKeyVal(rawLines, args.mapSep, args.numMapKeyFields)
+    }
+
+    // ---- combiner: local sort (spill-sort contract) + fork, NO shuffle
+    val combined: DataFrame = args.combiner match {
+      case Some(cmd) if args.io == "text" =>
+        val locallySorted = mapped.sortWithinPartitions(col("key"))
+        pipeStage(spark, locallySorted, cmd, args.mapSep, args.numMapKeyFields)
+      case _ => mapped
+    }
+
+    // ---- reduce phase: -reducer NONE / 0 reduces = map-only; absent
+    // -reducer = IdentityReducer (shuffle + sort, pass through) — the MR
+    // default the reference inherits
+    val mapOnly =
+      args.numReduceTasks.contains(0) || args.reducer.contains(ReduceNone)
+    val result: DataFrame =
+      if (mapOnly) combined
+      else if (args.reducer.contains("aggregate")) aggregateReduce(combined)
+      else {
+        val parts = args.numReduceTasks
+          .getOrElse(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        val partCols: Seq[Column] = args.partitioner match {
+          case Some(p) if p.contains("KeyFieldBasedPartitioner") =>
+            args.conf.get("mapred.text.key.partitioner.options") match {
+              case Some(opts) =>
+                KeyFieldSpec.partitionColumns(col("key"), args.mapSep, opts)
+              case None => Seq(col("key"))
+            }
+          case _ => Seq(col("key"))
+        }
+        val sortCols: Seq[Column] =
+          args.conf.get("mapred.text.key.comparator.options") match {
+            case Some(opts) => KeyFieldSpec.sortColumns(col("key"), args.mapSep, opts)
+            case None => Seq(col("key").asc)
+          }
+        // partition-by-key + sort-within = the MR reduce contract: every
+        // key's values contiguous and key-ordered inside one partition
+        val arranged = combined
+          .repartition(parts, partCols: _*)
+          .sortWithinPartitions(sortCols: _*)
+        args.reducer match {
+          case Some(cmd) =>
+            pipeStage(spark, arranged, cmd, args.reduceSep, args.numReduceKeyFields)
+          case None => arranged // IdentityReducer
+        }
+      }
+
+    args.output.foreach { out =>
+      result
+        .select(concat(col("key"), lit(args.reduceSep), col("value")).as("line"))
+        .write.mode("overwrite").text(out)
+    }
+    result
+  }
+
+  /** argv convenience overload — the actual CLI shape. */
+  def run(spark: SparkSession, argv: Seq[String]): DataFrame =
+    run(spark, parseArgs(argv))
+}

@@ -1,0 +1,145 @@
+package graft
+
+import graft.api.{StreamArgs, StreamJob}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamCliSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def writeLines(name: String, lines: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-$name")
+    java.nio.file.Files.write(dir.resolve("part-00000"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    dir.toString
+  }
+
+  test("parseArgs covers the StreamJob option surface") {
+    val a = StreamJob.parseArgs(Seq(
+      "-input", "/a", "-input", "/b", "-output", "/o",
+      "-mapper", "cat", "-combiner", "uniq", "-reducer", "wc -l",
+      "-io", "typedbytes", "-partitioner", "KeyFieldBasedPartitioner",
+      "-numReduceTasks", "7",
+      "-D", "stream.num.map.output.key.fields=2",
+      "-jobconf", "mapred.text.key.partitioner.options=-k1,2",
+      "-file", "ship.sh",
+      "-inputformat", "TextInputFormat"))
+    assert(a.inputs == Vector("/a", "/b"))
+    assert(a.output.contains("/o"))
+    assert(a.mapper.contains("cat"))
+    assert(a.combiner.contains("uniq"))
+    assert(a.reducer.contains("wc -l"))
+    assert(a.io == "typedbytes")
+    assert(a.partitioner.contains("KeyFieldBasedPartitioner"))
+    assert(a.numReduceTasks.contains(7))
+    assert(a.numMapKeyFields == 2)
+    assert(a.conf("mapred.text.key.partitioner.options") == "-k1,2")
+  }
+
+  test("parseArgs rejects unknown options and bad -D") {
+    assertThrows[RuntimeException](StreamJob.parseArgs(Seq("-bogus", "x")))
+    assertThrows[RuntimeException](StreamJob.parseArgs(Seq("-D", "noequals")))
+    assertThrows[RuntimeException](
+      StreamJob.parseArgs(Seq("-inputformat", "SequenceFileInputFormat")))
+  }
+
+  test("parseArgs randomized round trip (order-independent options)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 50).foreach { _ =>
+      val pairs = rnd.shuffle(List(
+        List("-mapper", "m x y"), List("-reducer", "r"),
+        List("-numReduceTasks", rnd.nextInt(100).toString),
+        List("-D", s"k${rnd.nextInt(5)}=v${rnd.nextInt(5)}"),
+        List("-input", s"/p${rnd.nextInt(9)}")))
+      val a = StreamJob.parseArgs(pairs.flatten)
+      assert(a.mapper.contains("m x y"))
+      assert(a.reducer.contains("r"))
+      assert(a.inputs.length == 1)
+    }
+  }
+
+  test("tokenize honors single and double quotes") {
+    assert(StreamJob.tokenize("tr a-z A-Z") == Seq("tr", "a-z", "A-Z"))
+    assert(StreamJob.tokenize("awk -F'\t' '{print $1\"x\"}'") ==
+      Seq("awk", "-F\t", "{print $1\"x\"}"))
+    assert(StreamJob.tokenize("sed -e \"s/a b/c/\"") ==
+      Seq("sed", "-e", "s/a b/c/"))
+    assert(StreamJob.tokenize("cmd ''") == Seq("cmd", ""))
+  }
+
+  test("splitKeyVal: nth-separator split with whole-line-key fallback") {
+    import spark.implicits._
+    val df = Seq("a\tb\tc", "k only", "x\ty", "t\t").toDF("line")
+    val got2 = StreamJob.splitKeyVal(df, "\t", 2)
+      .as[(String, String)].collect().toSet
+    assert(got2 == Set(
+      ("a\tb", "c"),   // 2 seps: key = first 2 fields
+      ("k only", ""),  // no separator: whole line key
+      ("x\ty", ""),    // exactly n fields, no value
+      ("t\t", "")))    // trailing empty field still key-only
+    val got1 = StreamJob.splitKeyVal(df, "\t", 1)
+      .as[(String, String)].collect().toSet
+    assert(got1 == Set(
+      ("a", "b\tc"), ("k only", ""), ("x", "y"), ("t", "")))
+  }
+
+  test("map-only job (-reducer NONE) pipes through tr") {
+    import spark.implicits._
+    val in = writeLines("mapon", Seq("ab\t1", "cd\t2"))
+    val got = StreamJob.run(spark, Seq(
+      "-input", in, "-mapper", "tr a-z A-Z", "-reducer", "NONE"))
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("AB", "1"), ("CD", "2")))
+  }
+
+  test("absent -reducer = IdentityReducer (shuffle + sort, pass through)") {
+    import spark.implicits._
+    val in = writeLines("idred", Seq("b\t2", "a\t1", "a\t3"))
+    val got = StreamJob.run(spark, Seq("-input", in, "-numReduceTasks", "2"))
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("a", "1"), ("a", "3"), ("b", "2")))
+  }
+
+  test("-reducer aggregate handles every descriptor type") {
+    import spark.implicits._
+    val in = writeLines("aggred", Seq(
+      "LongValueSum:a\t3", "LongValueSum:a\t4",
+      "LongValueMax:m\t7", "LongValueMax:m\t2",
+      "LongValueMin:n\t7", "LongValueMin:n\t2",
+      "StringValueMax:s\tzz", "StringValueMax:s\taa",
+      "StringValueMin:t\tzz", "StringValueMin:t\taa",
+      "UniqValueCount:u\tx", "UniqValueCount:u\tx", "UniqValueCount:u\ty"))
+    val got = StreamJob.run(spark, Seq("-input", in, "-reducer", "aggregate"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map(
+      "a" -> "7", "m" -> "7", "n" -> "2",
+      "s" -> "zz", "t" -> "aa", "u" -> "2"))
+  }
+
+  test("-io typedbytes: cat is a faithful identity (codec framing)") {
+    import spark.implicits._
+    val in = writeLines("tbid", Seq("k1\tv1", "k2\tv 2"))
+    val got = StreamJob.run(spark, Seq(
+      "-input", in, "-mapper", "cat", "-io", "typedbytes",
+      "-reducer", "NONE"))
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("k1", "v1"), ("k2", "v 2")))
+  }
+
+  test("external reducer sees contiguous sorted keys in one partition") {
+    import spark.implicits._
+    // 3 keys spread over many input lines; awk sums runs — only correct if
+    // the engine groups + sorts keys per reduce partition
+    val rnd = new scala.util.Random(7)
+    val lines = rnd.shuffle(
+      (1 to 60).map(i => s"k${i % 3}\t1").toList)
+    val in = writeLines("redsum", lines)
+    val awk = "awk -F'\t' " +
+      "'{kk=$1} kk!=k{if(NR>1)print k\"\t\"s; k=kk; s=0} {s+=$2} " +
+      "END{if(NR>0)print k\"\t\"s}'"
+    val got = StreamJob.run(spark, Seq(
+      "-input", in, "-reducer", awk, "-numReduceTasks", "2"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map("k0" -> "20", "k1" -> "20", "k2" -> "20"))
+  }
+}
