@@ -36,17 +36,20 @@ object Hashing {
   def hash32(c: Column, seed: Int): Column =
     hash32(concat(lit(seed.toString), lit(":"), c.cast("string")))
 
-  /** Cheap hash family: one MD5 digest yields four independent 32-bit
-    * words, so families 0..3 slice `md5(c)` and 4..7 slice `md5('x:'||c)` —
-    * 8 family members for 2 digests instead of 8. DuckDB:
-    * `('0x' || substring(md5(c), 1+8*i, 8))::BIGINT` (i<4),
-    * `('0x' || substring(md5('x:'||c), 1+8*(i-4), 8))::BIGINT` (i>=4).
+  /** Cheap hash family by seeded digest chaining: one MD5 digest yields
+    * four independent 32-bit words, so family `i` reads word `i % 4` of
+    * digest group `g = i / 4`, where group 0 is `md5(c)` and group `g >= 1`
+    * is `md5(g || ':' || c)` — an arbitrary-size family (production
+    * near-dup wants 64–128 permutations) at one digest per 4 members.
+    * DuckDB: `('0x' || substring(md5(c), 1+8*(i%4), 8))::BIGINT` (g = 0),
+    * `('0x' || substring(md5(g || ':' || c), 1+8*(i%4), 8))::BIGINT` (g >= 1).
     */
   def hash32Family(c: Column, i: Int): Column = {
-    require(i >= 0 && i < 8, s"family index $i out of [0,8)")
+    require(i >= 0, s"family index $i must be non-negative")
+    val g = i / 4
     val input =
-      if (i < 4) c.cast("string")
-      else concat(lit("x:"), c.cast("string"))
+      if (g == 0) c.cast("string")
+      else concat(lit(s"$g:"), c.cast("string"))
     Md5Word(input, i % 4)
   }
 

@@ -67,7 +67,7 @@ object StoreQueries {
       |  SELECT i,
       |    (SELECT v FROM vocab)[CAST(('0x' || substring(md5(CAST(i AS VARCHAR)), 1, 8))::BIGINT % 8 AS BIGINT) + 1]
       |      || ' ' ||
-      |    (SELECT v FROM vocab)[CAST(('0x' || substring(md5('x:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 8 AS BIGINT) + 1] AS line
+      |    (SELECT v FROM vocab)[CAST(('0x' || substring(md5('1:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 8 AS BIGINT) + 1] AS line
       |  FROM range(0, 10000) t(i)
       |)
       |SELECT count(*) AS n,

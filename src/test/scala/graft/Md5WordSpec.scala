@@ -22,6 +22,29 @@ class Md5WordSpec extends AnyFunSuite {
     }
   }
 
+  test("hash32Family: chained digests give independent members past 8") {
+    val rnd = new scala.util.Random(23)
+    val strs = Seq.fill(40)(rnd.alphanumeric.take(12).mkString)
+    val df = strs.toDF("s")
+    val n = 24 // three digest groups beyond the original two
+    val row = df.select((0 until n).map(i =>
+      Hashing.hash32Family(col("s"), i).as(s"h$i")): _*).collect()
+    // no two family members may agree across the sample (independence
+    // would be broken by e.g. group-prefix collisions)
+    for (i <- 0 until n; j <- (i + 1) until n) {
+      val same = row.count(r => r.getLong(i) == r.getLong(j))
+      assert(same == 0, s"families $i and $j collide on $same/40 inputs")
+    }
+    // group g >= 1 must equal the documented seeded-digest formula
+    val mismatch = df.select(
+      Hashing.hash32Family(col("s"), 9).as("fam"),
+      conv(substring(md5(concat(lit("2:"), col("s"))), 1 + 8 * 1, 8), 16, 10)
+        .cast("long").as("formula"))
+      .filter(col("fam") =!= col("formula")).count()
+    assert(mismatch == 0)
+    assertThrows[IllegalArgumentException](Hashing.hash32Family(col("s"), -1))
+  }
+
   test("codegen and interpreted paths agree") {
     val df = Seq("abc").toDF("s")
     val viaPlan = df.select(Md5Word(col("s"), 1)).head().getLong(0)
