@@ -190,6 +190,30 @@ object MiscQueries {
       regexp_extract(col("x"), "<key>([0-9]+)</key>", 1).cast("long").as("key"))
   }
 
+  /** Raw-file XML record scanner (`StreamXmlRecordReader.java:301`): the
+    * fixture is REAL files of MULTI-LINE `<rec>…</rec>` records (written
+    * un-coalesced — several files, records crossing line and buffer
+    * boundaries), re-scanned by begin/end pattern and field-extracted.
+    * Completes q91, whose XML lived in a synthesized column.
+    */
+  val q91bXmlFile = Q.checked(
+    "q91b_xml_file",
+    """SELECT n_name AS name, n_nationkey AS key FROM nation""") { (s, dir) =>
+    import graft.sources.XmlScan
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-xmlfile"
+    table(s, dir, "nation")
+      .select(concat(
+        lit("<rec>\n  <name>"), col("n_name"),
+        lit("</name>\n  <key>"), col("n_nationkey").cast("string"),
+        lit("</key>\n</rec>")).as("value"))
+      .write.mode("overwrite").text(out)
+    XmlScan.records(s, out, "<rec>", "</rec>")
+      .select(
+        regexp_extract(col("record"), "<name>([^<]*)</name>", 1).as("name"),
+        regexp_extract(col("record"), "<key>([0-9]+)</key>", 1)
+          .cast("long").as("key"))
+  }
+
   /** Gridmix "3-stage pipeline" job family (SURVEY §6,
     * `src/benchmarks/gridmix/README`): filter-map stage → shuffle
     * aggregation stage → bounded global-sort stage, as one declarative
@@ -256,5 +280,6 @@ object MiscQueries {
 
   val all: Vector[Q] =
     Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q48Pi, q49TeraGen,
-      q54Jdbc, q55Multimodal, q63ReferenceSelect, q90Pipe, q91Xml)
+      q54Jdbc, q55Multimodal, q63ReferenceSelect, q90Pipe, q91Xml,
+      q91bXmlFile)
 }

@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Begin/end-pattern record scanner over raw files — the reference's
+  * `StreamXmlRecordReader` (`src/contrib/streaming/src/java/org/apache/
+  * hadoop/streaming/StreamXmlRecordReader.java:301`): records are the byte
+  * spans between a begin and an end pattern, independent of line breaks,
+  * and must survive records crossing input-split boundaries.
+  *
+  * Spark shape: read with the END pattern as the record delimiter
+  * (`lineSep`) — Hadoop's delimiter-aware `LineRecordReader` underneath
+  * already implements the split-boundary contract (a task reads past its
+  * split end to finish the current record, and skips a leading partial
+  * record), which is exactly the hand-rolled scanning loop in the
+  * reference. Each delimited chunk is then trimmed to its begin pattern.
+  * Fully distributed: one scan, no driver-side parsing, and the trim is a
+  * codegen'd string expression.
+  */
+object XmlScan {
+
+  /** All `beginTag … endTag` records (inclusive) found in the files under
+    * `path`, one row per record, as column `record`.
+    */
+  def records(spark: SparkSession, path: String,
+              beginTag: String, endTag: String): DataFrame = {
+    val chunk = spark.read.option("lineSep", endTag).text(path)
+    val begin = instr(col("value"), beginTag)
+    chunk
+      .filter(begin > 0) // inter-record junk (whitespace, trailing bytes)
+      .select(concat(
+        col("value").substr(begin, length(col("value"))),
+        lit(endTag)).as("record"))
+  }
+}

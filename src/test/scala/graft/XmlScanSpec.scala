@@ -1,0 +1,34 @@
+package graft
+
+import graft.sources.XmlScan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class XmlScanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("multi-line records crossing split boundaries are all recovered") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xmlscan")
+    // one big file, records of varying width with embedded newlines and
+    // inter-record junk; tiny splits force records across split boundaries
+    val body = (1 to 200).map { i =>
+      s"<rec>\n  <name>doc-$i${"x" * (i % 17)}</name>\n  <key>$i</key>\n</rec>"
+    }.mkString("\n junk \n")
+    java.nio.file.Files.write(dir.resolve("data.xml"), body.getBytes("UTF-8"))
+    val before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "256")
+      val recs = XmlScan.records(spark, dir.toString, "<rec>", "</rec>")
+      assert(recs.rdd.getNumPartitions > 1, "fixture must span several splits")
+      val keys = recs.select(
+        regexp_extract(col("record"), "<key>([0-9]+)</key>", 1).cast("int"))
+        .as[Int].collect().sorted.toSeq
+      assert(keys == (1 to 200))
+      // records are complete begin..end spans, never truncated at a split
+      val malformed = recs.filter(
+        !col("record").startsWith("<rec>") || !col("record").endsWith("</rec>"))
+      assert(malformed.count() == 0)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+  }
+}
