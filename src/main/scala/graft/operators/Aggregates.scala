@@ -115,4 +115,31 @@ object Aggregates {
         sqrt((col("ssq").cast("double") - col("s").cast("double") * col("s").cast("double") / col("uniq")) / col("uniq"))
           .as("sd_f"))
   }
+
+  /** High-cardinality ValueHistogram: same report shape, but the median is
+    * `percentile_approx` over the frequencies instead of a collected sorted
+    * array. The exact variant's per-key state is O(distinct values of that
+    * key) — a key with 10⁸ distinct values would buffer a 10⁸-element array
+    * in one aggregation buffer; this one's state is a fixed-size quantile
+    * sketch, the only shape that survives 100 TB. Keep [[valueHistogram]]
+    * for reference parity (its buffered map matches `ValueHistogram.java`),
+    * use this past ~10⁵ distinct values per key.
+    */
+  def valueHistogramApprox(df: DataFrame, key: Column, value: Column,
+                           accuracy: Int = 10000): DataFrame = {
+    val freq = df.groupBy(key.as("k"), value.as("v")).agg(count(lit(1)).as("f"))
+    freq.groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("uniq"),
+        min(col("f")).as("min_f"),
+        percentile_approx(col("f"), lit(0.5), lit(accuracy)).as("median_f"),
+        max(col("f")).as("max_f"),
+        sum(col("f")).as("s"),
+        sum(col("f") * col("f")).as("ssq"))
+      .select(
+        col("k"), col("uniq"), col("min_f"), col("median_f"), col("max_f"),
+        (col("s").cast("double") / col("uniq")).as("avg_f"),
+        sqrt((col("ssq").cast("double") - col("s").cast("double") * col("s").cast("double") / col("uniq")) / col("uniq"))
+          .as("sd_f"))
+  }
 }

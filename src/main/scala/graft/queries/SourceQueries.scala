@@ -27,9 +27,10 @@ object SourceQueries {
     """SELECT n_name AS key, CAST(n_nationkey AS VARCHAR) || chr(9) || CAST(n_regionkey AS VARCHAR) AS value
       |FROM nation""") { (s, dir) =>
     val out = tmp("kvtext")
+    // un-coalesced: one file per task, like the reference's part-NNNNN
+    // outputs — a coalesce(1) here would serialize the sink on one core
     table(s, dir, "nation")
       .select(concat_ws("\t", col("n_name"), col("n_nationkey"), col("n_regionkey")).as("value"))
-      .coalesce(1)
       .write.mode("overwrite").text(out)
     // read back: key = text before the first \t, value = everything after
     s.read.text(out)
@@ -73,6 +74,36 @@ object SourceQueries {
       .saveAsSequenceFile(out)
     import s.implicits._
     s.sparkContext.sequenceFile[String, String](out).toDF("key", "value")
+  }
+
+  /** Binary SequenceFile passthrough (`SequenceFileAsBinaryInputFormat` /
+    * `SequenceFileAsBinaryOutputFormat`): raw `BytesWritable` K/V moved
+    * without any text decode — the legacy-data migration path. Keys are
+    * raw MD5 digests (arbitrary non-UTF-8 bytes), so a green oracle proves
+    * byte fidelity, not just string round-tripping; the compare itself is
+    * over hex encodings because the harness diffs text.
+    */
+  val q42bSeqFileBinary = Q.checked(
+    "q42b_seqfile_binary",
+    """SELECT md5(n_name) AS key_hex,
+      |       lower(hex(encode(n_name || ':' || CAST(n_nationkey AS VARCHAR)))) AS value_hex
+      |FROM nation""") { (s, dir) =>
+    val out = tmp("seqfilebin")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(out), true)
+    table(s, dir, "nation")
+      .select(
+        unhex(md5(col("n_name"))).as("k"),
+        encode(concat(col("n_name"), lit(":"), col("n_nationkey").cast("string")),
+          "UTF-8").as("v"))
+      .rdd.map(r => (r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1)))
+      .saveAsSequenceFile(out) // BytesWritable pairs via the byte-array converter
+    import s.implicits._
+    s.sparkContext.sequenceFile[Array[Byte], Array[Byte]](out)
+      .toDF("k", "v")
+      .select(lower(hex(col("k"))).as("key_hex"),
+        lower(hex(col("v"))).as("value_hex"))
   }
 
   /** Scan-time record filters (`SequenceFileInputFilter`:
@@ -139,6 +170,6 @@ object SourceQueries {
   }
 
   val all: Vector[Q] =
-    Vector(q40KvText, q41MultiOutput, q42SeqFile, q43ScanFilters,
-      q44MultiInputs, q45SetOps)
+    Vector(q40KvText, q41MultiOutput, q42SeqFile, q42bSeqFileBinary,
+      q43ScanFilters, q44MultiInputs, q45SetOps)
 }

@@ -71,6 +71,32 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("approx histogram matches exact on a high-cardinality key") {
+    // one key with 20k distinct values: the exact variant buffers a
+    // 20k-element array per key; the approx variant's state is a
+    // fixed-size sketch. Reports must agree on every non-median stat and
+    // land close on the median.
+    val df = spark.range(0, 20000)
+      .select(lit("hot").as("k"), col("id").as("v"))
+      .unionAll(spark.range(0, 5)
+        .select(lit("cold").as("k"), (col("id") % 2).as("v")))
+    val exact = Aggregates.valueHistogram(df, col("k"), col("v"))
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val approx = Aggregates.valueHistogramApprox(df, col("k"), col("v"))
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    for (k <- Seq("hot", "cold")) {
+      val (e, a) = (exact(k), approx(k))
+      assert((e._2, e._3, e._5, e._6, e._7) == (a._2, a._3, a._5, a._6, a._7))
+      assert(math.abs(e._4 - a._4) <= 1, s"median drift on $k")
+    }
+    // the approx plan must NOT collect per-key frequency arrays
+    val plan = Aggregates.valueHistogramApprox(df, col("k"), col("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"))
+  }
+
   test("approx distinct lands within rsd of exact") {
     val df = spark.range(0, 20000).select((col("id") % 5000).as("v"))
     val approx = df.agg(Aggregates.uniqApprox(col("v"), 0.05)).head().getLong(0)
