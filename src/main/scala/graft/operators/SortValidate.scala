@@ -26,6 +26,14 @@ final case class PartStat(
     idx: Int, firstK: Long, firstT: Long, lastK: Long, lastT: Long,
     sortedWithin: Boolean, xor: Long, cnt: Long)
 
+/** Per-partition stats for the binary-key validator (keys carried as hex
+  * strings — lexicographic hex order == unsigned byte order, and the
+  * encoder stays simple).
+  */
+final case class PartStatB(
+    idx: Int, firstK: String, lastK: String,
+    sortedWithin: Boolean, xor: Long, cnt: Long, minK: String, maxK: String)
+
 object SortValidate {
 
   /** Sort `df` globally by `sortKey` (a sortable long expression) and
@@ -83,4 +91,61 @@ object SortValidate {
     * [[Hashing.hash32]]).
     */
   def recordHash(c: Column): Column = Hashing.hash32(c)
+
+  /** TeraSort-proper: globally sort 100-byte records by their 10-byte
+    * BINARY key (`TeraGen.java:50-53` layout) and validate TeraValidate's
+    * invariants — global order, count, record-hash xor (sort = permutation)
+    * — plus min/max key. The full record (`value`) rides through the sort
+    * so the shuffle moves real record bytes, not just keys. One stats row
+    * per partition reaches the driver; everything else is distributed.
+    * Spark's BinaryType ordering is unsigned lexicographic, matching the
+    * reference's `BytesWritable` comparator; validation compares lowercase
+    * hex images, whose string order equals unsigned byte order.
+    */
+  def teraSortValidate(
+      spark: SparkSession,
+      df: DataFrame,
+      keyBin: Column,
+      value: Column,
+      recHash: Column): DataFrame = {
+    import spark.implicits._
+    val sorted = df
+      .select(keyBin.as("k"), value.as("v"), recHash.cast("long").as("h"))
+      .orderBy(col("k"))
+    val stats = sorted
+      .select(lower(hex(col("k"))).as("kh"), col("h"))
+      .as[(String, Long)]
+      .mapPartitions { rows =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          var firstK: String = null; var prevK: String = null
+          var minK: String = null; var maxK: String = null
+          var sortedWithin = true; var xor = 0L; var cnt = 0L
+          for ((k, h) <- rows) {
+            if (firstK == null) firstK = k
+            else if (k < prevK) sortedWithin = false
+            if (minK == null || k < minK) minK = k
+            if (maxK == null || k > maxK) maxK = k
+            prevK = k; xor ^= h; cnt += 1
+          }
+          Iterator.single(PartStatB(
+            org.apache.spark.TaskContext.getPartitionId(),
+            firstK, prevK, sortedWithin, xor, cnt, minK, maxK))
+        }
+      }
+      .collect()
+      .sortBy(_.idx)
+    val boundariesOk = stats.sliding(2).forall {
+      case Array(a, b) => a.lastK <= b.firstK
+      case _ => true
+    }
+    val isSorted = boundariesOk && stats.forall(_.sortedWithin)
+    Seq((
+      stats.map(_.cnt).sum,
+      stats.foldLeft(0L)(_ ^ _.xor),
+      isSorted,
+      if (stats.isEmpty) "" else stats.map(_.minK).min,
+      if (stats.isEmpty) "" else stats.map(_.maxK).max))
+      .toDF("total_rows", "xor_hash", "is_sorted", "min_key", "max_key")
+  }
 }

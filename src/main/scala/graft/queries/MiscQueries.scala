@@ -278,8 +278,103 @@ object MiscQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** TeraSort-proper (`TeraGen.java:50-53` / TeraSort / TeraValidate):
+    * 1M 100-byte records — 10-byte BINARY key, 10-byte right-justified
+    * rowid, 78-byte filler — globally sorted on the binary key with the
+    * full record riding the shuffle, validated by TeraValidate's
+    * invariants. Fixed-size (not sf-scaled) so the BENCH row is a
+    * round-over-round sort-throughput number; the oracle replays the
+    * deterministic generation and checksums (sortedness itself is the
+    * Spark-side validator — DuckDB can't observe our partition order).
+    */
+  val q65TeraSort = Q.checked(
+    "q65_terasort",
+    """WITH g AS (
+      |  SELECT substring(md5(CAST(i AS VARCHAR)), 1, 20) AS kh,
+      |         lpad(CAST(i AS VARCHAR), 10, '0') AS rid
+      |  FROM range(0, 1000000) t(i)
+      |)
+      |SELECT count(*) AS total_rows,
+      |       bit_xor(('0x' || substring(md5(kh || rid), 1, 8))::BIGINT) AS xor_hash,
+      |       TRUE AS is_sorted,
+      |       min(kh) AS min_key, max(kh) AS max_key
+      |FROM g""") { (s, dir) =>
+    import graft.operators.SortValidate
+    val filler = ('A' to 'Z').take(8).map(c => c.toString * 10).mkString.take(78)
+    val g = s.range(0, 1000000L).select(
+      substring(md5(col("id").cast("string")), 1, 20).as("kh"),
+      lpad(col("id").cast("string"), 10, "0").as("rid"))
+    SortValidate.teraSortValidate(
+      s, g,
+      keyBin = unhex(col("kh")),
+      value = concat(col("rid"), lit(filler)),
+      recHash = Hashing.hash32(concat(col("kh"), col("rid"))))
+  }
+
+  private val IndirectIters = 10
+
+  private def indirectOracle: String = {
+    val keep = (i: Int) =>
+      s"('0x'||substring(md5(line||':$i'),1,8))::BIGINT % 2 = 0"
+    val ctes = new StringBuilder(
+      "WITH base AS (SELECT CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS line FROM lineitem),\n" +
+        s"out1 AS (SELECT line FROM base WHERE ${keep(1)})")
+    for (i <- 2 to IndirectIters) {
+      ctes ++= s""",
+        |in$i AS (SELECT line FROM base UNION ALL SELECT line FROM out${i - 1}),
+        |out$i AS (SELECT line FROM in$i WHERE ${keep(i)})""".stripMargin
+    }
+    s"""$ctes
+       |SELECT count(*) AS n,
+       |       bit_xor(('0x'||substring(md5(line),1,8))::BIGINT) AS xor_hash,
+       |       min(line) AS min_line, max(line) AS max_line
+       |FROM out$IndirectIters""".stripMargin
+  }
+
+  /** Gridmix "indirect read" family (`src/benchmarks/gridmix/README` job 4:
+    * keep 50% map, 100% reduce, 10 iterations, "input data is all
+    * indirect"): each iteration's input is an explicit FILE LIST built by
+    * the client — original files plus the previous iteration's output
+    * files — handed to the scan without locality metadata, exactly the
+    * reference's `IndirectInputFormat` + client-side src-list builder
+    * (`GenericMRLoadGenerator.java:136-170`). The 50% keep is the portable
+    * hash, re-seeded per iteration, so the oracle replays all 10 rounds.
+    */
+  val q64IndirectRead = Q.checked("q64_indirect_read", indirectOracle) { (s, dir) =>
+    import org.apache.hadoop.fs.Path
+    val tmpDir = System.getProperty("java.io.tmpdir")
+    val base = s"$tmpDir/graft-indirect-base"
+    table(s, dir, "lineitem")
+      .select((col("l_orderkey") * 10 + col("l_linenumber"))
+        .cast("string").as("value"))
+      .write.mode("overwrite").text(base)
+    // the "indirect" part: inputs are enumerated file paths (data, not a
+    // directory scan) — same client-side manifest the reference builds
+    def files(d: String): Seq[String] = {
+      val p = new Path(d)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(p)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .map(_.getPath.toString).toSeq
+    }
+    val baseFiles = files(base)
+    var inputs = baseFiles
+    for (i <- 1 to IndirectIters) {
+      val out = s"$tmpDir/graft-indirect-$i"
+      s.read.text(inputs: _*)
+        .filter(Hashing.hash32(concat(col("value"), lit(s":$i"))) % 2 === 0)
+        .write.mode("overwrite").text(out)
+      inputs = baseFiles ++ files(out)
+    }
+    s.read.text(files(s"$tmpDir/graft-indirect-$IndirectIters"): _*)
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(cast(conv(substring(md5(value),1,8),16,10) as bigint))")
+          .as("xor_hash"),
+        min(col("value")).as("min_line"), max(col("value")).as("max_line"))
+  }
+
   val all: Vector[Q] =
     Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q48Pi, q49TeraGen,
-      q54Jdbc, q55Multimodal, q63ReferenceSelect, q90Pipe, q91Xml,
-      q91bXmlFile)
+      q54Jdbc, q55Multimodal, q63ReferenceSelect, q64IndirectRead,
+      q65TeraSort, q90Pipe, q91Xml, q91bXmlFile)
 }
