@@ -32,6 +32,32 @@ object StoreQueries {
     s.read.parquet(out).filter(col("key").isin(42L, 777L, 1400L))
   }
 
+  /** BloomMapFile membership sidecar (`src/core/org/apache/hadoop/io/
+    * BloomMapFile.java`): a bloom filter rides with the sorted data so a
+    * point lookup on a miss skips the scan entirely. Spark shape: parquet
+    * column bloom filters written at sink time (`parquet.bloom.filter.
+    * enabled#col`) — readers consult them per row group, the same
+    * skip-on-probable-absence contract. The lookup column (c_name) is NOT
+    * the sort column, so min/max stats alone can't prune — only the bloom
+    * sidecar can, which is exactly BloomMapFile's reason to exist.
+    */
+  val q34bBloomFile = Q.checked(
+    "q34b_bloom_file",
+    """SELECT c_custkey AS key, c_name AS value FROM customer
+      |WHERE c_name IN ('Customer#000000042', 'Customer#000000777')""") { (s, dir) =>
+    val out = tmp("bloomfile")
+    table(s, dir, "customer")
+      .select(col("c_custkey").as("key"), col("c_name").as("value"))
+      .repartitionByRange(4, col("key"))
+      .sortWithinPartitions(col("key"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#value", "true")
+      .option("parquet.bloom.filter.expected.ndv#value", "200000")
+      .parquet(out)
+    s.read.parquet(out)
+      .filter(col("value").isin("Customer#000000042", "Customer#000000777"))
+  }
+
   /** MultiFileWordCount + CombineFileInputFormat
     * (`MultiFileWordCount.java:58-213`): documents scattered across many
     * small text files, read back as one coalesced scan (Spark packs small
@@ -87,5 +113,6 @@ object StoreQueries {
       min(col("line")).as("min_line"), max(col("line")).as("max_line"))
   }
 
-  val all: Vector[Q] = Vector(q34MapFile, q35MultiFileWordCount, q56RandomText)
+  val all: Vector[Q] =
+    Vector(q34MapFile, q34bBloomFile, q35MultiFileWordCount, q56RandomText)
 }

@@ -69,5 +69,49 @@ object StreamQueries {
       "-D", "mapred.text.key.partitioner.options=-k1,2"))
   }
 
-  val all: Vector[Q] = Vector(q92StreamCli, q93StreamPipeline)
+  /** Gridmix job 5, the streaming API variant of "API text sort"
+    * (`src/benchmarks/gridmix/README`, `streamsort/`): identity mapper and
+    * reducer as REAL external processes (`cat`), the framework supplying
+    * partition + sort. The MR streaming sort contract is per-reducer
+    * order, so the query validates every reduce partition is internally
+    * sorted (one stats row per partition) and emits the permutation
+    * checksum the oracle can recompute.
+    */
+  val q66StreamApiSort = Q.checked(
+    "q66_stream_api_sort",
+    """SELECT count(*) AS total_rows,
+      |  bit_xor(('0x'||substring(md5(o_orderpriority || ':' || CAST(o_orderkey AS VARCHAR)),1,8))::BIGINT) AS xor_hash,
+      |  TRUE AS is_sorted
+      |FROM orders""") { (s, dir) =>
+    import graft.functions.Hashing
+    import s.implicits._
+    val in = tmp("q66in")
+    table(s, dir, "orders")
+      .select(concat_ws("\t", col("o_orderpriority"), col("o_orderkey")).as("line"))
+      .write.mode("overwrite").text(in)
+    val sorted = StreamJob.run(s, Seq(
+      "-input", in, "-mapper", "cat", "-reducer", "cat",
+      "-numReduceTasks", "8"))
+    val stats = sorted
+      .select(col("key"),
+        Hashing.hash32(concat_ws(":", col("key"), col("value"))).as("h"))
+      .as[(String, Long)]
+      .mapPartitions { rows =>
+        var prev: String = null; var ok = true; var xor = 0L; var cnt = 0L
+        for ((k, h) <- rows) {
+          if (prev != null && k < prev) ok = false
+          prev = k; xor ^= h; cnt += 1
+        }
+        Iterator.single((ok, xor, cnt))
+      }
+      .collect() // one tiny row per reduce partition
+    Seq((
+      stats.map(_._3).sum,
+      stats.foldLeft(0L)(_ ^ _._2),
+      stats.forall(_._1)))
+      .toDF("total_rows", "xor_hash", "is_sorted")
+  }
+
+  val all: Vector[Q] =
+    Vector(q66StreamApiSort, q92StreamCli, q93StreamPipeline)
 }
