@@ -126,6 +126,17 @@ class StreamCliSpec extends AnyFunSuite {
     assert(got == Set(("k1", "v1"), ("k2", "v 2")))
   }
 
+  test("comparator options: numeric reverse key order reaches the reducer") {
+    import spark.implicits._
+    // string order would give 10 < 2 < 9; -k1nr must deliver 10, 9, 2
+    val in = writeLines("cmpopt", Seq("9\ta", "10\tb", "2\tc"))
+    val got = StreamJob.run(spark, Seq(
+      "-input", in, "-reducer", "cat", "-numReduceTasks", "1",
+      "-D", "mapred.text.key.comparator.options=-k1nr"))
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(("10", "b"), ("9", "a"), ("2", "c")))
+  }
+
   test("external reducer sees contiguous sorted keys in one partition") {
     import spark.implicits._
     // 3 keys spread over many input lines; awk sums runs — only correct if
