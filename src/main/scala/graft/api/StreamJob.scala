@@ -255,6 +255,11 @@ object StreamJob {
           .repartition(parts, partCols: _*)
           .sortWithinPartitions(sortCols: _*)
         args.reducer match {
+          case Some(cmd) if args.io == "typedbytes" =>
+            Pipe.pipeTypedBytes(spark, arranged, tokenize(cmd))
+          case Some(cmd) if args.io == "rawbytes" =>
+            Pipe.pipeRawBytes(spark, arranged, tokenize(cmd))
+              .select(col("key").cast("string"), col("value").cast("string"))
           case Some(cmd) =>
             pipeStage(spark, arranged, cmd, args.reduceSep, args.numReduceKeyFields)
           case None => arranged // IdentityReducer

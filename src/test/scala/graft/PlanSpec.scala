@@ -39,6 +39,11 @@ class PlanSpec extends AnyFunSuite {
     assert(boundedRank(p), p)
   }
 
+  test("q34b bloom lookup pushes the IN filter to the parquet scan") {
+    val p = plan(graft.queries.StoreQueries.q34bBloomFile)
+    assert(p.contains("PushedFilters: [In(value"), p)
+  }
+
   test("q10 dimension join broadcasts (no shuffle of the fact side for nation)") {
     val p = plan(JoinQueries.q10JoinInner)
     assert(p.contains("BroadcastHashJoin"), p)

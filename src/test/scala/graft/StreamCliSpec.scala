@@ -126,6 +126,16 @@ class StreamCliSpec extends AnyFunSuite {
     assert(got == Set(("k1", "v1"), ("k2", "v 2")))
   }
 
+  test("-io rawbytes reaches the reducer with binary framing") {
+    import spark.implicits._
+    val in = writeLines("rbred", Seq("b\t2", "a\t1"))
+    val got = StreamJob.run(spark, Seq(
+      "-input", in, "-reducer", "cat", "-io", "rawbytes",
+      "-numReduceTasks", "1"))
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("a", "1"), ("b", "2")))
+  }
+
   test("comparator options: numeric reverse key order reaches the reducer") {
     import spark.implicits._
     // string order would give 10 < 2 < 9; -k1nr must deliver 10, 9, 2
