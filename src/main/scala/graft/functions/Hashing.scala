@@ -46,11 +46,20 @@ object Hashing {
     */
   def hash32Family(c: Column, i: Int): Column = {
     require(i >= 0, s"family index $i must be non-negative")
-    val g = i / 4
-    val input =
-      if (g == 0) c.cast("string")
-      else concat(lit(s"$g:"), c.cast("string"))
-    Md5Word(input, i % 4)
+    Md5Word(familyInput(c, i / 4), i % 4)
+  }
+
+  private def familyInput(c: Column, g: Int): Column =
+    if (g == 0) c.cast("string") else concat(lit(s"$g:"), c.cast("string"))
+
+  /** All four members of digest group `g` as ONE `array<long>` column from
+    * ONE digest computation — project this once per group when consuming
+    * several family members of the same input (MinHash signatures), instead
+    * of 4 separate [[hash32Family]] trees that each redo the digest.
+    */
+  def hash32FamilyGroup(c: Column, g: Int): Column = {
+    require(g >= 0, s"digest group $g must be non-negative")
+    Md5Words(familyInput(c, g))
   }
 
   /** Deterministic 1-in-`f` sampler on a key (MD5Filter semantics). */

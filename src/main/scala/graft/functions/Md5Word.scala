@@ -55,7 +55,55 @@ object Md5Word {
       ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
   }
 
+  /** All four 32-bit words of one digest — computed with a SINGLE md5 call.
+    * Four separate [[Md5Word]] expressions over the same input each rerun
+    * the digest (they are distinct trees, so subexpression elimination
+    * can't merge them); MinHash with a 4k-member family drops from 4k to k
+    * digests per shingle by projecting this array once per digest group.
+    */
+  def words(s: UTF8String): Array[Long] = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val out = new Array[Long](4)
+    var w = 0
+    while (w < 4) {
+      val o = w * 4
+      out(w) = ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+        ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+      w += 1
+    }
+    out
+  }
+
   /** Column API: word `w` of md5(c) as an unsigned 32-bit long. */
   def apply(c: Column, word: Int): Column =
     GraftBridge.toColumn(Md5Word(GraftBridge.toExpr(c), word))
+}
+
+/** Array-of-all-4-words variant of [[Md5Word]]: one digest, one projected
+  * `array<long>` column. See [[Md5Word.words]].
+  */
+case class Md5Words(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_words"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Md5Word.words(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.Md5Word.words($c))")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Words =
+    copy(child = newChild)
+}
+
+object Md5Words {
+  def apply(c: Column): Column =
+    GraftBridge.toColumn(Md5Words(GraftBridge.toExpr(c)))
 }

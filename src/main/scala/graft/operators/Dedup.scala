@@ -35,17 +35,25 @@ object Dedup {
   }
 
   /** MinHash signature: per id, `nSeeds` columns `mh0..mh{n-1}`,
-    * `mh_i = min(hash32(i ++ ":" ++ shingle))` over the document's distinct
+    * `mh_i = min(hash32Family(shingle, i))` over the document's distinct
     * shingles. One explode + one grouped aggregation — partial aggregation
-    * (map-side combine) keeps the shuffle narrow.
+    * (map-side combine) keeps the shuffle narrow. The hash family is
+    * consumed per digest GROUP (one `array<long>` of 4 members per md5),
+    * so `nSeeds` members cost `nSeeds/4` digests per shingle — the digest
+    * is the whole inner-loop cost at 100 TB.
     */
   def minhash(df: DataFrame, id: Column, shingles: Column, nSeeds: Int): DataFrame = {
     // no pre-distinct: min() is duplicate-insensitive, so one shuffle with
     // map-side partial min beats a distinct shuffle + aggregation
+    val groups = (nSeeds + 3) / 4
     val exploded = df.select(id.as("id"), explode(shingles).as("sh"))
+    val withWords = exploded.select(
+      col("id") +:
+        (0 until groups).map(g =>
+          Hashing.hash32FamilyGroup(col("sh"), g).as(s"wg$g")): _*)
     val aggs = (0 until nSeeds).map(i =>
-      min(Hashing.hash32Family(col("sh"), i)).as(s"mh$i"))
-    exploded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      min(col(s"wg${i / 4}")(i % 4)).as(s"mh$i"))
+    withWords.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Band a minhash signature: (id, band, key) with

@@ -45,6 +45,17 @@ class Md5WordSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Hashing.hash32Family(col("s"), -1))
   }
 
+  test("Md5Words array equals the four Md5Word scalars (one digest)") {
+    val rnd = new scala.util.Random(31)
+    val df = (Seq("", "x") ++ Seq.fill(30)(
+      rnd.alphanumeric.take(rnd.nextInt(20)).mkString)).toDF("s")
+    val bad = df.select(
+      graft.functions.Md5Words(col("s")).as("arr"),
+      array((0 until 4).map(w => graft.functions.Md5Word(col("s"), w)): _*).as("scalars"))
+      .filter(col("arr") =!= col("scalars")).count()
+    assert(bad == 0)
+  }
+
   test("codegen and interpreted paths agree") {
     val df = Seq("abc").toDF("s")
     val viaPlan = df.select(Md5Word(col("s"), 1)).head().getLong(0)
