@@ -177,7 +177,12 @@ object StreamJob {
         min(asLong).as("lmin"),
         max(col("value")).as("smax"),
         min(col("value")).as("smin"),
-        count_distinct(col("value")).as("uniq"))
+        // conditional distinct: the expand-based distinct plan shuffles a
+        // second copy of every record; gating on the aggregator type makes
+        // the distinct branch all-null for every other job, so its partial
+        // aggregates collapse to ~one row per group map-side
+        count_distinct(when(col("atype") === "UniqValueCount", col("value")))
+          .as("uniq"))
       .select(
         col("id").as("key"),
         when(col("atype") === "LongValueSum", col("lsum").cast("string"))
