@@ -136,6 +136,22 @@ class StreamCliSpec extends AnyFunSuite {
     assert(got == Set(("a", "1"), ("b", "2")))
   }
 
+  test("custom field separator and -output round trip") {
+    import spark.implicits._
+    val in = writeLines("sepout", Seq("a,1", "b,2", "a,3"))
+    val out = java.nio.file.Files.createTempDirectory("graft-sepout").toString
+    val got = StreamJob.run(spark, Seq(
+      "-input", in, "-output", out,
+      "-reducer", "NONE",
+      "-D", "stream.map.output.field.separator=,",
+      "-D", "stream.reduce.output.field.separator=,"))
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("a", "1"), ("b", "2"), ("a", "3")))
+    // the -output dir holds the same records as sep-joined text lines
+    val written = spark.read.text(out).as[String].collect().toSet
+    assert(written == Set("a,1", "b,2", "a,3"))
+  }
+
   test("comparator options: numeric reverse key order reaches the reducer") {
     import spark.implicits._
     // string order would give 10 < 2 < 9; -k1nr must deliver 10, 9, 2
