@@ -1,6 +1,6 @@
 package graft.core
 
-import graft.functions.Md5Word
+import graft.functions.{Md5Word, Md5Words}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -34,6 +34,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Md5Word(c, word)
         case _ => throw new IllegalArgumentException(
           "graft_hash32 expects (str) or (str, word)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_md5_words"),
+      new ExpressionInfo(classOf[Md5Words].getName, "graft_md5_words",
+        "graft_md5_words(str) - all four unsigned 32-bit words of md5(str) as array<bigint>, one digest"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => Md5Words(c)
+        case _ => throw new IllegalArgumentException(
+          "graft_md5_words expects (str)")
       }))
   }
 }

@@ -169,7 +169,38 @@ object SourceQueries {
       .crossJoin(open.except(filled).agg(count(lit(1)).as("only_o_n")))
   }
 
+  /** Record-DDL-driven scan (SURVEY §1.2b end-to-end): a `.jr` class
+    * declaration — parsed by `core/RecordDDL` — supplies the schema for a
+    * delimited-text read, the way the reference's `rcc`-generated record
+    * classes typed legacy K/V data. The oracle recomputes from the parquet
+    * source, so a green row proves the DDL-declared schema read the text
+    * back with correct names AND types (the sum is over a DDL-typed long).
+    */
+  val q94RecordDdl = Q.checked(
+    "q94_record_ddl",
+    """SELECT l_returnflag AS flag, count(*) AS n,
+      |       CAST(sum(l_linenumber) AS BIGINT) AS s
+      |FROM lineitem GROUP BY l_returnflag""") { (s, dir) =>
+    import graft.core.RecordDDL
+    val out = tmp("recddl")
+    table(s, dir, "lineitem")
+      .select(concat_ws("\t",
+        col("l_returnflag"), col("l_linenumber"), col("l_orderkey")).as("line"))
+      .write.mode("overwrite").text(out)
+    val schema = RecordDDL.schemas(
+      """module graft.demo {
+        |  class LineRec {
+        |    ustring flag;
+        |    long    lineno;
+        |    long    orderkey;
+        |  }
+        |}""".stripMargin)("graft.demo.LineRec")
+    s.read.schema(schema).option("sep", "\t").csv(out)
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("lineno")).as("s"))
+  }
+
   val all: Vector[Q] =
     Vector(q40KvText, q41MultiOutput, q42SeqFile, q42bSeqFileBinary,
-      q43ScanFilters, q44MultiInputs, q45SetOps)
+      q43ScanFilters, q44MultiInputs, q45SetOps, q94RecordDdl)
 }

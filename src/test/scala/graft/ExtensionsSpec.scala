@@ -26,6 +26,12 @@ class ExtensionsSpec extends AnyFunSuite {
       // equals ('0x'||substring(md5('a'),1,8))::BIGINT = 214005177 (see DuckDB)
       assert(got.getLong(0) == 214005177L)
       assert(got.getLong(1) != got.getLong(0))
+      val words = s.sql(
+        "SELECT graft_md5_words('a') AS ws, " +
+          "array(graft_hash32('a'), graft_hash32('a', 1), " +
+          "graft_hash32('a', 2), graft_hash32('a', 3)) AS scalars")
+        .head()
+      assert(words.getSeq[Long](0) == words.getSeq[Long](1))
     } finally {
       prev.foreach { p =>
         SparkSession.setDefaultSession(p)
