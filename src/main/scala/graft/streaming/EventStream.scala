@@ -49,6 +49,25 @@ object EventStream {
       }
   }
 
+  /** The aggregate-descriptor DSL (SURVEY §2.4) over an unbounded stream:
+    * the same `"AggType:column"` strings that drive batch
+    * `Aggregates.aggregate` compile onto a watermarked event-time window —
+    * a reference aggregate job, made continuous. State per (window × key),
+    * evicted at the watermark; Catalyst's partial aggregation is the
+    * combiner, exactly as in batch.
+    */
+  def windowedDescriptors(events: DataFrame, key: org.apache.spark.sql.Column,
+                          windowDur: String, watermark: String,
+                          specs: Seq[String]): DataFrame = {
+    val cols = graft.operators.Aggregates.compile(specs)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), key)
+      .agg(cols.head, cols.tail: _*)
+      .withColumn("win_start", col("window.start"))
+      .drop("window")
+  }
+
   /** Output mode each sink should use. */
   val windowedMode: OutputMode = OutputMode.Append()
   val statefulMode: OutputMode = OutputMode.Update()

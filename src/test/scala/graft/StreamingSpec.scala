@@ -30,6 +30,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("aggregate descriptors compile onto a watermarked stream window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val out = EventStream.windowedDescriptors(
+      in.toDF().withColumnRenamed("eventType", "k"),
+      org.apache.spark.sql.functions.col("k"),
+      "10 minutes", "5 minutes",
+      Seq("LongValueSum:value", "LongValueMax:value"))
+    val q = out.writeStream.format("memory").queryName("desc_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(
+        Event(ts("2026-01-01 10:01:00"), "click", 1.0),
+        Event(ts("2026-01-01 10:04:00"), "click", 4.0),
+        Event(ts("2026-01-01 10:12:00"), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT k, longvaluesum_value, longvaluemax_value FROM desc_out")
+        .as[(String, Long, Long)].collect().toSet
+      assert(rows == Set(("click", 5L, 4L), ("view", 5L, 5L)))
+    } finally q.stop()
+  }
+
   test("file-source stream over the events table aggregates like batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
