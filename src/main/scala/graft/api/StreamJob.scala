@@ -37,6 +37,12 @@ final case class StreamArgs(
 
   def numReduceKeyFields: Int =
     conf.getOrElse("stream.num.reduce.output.key.fields", "1").toInt
+
+  /** Reduce count: `-numReduceTasks` wins, then the classic
+    * `-D mapred.reduce.tasks=N` / `-jobconf` form.
+    */
+  def reduceTasks: Option[Int] =
+    numReduceTasks.orElse(conf.get("mapred.reduce.tasks").map(_.toInt))
 }
 
 /** The Hadoop-streaming CLI front door (SURVEY §7.1-8): composes the
@@ -221,7 +227,9 @@ object StreamJob {
         splitKeyVal(rawLines, args.mapSep, args.numMapKeyFields)
     }
 
-    // ---- combiner: local sort (spill-sort contract) + fork, NO shuffle
+    // ---- combiner: local sort (spill-sort contract) + fork, NO shuffle.
+    // Binary -io modes skip the combiner (a combiner is an optimization
+    // the MR contract lets the framework omit; results are unchanged)
     val combined: DataFrame = args.combiner match {
       case Some(cmd) if args.io == "text" =>
         val locallySorted = mapped.sortWithinPartitions(col("key"))
@@ -233,12 +241,12 @@ object StreamJob {
     // -reducer = IdentityReducer (shuffle + sort, pass through) — the MR
     // default the reference inherits
     val mapOnly =
-      args.numReduceTasks.contains(0) || args.reducer.contains(ReduceNone)
+      args.reduceTasks.contains(0) || args.reducer.contains(ReduceNone)
     val result: DataFrame =
       if (mapOnly) combined
       else if (args.reducer.contains("aggregate")) aggregateReduce(combined)
       else {
-        val parts = args.numReduceTasks
+        val parts = args.reduceTasks
           .getOrElse(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
         val partCols: Seq[Column] = args.partitioner match {
           case Some(p) if p.contains("KeyFieldBasedPartitioner") =>

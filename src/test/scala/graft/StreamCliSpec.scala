@@ -136,6 +136,22 @@ class StreamCliSpec extends AnyFunSuite {
     assert(got == Set(("a", "1"), ("b", "2")))
   }
 
+  test("-jobconf mapred.reduce.tasks drives the reduce count and 0 = map-only") {
+    val a = StreamJob.parseArgs(Seq("-jobconf", "mapred.reduce.tasks=5"))
+    assert(a.reduceTasks.contains(5))
+    // explicit -numReduceTasks wins over the conf form
+    val b = StreamJob.parseArgs(Seq(
+      "-numReduceTasks", "3", "-D", "mapred.reduce.tasks=5"))
+    assert(b.reduceTasks.contains(3))
+    import spark.implicits._
+    val in = writeLines("confred", Seq("b\t2", "a\t1"))
+    val got = StreamJob.run(spark, Seq(
+      "-input", in, "-mapper", "tr a-z A-Z",
+      "-D", "mapred.reduce.tasks=0")) // map-only via conf
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("A", "1"), ("B", "2")))
+  }
+
   test("custom field separator and -output round trip") {
     import spark.implicits._
     val in = writeLines("sepout", Seq("a,1", "b,2", "a,3"))
