@@ -35,6 +35,12 @@ final case class StreamArgs(
   def reduceSep: String =
     conf.getOrElse("stream.reduce.output.field.separator", "\t")
 
+  /** Reducer INPUT framing is a separate knob from its output separator
+    * (`stream.reduce.input.field.separator`, default tab).
+    */
+  def reduceInputSep: String =
+    conf.getOrElse("stream.reduce.input.field.separator", "\t")
+
   def numReduceKeyFields: Int =
     conf.getOrElse("stream.num.reduce.output.key.fields", "1").toInt
 
@@ -98,11 +104,13 @@ object StreamJob {
         }
       // files ship with the Spark job submit; nothing to do per-job
       case "-file" :: _ :: t => loop(t, s)
+      // only PLAIN-text line formats are honored; "AsText" SequenceFile
+      // wrappers would silently read binary bytes as lines, so fail fast
       case "-inputformat" :: v :: t =>
-        if (v.contains("Text")) loop(t, s)
-        else sys.error(s"-inputformat: only text formats supported, got $v")
+        if (v.contains("Text") && !v.contains("SequenceFile")) loop(t, s)
+        else sys.error(s"-inputformat: only plain text formats supported, got $v")
       case "-outputformat" :: v :: t =>
-        if (v.contains("Text")) loop(t, s)
+        if (v.contains("Text") && !v.contains("SequenceFile")) loop(t, s)
         else sys.error(s"-outputformat: only TextOutputFormat supported, got $v")
       case other :: _ => sys.error(s"unrecognized streaming option: $other")
     }
@@ -145,18 +153,19 @@ object StreamJob {
         .as("value"))
   }
 
-  /** One external-command stage over (key, value) rows: frame as
-    * `key sep value` lines, fork per partition, re-split the output.
+  /** One external-command stage over (key, value) rows: frame input as
+    * `key inSep value` lines, fork per partition, re-split the output on
+    * `outSep` (input and output separators are independent knobs).
     */
   private def pipeStage(
       spark: SparkSession, kv: DataFrame, cmd: String,
-      sep: String, nKeyOut: Int): DataFrame = {
+      inSep: String, outSep: String, nKeyOut: Int): DataFrame = {
     import spark.implicits._
     val lines = kv
-      .select(concat(col("key"), lit(sep), col("value")).as("line"))
+      .select(concat(col("key"), lit(inSep), col("value")).as("line"))
       .as[String].rdd
       .pipe(tokenize(cmd))
-    splitKeyVal(lines.toDF("line"), sep, nKeyOut)
+    splitKeyVal(lines.toDF("line"), outSep, nKeyOut)
   }
 
   /** ValueAggregatorReducer (`ValueAggregatorReducer.java:57-72`): keys are
@@ -171,16 +180,22 @@ object StreamJob {
       substring_index(col("key"), ":", 1).as("atype"),
       expr("substring(key, instr(key, ':') + 1)").as("id"),
       col("value"))
-    // try_cast, not cast: ANSI mode would fail the whole job on the first
-    // non-numeric value reaching a numeric fold it doesn't belong to
-    val asLong = expr("try_cast(value AS BIGINT)")
+    // STRICT casts, gated by aggregator type: a non-numeric value under a
+    // numeric aggregator fails the job (the reference's LongValueSum throws
+    // NumberFormatException — corruption must be visible, not silently
+    // dropped), while values belonging to string/uniq aggregators are
+    // nulled out of the numeric folds instead of poisoning them
+    val numericVal = when(
+      col("atype").isin("LongValueSum", "LongValueMax", "LongValueMin"),
+      col("value")).cast("long")
+    val doubleVal = when(col("atype") === "DoubleValueSum", col("value"))
+      .cast(DecimalType(18, 4))
     parsed.groupBy(col("atype"), col("id"))
       .agg(
-        sum(asLong).as("lsum"),
-        round(sum(expr(s"try_cast(value AS DECIMAL(18,4))")), 2)
-          .cast("double").as("dsum"),
-        max(asLong).as("lmax"),
-        min(asLong).as("lmin"),
+        sum(numericVal).as("lsum"),
+        round(sum(doubleVal), 2).cast("double").as("dsum"),
+        max(numericVal).as("lmax"),
+        min(numericVal).as("lmin"),
         max(col("value")).as("smax"),
         min(col("value")).as("smin"),
         // conditional distinct: the expand-based distinct plan shuffles a
@@ -227,21 +242,24 @@ object StreamJob {
         splitKeyVal(rawLines, args.mapSep, args.numMapKeyFields)
     }
 
-    // ---- combiner: local sort (spill-sort contract) + fork, NO shuffle.
-    // Binary -io modes skip the combiner (a combiner is an optimization
-    // the MR contract lets the framework omit; results are unchanged)
-    val combined: DataFrame = args.combiner match {
-      case Some(cmd) if args.io == "text" =>
-        val locallySorted = mapped.sortWithinPartitions(col("key"))
-        pipeStage(spark, locallySorted, cmd, args.mapSep, args.numMapKeyFields)
-      case _ => mapped
-    }
-
     // ---- reduce phase: -reducer NONE / 0 reduces = map-only; absent
     // -reducer = IdentityReducer (shuffle + sort, pass through) — the MR
     // default the reference inherits
     val mapOnly =
       args.reduceTasks.contains(0) || args.reducer.contains(ReduceNone)
+
+    // ---- combiner: local sort (spill-sort contract) + fork, NO shuffle.
+    // NEVER runs on a map-only job (the reference only invokes combiners
+    // inside the map-output spill/merge path, which 0-reduce jobs skip).
+    // Binary -io modes also skip it (a combiner is an optimization the MR
+    // contract lets the framework omit; results are unchanged)
+    val combined: DataFrame = args.combiner match {
+      case Some(cmd) if !mapOnly && args.io == "text" =>
+        val locallySorted = mapped.sortWithinPartitions(col("key"))
+        pipeStage(spark, locallySorted, cmd,
+          args.mapSep, args.mapSep, args.numMapKeyFields)
+      case _ => mapped
+    }
     val result: DataFrame =
       if (mapOnly) combined
       else if (args.reducer.contains("aggregate")) aggregateReduce(combined)
@@ -274,17 +292,25 @@ object StreamJob {
             Pipe.pipeRawBytes(spark, arranged, tokenize(cmd))
               .select(col("key").cast("string"), col("value").cast("string"))
           case Some(cmd) =>
-            pipeStage(spark, arranged, cmd, args.reduceSep, args.numReduceKeyFields)
+            pipeStage(spark, arranged, cmd,
+              args.reduceInputSep, args.reduceSep, args.numReduceKeyFields)
           case None => arranged // IdentityReducer
         }
       }
 
-    args.output.foreach { out =>
-      result
-        .select(concat(col("key"), lit(args.reduceSep), col("value")).as("line"))
-        .write.mode("overwrite").text(out)
+    // with -output, write ONCE and hand back a read of the written files —
+    // returning the unexecuted plan would re-run every external fork when
+    // the caller consumes it (and could disagree with the files for a
+    // non-deterministic command)
+    args.output match {
+      case Some(out) =>
+        result
+          .select(concat(col("key"), lit(args.reduceSep), col("value")).as("line"))
+          .write.mode("overwrite").text(out)
+        splitKeyVal(spark.read.textFile(out).toDF("line"),
+          args.reduceSep, args.numReduceKeyFields)
+      case None => result
     }
-    result
   }
 
   /** argv convenience overload — the actual CLI shape. */

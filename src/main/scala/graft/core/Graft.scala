@@ -60,11 +60,16 @@ object Graft {
     * plan — downstream transforms are unaffected. Keyed by session
     * identity so tests with their own sessions don't cross-pollinate.
     */
+  // weak session keys: identity hashes can collide across live sessions,
+  // and strong refs would pin stopped sessions (and their plans) forever
   private val tableCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    tableCache.computeIfAbsent(
-      (System.identityHashCode(spark), s"$dir/$name.parquet"),
-      key => spark.read.parquet(key._2))
+    tableCache.synchronized {
+      tableCache
+        .computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$dir/$name.parquet",
+          spark.read.parquet(s"$dir/$name.parquet"))
+    }
 }

@@ -14,6 +14,9 @@ import org.apache.spark.sql.expressions.Window
   */
 object MiscQueries {
 
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-$name"
+
   /** SkipBadRecords (`SkipBadRecords.java:51`): records that crash the
     * user transform are skipped and counted, not fatal. Corruption is
     * injected deterministically; `try_cast` is the per-record try/catch.
@@ -200,7 +203,7 @@ object MiscQueries {
     "q91b_xml_file",
     """SELECT n_name AS name, n_nationkey AS key FROM nation""") { (s, dir) =>
     import graft.sources.XmlScan
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft-xmlfile"
+    val out = tmp("xmlfile")
     table(s, dir, "nation")
       .select(concat(
         lit("<rec>\n  <name>"), col("n_name"),
@@ -342,8 +345,7 @@ object MiscQueries {
     */
   val q64IndirectRead = Q.checked("q64_indirect_read", indirectOracle) { (s, dir) =>
     import org.apache.hadoop.fs.Path
-    val tmpDir = System.getProperty("java.io.tmpdir")
-    val base = s"$tmpDir/graft-indirect-base"
+    val base = tmp("indirect-base")
     table(s, dir, "lineitem")
       .select((col("l_orderkey") * 10 + col("l_linenumber"))
         .cast("string").as("value"))
@@ -360,13 +362,13 @@ object MiscQueries {
     val baseFiles = files(base)
     var inputs = baseFiles
     for (i <- 1 to IndirectIters) {
-      val out = s"$tmpDir/graft-indirect-$i"
+      val out = tmp(s"indirect-$i")
       s.read.text(inputs: _*)
         .filter(Hashing.hash32(concat(col("value"), lit(s":$i"))) % 2 === 0)
         .write.mode("overwrite").text(out)
       inputs = baseFiles ++ files(out)
     }
-    s.read.text(files(s"$tmpDir/graft-indirect-$IndirectIters"): _*)
+    s.read.text(files(tmp(s"indirect-$IndirectIters")): _*)
       .agg(count(lit(1)).as("n"),
         expr("bit_xor(cast(conv(substring(md5(value),1,8),16,10) as bigint))")
           .as("xor_hash"),

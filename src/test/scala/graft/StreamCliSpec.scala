@@ -116,6 +116,48 @@ class StreamCliSpec extends AnyFunSuite {
       "s" -> "zz", "t" -> "aa", "u" -> "2"))
   }
 
+  test("aggregate with corrupt numeric input fails loudly, not silently") {
+    // the reference's LongValueSum throws NumberFormatException — a
+    // non-numeric value under a numeric aggregator must fail the job,
+    // never drop the key or sum a subset
+    val in = writeLines("aggbad", Seq("LongValueSum:a\t3", "LongValueSum:a\tGARBAGE"))
+    val e = intercept[Exception](
+      StreamJob.run(spark, Seq("-input", in, "-reducer", "aggregate")).collect())
+    assert(e.getMessage.contains("CAST_INVALID_INPUT")
+      || e.getMessage.contains("GARBAGE"))
+  }
+
+  test("combiner does not run on map-only jobs") {
+    import spark.implicits._
+    // reference semantics: combiners only run in the map-output spill path,
+    // which a 0-reduce job skips — 'uniq -c' must NOT collapse duplicates
+    val in = writeLines("combmapon", Seq("a\t1", "a\t1", "b\t2"))
+    val got = StreamJob.run(spark, Seq(
+      "-input", in, "-combiner", "uniq", "-reducer", "NONE"))
+      .as[(String, String)].collect().toSeq.sorted
+    assert(got == Seq(("a", "1"), ("a", "1"), ("b", "2")))
+  }
+
+  test("SequenceFile 'AsText' input formats are rejected, not read as lines") {
+    assertThrows[RuntimeException](StreamJob.parseArgs(
+      Seq("-inputformat", "SequenceFileAsTextInputFormat")))
+  }
+
+  test("reducer input framing uses the reduce INPUT separator knob") {
+    import spark.implicits._
+    // set only the OUTPUT separator to ','; the tab-parsing reducer must
+    // still receive tab-framed input lines
+    val in = writeLines("redinsep", Seq("a\t1", "a\t2", "b\t5"))
+    val awk = "awk -F'\t' " +
+      "'{kk=$1} kk!=k{if(NR>1)print k\",\"s; k=kk; s=0} {s+=$2} " +
+      "END{if(NR>0)print k\",\"s}'"
+    val got = StreamJob.run(spark, Seq(
+      "-input", in, "-reducer", awk, "-numReduceTasks", "1",
+      "-D", "stream.reduce.output.field.separator=,"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "3", "b" -> "5"))
+  }
+
   test("-io typedbytes: cat is a faithful identity (codec framing)") {
     import spark.implicits._
     val in = writeLines("tbid", Seq("k1\tv1", "k2\tv 2"))

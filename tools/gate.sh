@@ -9,7 +9,8 @@ set -e -o pipefail
 cd /root/repo
 SF=${1:-/root/testdata/sf0.001}
 sbt -batch 'Test/compile' 2>&1 | tail -5
-if git status --porcelain | grep -qE 'src/main/scala/graft/(operators|queries|api|sources|functions|core)/'; then
+if { git status --porcelain; git diff --name-only HEAD~1 2>/dev/null; } \
+    | grep -qE 'src/main/scala/graft/(operators|queries|api|sources|functions|core)/'; then
   echo "[gate] engine code touched -> running plan-guard suites"
   sbt -batch 'testOnly graft.PlanSpec graft.WindowGuardSpec graft.ScaleSpec' 2>&1 \
     | grep -E 'Tests:|\*\*\*' | tail -2
