@@ -41,4 +41,41 @@ class ParserEdgeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("record-DDL parser edge cases: empty shapes and malformed input") {
+    import graft.core.RecordDDL
+    // empty module and field-less class are legal
+    assert(RecordDDL.parse("module m { }") ==
+      Vector(RecordDDL.Module("m", Vector.empty)))
+    val empty = RecordDDL.parse("module m { class E { } }")
+    assert(empty.head.classes.head._2.isEmpty)
+    // whitespace-liberal generics
+    val spaced = RecordDDL.schemas(
+      "module m { class S { vector < map < int , long > > x ; } }")("S")
+    assert(spaced("x").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType)))
+    // malformed inputs fail fast, never hang or mis-parse
+    for (bad <- Seq(
+      "module m { class A { int x } }",          // missing semicolon
+      "module m { class A { vector<int x; } }",  // unclosed generic
+      "class A { int x; }",                      // no module wrapper
+      "module m { class A { int x; }"))          // unclosed brace
+      intercept[Exception](RecordDDL.parse(bad))
+  }
+
+  test("stream-CLI tokenizer edge cases") {
+    import graft.api.StreamJob.tokenize
+    assert(tokenize("") == Seq.empty)
+    assert(tokenize("   ") == Seq.empty)
+    // adjacent quoted segments concatenate within one token (shell-like)
+    assert(tokenize("a'b c'd") == Seq("ab cd"))
+    // alternating quote styles
+    assert(tokenize("sh -c 'echo \"a b\"'") ==
+      Seq("sh", "-c", "echo \"a b\""))
+    // unterminated quote: rest of string becomes the token (no hang)
+    assert(tokenize("cmd 'open ended") == Seq("cmd", "open ended"))
+  }
 }
