@@ -121,15 +121,13 @@ object TextQueries {
       |           i -> ('0x' || substring(md5(substr(text, i, 8)), 1, 8))::BIGINT)) AS fp_min,
       |  ('0x' || substring(md5(text), 1, 8))::BIGINT AS fp_full
       |FROM documents""") { (s, dir) =>
-    // guard short texts: Spark's sequence descends when stop < start,
-    // while the oracle's generate_series is empty — both sides must yield
-    // NULL fp_min for texts under 8 chars
-    val grams = when(length(col("text")) >= 8,
-      expr("transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))"))
-      .otherwise(array().cast("array<string>"))
+    // one codegen'd rolling pass (NgramMinHash) instead of a higher-order
+    // transform: HOF lambdas interpret per element — ~300 grams/doc made
+    // interpretation, not digests, the cost. NULL under 8 chars on both
+    // engines (empty-sequence array_min / list_min).
     table(s, dir, "documents")
       .select(col("doc_id"),
-        array_min(transform(grams, g => Hashing.hash32(g))).as("fp_min"),
+        graft.functions.NgramMinHash(col("text"), 8).as("fp_min"),
         Hashing.hash32(col("text")).as("fp_full"))
   }
 

@@ -56,6 +56,22 @@ class Md5WordSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("NgramMinHash equals the higher-order transform formulation") {
+    val rnd = new scala.util.Random(47)
+    val strs = Seq("", "short", "exactly8", "héllo wörld unicode text ok",
+      "x" * 7) ++
+      Seq.fill(40)(rnd.alphanumeric.take(rnd.nextInt(60)).mkString)
+    val df = strs.toDF("s")
+    val grams = when(length(col("s")) >= 8,
+      expr("transform(sequence(1, length(s) - 7), i -> substring(s, i, 8))"))
+      .otherwise(array().cast("array<string>"))
+    val bad = df.select(
+      graft.functions.NgramMinHash(col("s"), 8).as("fast"),
+      array_min(transform(grams, g => Hashing.hash32(g))).as("slow"))
+      .filter(!(col("fast") <=> col("slow"))).count()
+    assert(bad == 0)
+  }
+
   test("codegen and interpreted paths agree") {
     val df = Seq("abc").toDF("s")
     val viaPlan = df.select(Md5Word(col("s"), 1)).head().getLong(0)
