@@ -124,6 +124,37 @@ object JoinQueries {
     withO.crossJoin(withoutO)
   }
 
+  /** The map-side merge-join framework proper (`mapred.join`, SURVEY §2.3
+    * row 1): identically-partitioned, same-sorted sources joined WITHOUT a
+    * shuffle = Spark bucketed tables + sort-merge join. Both sides are
+    * written `bucketBy(8, key).sortBy(key)` (the reference's
+    * partitioned+sorted SequenceFile layout contract) and joined on the
+    * bucket key; ScaleSpec asserts the no-Exchange plan for this layout,
+    * this row proves the RESULT against the oracle.
+    */
+  val q67BucketedJoin = Q.checked(
+    "q67_bucketed_join",
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""") { (s, dir) =>
+    def tmp(n: String) = s"${System.getProperty("java.io.tmpdir")}/graft-$n"
+    s.sql("DROP TABLE IF EXISTS g_orders_bkt")
+    s.sql("DROP TABLE IF EXISTS g_customer_bkt")
+    table(s, dir, "orders")
+      .write.mode("overwrite").option("path", tmp("bkt-orders"))
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("g_orders_bkt")
+    table(s, dir, "customer")
+      .write.mode("overwrite").option("path", tmp("bkt-customer"))
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("g_customer_bkt")
+    s.table("g_orders_bkt")
+      .join(s.table("g_customer_bkt"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast(D)), 2).cast("double").as("total"))
+  }
+
   val all: Vector[Q] =
-    Vector(q10JoinInner, q11JoinOuter, q12JoinOverride, q13JoinTagged, q14SemiAnti)
+    Vector(q10JoinInner, q11JoinOuter, q12JoinOverride, q13JoinTagged,
+      q14SemiAnti, q67BucketedJoin)
 }
