@@ -65,6 +65,13 @@ object Graft {
   private val tableCache =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
 
+  /** Scratch directory for query round-trip fixtures — ONE definition of
+    * the path scheme so per-run isolation or cleanup changes land in one
+    * place.
+    */
+  def scratch(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-$name"
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     tableCache.synchronized {
       tableCache

@@ -3,9 +3,9 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the engine's portable hash: word `w` of
@@ -21,10 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * builtins first, drop to a codegen'd Expression only for proven hot
   * paths. Callers guarantee a string child (cast at the call site).
   */
-case class Md5Word(child: Expression, word: Int) extends UnaryExpression {
+case class Md5Word(child: Expression, word: Int)
+    extends UnaryExpression with ExpectsInputTypes {
 
   require(word >= 0 && word < 4, s"md5 digest has 4 words, got $word")
 
+  // SQL-exposed (graft_hash32): a non-string argument must be an analysis
+  // error, not a runtime ClassCastException
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_word"
 
@@ -84,8 +88,10 @@ object Md5Word {
 /** Array-of-all-4-words variant of [[Md5Word]]: one digest, one projected
   * `array<long>` column. See [[Md5Word.words]].
   */
-case class Md5Words(child: Expression) extends UnaryExpression {
+case class Md5Words(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
   override def prettyName: String = "md5_words"

@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Min of [[Md5Word.hash]] over all char `n`-grams of a string, in one
@@ -17,10 +17,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * the dominant cost, not the digests. NULL for strings shorter than `n`,
   * matching the empty-sequence `array_min` on both engines.
   */
-case class NgramMinHash(child: Expression, n: Int) extends UnaryExpression {
+case class NgramMinHash(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
 
   require(n > 0, s"gram size must be positive, got $n")
 
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "ngram_minhash"

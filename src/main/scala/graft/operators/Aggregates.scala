@@ -95,26 +95,40 @@ object Aggregates {
     * stddev are derived from exact long moments (Σf, Σf²) with a fixed
     * IEEE op tree, so both engines produce bit-identical doubles.
     */
-  def valueHistogram(df: DataFrame, key: Column, value: Column): DataFrame = {
+  /** Shared two-stage histogram pipeline: per-(key, value) frequency count,
+    * then per-key stats over the frequencies. `medianAgg` supplies the one
+    * column the variants disagree on (exact collected-array middle vs
+    * quantile sketch); everything else — including the fixed IEEE op tree
+    * for avg/stddev that cross-engine bit-identity depends on — exists
+    * exactly once.
+    */
+  private def histogramReport(df: DataFrame, key: Column, value: Column,
+                              medianAgg: Seq[Column],
+                              medianOut: Column): DataFrame = {
     val freq = df.groupBy(key.as("k"), value.as("v")).agg(count(lit(1)).as("f"))
     freq.groupBy(col("k"))
       .agg(
         count(lit(1)).as("uniq"),
-        min(col("f")).as("min_f"),
-        max(col("f")).as("max_f"),
-        sum(col("f")).as("s"),
-        sum(col("f") * col("f")).as("ssq"),
-        sort_array(collect_list(col("f"))).as("fs"))
+        (Seq(
+          min(col("f")).as("min_f"),
+          max(col("f")).as("max_f"),
+          sum(col("f")).as("s"),
+          sum(col("f") * col("f")).as("ssq")) ++ medianAgg): _*)
       .select(
         col("k"),
         col("uniq"),
         col("min_f"),
-        element_at(col("fs"), (col("uniq") / 2).cast("int") + 1).as("median_f"),
+        medianOut.as("median_f"),
         col("max_f"),
         (col("s").cast("double") / col("uniq")).as("avg_f"),
         sqrt((col("ssq").cast("double") - col("s").cast("double") * col("s").cast("double") / col("uniq")) / col("uniq"))
           .as("sd_f"))
   }
+
+  def valueHistogram(df: DataFrame, key: Column, value: Column): DataFrame =
+    histogramReport(df, key, value,
+      medianAgg = Seq(sort_array(collect_list(col("f"))).as("fs")),
+      medianOut = element_at(col("fs"), (col("uniq") / 2).cast("int") + 1))
 
   /** High-cardinality ValueHistogram: same report shape, but the median is
     * `percentile_approx` over the frequencies instead of a collected sorted
@@ -126,20 +140,9 @@ object Aggregates {
     * use this past ~10⁵ distinct values per key.
     */
   def valueHistogramApprox(df: DataFrame, key: Column, value: Column,
-                           accuracy: Int = 10000): DataFrame = {
-    val freq = df.groupBy(key.as("k"), value.as("v")).agg(count(lit(1)).as("f"))
-    freq.groupBy(col("k"))
-      .agg(
-        count(lit(1)).as("uniq"),
-        min(col("f")).as("min_f"),
-        percentile_approx(col("f"), lit(0.5), lit(accuracy)).as("median_f"),
-        max(col("f")).as("max_f"),
-        sum(col("f")).as("s"),
-        sum(col("f") * col("f")).as("ssq"))
-      .select(
-        col("k"), col("uniq"), col("min_f"), col("median_f"), col("max_f"),
-        (col("s").cast("double") / col("uniq")).as("avg_f"),
-        sqrt((col("ssq").cast("double") - col("s").cast("double") * col("s").cast("double") / col("uniq")) / col("uniq"))
-          .as("sd_f"))
-  }
+                           accuracy: Int = 10000): DataFrame =
+    histogramReport(df, key, value,
+      medianAgg = Seq(
+        percentile_approx(col("f"), lit(0.5), lit(accuracy)).as("fmed")),
+      medianOut = col("fmed"))
 }

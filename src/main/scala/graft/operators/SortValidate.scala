@@ -32,7 +32,8 @@ final case class PartStat(
   */
 final case class PartStatB(
     idx: Int, firstK: String, lastK: String,
-    sortedWithin: Boolean, xor: Long, cnt: Long, minK: String, maxK: String)
+    sortedWithin: Boolean, xor: Long, cnt: Long, minK: String, maxK: String,
+    vchars: Long)
 
 object SortValidate {
 
@@ -112,25 +113,31 @@ object SortValidate {
     val sorted = df
       .select(keyBin.as("k"), value.as("v"), recHash.cast("long").as("h"))
       .orderBy(col("k"))
+    // the stats pass CONSUMES the value column (its total width is part of
+    // the validated output) — without that reference, column pruning would
+    // project v away below the sort and the shuffle would move 30-byte
+    // (key, hash) rows instead of the full records, silently turning the
+    // TeraSort bench into a key-only sort
     val stats = sorted
-      .select(lower(hex(col("k"))).as("kh"), col("h"))
-      .as[(String, Long)]
+      .select(lower(hex(col("k"))).as("kh"), col("v"), col("h"))
+      .as[(String, String, Long)]
       .mapPartitions { rows =>
         if (!rows.hasNext) Iterator.empty
         else {
           var firstK: String = null; var prevK: String = null
           var minK: String = null; var maxK: String = null
           var sortedWithin = true; var xor = 0L; var cnt = 0L
-          for ((k, h) <- rows) {
+          var vchars = 0L
+          for ((k, v, h) <- rows) {
             if (firstK == null) firstK = k
             else if (k < prevK) sortedWithin = false
             if (minK == null || k < minK) minK = k
             if (maxK == null || k > maxK) maxK = k
-            prevK = k; xor ^= h; cnt += 1
+            prevK = k; xor ^= h; cnt += 1; vchars += v.length
           }
           Iterator.single(PartStatB(
             org.apache.spark.TaskContext.getPartitionId(),
-            firstK, prevK, sortedWithin, xor, cnt, minK, maxK))
+            firstK, prevK, sortedWithin, xor, cnt, minK, maxK, vchars))
         }
       }
       .collect()
@@ -145,7 +152,23 @@ object SortValidate {
       stats.foldLeft(0L)(_ ^ _.xor),
       isSorted,
       if (stats.isEmpty) "" else stats.map(_.minK).min,
-      if (stats.isEmpty) "" else stats.map(_.maxK).max))
-      .toDF("total_rows", "xor_hash", "is_sorted", "min_key", "max_key")
+      if (stats.isEmpty) "" else stats.map(_.maxK).max,
+      stats.map(_.vchars).sum))
+      .toDF("total_rows", "xor_hash", "is_sorted", "min_key", "max_key",
+        "value_chars")
+  }
+
+  /** Shared per-partition fold for sorted-output validators: over (key,
+    * recordHash) rows in partition order, returns (sorted-within, xor of
+    * hashes, row count). Used by the streaming API-sort check; the richer
+    * validators above add boundary keys and byte totals to the same shape.
+    */
+  def partitionFold(rows: Iterator[(String, Long)]): (Boolean, Long, Long) = {
+    var prev: String = null; var ok = true; var xor = 0L; var cnt = 0L
+    for ((k, h) <- rows) {
+      if (prev != null && k < prev) ok = false
+      prev = k; xor ^= h; cnt += 1
+    }
+    (ok, xor, cnt)
   }
 }

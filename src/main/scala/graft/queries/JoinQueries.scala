@@ -138,7 +138,7 @@ object JoinQueries {
       |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""") { (s, dir) =>
-    def tmp(n: String) = s"${System.getProperty("java.io.tmpdir")}/graft-$n"
+    def tmp(n: String) = graft.core.Graft.scratch(n)
     s.sql("DROP TABLE IF EXISTS g_orders_bkt")
     s.sql("DROP TABLE IF EXISTS g_customer_bkt")
     table(s, dir, "orders")

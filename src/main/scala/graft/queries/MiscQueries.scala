@@ -14,8 +14,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object MiscQueries {
 
-  private def tmp(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-$name"
+  private def tmp(name: String): String = graft.core.Graft.scratch(name)
 
   /** SkipBadRecords (`SkipBadRecords.java:51`): records that crash the
     * user transform are skipped and counted, not fatal. Corruption is
@@ -300,7 +299,8 @@ object MiscQueries {
       |SELECT count(*) AS total_rows,
       |       bit_xor(('0x' || substring(md5(kh || rid), 1, 8))::BIGINT) AS xor_hash,
       |       TRUE AS is_sorted,
-      |       min(kh) AS min_key, max(kh) AS max_key
+      |       min(kh) AS min_key, max(kh) AS max_key,
+      |       CAST(sum(length(rid) + 78) AS BIGINT) AS value_chars
       |FROM g""") { (s, dir) =>
     import graft.operators.SortValidate
     val filler = ('A' to 'Z').take(8).map(c => c.toString * 10).mkString.take(78)

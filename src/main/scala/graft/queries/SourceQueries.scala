@@ -13,10 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object SourceQueries {
 
-  private def tmp(name: String): String = {
-    val d = s"${System.getProperty("java.io.tmpdir")}/graft-$name"
-    d
-  }
+  private def tmp(name: String): String = graft.core.Graft.scratch(name)
 
   /** KV-text sink + source (`TextOutputFormat` / `KeyValueTextInputFormat`
     * + `KeyValueLineRecordReader`): write `key \t value` lines, read back,

@@ -11,8 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object StoreQueries {
 
-  private def tmp(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-$name"
+  private def tmp(name: String): String = graft.core.Graft.scratch(name)
 
   /** MapFileOutputFormat parity (`MapFileOutputFormat.java`): write sorted
     * by key (range-partitioned + sorted within partitions = the MapFile

@@ -12,8 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object StreamQueries {
 
-  private def tmp(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-$name"
+  private def tmp(name: String): String = graft.core.Graft.scratch(name)
 
   /** `-mapper 'sed …' -reducer aggregate` — the canonical streaming
     * aggregate job (`StreamJob.java:760-764` wires ValueAggregatorReducer):
@@ -96,14 +95,8 @@ object StreamQueries {
       .select(col("key"),
         Hashing.hash32(concat_ws(":", col("key"), col("value"))).as("h"))
       .as[(String, Long)]
-      .mapPartitions { rows =>
-        var prev: String = null; var ok = true; var xor = 0L; var cnt = 0L
-        for ((k, h) <- rows) {
-          if (prev != null && k < prev) ok = false
-          prev = k; xor ^= h; cnt += 1
-        }
-        Iterator.single((ok, xor, cnt))
-      }
+      .mapPartitions(rows =>
+        Iterator.single(graft.operators.SortValidate.partitionFold(rows)))
       .collect() // one tiny row per reduce partition
     Seq((
       stats.map(_._3).sum,
