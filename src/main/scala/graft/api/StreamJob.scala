@@ -87,13 +87,23 @@ object StreamJob {
     @annotation.tailrec
     def loop(rest: List[String], s: StreamArgs): StreamArgs = rest match {
       case Nil => s
-      case "-input" :: v :: t => loop(t, s.copy(inputs = s.inputs :+ v))
+      // one -input value may carry comma-separated paths
+      // (FileInputFormat.addInputPaths splits on ',')
+      case "-input" :: v :: t =>
+        loop(t, s.copy(inputs = s.inputs ++ v.split(",").filter(_.nonEmpty)))
       case "-output" :: v :: t => loop(t, s.copy(output = Some(v)))
       case "-mapper" :: v :: t => loop(t, s.copy(mapper = Some(v)))
       case "-combiner" :: v :: t => loop(t, s.copy(combiner = Some(v)))
       case "-reducer" :: v :: t => loop(t, s.copy(reducer = Some(v)))
       case "-io" :: v :: t => loop(t, s.copy(io = v))
-      case "-partitioner" :: v :: t => loop(t, s.copy(partitioner = Some(v)))
+      // only the two partitioners this engine routes are accepted — a
+      // custom class silently falling back to whole-key hashing would
+      // change output placement with no error
+      case "-partitioner" :: v :: t =>
+        if (v.contains("KeyFieldBasedPartitioner") || v.contains("HashPartitioner"))
+          loop(t, s.copy(partitioner = Some(v)))
+        else sys.error(s"-partitioner: unsupported class $v " +
+          "(KeyFieldBasedPartitioner and HashPartitioner are routed)")
       case "-numReduceTasks" :: v :: t =>
         loop(t, s.copy(numReduceTasks = Some(v.toInt)))
       // -jobconf is the deprecated alias of -D (StreamJob.java:306-310)
@@ -168,42 +178,56 @@ object StreamJob {
     splitKeyVal(lines.toDF("line"), outSep, nKeyOut)
   }
 
+  private val ScalarAggTypes = Seq(
+    "LongValueSum", "DoubleValueSum", "LongValueMax", "LongValueMin",
+    "StringValueMax", "StringValueMin", "UniqValueCount")
+
   /** ValueAggregatorReducer (`ValueAggregatorReducer.java:57-72`): keys are
-    * `AggType:id`; emit `id \t report`. All candidate folds run in ONE hash
-    * aggregation (map-side partials = the reference's auto combiner), the
-    * per-type report is selected afterwards. DoubleValueSum accumulates in
-    * DECIMAL so the report is engine-portable.
+    * `AggType:id`; emit `id \t report`. One two-stage pipeline serves every
+    * aggregator type — stage 1 pre-aggregates per (type, id, VALUE) with a
+    * frequency count, stage 2 folds per (type, id) — so the external
+    * mapper's output is consumed exactly once, distinct counts need no
+    * expand (stage-2 rows ARE the distinct values), and ValueHistogram's
+    * frequency stats fall out of the same pass (its report: tab-joined
+    * [unique, min, median, max, mean, stddev] of value frequencies,
+    * `ValueHistogram.java:78-134`). An aggregator type outside the registry
+    * FAILS the job — the reference NPEs on unknown descriptors, and
+    * silently dropping those groups would be invisible data loss.
+    * DoubleValueSum accumulates in DECIMAL so the report is
+    * engine-portable. Strict type-gated casts: a non-numeric value under a
+    * numeric aggregator fails the job like the reference's
+    * NumberFormatException, while other types' values are nulled out of
+    * the numeric folds instead of poisoning them.
     */
   private def aggregateReduce(kv: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val parsed = kv.select(
-      substring_index(col("key"), ":", 1).as("atype"),
-      expr("substring(key, instr(key, ':') + 1)").as("id"),
-      col("value"))
-    // STRICT casts, gated by aggregator type: a non-numeric value under a
-    // numeric aggregator fails the job (the reference's LongValueSum throws
-    // NumberFormatException — corruption must be visible, not silently
-    // dropped), while values belonging to string/uniq aggregators are
-    // nulled out of the numeric folds instead of poisoning them
+    val freq = kv
+      .select(
+        substring_index(col("key"), ":", 1).as("atype"),
+        expr("substring(key, instr(key, ':') + 1)").as("id"),
+        col("value"))
+      .groupBy(col("atype"), col("id"), col("value"))
+      .agg(count(lit(1)).as("f"))
     val numericVal = when(
       col("atype").isin("LongValueSum", "LongValueMax", "LongValueMin"),
       col("value")).cast("long")
     val doubleVal = when(col("atype") === "DoubleValueSum", col("value"))
       .cast(DecimalType(18, 4))
-    parsed.groupBy(col("atype"), col("id"))
+    val histF = when(col("atype") === "ValueHistogram", col("f"))
+    freq.groupBy(col("atype"), col("id"))
       .agg(
-        sum(numericVal).as("lsum"),
-        round(sum(doubleVal), 2).cast("double").as("dsum"),
+        sum(numericVal * col("f")).as("lsum"),
+        round(sum(doubleVal * col("f")), 2).cast("double").as("dsum"),
         max(numericVal).as("lmax"),
         min(numericVal).as("lmin"),
         max(col("value")).as("smax"),
         min(col("value")).as("smin"),
-        // conditional distinct: the expand-based distinct plan shuffles a
-        // second copy of every record; gating on the aggregator type makes
-        // the distinct branch all-null for every other job, so its partial
-        // aggregates collapse to ~one row per group map-side
-        count_distinct(when(col("atype") === "UniqValueCount", col("value")))
-          .as("uniq"))
+        count(lit(1)).as("nvals"), // rows here = distinct values of the id
+        min(histF).as("min_f"),
+        max(histF).as("max_f"),
+        sum(histF).as("s"),
+        sum(histF * histF).as("ssq"),
+        sort_array(collect_list(histF)).as("fs"))
       .select(
         col("id").as("key"),
         when(col("atype") === "LongValueSum", col("lsum").cast("string"))
@@ -212,9 +236,20 @@ object StreamJob {
           .when(col("atype") === "LongValueMin", col("lmin").cast("string"))
           .when(col("atype") === "StringValueMax", col("smax"))
           .when(col("atype") === "StringValueMin", col("smin"))
-          .when(col("atype") === "UniqValueCount", col("uniq").cast("string"))
+          .when(col("atype") === "UniqValueCount", col("nvals").cast("string"))
+          .when(col("atype") === "ValueHistogram", concat_ws("\t",
+            col("nvals"),
+            col("min_f"),
+            element_at(col("fs"), (col("nvals") / 2).cast("int") + 1),
+            col("max_f"),
+            (col("s").cast("double") / col("nvals")),
+            sqrt((col("ssq").cast("double") - col("s").cast("double") * col("s").cast("double") / col("nvals")) / col("nvals"))))
+          // unknown aggregator (or a key with no ':' at all) = corrupt
+          // mapper output; vanishing groups would be silent data loss
+          .otherwise(raise_error(concat(
+            lit("unknown aggregator type '"), col("atype"),
+            lit(s"' (expected one of ${ScalarAggTypes.mkString(", ")}, ValueHistogram)"))))
           .as("value"))
-      .filter(col("value").isNotNull)
   }
 
   /** Run a parsed streaming job and return the (key, value) result. Also
@@ -301,14 +336,19 @@ object StreamJob {
     // with -output, write ONCE and hand back a read of the written files —
     // returning the unexecuted plan would re-run every external fork when
     // the caller consumes it (and could disagree with the files for a
-    // non-deterministic command)
+    // non-deterministic command). A map-only result keeps the MAP-side
+    // separator/key-field framing; re-splitting with the reduce knobs
+    // would silently move the key/value boundary of the returned frame.
     args.output match {
       case Some(out) =>
+        val (outSep, outKeyFields) =
+          if (mapOnly) (args.mapSep, args.numMapKeyFields)
+          else (args.reduceSep, args.numReduceKeyFields)
         result
-          .select(concat(col("key"), lit(args.reduceSep), col("value")).as("line"))
+          .select(concat(col("key"), lit(outSep), col("value")).as("line"))
           .write.mode("overwrite").text(out)
         splitKeyVal(spark.read.textFile(out).toDF("line"),
-          args.reduceSep, args.numReduceKeyFields)
+          outSep, outKeyFields)
       case None => result
     }
   }

@@ -51,20 +51,6 @@ object Graft {
     spark
   }
 
-  /** Load one of the driver tables (TESTDATA.md): `$dir/$name.parquet`.
-    *
-    * Memoized per (session, path): `read.parquet` eagerly lists files and
-    * reads footers for schema inference, a fixed ~100ms tax that every
-    * query would otherwise re-pay (56 queries × the tax was ~40% of the
-    * whole benchmark). The cached object is just an immutable logical
-    * plan — downstream transforms are unaffected. Keyed by session
-    * identity so tests with their own sessions don't cross-pollinate.
-    */
-  // weak session keys: identity hashes can collide across live sessions,
-  // and strong refs would pin stopped sessions (and their plans) forever
-  private val tableCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
-
   /** Scratch directory for query round-trip fixtures — ONE definition of
     * the path scheme so per-run isolation or cleanup changes land in one
     * place.
@@ -72,11 +58,23 @@ object Graft {
   def scratch(name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft-$name"
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    tableCache.synchronized {
-      tableCache
-        .computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(s"$dir/$name.parquet",
-          spark.read.parquet(s"$dir/$name.parquet"))
-    }
+  /** Load one of the driver tables (TESTDATA.md): `$dir/$name.parquet`.
+    *
+    * The inferred SCHEMA is cached per path — not the DataFrame: a cached
+    * Dataset strongly references its session, which would pin stopped
+    * sessions forever (and defeats weak keys — WeakHashMap's contract
+    * forbids values that refer to their keys). A schema is session-free,
+    * and supplying it to the reader skips the footer-inference tax that
+    * repeated scans paid. Driver tables are immutable fixtures, so a
+    * path's schema never drifts.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(
+      path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 }

@@ -22,15 +22,23 @@ object XmlScan {
 
   /** All `beginTag … endTag` records (inclusive) found in the files under
     * `path`, one row per record, as column `record`.
+    *
+    * The files are delimited on the BEGIN pattern: each chunk is then
+    * `record-content + endTag + inter-record junk`, and a chunk is a
+    * record only if it actually CONTAINS the end pattern. Splitting on the
+    * end pattern instead would make a truncated trailing record (file cut
+    * off mid-record) indistinguishable from a complete one — appending the
+    * end tag would launder corrupt input into a well-formed record, where
+    * the reference emits only spans that really end with the pattern.
     */
   def records(spark: SparkSession, path: String,
               beginTag: String, endTag: String): DataFrame = {
-    val chunk = spark.read.option("lineSep", endTag).text(path)
-    val begin = instr(col("value"), beginTag)
+    val chunk = spark.read.option("lineSep", beginTag).text(path)
+    val end = instr(col("value"), endTag)
     chunk
-      .filter(begin > 0) // inter-record junk (whitespace, trailing bytes)
+      .filter(end > 0) // preamble junk and truncated trailing records
       .select(concat(
-        col("value").substr(begin, length(col("value"))),
-        lit(endTag)).as("record"))
+        lit(beginTag),
+        col("value").substr(lit(1), end + endTag.length - 1)).as("record"))
   }
 }

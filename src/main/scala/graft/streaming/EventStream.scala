@@ -33,19 +33,37 @@ object EventStream {
   /** Per-key running totals via mapGroupsWithState — the custom-state path
     * for logic windows can't express (the reference's stateful Reducer
     * equivalent, made incremental).
+    *
+    * State scales with the key domain unless bounded: pass `idleTimeout`
+    * to evict keys idle past that duration (emitting their final total),
+    * so state tracks the ACTIVE key set — required when the key domain is
+    * unbounded. With a timeout the engine runs continuous timer batches,
+    * so it is opt-in: bounded-domain jobs (and tests that rely on
+    * `processAllAvailable` quiescing) keep NoTimeout.
     */
-  def runningTotals(events: Dataset[Event]): Dataset[TypeTotal] = {
+  def runningTotals(events: Dataset[Event],
+                    idleTimeout: Option[String] = None): Dataset[TypeTotal] = {
     import events.sparkSession.implicits._
+    val mode = idleTimeout
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
     events
       .groupByKey(_.eventType)
-      .mapGroupsWithState[TypeTotal, TypeTotal](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[TypeTotal, TypeTotal](mode) {
         (key: String, rows: Iterator[Event], state: GroupState[TypeTotal]) =>
-          val prev = state.getOption.getOrElse(TypeTotal(key, 0L, 0.0))
-          var n = prev.n; var total = prev.total
-          rows.foreach { e => n += 1; total += e.value }
-          val next = TypeTotal(key, n, total)
-          state.update(next)
-          next
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(TypeTotal(key, 0L, 0.0))
+            var n = prev.n; var total = prev.total
+            rows.foreach { e => n += 1; total += e.value }
+            val next = TypeTotal(key, n, total)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            next
+          }
       }
   }
 

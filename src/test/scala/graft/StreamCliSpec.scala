@@ -108,12 +108,34 @@ class StreamCliSpec extends AnyFunSuite {
       "LongValueMin:n\t7", "LongValueMin:n\t2",
       "StringValueMax:s\tzz", "StringValueMax:s\taa",
       "StringValueMin:t\tzz", "StringValueMin:t\taa",
-      "UniqValueCount:u\tx", "UniqValueCount:u\tx", "UniqValueCount:u\ty"))
+      "UniqValueCount:u\tx", "UniqValueCount:u\tx", "UniqValueCount:u\ty",
+      // frequencies {v1: 3, v2: 1}: uniq=2 min=1 median=3 max=3 avg=2.0 sd=1.0
+      "ValueHistogram:h\tv1", "ValueHistogram:h\tv1", "ValueHistogram:h\tv1",
+      "ValueHistogram:h\tv2"))
     val got = StreamJob.run(spark, Seq("-input", in, "-reducer", "aggregate"))
       .as[(String, String)].collect().toMap
     assert(got == Map(
       "a" -> "7", "m" -> "7", "n" -> "2",
-      "s" -> "zz", "t" -> "aa", "u" -> "2"))
+      "s" -> "zz", "t" -> "aa", "u" -> "2",
+      "h" -> "2\t1\t3\t3\t2.0\t1.0"))
+  }
+
+  test("-reducer aggregate fails loudly on an unknown aggregator type") {
+    val in = writeLines("aggunk", Seq("NoSuchAgg:a\t3"))
+    val e = intercept[Exception](
+      StreamJob.run(spark, Seq("-input", in, "-reducer", "aggregate")).collect())
+    assert(e.getMessage.contains("unknown aggregator type")
+      || Option(e.getCause).exists(_.getMessage.contains("unknown aggregator type")))
+  }
+
+  test("unsupported -partitioner class is rejected at parse time") {
+    assertThrows[RuntimeException](StreamJob.parseArgs(
+      Seq("-partitioner", "org.example.MyCustomPartitioner")))
+  }
+
+  test("comma-separated -input paths are split like FileInputFormat") {
+    val a = StreamJob.parseArgs(Seq("-input", "/a,/b", "-input", "/c"))
+    assert(a.inputs == Vector("/a", "/b", "/c"))
   }
 
   test("aggregate with corrupt numeric input fails loudly, not silently") {

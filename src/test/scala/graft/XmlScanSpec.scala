@@ -31,4 +31,17 @@ class XmlScanSpec extends AnyFunSuite {
       assert(malformed.count() == 0)
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
   }
+
+  test("a truncated trailing record is dropped, not fabricated") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xmltrunc")
+    // file cut off mid-record: the unterminated '<rec><key>3' must NOT be
+    // emitted as a well-formed record
+    java.nio.file.Files.write(dir.resolve("t.xml"),
+      "<rec><key>1</key></rec>\n<rec><key>2</key></rec>\n<rec><key>3".getBytes("UTF-8"))
+    val keys = XmlScan.records(spark, dir.toString, "<rec>", "</rec>")
+      .select(regexp_extract(col("record"), "<key>([0-9]+)</key>", 1).cast("int"))
+      .as[Int].collect().sorted.toSeq
+    assert(keys == Seq(1, 2))
+  }
 }
