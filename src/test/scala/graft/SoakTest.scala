@@ -5,14 +5,14 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** On-demand scale soak (ignored in the regular suite — flip `ignore` to
   * `test` to run): replicate sf0.1 10× into /tmp and run the heaviest
-  * operators. Last run (local[4], 16g, 16-seed/8-band minhash): q51 26.8s
-  * (11.7M pairs — the replication creates genuine duplicate groups,
-  * C(10,2) per text, so the pair count is data-driven, not a cliff; the
-  * 16/8 config roughly doubles both hash work and candidate recall vs the
-  * old 8/4 run of 10.7s / 4.7M), q57 24.3s (96k pairs; bucket sizes grow
-  * linearly with corpus at fixed plane count — raise `Planes` ∝
-  * log2(corpus) at real scale), q60 1.4s, q30 1.7s over 10M events,
-  * q52 0.7s.
+  * operators. Last run (local[4], 16g, 16-seed/8-band minhash via the
+  * one-digest-per-group Md5Words path): q51 22.0s (11.7M pairs — the
+  * replication creates genuine duplicate groups, C(10,2) per text, so the
+  * pair count is data-driven, not a cliff; was 26.8s with per-member
+  * digests and 10.7s / 4.7M pairs at the old 8/4 config), q57 24.1s (96k
+  * pairs; bucket sizes grow linearly with corpus at fixed plane count —
+  * raise `Planes` ∝ log2(corpus) at real scale), q60 1.6s, q30 1.5s over
+  * 10M events, q52 0.8s.
   */
 class SoakTest extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
