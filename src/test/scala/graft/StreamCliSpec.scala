@@ -138,6 +138,16 @@ class StreamCliSpec extends AnyFunSuite {
     assert(a.inputs == Vector("/a", "/b", "/c"))
   }
 
+  test("multiple -input dirs are read as one job input") {
+    import spark.implicits._
+    val in1 = writeLines("multi1", Seq("a\t1"))
+    val in2 = writeLines("multi2", Seq("b\t2", "c\t3"))
+    val got = StreamJob.run(spark, Seq(
+      "-input", s"$in1,$in2", "-reducer", "NONE"))
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("a", "1"), ("b", "2"), ("c", "3")))
+  }
+
   test("aggregate with corrupt numeric input fails loudly, not silently") {
     // the reference's LongValueSum throws NumberFormatException — a
     // non-numeric value under a numeric aggregator must fail the job,
