@@ -190,7 +190,11 @@ object StreamJob {
     * expand (stage-2 rows ARE the distinct values), and ValueHistogram's
     * frequency stats fall out of the same pass (its report: tab-joined
     * [unique, min, median, max, mean, stddev] of value frequencies,
-    * `ValueHistogram.java:78-134`). An aggregator type outside the registry
+    * `ValueHistogram.java:78-134`). A ValueHistogram VALUE is itself
+    * `item \t count`, split on the LAST tab (`ValueHistogram.java:47-66`
+    * uses `lastIndexOf`): the item's frequency grows by `count`, a value
+    * with no tab counts once, and a non-numeric count fails the job like
+    * the reference's `Long.parseLong`. An aggregator type outside the registry
     * FAILS the job — the reference NPEs on unknown descriptors, and
     * silently dropping those groups would be invisible data loss.
     * DoubleValueSum accumulates in DECIMAL so the report is
@@ -201,13 +205,30 @@ object StreamJob {
     */
   private def aggregateReduce(kv: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val freq = kv
-      .select(
-        substring_index(col("key"), ":", 1).as("atype"),
-        expr("substring(key, instr(key, ':') + 1)").as("id"),
-        col("value"))
+    val typed = kv.select(
+      substring_index(col("key"), ":", 1).as("atype"),
+      expr("substring(key, instr(key, ':') + 1)").as("id"),
+      col("value"))
+    // ValueHistogram weight parse: item = before the LAST tab, weight =
+    // after it (whole value / 1 when tab-less). coalesce catches both the
+    // non-numeric and the Long-overflow null so neither is silently dropped.
+    val isHist = col("atype") === "ValueHistogram"
+    val afterTab = substring_index(col("value"), "\t", -1)
+    val hasTab = instr(col("value"), "\t") > 0
+    val histItem = when(hasTab,
+      col("value").substr(lit(1), length(col("value")) - length(afterTab) - 1))
+      .otherwise(col("value"))
+    val histWeight = when(!hasTab, lit(1L))
+      .otherwise(coalesce(
+        when(afterTab.rlike("^[+-]?\\d+$"), afterTab.cast("long")),
+        raise_error(concat(
+          lit("ValueHistogram: non-numeric count '"), afterTab, lit("'")))))
+    val freq = typed
+      .select(col("atype"), col("id"),
+        when(isHist, histItem).otherwise(col("value")).as("value"),
+        when(isHist, histWeight).otherwise(lit(1L)).as("w"))
       .groupBy(col("atype"), col("id"), col("value"))
-      .agg(count(lit(1)).as("f"))
+      .agg(sum(col("w")).as("f"))
     val numericVal = when(
       col("atype").isin("LongValueSum", "LongValueMax", "LongValueMin"),
       col("value")).cast("long")
@@ -282,14 +303,20 @@ object StreamJob {
     // default the reference inherits
     val mapOnly =
       args.reduceTasks.contains(0) || args.reducer.contains(ReduceNone)
+    // case-insensitive like the reference's compareToIgnoreCase
+    // (StreamJob.java:760) — '-reducer Aggregate' must not fork a process
+    val isAggregate = args.reducer.exists(_.equalsIgnoreCase("aggregate"))
 
     // ---- combiner: local sort (spill-sort contract) + fork, NO shuffle.
     // NEVER runs on a map-only job (the reference only invokes combiners
     // inside the map-output spill/merge path, which 0-reduce jobs skip).
     // Binary -io modes also skip it (a combiner is an optimization the MR
-    // contract lets the framework omit; results are unchanged)
+    // contract lets the framework omit; results are unchanged). An
+    // aggregate reducer force-installs ValueAggregatorCombiner over any
+    // -combiner (StreamJob.java:760-764) — Catalyst partial aggregation
+    // plays that role here, so the external command must not run first.
     val combined: DataFrame = args.combiner match {
-      case Some(cmd) if !mapOnly && args.io == "text" =>
+      case Some(cmd) if !mapOnly && !isAggregate && args.io == "text" =>
         val locallySorted = mapped.sortWithinPartitions(col("key"))
         pipeStage(spark, locallySorted, cmd,
           args.mapSep, args.mapSep, args.numMapKeyFields)
@@ -297,7 +324,12 @@ object StreamJob {
     }
     val result: DataFrame =
       if (mapOnly) combined
-      else if (args.reducer.contains("aggregate")) aggregateReduce(combined)
+      else if (isAggregate) {
+        // honor the requested reduce count on the output shape, like the
+        // non-aggregate branch (part-file count = reduce tasks)
+        val agg = aggregateReduce(combined)
+        args.reduceTasks.fold(agg)(n => agg.repartition(n, col("key")))
+      }
       else {
         val parts = args.reduceTasks
           .getOrElse(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)

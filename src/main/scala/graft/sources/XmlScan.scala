@@ -30,6 +30,15 @@ object XmlScan {
     * off mid-record) indistinguishable from a complete one — appending the
     * end tag would launder corrupt input into a well-formed record, where
     * the reference emits only spans that really end with the pattern.
+    *
+    * '''Precondition — the begin pattern must not occur inside record
+    * content.''' The reference scans begin-then-end
+    * (`StreamXmlRecordReader.java:301`), so a nested same-named begin tag
+    * stays inside its enclosing record; this split-on-begin shape would
+    * instead cut at the inner tag — the head chunk (no end pattern) is
+    * dropped and a truncated span is emitted. For inputs where the record
+    * tag can nest, pass a more specific begin pattern (e.g. a top-level
+    * attribute-qualified form) so occurrences are unambiguous.
     */
   def records(spark: SparkSession, path: String,
               beginTag: String, endTag: String): DataFrame = {

@@ -120,6 +120,67 @@ class StreamCliSpec extends AnyFunSuite {
       "h" -> "2\t1\t3\t3\t2.0\t1.0"))
   }
 
+  test("aggregate ValueHistogram parses 'item\\tcount' weights on the last tab") {
+    import spark.implicits._
+    // ValueHistogram.java:47-66 splits each value on its LAST tab: 'v1\t2'
+    // adds 2 occurrences of v1, a tab-less value adds 1, and an item may
+    // itself contain tabs ('a\tb\t2' = item "a\tb", weight 2).
+    val in = writeLines("agghw", Seq(
+      "ValueHistogram:h\tv1\t2", "ValueHistogram:h\tv1",
+      "ValueHistogram:h\tv2",
+      "ValueHistogram:g\ta\tb\t2", "ValueHistogram:g\tc\t2"))
+    val got = StreamJob.run(spark, Seq("-input", in, "-reducer", "aggregate"))
+      .as[(String, String)].collect().toMap
+    // h: frequencies {v1: 3, v2: 1} → uniq=2 min=1 median=3 max=3 mean=2.0 sd=1.0
+    // g: frequencies {a\tb: 2, c: 2} → uniq=2 min=2 median=2 max=2 mean=2.0 sd=0.0
+    assert(got == Map(
+      "h" -> "2\t1\t3\t3\t2.0\t1.0",
+      "g" -> "2\t2\t2\t2\t2.0\t0.0"))
+  }
+
+  test("aggregate ValueHistogram fails loudly on a non-numeric count") {
+    // Long.parseLong semantics: 'v\tx' means count 'x' — a NumberFormat
+    // failure in the reference, never a silent count-as-string-item
+    val in = writeLines("agghbad",
+      Seq("ValueHistogram:h\tv\t2", "ValueHistogram:h\tv\tx"))
+    val e = intercept[Exception](
+      StreamJob.run(spark, Seq("-input", in, "-reducer", "aggregate")).collect())
+    assert(e.getMessage.contains("non-numeric count")
+      || Option(e.getCause).exists(_.getMessage.contains("non-numeric count")))
+  }
+
+  test("-reducer Aggregate matches case-insensitively, like the reference") {
+    import spark.implicits._
+    // compareToIgnoreCase (StreamJob.java:760): 'Aggregate' must route to
+    // the builtin reducer, not fork a nonexistent external command
+    val in = writeLines("aggcase", Seq("LongValueSum:a\t3", "LongValueSum:a\t4"))
+    val got = StreamJob.run(spark, Seq("-input", in, "-reducer", "Aggregate"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "7"))
+  }
+
+  test("an aggregate reducer replaces any external -combiner") {
+    import spark.implicits._
+    // the reference force-installs ValueAggregatorCombiner over -combiner
+    // (StreamJob.java:760-764); 'uniq' collapsing the duplicate line would
+    // corrupt the sum (7 → would become 3+..) if it ran first
+    val in = writeLines("aggcomb",
+      Seq("LongValueSum:a\t3", "LongValueSum:a\t3", "LongValueSum:a\t1"))
+    val got = StreamJob.run(spark, Seq(
+      "-input", in, "-combiner", "uniq", "-reducer", "aggregate"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "7"))
+  }
+
+  test("-numReduceTasks shapes the aggregate output partitioning") {
+    val in = writeLines("aggparts", Seq(
+      "LongValueSum:a\t1", "LongValueSum:b\t2", "LongValueSum:c\t3",
+      "LongValueSum:d\t4", "LongValueSum:e\t5"))
+    val got = StreamJob.run(spark, Seq(
+      "-input", in, "-reducer", "aggregate", "-numReduceTasks", "3"))
+    assert(got.rdd.getNumPartitions == 3)
+  }
+
   test("-reducer aggregate fails loudly on an unknown aggregator type") {
     val in = writeLines("aggunk", Seq("NoSuchAgg:a\t3"))
     val e = intercept[Exception](
