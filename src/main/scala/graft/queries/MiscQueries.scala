@@ -62,6 +62,37 @@ object MiscQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** Logalyzer-family URL decomposition, with Spark's codegen'd
+    * `parse_url`: deterministic request URLs synthesized from events are
+    * split into host / path / one query parameter and aggregated per
+    * (host, path). The oracle recomputes the components from the same
+    * construction, so a green row proves `parse_url`'s decomposition of
+    * well-formed URLs matches the relational definition.
+    */
+  val q47bUrlParse = Q.checked(
+    "q47b_url_parse",
+    """WITH u AS (
+      |  SELECT 's' || (user_id % 5) || '.example.com' AS host,
+      |         '/' || event_type || '/p' || (event_id % 7) AS path,
+      |         CAST(event_id % 13 AS VARCHAR) AS k
+      |  FROM events)
+      |SELECT host, path, count(*) AS n, count(DISTINCT k) AS uniq_k
+      |FROM u GROUP BY host, path""") { (s, dir) =>
+    val url = concat(
+      lit("https://s"), (col("user_id") % 5).cast("string"),
+      lit(".example.com/"), col("event_type"),
+      lit("/p"), (col("event_id") % 7).cast("string"),
+      lit("?u="), col("user_id").cast("string"),
+      lit("&k="), (col("event_id") % 13).cast("string"))
+    table(s, dir, "events")
+      .select(
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY"), lit("k")).as("k"))
+      .groupBy(col("host"), col("path"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("k")).as("uniq_k"))
+  }
+
   /** PiEstimator (`PiEstimator.java:75,140-208`): quasi-Monte-Carlo with
     * the 2,3-Halton sequence — deterministic, distributed generation, one
     * global aggregate. Rows-only (the Halton loop has no SQL oracle);
@@ -376,7 +407,7 @@ object MiscQueries {
   }
 
   val all: Vector[Q] =
-    Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q48Pi, q49TeraGen,
+    Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q47bUrlParse, q48Pi, q49TeraGen,
       q54Jdbc, q55Multimodal, q63ReferenceSelect, q64IndirectRead,
       q65TeraSort, q90Pipe, q91Xml, q91bXmlFile)
 }

@@ -103,6 +103,35 @@ object SourceQueries {
         lower(hex(col("v"))).as("value_hex"))
   }
 
+  /** SequenceFileAsText (`SequenceFileAsTextInputFormat`): any
+    * SequenceFile read with each writable rendered via `toString` — the
+    * reference's text view over typed K/V data. The fixture is written
+    * with NON-text writables (LongWritable keys), so a green row proves
+    * the toString decode, not a Text round trip. The input format class
+    * itself is Hadoop's own (on Spark's classpath) — reused, not
+    * re-implemented, exactly as SURVEY §4 prescribes for the I/O layer.
+    */
+  val q42cSeqFileAsText = Q.checked(
+    "q42c_seqfile_astext",
+    """SELECT CAST(n_nationkey AS VARCHAR) AS key, n_name AS value
+      |FROM nation""") { (s, dir) =>
+    val out = tmp("seqfileastext")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(out), true)
+    table(s, dir, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .rdd.map(r => (r.getLong(0), r.getString(1)))
+      .saveAsSequenceFile(out) // LongWritable / Text pairs
+    import s.implicits._
+    s.sparkContext
+      .hadoopFile(out,
+        classOf[org.apache.hadoop.mapred.SequenceFileAsTextInputFormat],
+        classOf[org.apache.hadoop.io.Text], classOf[org.apache.hadoop.io.Text])
+      .map { case (k, v) => (k.toString, v.toString) }
+      .toDF("key", "value")
+  }
+
   /** Scan-time record filters (`SequenceFileInputFilter`:
     * Regex / MD5-sample / percent): three filter modes over customer keys,
     * reported as per-mode counts. The MD5 filter reuses the portable hash
@@ -199,5 +228,6 @@ object SourceQueries {
 
   val all: Vector[Q] =
     Vector(q40KvText, q41MultiOutput, q42SeqFile, q42bSeqFileBinary,
-      q43ScanFilters, q44MultiInputs, q45SetOps, q94RecordDdl)
+      q42cSeqFileAsText, q43ScanFilters, q44MultiInputs, q45SetOps,
+      q94RecordDdl)
 }

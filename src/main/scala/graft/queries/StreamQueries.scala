@@ -105,6 +105,81 @@ object StreamQueries {
       .toDF("total_rows", "xor_hash", "is_sorted")
   }
 
+  /** `-reducer aggregate` with weighted ValueHistogram values: each mapper
+    * output value is `item \t count` split on the LAST tab
+    * (`ValueHistogram.java:47-66`), so the per-flag report aggregates
+    * sum-of-weights frequencies, not line counts. The oracle recomputes
+    * the full [uniq, min, median, max, mean, stddev] report in SQL; every
+    * mean/stddev here is a dyadic rational (n ≤ 2 items per flag), so the
+    * double → string rendering is bit-identical across engines.
+    */
+  val q95StreamHistogram = Q.checked(
+    "q95_stream_histogram",
+    """WITH freq AS (
+      |  SELECT l_returnflag AS id, l_linestatus AS item,
+      |         CAST(sum(l_linenumber) AS BIGINT) AS f
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT id AS key,
+      |  count(*) || chr(9) || min(f) || chr(9) ||
+      |  (list_sort(list(f)))[CAST(count(*) // 2 AS BIGINT) + 1] || chr(9) ||
+      |  max(f) || chr(9) ||
+      |  CAST(CAST(sum(f) AS DOUBLE) / count(*) AS VARCHAR) || chr(9) ||
+      |  CAST(sqrt((CAST(sum(f*f) AS DOUBLE) - CAST(sum(f) AS DOUBLE) * CAST(sum(f) AS DOUBLE) / count(*)) / count(*)) AS VARCHAR) AS value
+      |FROM freq GROUP BY id""") { (s, dir) =>
+    val in = tmp("q95in")
+    table(s, dir, "lineitem")
+      .select(concat_ws("\t",
+        col("l_returnflag"), col("l_linestatus"), col("l_linenumber")).as("line"))
+      .write.mode("overwrite").text(in)
+    StreamJob.run(s, Seq(
+      "-input", in,
+      "-mapper", "sed -e s/^/ValueHistogram:/",
+      "-reducer", "aggregate"))
+  }
+
+  /** Session windows (`session_window`, the Structured Streaming gap-based
+    * grouping, exercised in batch where an oracle exists): per-user
+    * sessions split at more than 8 h of inactivity (an event exactly
+    * gap-after still merges — StreamingSpec pins that boundary), window
+    * end = last event + gap.
+    * The oracle derives the same sessions relationally (lag + running sum
+    * of session marks). The identical `session_window` expression drives
+    * the streaming path — StreamingSpec runs it on a stream — so this is
+    * the scale shape for streaming sessionization: state per (user ×
+    * session), merged by Spark's session-merge exec, no global window.
+    * Timestamps travel as epoch micros (never raw TIMESTAMP columns).
+    */
+  val q68Sessionize = Q.checked(
+    "q68_sessionize",
+    """WITH marks AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 8 HOUR
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marks)
+      |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+      |  epoch_us(max(ts)) + 28800000000 AS session_end_us,
+      |  count(*) AS n_events
+      |FROM sess GROUP BY user_id, sid""") { (s, dir) =>
+    // events.ts is nanos-as-long on the Spark side (TIMESTAMP(NANOS)
+    // parquet); `div` keeps the nanos→micros conversion integral — a
+    // double division would lose precision at 1.7e18
+    table(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(session_window(col("ts"), "8 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+  }
+
   val all: Vector[Q] =
-    Vector(q66StreamApiSort, q92StreamCli, q93StreamPipeline)
+    Vector(q66StreamApiSort, q68Sessionize, q92StreamCli, q93StreamPipeline,
+      q95StreamHistogram)
 }

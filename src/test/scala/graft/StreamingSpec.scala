@@ -104,6 +104,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window sessionizes a stream with the q68 batch semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // the exact expression q68 runs in batch, on an unbounded source
+    val q = in.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("eventType"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("eventType"), col("session_window.start").as("start"), col("n"))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(
+        Event(ts("2026-01-01 10:00:00"), "a", 1.0),
+        Event(ts("2026-01-01 10:09:00"), "a", 1.0),  // < gap: same session
+        Event(ts("2026-01-01 10:19:00"), "a", 1.0),  // chained: still same
+        Event(ts("2026-01-01 10:29:00.000001"), "a", 1.0), // ≥ gap: new session
+        Event(ts("2026-01-01 10:00:00"), "b", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT eventType, CAST(start AS STRING), n FROM sess_out")
+        .as[(String, String, Long)].collect().toSet
+      assert(rows == Set(
+        ("a", "2026-01-01 10:00:00", 3L),
+        ("a", "2026-01-01 10:29:00.000001", 1L),
+        ("b", "2026-01-01 10:00:00", 1L)))
+    } finally q.stop()
+  }
+
+  test("session_window boundary: exactly gap-after merges, beyond it splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // pins the semantics the q68 oracle encodes as `diff > gap`: Spark's
+    // session merge is on overlapping-OR-TOUCHING windows, so an event at
+    // exactly prev + gap continues the session
+    val df = Seq(
+      ("u", ts("2026-01-01 10:00:00")),
+      ("u", ts("2026-01-01 10:10:00")),        // exactly +gap: merges
+      ("u", ts("2026-01-01 10:20:00.000001"))) // +gap+1µs: NEW session
+      .toDF("k", "t")
+    val got = df.groupBy(session_window(col("t"), "10 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").cast("string"), col("n"))
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(
+      ("2026-01-01 10:00:00", 2L),
+      ("2026-01-01 10:20:00.000001", 1L)))
+  }
+
   test("mapGroupsWithState keeps running totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
