@@ -88,6 +88,64 @@ object Dedup {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
 
+  /** Near-dup GROUPS from candidate pairs: connected components by
+    * iterative min-label propagation — each round every node takes the
+    * minimum label among itself and its neighbors, a fixpoint reached in
+    * diameter(graph) rounds. Returns (id, component) where `component` is
+    * the smallest id in the node's component (the canonical keeper).
+    *
+    * Scale shape: each round is one shuffle join + one grouped min, both
+    * hash-partitioned on id — no driver-side graph. Near-dup graphs are
+    * unions of small cliques/chains (LSH buckets are size-bounded), so the
+    * diameter — and the round count — stays tiny; `maxIter` is a loud
+    * backstop, not a truncation: non-convergence throws rather than
+    * returning a silently under-merged clustering. Labels only decrease,
+    * so fixpoint is detected by an unchanged label sum (one cheap action
+    * per round, no extra join). For planet-scale graphs with long chains
+    * swap in large-star/small-star; for the dedup use case this shape wins
+    * on simplicity and round count.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected: propagate both ways
+    val edges = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist()
+    // coalesce: sum over zero rows is null (empty pair set = no components)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+    var sum0 = labelSum(labels)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbrMin = edges.alias("e")
+        .join(labels.alias("l"), col("e.b") === col("l.id"))
+        .groupBy(col("e.a").as("nid"))
+        .agg(min(col("l.lbl")).as("nlbl"))
+      val next = labels.alias("cur")
+        .join(nbrMin.alias("nm"), col("cur.id") === col("nm.nid"), "left")
+        .select(col("cur.id").as("id"),
+          least(col("cur.lbl"), coalesce(col("nm.nlbl"), col("cur.lbl"))).as("lbl"))
+        // localCheckpoint truncates the per-round lineage growth so late
+        // rounds don't replan the whole chain
+        .localCheckpoint(true)
+      val sum1 = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = sum1 == sum0 // labels only decrease: equal sum = fixpoint
+      sum0 = sum1
+      it += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      sys.error(s"connectedComponents: no fixpoint after $maxIter rounds " +
+        "(graph diameter exceeds the bound — raise maxIter)")
+    labels
+  }
+
   /** SimHash signature of `bits` bits over distinct tokens:
     * bit b = 1 iff Σ_tokens (2·((hash32(token) >> b) & 1) − 1) > 0.
     * One grouped aggregation with `bits` sums — no per-bit passes.

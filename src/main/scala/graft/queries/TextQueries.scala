@@ -158,6 +158,40 @@ object TextQueries {
         col("postings"), col("df"))
   }
 
+  /** Deterministic stratified sampling + train/test split — the
+    * training-data curation step after filtering/dedup: per-class keep
+    * rates (downsample the over-represented language) and an 80/20 split,
+    * both decided by the portable 32-bit hash of the doc id, so the sample
+    * is reproducible on any engine, any cluster size, any run — never
+    * `rand()`, whose draw depends on partitioning. Per-row hash compare +
+    * one final aggregation; nothing shuffles before the groupBy.
+    */
+  val q76StratifiedSplit = Q.checked(
+    "q76_stratified_split",
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    ('0x'||substring(md5('smp:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 AS hs,
+      |    ('0x'||substring(md5('spl:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 AS hp
+      |  FROM documents)
+      |SELECT lang, CASE WHEN hp < 80 THEN 'train' ELSE 'test' END AS split,
+      |  count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM s
+      |WHERE hs < CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 80 ELSE 100 END
+      |GROUP BY 1, 2""") { (s, dir) =>
+    val hs = Hashing.hash32(concat(lit("smp:"), col("doc_id").cast("string"))) % 100
+    val hp = Hashing.hash32(concat(lit("spl:"), col("doc_id").cast("string"))) % 100
+    val rate = when(col("lang") === "en", 50)
+      .when(col("lang") === "zh", 80)
+      .otherwise(100)
+    table(s, dir, "documents")
+      .filter(hs < rate)
+      .withColumn("split", when(hp < 80, "train").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
   val all: Vector[Q] =
-    Vector(q70LangId, q71Quality, q72TokenCount, q73Fingerprint, q74InvertedIndex)
+    Vector(q70LangId, q71Quality, q72TokenCount, q73Fingerprint,
+      q74InvertedIndex, q76StratifiedSplit)
 }

@@ -8,6 +8,24 @@ class OperatorsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("connectedComponents merges chains and keeps components apart") {
+    import graft.operators.Dedup
+    // component {1,2,3,4} is a CHAIN (needs propagation across rounds),
+    // {10,11} a pair, and 3-4 arrives in b<a orientation
+    val pairs = Seq((2L, 3L), (1L, 2L), (4L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+
+  test("connectedComponents of an empty pair set is empty") {
+    import graft.operators.Dedup
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(pairs).count() == 0L)
+  }
+
   test("counters facade observes record counts and custom aggregates") {
     val df = Counters.instrument(
       Seq(1, 2, 3, 4).toDF("v"),
