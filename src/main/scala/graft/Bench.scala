@@ -28,6 +28,12 @@ object Bench {
         .collect()
       n.join(n.select(col("n_nationkey").as("k")), col("n_nationkey") === col("k"))
         .count()
+      // touch the big fact/doc scans too: the first query over each file
+      // otherwise pays its parquet-footer + column-reader JIT inside the
+      // measured window (q01 was ~1.4s warmup + ~0.3s compute)
+      Seq("lineitem", "orders", "events", "documents").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").agg(count(lit(1))).collect()
+      }
     }
     val errs = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.registry.map { q =>

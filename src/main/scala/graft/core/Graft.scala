@@ -52,11 +52,16 @@ object Graft {
   }
 
   /** Scratch directory for query round-trip fixtures — ONE definition of
-    * the path scheme so per-run isolation or cleanup changes land in one
-    * place.
+    * the path scheme so isolation or cleanup changes land in one place.
+    * Paths are namespaced per JVM (pid): a Verify and a Bench running
+    * concurrently must never write the same round-trip fixture dir, and a
+    * crashed run's leftovers can't be mistaken for this run's output.
+    * Within one JVM the per-name dir is stable, so repeated invocations
+    * of a query reuse (overwrite) their own fixture.
     */
+  private val runNs: Long = ProcessHandle.current().pid()
   def scratch(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-$name"
+    s"${System.getProperty("java.io.tmpdir")}/graft-run$runNs/$name"
 
   /** Load one of the driver tables (TESTDATA.md): `$dir/$name.parquet`.
     *

@@ -88,22 +88,37 @@ object Dedup {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
 
+  /** Clique-contracted edge list for component finding: every LSH bucket
+    * is a complete subgraph of the candidate-pair graph, so linking each
+    * member to the bucket's min id yields EXACTLY the same connected
+    * components while emitting k−1 star edges per bucket instead of
+    * k(k−1)/2 pairs — at 100 TB the difference between bucket-linear and
+    * bucket-quadratic edge volume. Star hubs also shorten propagation
+    * paths, so [[connectedComponents]] converges in fewer rounds.
+    * (OperatorsSpec asserts pair-graph and star-graph components match.)
+    */
+  def bucketStarEdges(bands: DataFrame): DataFrame =
+    bands.groupBy(col("band"), col("key"))
+      .agg(min(col("id")).as("hub"), collect_set(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("a"), col("hub").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
   /** Near-dup GROUPS from candidate pairs: connected components by
     * iterative min-label propagation — each round every node takes the
     * minimum label among itself and its neighbors, a fixpoint reached in
     * diameter(graph) rounds. Returns (id, component) where `component` is
     * the smallest id in the node's component (the canonical keeper).
     *
-    * Scale shape: each round is one shuffle join + one grouped min, both
-    * hash-partitioned on id — no driver-side graph. Near-dup graphs are
-    * unions of small cliques/chains (LSH buckets are size-bounded), so the
-    * diameter — and the round count — stays tiny; `maxIter` is a loud
-    * backstop, not a truncation: non-convergence throws rather than
-    * returning a silently under-merged clustering. Labels only decrease,
-    * so fixpoint is detected by an unchanged label sum (one cheap action
-    * per round, no extra join). For planet-scale graphs with long chains
-    * swap in large-star/small-star; for the dedup use case this shape wins
-    * on simplicity and round count.
+    * Scale shape: each round is a pointer-jump (label := label-of-label,
+    * the shortcutting that makes round count LOGARITHMIC in component
+    * diameter instead of linear) followed by one shuffle join + grouped
+    * min over the edges — all hash-partitioned on id, no driver-side
+    * graph. `maxIter` is a loud backstop, not a truncation:
+    * non-convergence throws rather than returning a silently under-merged
+    * clustering. Labels only decrease, so fixpoint is detected by an
+    * unchanged label sum (one cheap action per round, no extra join).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
@@ -121,11 +136,18 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
+      // pointer jump over the previous (materialized) labels: a node whose
+      // label is itself labeled lower shortcuts straight to it, so chains
+      // collapse exponentially across rounds
+      val jumped = labels.alias("x")
+        .join(labels.alias("y"), col("x.lbl") === col("y.id"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.lbl"), coalesce(col("y.lbl"), col("x.lbl"))).as("lbl"))
       val nbrMin = edges.alias("e")
-        .join(labels.alias("l"), col("e.b") === col("l.id"))
+        .join(jumped.alias("l"), col("e.b") === col("l.id"))
         .groupBy(col("e.a").as("nid"))
         .agg(min(col("l.lbl")).as("nlbl"))
-      val next = labels.alias("cur")
+      val next = jumped.alias("cur")
         .join(nbrMin.alias("nm"), col("cur.id") === col("nm.nid"), "left")
         .select(col("cur.id").as("id"),
           least(col("cur.lbl"), coalesce(col("nm.nlbl"), col("cur.lbl"))).as("lbl"))

@@ -20,6 +20,19 @@ class OperatorsSpec extends AnyFunSuite {
       (10L, 10L), (11L, 10L)))
   }
 
+  test("bucket-star edges give the same components as the full pair graph") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val sig = Dedup.minhash(docs, col("doc_id"), Dedup.bigrams(col("text")), 16)
+    val bands = Dedup.lshBands(sig, 8, 2).persist()
+    val fromPairs = Dedup.connectedComponents(Dedup.candidatePairs(bands))
+      .as[(Long, Long)].collect().toSet
+    val fromStars = Dedup.connectedComponents(Dedup.bucketStarEdges(bands))
+      .as[(Long, Long)].collect().toSet
+    bands.unpersist()
+    assert(fromPairs.nonEmpty && fromPairs == fromStars)
+  }
+
   test("connectedComponents of an empty pair set is empty") {
     import graft.operators.Dedup
     val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
