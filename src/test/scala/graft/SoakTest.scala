@@ -12,7 +12,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * digests and 10.7s / 4.7M pairs at the old 8/4 config), q57 24.1s (96k
   * pairs; bucket sizes grow linearly with corpus at fixed plane count —
   * raise `Planes` ∝ log2(corpus) at real scale), q60 1.6s, q30 1.5s over
-  * 10M events, q52 0.8s.
+  * 10M events, q52 0.8s. Round-4 rerun: q51 19.1s, q58 components over
+  * all 50k docs 11.5s (bucket-star edges keep it sublinear in the 11.7M
+  * pair volume; 1.6× the sf0.1 time at 10× the data), q57 14.8s, q60
+  * 1.2s, q30 1.2s, q52 0.5s.
   */
 class SoakTest extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -42,6 +45,9 @@ class SoakTest extends AnyFunSuite {
     }
     time("q51_minhash_lsh") {
       graft.queries.DedupQueries.q51MinhashLsh.run(spark, dir).count()
+    }
+    time("q58_dedup_groups") {
+      graft.queries.DedupQueries.q58DedupGroups.run(spark, dir).count()
     }
     time("q57_embed_dedup") {
       graft.queries.DedupQueries.q57EmbedDedup.run(spark, dir).count()
