@@ -194,7 +194,15 @@ object StreamJob {
     * `item \t count`, split on the LAST tab (`ValueHistogram.java:47-66`
     * uses `lastIndexOf`): the item's frequency grows by `count`, a value
     * with no tab counts once, and a non-numeric count fails the job like
-    * the reference's `Long.parseLong`. An aggregator type outside the registry
+    * the reference's `Long.parseLong`. Weighted frequencies make the
+    * moment sums overflowable in long arithmetic (two 4e9 weights square
+    * to > Long.MaxValue), so s and Σf² accumulate in DECIMAL(38,0) —
+    * exact, never a silent wrap. The histogram's mean/stddev render at a
+    * fixed 2-decimal scale (DECIMAL, not raw double → string): the
+    * reference prints Java `Double.toString`, which flips to scientific
+    * notation at 1e7 — a notation no other engine reproduces — so the
+    * report trades that Java-ism for engine-portable fixed-point, same
+    * values. An aggregator type outside the registry
     * FAILS the job — the reference NPEs on unknown descriptors, and
     * silently dropping those groups would be invisible data loss.
     * DoubleValueSum accumulates in DECIMAL so the report is
@@ -235,10 +243,11 @@ object StreamJob {
     val doubleVal = when(col("atype") === "DoubleValueSum", col("value"))
       .cast(DecimalType(18, 4))
     val histF = when(col("atype") === "ValueHistogram", col("f"))
+    val histFd = histF.cast(DecimalType(38, 0))
     freq.groupBy(col("atype"), col("id"))
       .agg(
         sum(numericVal * col("f")).as("lsum"),
-        round(sum(doubleVal * col("f")), 2).cast("double").as("dsum"),
+        round(sum(doubleVal * col("f")), 2).as("dsum"),
         max(numericVal).as("lmax"),
         min(numericVal).as("lmin"),
         max(col("value")).as("smax"),
@@ -246,8 +255,8 @@ object StreamJob {
         count(lit(1)).as("nvals"), // rows here = distinct values of the id
         min(histF).as("min_f"),
         max(histF).as("max_f"),
-        sum(histF).as("s"),
-        sum(histF * histF).as("ssq"),
+        sum(histFd).as("s"),
+        sum(histFd * histFd).as("ssq"),
         sort_array(collect_list(histF)).as("fs"))
       .select(
         col("id").as("key"),
@@ -263,8 +272,10 @@ object StreamJob {
             col("min_f"),
             element_at(col("fs"), (col("nvals") / 2).cast("int") + 1),
             col("max_f"),
-            (col("s").cast("double") / col("nvals")),
-            sqrt((col("ssq").cast("double") - col("s").cast("double") * col("s").cast("double") / col("nvals")) / col("nvals"))))
+            round(col("s").cast("double") / col("nvals"), 2)
+              .cast(DecimalType(38, 2)),
+            round(sqrt((col("ssq").cast("double") - col("s").cast("double") * col("s").cast("double") / col("nvals")) / col("nvals")), 2)
+              .cast(DecimalType(38, 2))))
           // unknown aggregator (or a key with no ':' at all) = corrupt
           // mapper output; vanishing groups would be silent data loss
           .otherwise(raise_error(concat(

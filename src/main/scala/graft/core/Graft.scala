@@ -54,14 +54,39 @@ object Graft {
   /** Scratch directory for query round-trip fixtures — ONE definition of
     * the path scheme so isolation or cleanup changes land in one place.
     * Paths are namespaced per JVM (pid): a Verify and a Bench running
-    * concurrently must never write the same round-trip fixture dir, and a
-    * crashed run's leftovers can't be mistaken for this run's output.
+    * concurrently must never write the same round-trip fixture dir.
     * Within one JVM the per-name dir is stable, so repeated invocations
-    * of a query reuse (overwrite) their own fixture.
+    * of a query reuse (overwrite) their own fixture. The run root is
+    * wiped on first use (a recycled pid must not inherit a crashed run's
+    * leftovers) and deleted again by a shutdown hook, so runs don't
+    * accumulate fixture trees in the tmpdir.
     */
-  private val runNs: Long = ProcessHandle.current().pid()
-  def scratch(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-run$runNs/$name"
+  private lazy val runRoot: java.nio.file.Path = {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    // sweep dirs whose owning JVM died without its hook (kill -9, OOM):
+    // only dead pids — a live concurrent run's fixtures are untouchable
+    java.nio.file.Files.list(tmp).iterator().asScala
+      .filter(_.getFileName.toString.matches("graft-run[0-9]+"))
+      .filter { d =>
+        val pid = d.getFileName.toString.stripPrefix("graft-run").toLong
+        ProcessHandle.of(pid).isEmpty
+      }
+      .foreach(deleteTree)
+    val p = tmp.resolve(s"graft-run${ProcessHandle.current().pid()}")
+    deleteTree(p)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p)))
+    p
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+
+  def scratch(name: String): String = s"$runRoot/$name"
 
   /** Load one of the driver tables (TESTDATA.md): `$dir/$name.parquet`.
     *

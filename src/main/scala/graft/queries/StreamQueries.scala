@@ -109,9 +109,11 @@ object StreamQueries {
     * output value is `item \t count` split on the LAST tab
     * (`ValueHistogram.java:47-66`), so the per-flag report aggregates
     * sum-of-weights frequencies, not line counts. The oracle recomputes
-    * the full [uniq, min, median, max, mean, stddev] report in SQL; every
-    * mean/stddev here is a dyadic rational (n ≤ 2 items per flag), so the
-    * double → string rendering is bit-identical across engines.
+    * the full [uniq, min, median, max, mean, stddev] report in SQL;
+    * mean/stddev render at a fixed 2-decimal scale on both engines (raw
+    * double → string would flip to Java scientific notation at 1e7), and
+    * the values themselves are dyadic rationals here (n ≤ 2 items per
+    * flag), so the 2-decimal rounding is exact, not approximate.
     */
   val q95StreamHistogram = Q.checked(
     "q95_stream_histogram",
@@ -123,8 +125,8 @@ object StreamQueries {
       |  count(*) || chr(9) || min(f) || chr(9) ||
       |  (list_sort(list(f)))[CAST(count(*) // 2 AS BIGINT) + 1] || chr(9) ||
       |  max(f) || chr(9) ||
-      |  CAST(CAST(sum(f) AS DOUBLE) / count(*) AS VARCHAR) || chr(9) ||
-      |  CAST(sqrt((CAST(sum(f*f) AS DOUBLE) - CAST(sum(f) AS DOUBLE) * CAST(sum(f) AS DOUBLE) / count(*)) / count(*)) AS VARCHAR) AS value
+      |  CAST(CAST(round(CAST(sum(f) AS DOUBLE) / count(*), 2) AS DECIMAL(38,2)) AS VARCHAR) || chr(9) ||
+      |  CAST(CAST(round(sqrt((CAST(sum(CAST(f AS HUGEINT)*f) AS DOUBLE) - CAST(sum(f) AS DOUBLE) * CAST(sum(f) AS DOUBLE) / count(*)) / count(*)), 2) AS DECIMAL(38,2)) AS VARCHAR) AS value
       |FROM freq GROUP BY id""") { (s, dir) =>
     val in = tmp("q95in")
     table(s, dir, "lineitem")

@@ -37,8 +37,9 @@ object XmlScan {
     * stays inside its enclosing record; this split-on-begin shape would
     * instead cut at the inner tag — the head chunk (no end pattern) is
     * dropped and a truncated span is emitted. For inputs where the record
-    * tag can nest, pass a more specific begin pattern (e.g. a top-level
-    * attribute-qualified form) so occurrences are unambiguous.
+    * tag can nest, use [[recordsExact]] (the reference's begin-then-end
+    * scan, file-parallel) or pass a more specific begin pattern (e.g. a
+    * top-level attribute-qualified form) so occurrences are unambiguous.
     */
   def records(spark: SparkSession, path: String,
               beginTag: String, endTag: String): DataFrame = {
@@ -49,5 +50,27 @@ object XmlScan {
       .select(concat(
         lit(beginTag),
         col("value").substr(lit(1), end + endTag.length - 1)).as("record"))
+  }
+
+  /** Begin-to-first-end extraction with the reference's EXACT nested-begin
+    * behavior: the file content is scanned left to right for
+    * `begin … end` spans (non-greedy, DOTALL), so a record runs from a
+    * begin pattern to the first end pattern after it and a nested begin
+    * stays inside its enclosing record — precisely
+    * `StreamXmlRecordReader.java:301`'s scan loop. The cost of exactness
+    * is file-level rather than split-level parallelism (`wholeTextFiles`
+    * reads each file as one value): right for many modest XML files;
+    * for huge splittable files whose record tag is known not to nest,
+    * [[records]] is the scalable path.
+    */
+  def recordsExact(spark: SparkSession, path: String,
+                   beginTag: String, endTag: String): DataFrame = {
+    import spark.implicits._
+    val pattern =
+      "(?s)" + java.util.regex.Pattern.quote(beginTag) +
+        ".*?" + java.util.regex.Pattern.quote(endTag)
+    spark.sparkContext.wholeTextFiles(path).toDF("file", "content")
+      .select(explode(
+        regexp_extract_all(col("content"), lit(pattern), lit(0))).as("record"))
   }
 }

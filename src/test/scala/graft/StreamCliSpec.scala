@@ -104,6 +104,7 @@ class StreamCliSpec extends AnyFunSuite {
     import spark.implicits._
     val in = writeLines("aggred", Seq(
       "LongValueSum:a\t3", "LongValueSum:a\t4",
+      "DoubleValueSum:d\t1.25", "DoubleValueSum:d\t2.5",
       "LongValueMax:m\t7", "LongValueMax:m\t2",
       "LongValueMin:n\t7", "LongValueMin:n\t2",
       "StringValueMax:s\tzz", "StringValueMax:s\taa",
@@ -115,9 +116,9 @@ class StreamCliSpec extends AnyFunSuite {
     val got = StreamJob.run(spark, Seq("-input", in, "-reducer", "aggregate"))
       .as[(String, String)].collect().toMap
     assert(got == Map(
-      "a" -> "7", "m" -> "7", "n" -> "2",
+      "a" -> "7", "d" -> "3.75", "m" -> "7", "n" -> "2",
       "s" -> "zz", "t" -> "aa", "u" -> "2",
-      "h" -> "2\t1\t3\t3\t2.0\t1.0"))
+      "h" -> "2\t1\t3\t3\t2.00\t1.00"))
   }
 
   test("aggregate ValueHistogram parses 'item\\tcount' weights on the last tab") {
@@ -131,11 +132,24 @@ class StreamCliSpec extends AnyFunSuite {
       "ValueHistogram:g\ta\tb\t2", "ValueHistogram:g\tc\t2"))
     val got = StreamJob.run(spark, Seq("-input", in, "-reducer", "aggregate"))
       .as[(String, String)].collect().toMap
-    // h: frequencies {v1: 3, v2: 1} → uniq=2 min=1 median=3 max=3 mean=2.0 sd=1.0
-    // g: frequencies {a\tb: 2, c: 2} → uniq=2 min=2 median=2 max=2 mean=2.0 sd=0.0
+    // h: frequencies {v1: 3, v2: 1} → uniq=2 min=1 median=3 max=3 mean=2.00 sd=1.00
+    // g: frequencies {a\tb: 2, c: 2} → uniq=2 min=2 median=2 max=2 mean=2.00 sd=0.00
     assert(got == Map(
-      "h" -> "2\t1\t3\t3\t2.0\t1.0",
-      "g" -> "2\t2\t2\t2\t2.0\t0.0"))
+      "h" -> "2\t1\t3\t3\t2.00\t1.00",
+      "g" -> "2\t2\t2\t2\t2.00\t0.00"))
+  }
+
+  test("aggregate ValueHistogram survives weight sums past long squares") {
+    import spark.implicits._
+    // f = 8e9 squares to 6.4e19 > Long.MaxValue: long arithmetic would
+    // wrap ssq negative and emit a NaN stddev — the decimal moment sums
+    // must keep the report exact
+    val in = writeLines("agghbig",
+      Seq("ValueHistogram:h\tv\t4000000000", "ValueHistogram:h\tv\t4000000000"))
+    val got = StreamJob.run(spark, Seq("-input", in, "-reducer", "aggregate"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map(
+      "h" -> "1\t8000000000\t8000000000\t8000000000\t8000000000.00\t0.00"))
   }
 
   test("aggregate ValueHistogram fails loudly on a non-numeric count") {

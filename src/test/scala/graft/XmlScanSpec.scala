@@ -32,6 +32,31 @@ class XmlScanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
   }
 
+  test("recordsExact keeps nested begin tags inside one record") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xmlnest")
+    // the reference's begin-then-end scan: the nested <doc> stays inside
+    // the record, which ends at the FIRST </doc> after its begin
+    java.nio.file.Files.write(dir.resolve("n.xml"),
+      "pre<doc>a<doc>b</doc>mid<doc>c</doc>post".getBytes("UTF-8"))
+    val got = XmlScan.recordsExact(spark, dir.toString, "<doc>", "</doc>")
+      .as[String].collect().toSeq
+    assert(got == Seq("<doc>a<doc>b</doc>", "<doc>c</doc>"))
+  }
+
+  test("recordsExact matches records() on non-nested multi-record files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xmlboth")
+    val body = (1 to 50).map(i => s"<rec>\n<key>$i</key>\n</rec>")
+      .mkString("\njunk\n")
+    java.nio.file.Files.write(dir.resolve("b.xml"), body.getBytes("UTF-8"))
+    val a = XmlScan.records(spark, dir.toString, "<rec>", "</rec>")
+      .as[String].collect().toSet
+    val b = XmlScan.recordsExact(spark, dir.toString, "<rec>", "</rec>")
+      .as[String].collect().toSet
+    assert(a.nonEmpty && a == b)
+  }
+
   test("a truncated trailing record is dropped, not fabricated") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-xmltrunc")
