@@ -122,7 +122,41 @@ object AggQueries {
       .select(col("event_type"), col("r.cnt").as("cnt"), col("r.items").as("items"))
   }
 
+  /** Per-group z-score outlier detection — the statistical quality-filter
+    * a curation pipeline runs before training: per event_type moments in
+    * exact DECIMAL (one cast to DOUBLE at the end, so both engines derive
+    * bit-identical mean/variance), broadcast back onto the fact rows, and
+    * rows beyond 3σ flagged. The z column is a raw DOUBLE — the compare
+    * is on bits, and every operation from the decimal sums onward is the
+    * same IEEE expression on both engines.
+    */
+  val q78ZscoreOutliers = Q.checked(
+    "q78_zscore_outliers",
+    """WITH st AS (
+      |  SELECT event_type AS et, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sq
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  (e.value - s / n) / sqrt((sq - s * s / n) / n) AS z
+      |FROM events e JOIN st ON st.et = e.event_type
+      |WHERE abs((e.value - s / n) / sqrt((sq - s * s / n) / n)) > 3""") { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val ev = table(s, dir, "events")
+    val v = col("value").cast(DecimalType(18, 4))
+    val st = ev.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"),
+        sum(v).cast("double").as("s"),
+        sum(v * v).cast("double").as("sq"))
+    val z = (col("value") - col("s") / col("n")) /
+      sqrt((col("sq") - col("s") * col("s") / col("n")) / col("n"))
+    ev.join(broadcast(st), col("event_type") === col("et"))
+      .withColumn("z", z)
+      .filter(abs(col("z")) > 3)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+  }
+
   val all: Vector[Q] =
     Vector(q20AggDescriptor, q21UniqCapped, q22Histogram, q23MaxMin,
-      q24Distinct, q25UniqTyped)
+      q24Distinct, q25UniqTyped, q78ZscoreOutliers)
 }

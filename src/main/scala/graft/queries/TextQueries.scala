@@ -191,7 +191,60 @@ object TextQueries {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
   }
 
+  /** Collocation mining (PMI-ranked bigrams) — the text-analysis step for
+    * tokenizer/vocab curation: corpus bigram and unigram counts, and the
+    * PMI *ratio* `c(ab)·N_uni² / (c(a)·c(b)·N_bi)` (the log's argument;
+    * emitting the ratio instead of the log keeps the column bit-identical
+    * across engines — ln differs in ulps between libms, division of
+    * identical operands cannot). Counts are corpus-wide aggregations with
+    * map-side partial agg; totals ride in as broadcast single-row frames;
+    * top-50 via the bounded rank-filter pattern.
+    */
+  val q77Collocations = Q.checked(
+    "q77_collocations",
+    """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |bi AS (SELECT unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS bg FROM w),
+      |uni AS (SELECT unnest(w) AS tok FROM w),
+      |bc AS (SELECT bg, count(*) AS c_ab FROM bi GROUP BY bg HAVING count(*) >= 5),
+      |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+      |nu AS (SELECT count(*) AS n_uni FROM uni),
+      |nb AS (SELECT count(*) AS n_bi FROM bi)
+      |SELECT bg, c_ab, c_a, c_b, ratio, rank FROM (
+      |  SELECT bc.bg, bc.c_ab, ua.c AS c_a, ub.c AS c_b,
+      |    CAST(bc.c_ab AS DOUBLE) * nu.n_uni * nu.n_uni / (CAST(ua.c AS DOUBLE) * ub.c * nb.n_bi) AS ratio,
+      |    row_number() OVER (ORDER BY CAST(bc.c_ab AS DOUBLE) * nu.n_uni * nu.n_uni / (CAST(ua.c AS DOUBLE) * ub.c * nb.n_bi) DESC, bc.bg) AS rank
+      |  FROM bc
+      |  JOIN uc ua ON ua.tok = split_part(bc.bg, ' ', 1)
+      |  JOIN uc ub ON ub.tok = split_part(bc.bg, ' ', 2)
+      |  CROSS JOIN nu CROSS JOIN nb
+      |) WHERE rank <= 50""") { (s, dir) =>
+    import graft.operators.Dedup
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(s, dir, "documents")
+    val bi = docs.select(explode(Dedup.bigrams(col("text"))).as("bg"))
+    val uni = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val bc = bi.groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    val uc = uni.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nu = uni.agg(count(lit(1)).as("n_uni"))
+    val nb = bi.agg(count(lit(1)).as("n_bi"))
+    bc
+      .join(uc.select(col("tok").as("ta"), col("c").as("c_a")),
+        substring_index(col("bg"), " ", 1) === col("ta"))
+      .join(uc.select(col("tok").as("tb"), col("c").as("c_b")),
+        substring_index(col("bg"), " ", -1) === col("tb"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .withColumn("ratio",
+        col("c_ab").cast("double") * col("n_uni") * col("n_uni") /
+          (col("c_a").cast("double") * col("c_b") * col("n_bi")))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("ratio").desc, col("bg"))))
+      .filter(col("rank") <= 50)
+      .select(col("bg"), col("c_ab"), col("c_a"), col("c_b"), col("ratio"),
+        col("rank").cast("long").as("rank"))
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q72TokenCount, q73Fingerprint,
-      q74InvertedIndex, q76StratifiedSplit)
+      q74InvertedIndex, q76StratifiedSplit, q77Collocations)
 }
