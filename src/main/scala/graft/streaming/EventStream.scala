@@ -86,6 +86,26 @@ object EventStream {
       .drop("window")
   }
 
+  /** Watermarked stream-stream interval join: each left event matched to
+    * right events with the same key whose timestamps land inside
+    * `[left.ts, left.ts + within]`. Both sides carry watermarks and the
+    * join condition bounds the event-time range, so the state store
+    * retains only rows inside the watermark + interval horizon — the
+    * REQUIRED shape for an unbounded-source join (an unconstrained
+    * stream-stream join would buffer both streams forever). Inner join:
+    * results emit as soon as both sides arrive; state evicts as the
+    * watermark passes each row's ts + within.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   watermark: String, within: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"))
+  }
+
   /** Output mode each sink should use. */
   val windowedMode: OutputMode = OutputMode.Append()
   val statefulMode: OutputMode = OutputMode.Update()

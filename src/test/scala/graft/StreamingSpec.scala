@@ -154,6 +154,36 @@ class StreamingSpec extends AnyFunSuite {
       ("2026-01-01 10:20:00.000001", 1L)))
   }
 
+  test("stream-stream interval join matches within the window, bounded state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = EventStream.intervalJoin(
+      clicks.toDF(), buys.toDF(), "eventType", "1 hour", "30 minutes")
+      .select(col("l.eventType").as("k"),
+        col("l.ts").cast("string").as("click_ts"),
+        col("r.ts").cast("string").as("buy_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        Event(ts("2026-01-01 10:00:00"), "u1", 1.0),
+        Event(ts("2026-01-01 10:00:00"), "u3", 1.0))
+      buys.addData(
+        Event(ts("2026-01-01 10:20:00"), "u1", 9.0), // within 30 min: match
+        Event(ts("2026-01-01 11:00:00"), "u1", 9.0), // past the interval: no
+        Event(ts("2026-01-01 09:59:00"), "u1", 9.0), // before the click: no
+        Event(ts("2026-01-01 10:10:00"), "u2", 9.0)) // no matching click: no
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k, click_ts, buy_ts FROM ssj_out")
+        .as[(String, String, String)].collect().toSet
+      assert(rows == Set(
+        ("u1", "2026-01-01 10:00:00", "2026-01-01 10:20:00")))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
