@@ -234,7 +234,9 @@ object StreamJob {
     val freq = typed
       .select(col("atype"), col("id"),
         when(isHist, histItem).otherwise(col("value")).as("value"),
-        when(isHist, histWeight).otherwise(lit(1L)).as("w"))
+        // DECIMAL from the FIRST sum: a long Σw wraps silently too
+        when(isHist, histWeight).otherwise(lit(1L))
+          .cast(DecimalType(38, 0)).as("w"))
       .groupBy(col("atype"), col("id"), col("value"))
       .agg(sum(col("w")).as("f"))
     val numericVal = when(
@@ -256,7 +258,10 @@ object StreamJob {
         min(histF).as("min_f"),
         max(histF).as("max_f"),
         sum(histFd).as("s"),
-        sum(histFd * histFd).as("ssq"),
+        // Σf² in DOUBLE: the variance subtraction is double anyway, so
+        // decimal exactness buys nothing here, and squares of 1e19-scale
+        // frequencies would overflow DECIMAL(38,0)'s loud ANSI error
+        sum(histF.cast("double") * histF.cast("double")).as("ssq"),
         sort_array(collect_list(histF)).as("fs"))
       .select(
         col("id").as("key"),
@@ -274,7 +279,13 @@ object StreamJob {
             col("max_f"),
             round(col("s").cast("double") / col("nvals"), 2)
               .cast(DecimalType(38, 2)),
-            round(sqrt((col("ssq").cast("double") - col("s").cast("double") * col("s").cast("double") / col("nvals")) / col("nvals")), 2)
+            // one-pass moment variance (reference-parity formula) can go
+            // slightly negative from double cancellation; clamped at 0 so
+            // sqrt can never yield NaN → DECIMAL NULL → a report whose
+            // stddev field silently vanishes from concat_ws
+            round(sqrt(greatest(
+              (col("ssq").cast("double") - col("s").cast("double") * col("s").cast("double") / col("nvals")) / col("nvals"),
+              lit(0.0))), 2)
               .cast(DecimalType(38, 2))))
           // unknown aggregator (or a key with no ':' at all) = corrupt
           // mapper output; vanishing groups would be silent data loss

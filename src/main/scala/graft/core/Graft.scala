@@ -63,27 +63,40 @@ object Graft {
     */
   private lazy val runRoot: java.nio.file.Path = {
     import scala.jdk.CollectionConverters._
+    import scala.util.Try
     val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     // sweep dirs whose owning JVM died without its hook (kill -9, OOM):
-    // only dead pids — a live concurrent run's fixtures are untouchable
-    java.nio.file.Files.list(tmp).iterator().asScala
-      .filter(_.getFileName.toString.matches("graft-run[0-9]+"))
-      .filter { d =>
-        val pid = d.getFileName.toString.stripPrefix("graft-run").toLong
-        ProcessHandle.of(pid).isEmpty
-      }
-      .foreach(deleteTree)
+    // only dead pids — a live concurrent run's fixtures are untouchable.
+    // Best-effort hygiene: two runs may race on the same dead dir, or a
+    // foreign/undeletable dir may match — neither may fail THIS run, so
+    // every step is exception-tolerant.
+    Try {
+      val ls = java.nio.file.Files.list(tmp)
+      try {
+        ls.iterator().asScala
+          .filter(_.getFileName.toString.matches("graft-run[0-9]+"))
+          .filter { d =>
+            d.getFileName.toString.stripPrefix("graft-run").toLongOption
+              .exists(pid => ProcessHandle.of(pid).isEmpty)
+          }
+          .foreach(d => Try(deleteTree(d)))
+      } finally ls.close()
+    }
     val p = tmp.resolve(s"graft-run${ProcessHandle.current().pid()}")
     deleteTree(p)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p)))
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => scala.util.Try(deleteTree(p))))
     p
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(f => java.nio.file.Files.deleteIfExists(f))
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala
+        .foreach(f => scala.util.Try(java.nio.file.Files.deleteIfExists(f)))
+      finally walk.close()
     }
 
   def scratch(name: String): String = s"$runRoot/$name"

@@ -128,7 +128,10 @@ object AggQueries {
     * bit-identical mean/variance), broadcast back onto the fact rows, and
     * rows beyond 3σ flagged. The z column is a raw DOUBLE — the compare
     * is on bits, and every operation from the decimal sums onward is the
-    * same IEEE expression on both engines.
+    * same IEEE expression on both engines. A zero-variance (or singleton)
+    * group is guarded out explicitly: 0/0 is NaN in Spark but NULL in
+    * DuckDB, and `abs(NaN) > 3` holds in Spark — without the guard a
+    * constant group would flag EVERY row as an outlier.
     */
   val q78ZscoreOutliers = Q.checked(
     "q78_zscore_outliers",
@@ -140,7 +143,8 @@ object AggQueries {
       |SELECT e.event_id, e.event_type, e.value,
       |  (e.value - s / n) / sqrt((sq - s * s / n) / n) AS z
       |FROM events e JOIN st ON st.et = e.event_type
-      |WHERE abs((e.value - s / n) / sqrt((sq - s * s / n) / n)) > 3""") { (s, dir) =>
+      |WHERE (sq - s * s / n) / n > 0
+      |  AND abs((e.value - s / n) / sqrt((sq - s * s / n) / n)) > 3""") { (s, dir) =>
     import org.apache.spark.sql.types.DecimalType
     val ev = table(s, dir, "events")
     val v = col("value").cast(DecimalType(18, 4))
@@ -150,9 +154,10 @@ object AggQueries {
         sum(v * v).cast("double").as("sq"))
     val z = (col("value") - col("s") / col("n")) /
       sqrt((col("sq") - col("s") * col("s") / col("n")) / col("n"))
+    val variance = (col("sq") - col("s") * col("s") / col("n")) / col("n")
     ev.join(broadcast(st), col("event_type") === col("et"))
       .withColumn("z", z)
-      .filter(abs(col("z")) > 3)
+      .filter(variance > 0 && abs(col("z")) > 3)
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
   }
 

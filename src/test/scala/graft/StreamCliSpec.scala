@@ -144,12 +144,32 @@ class StreamCliSpec extends AnyFunSuite {
     // f = 8e9 squares to 6.4e19 > Long.MaxValue: long arithmetic would
     // wrap ssq negative and emit a NaN stddev — the decimal moment sums
     // must keep the report exact
-    val in = writeLines("agghbig",
-      Seq("ValueHistogram:h\tv\t4000000000", "ValueHistogram:h\tv\t4000000000"))
+    val in = writeLines("agghbig", Seq(
+      "ValueHistogram:h\tv\t4000000000", "ValueHistogram:h\tv\t4000000000",
+      // Σw itself past Long.MaxValue: the FIRST-stage sum must be decimal
+      "ValueHistogram:g\tv\t5000000000000000000",
+      "ValueHistogram:g\tv\t5000000000000000000"))
     val got = StreamJob.run(spark, Seq("-input", in, "-reducer", "aggregate"))
       .as[(String, String)].collect().toMap
     assert(got == Map(
-      "h" -> "1\t8000000000\t8000000000\t8000000000\t8000000000.00\t0.00"))
+      "h" -> "1\t8000000000\t8000000000\t8000000000\t8000000000.00\t0.00",
+      "g" -> ("1\t10000000000000000000\t10000000000000000000" +
+        "\t10000000000000000000\t10000000000000000000.00\t0.00")))
+  }
+
+  test("histogram stddev field survives catastrophic cancellation") {
+    import spark.implicits._
+    // frequencies 1e9 and 1e9+7: the one-pass double variance loses the
+    // true 3.5 stddev to cancellation (ulp ~256 at 2e18) and could go
+    // negative; the clamp must keep the field a number — never a NaN that
+    // casts to NULL and silently vanishes from the 6-field report
+    val in = writeLines("agghcancel", Seq(
+      "ValueHistogram:h\tv1\t1000000000", "ValueHistogram:h\tv2\t1000000007"))
+    val got = StreamJob.run(spark, Seq("-input", in, "-reducer", "aggregate"))
+      .as[(String, String)].collect().toMap
+    val fields = got("h").split("\t", -1)
+    assert(fields.length == 6, s"report must keep 6 fields, got: ${got("h")}")
+    assert(fields(5).matches("[0-9]+\\.[0-9]{2}"), s"stddev not numeric: ${fields(5)}")
   }
 
   test("aggregate ValueHistogram fails loudly on a non-numeric count") {
