@@ -49,6 +49,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q77 collocation rank is bounded below the global window") {
+    val p = plan(graft.queries.TextQueries.q77Collocations)
+    assert(boundedRank(p), p)
+  }
+
+  test("q78 joins the 5-row stats side as a broadcast, never a shuffle") {
+    val p = plan(graft.queries.AggQueries.q78ZscoreOutliers)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q76 stratified sample scans documents once with pruned columns") {
+    val p = plan(graft.queries.TextQueries.q76StratifiedSplit)
+    // only doc_id and lang should be read — text (the wide column) pruned
+    assert(p.contains("ReadSchema") && !p.contains("text"), p)
+  }
+
+  test("q58 component rounds join hash-to-hash, never cartesian") {
+    val p = plan(graft.queries.DedupQueries.q58DedupGroups)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft-prune-test"
     import org.apache.spark.sql.functions._
