@@ -35,6 +35,18 @@ object Bench {
         spark.read.parquet(s"$sfDir/$t.parquet").agg(count(lit(1))).collect()
       }
     }
+    // fixed-work CPU calibration (single-thread xorshift): query seconds
+    // divided by this constant are comparable across rounds even when the
+    // host is contended (observed: 10% steal + forced idle turns the same
+    // binary 3x slower) — same work every run, so it moves with the noise
+    val calibMs = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42) System.err.println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e6
+    }
     val errs = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
@@ -55,7 +67,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"calib_spin_ms":$calibMs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
