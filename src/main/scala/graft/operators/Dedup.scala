@@ -126,8 +126,12 @@ object Dedup {
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // seed labels with the first propagation round for free: label(v) =
+    // min(v, min neighbor) is one grouped aggregation over the edge list,
+    // no join — saves a full join round
+    var labels = edges.groupBy(col("a").as("id"))
+      .agg(min(col("b")).as("nb"))
+      .select(col("id"), least(col("id"), col("nb")).as("lbl"))
       .persist()
     // coalesce: sum over zero rows is null (empty pair set = no components)
     def labelSum(df: DataFrame): Long =
