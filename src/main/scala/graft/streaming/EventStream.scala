@@ -106,6 +106,23 @@ object EventStream {
         col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"))
   }
 
+  /** Idempotent `foreachBatch` parquet sink — exactly-once-to-storage on
+    * a non-transactional sink: each micro-batch lands in its OWN
+    * `batch_id=` partition with dynamic partition overwrite, so a
+    * replayed batch (post-crash re-execution of the same epoch) rewrites
+    * its partition instead of appending duplicates. Pair with a
+    * checkpointLocation; the contract is Spark's "batchId is stable
+    * across replays" guarantee. Readers see the union of partitions —
+    * `spark.read.parquet(path)` — and can drop `batch_id` or prune on it.
+    */
+  def idempotentParquetWriter(path: String): (DataFrame, Long) => Unit =
+    (batch, id) =>
+      batch.withColumn("batch_id", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+
   /** Output mode each sink should use. */
   val windowedMode: OutputMode = OutputMode.Append()
   val statefulMode: OutputMode = OutputMode.Update()
