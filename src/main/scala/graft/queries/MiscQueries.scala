@@ -149,9 +149,11 @@ object MiscQueries {
     "q54_jdbc",
     """SELECT event_type AS url, count(*) AS views
       |FROM events GROUP BY event_type""") { (s, dir) =>
-    // keep Derby's home (and derby.log) out of the working directory
+    // keep Derby's home (and derby.log) out of the working directory, and
+    // the database itself under the per-run scratch: embedded Derby locks
+    // a db dir to ONE JVM, so a shared path fails any concurrent run
     System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
-    val url = s"jdbc:derby:${System.getProperty("java.io.tmpdir")}/graft-derby;create=true"
+    val url = s"jdbc:derby:${graft.core.Graft.scratch("derby")};create=true"
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     table(s, dir, "events")
