@@ -33,6 +33,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fromPairs.nonEmpty && fromPairs == fromStars)
   }
 
+  test("connectedComponents folds a 100-node path in few rounds (pointer jump)") {
+    import graft.operators.Dedup
+    // a pure path graph is the worst case for plain min-propagation
+    // (diameter = n); pointer jumping must close it within the default
+    // maxIter of 20 (~log2(100) + seed rounds), with every label = 1
+    val pairs = (1L until 100L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(got.length == 100 && got.forall(_._2 == 1L))
+  }
+
+  test("connectedComponents throws on maxIter exhaustion, never under-merges") {
+    import graft.operators.Dedup
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[RuntimeException](
+      Dedup.connectedComponents(pairs, maxIter = 2))
+    assert(e.getMessage.contains("no fixpoint"))
+  }
+
   test("connectedComponents of an empty pair set is empty") {
     import graft.operators.Dedup
     val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
