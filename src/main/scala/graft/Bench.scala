@@ -38,8 +38,10 @@ object Bench {
     // fixed-work CPU calibration (single-thread xorshift): query seconds
     // divided by this constant are comparable across rounds even when the
     // host is contended (observed: 10% steal + forced idle turns the same
-    // binary 3x slower) — same work every run, so it moves with the noise
-    val calibMs = {
+    // binary 3x slower) — same work every run, so it moves with the noise.
+    // Sampled BEFORE and AFTER the query loop: contention arriving
+    // mid-bench shows up as pre/post divergence, not silently.
+    def calibMs: Double = {
       val t0 = System.nanoTime()
       var x = 0x9E3779B97F4A7C15L
       var i = 0
@@ -47,6 +49,7 @@ object Bench {
       if (x == 42) System.err.println("") // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e6
     }
+    val calibPre = calibMs
     val errs = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
@@ -67,7 +70,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"calib_spin_ms":$calibMs,"sf":"$sfDir"}""")
+    val calibPost = calibMs
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"calib_spin_ms":$calibPre,"calib_spin_ms_post":$calibPost,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -116,12 +116,17 @@ object EventStream {
     * `spark.read.parquet(path)` — and can drop `batch_id` or prune on it.
     */
   def idempotentParquetWriter(path: String): (DataFrame, Long) => Unit =
-    (batch, id) =>
+    (batch, id) => {
+      // withColumn would silently REPLACE a user column of this name and
+      // repurpose it as the partition value — refuse instead of losing data
+      require(!batch.columns.contains("batch_id"),
+        "idempotentParquetWriter reserves column name 'batch_id'; rename the source column")
       batch.withColumn("batch_id", lit(id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(path)
+    }
 
   /** Output mode each sink should use. */
   val windowedMode: OutputMode = OutputMode.Append()
