@@ -258,10 +258,6 @@ object StreamJob {
         min(histF).as("min_f"),
         max(histF).as("max_f"),
         sum(histFd).as("s"),
-        // Σf² in DOUBLE: the variance subtraction is double anyway, so
-        // decimal exactness buys nothing here, and squares of 1e19-scale
-        // frequencies would overflow DECIMAL(38,0)'s loud ANSI error
-        sum(histF.cast("double") * histF.cast("double")).as("ssq"),
         sort_array(collect_list(histF)).as("fs"))
       .select(
         col("id").as("key"),
@@ -282,9 +278,17 @@ object StreamJob {
             // one-pass moment variance (reference-parity formula) can go
             // slightly negative from double cancellation; clamped at 0 so
             // sqrt can never yield NaN → DECIMAL NULL → a report whose
-            // stddev field silently vanishes from concat_ws
+            // stddev field silently vanishes from concat_ws.
+            // Σf² is a sequential double fold over the SORTED fs array —
+            // the oracle uses the identical recipe (list_sum over
+            // list_transform of list_sort), so both engines execute the
+            // same IEEE multiply/add sequence and agree bit-for-bit at any
+            // magnitude (exact-int-then-cast vs incremental double would
+            // diverge once f² leaves the 2^53 exact range).
             round(sqrt(greatest(
-              (col("ssq").cast("double") - col("s").cast("double") * col("s").cast("double") / col("nvals")) / col("nvals"),
+              (aggregate(col("fs"), lit(0.0),
+                (acc, x) => acc + x.cast("double") * x.cast("double"))
+                - col("s").cast("double") * col("s").cast("double") / col("nvals")) / col("nvals"),
               lit(0.0))), 2)
               .cast(DecimalType(38, 2))))
           // unknown aggregator (or a key with no ':' at all) = corrupt

@@ -96,14 +96,23 @@ object Dedup {
     * bucket-quadratic edge volume. Star hubs also shorten propagation
     * paths, so [[connectedComponents]] converges in fewer rounds.
     * (OperatorsSpec asserts pair-graph and star-graph components match.)
+    *
+    * Hub discovery is agg(min) + join-back, NOT collect_set: a skewed
+    * bucket (many identical/empty docs sharing a band signature) must not
+    * concentrate its whole membership in one aggregation buffer — the
+    * join streams members past the hub row, keeping per-task state O(1)
+    * per bucket regardless of bucket size.
     */
-  def bucketStarEdges(bands: DataFrame): DataFrame =
-    bands.groupBy(col("band"), col("key"))
-      .agg(min(col("id")).as("hub"), collect_set(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("a"), col("hub").as("b"))
-      .filter(col("a") =!= col("b"))
+  def bucketStarEdges(bands: DataFrame): DataFrame = {
+    val hubs = bands.groupBy(col("band"), col("key"))
+      .agg(min(col("id")).as("hub"))
+    // both sides hash-partitioned on (band, key) by the agg → the join
+    // reuses that exchange; singleton buckets vanish via a =!= hub
+    bands.join(hubs, Seq("band", "key"))
+      .filter(col("id") =!= col("hub"))
+      .select(col("id").as("a"), col("hub").as("b"))
       .distinct()
+  }
 
   /** Near-dup GROUPS from candidate pairs: connected components by
     * iterative min-label propagation — each round every node takes the

@@ -126,7 +126,7 @@ object StreamQueries {
       |  (list_sort(list(f)))[CAST(count(*) // 2 AS BIGINT) + 1] || chr(9) ||
       |  max(f) || chr(9) ||
       |  CAST(CAST(round(CAST(sum(f) AS DOUBLE) / count(*), 2) AS DECIMAL(38,2)) AS VARCHAR) || chr(9) ||
-      |  CAST(CAST(round(sqrt((CAST(sum(CAST(f AS HUGEINT)*f) AS DOUBLE) - CAST(sum(f) AS DOUBLE) * CAST(sum(f) AS DOUBLE) / count(*)) / count(*)), 2) AS DECIMAL(38,2)) AS VARCHAR) AS value
+      |  CAST(CAST(round(sqrt(greatest((list_sum(list_transform(list_sort(list(f)), x -> CAST(x AS DOUBLE)*x)) - CAST(sum(f) AS DOUBLE) * CAST(sum(f) AS DOUBLE) / count(*)) / count(*), 0)), 2) AS DECIMAL(38,2)) AS VARCHAR) AS value
       |FROM freq GROUP BY id""") { (s, dir) =>
     val in = tmp("q95in")
     table(s, dir, "lineitem")
@@ -153,12 +153,14 @@ object StreamQueries {
     */
   val q68Sessionize = Q.checked(
     "q68_sessionize",
-    """WITH marks AS (
+    """WITH us AS (
+      |  SELECT user_id, ts, epoch_us(ts) AS ts_us FROM events),
+      |marks AS (
       |  SELECT user_id, ts,
-      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 8 HOUR
+      |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+      |           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 28800000000
       |         THEN 1 ELSE 0 END AS new_s
-      |  FROM events),
+      |  FROM us),
       |sess AS (
       |  SELECT user_id, ts,
       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
