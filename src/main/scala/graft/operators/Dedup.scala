@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Hashing
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for large-scale training-data
@@ -97,18 +98,19 @@ object Dedup {
     * paths, so [[connectedComponents]] converges in fewer rounds.
     * (OperatorsSpec asserts pair-graph and star-graph components match.)
     *
-    * Hub discovery is agg(min) + join-back, NOT collect_set: a skewed
-    * bucket (many identical/empty docs sharing a band signature) must not
-    * concentrate its whole membership in one aggregation buffer — the
-    * join streams members past the hub row, keeping per-task state O(1)
-    * per bucket regardless of bucket size.
+    * Hub discovery is a window min over the bucket, NOT collect_set: a
+    * skewed bucket (many identical/empty docs sharing a band signature)
+    * must not concentrate its whole membership in one aggregation-buffer
+    * array — WindowExec's per-group buffer spills to disk, so a
+    * corpus-sized bucket degrades to disk bandwidth instead of OOM. One
+    * shuffle on (band, key), no self-join, and the upstream signature
+    * subtree is computed exactly once (an agg + join-back shape would
+    * evaluate the unpersisted minhash pipeline twice).
     */
   def bucketStarEdges(bands: DataFrame): DataFrame = {
-    val hubs = bands.groupBy(col("band"), col("key"))
-      .agg(min(col("id")).as("hub"))
-    // both sides hash-partitioned on (band, key) by the agg → the join
-    // reuses that exchange; singleton buckets vanish via a =!= hub
-    bands.join(hubs, Seq("band", "key"))
+    val bucket = Window.partitionBy(col("band"), col("key"))
+    bands
+      .select(col("id"), min(col("id")).over(bucket).as("hub"))
       .filter(col("id") =!= col("hub"))
       .select(col("id").as("a"), col("hub").as("b"))
       .distinct()
@@ -124,16 +126,28 @@ object Dedup {
     * the shortcutting that makes round count LOGARITHMIC in component
     * diameter instead of linear) followed by one shuffle join + grouped
     * min over the edges — all hash-partitioned on id, no driver-side
-    * graph. `maxIter` is a loud backstop, not a truncation:
-    * non-convergence throws rather than returning a silently under-merged
-    * clustering. Labels only decrease, so fixpoint is detected by an
-    * unchanged label sum (one cheap action per round, no extra join).
+    * graph. Neighbor offers are DELTA-ITERATED: only labels that changed
+    * last round join the edge list (an unchanged label already made its
+    * offer in the round after it was acquired, and the init grouped-min is
+    * round 0's full propagation), so per-round edge traffic shrinks with
+    * the frontier instead of staying O(V) — on a mostly-converged 100 TB
+    * graph the late rounds touch only the few still-moving chains.
+    * `maxIter` is a loud backstop, not a truncation: non-convergence
+    * throws rather than returning a silently under-merged clustering.
+    * Labels only decrease, so fixpoint = an empty frontier; the frontier
+    * count doubles as the convergence check (ONE job per round — the
+    * count materializes that round's lazy localCheckpoint, which also
+    * truncates lineage so late rounds don't replan the whole chain).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
-    // undirected: propagate both ways
-    val edges = pairs.select(col("a"), col("b"))
-      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+    // undirected: propagate both ways. One explode, not a 2-branch union —
+    // a union would evaluate the (unpersisted) upstream candidate-pair
+    // pipeline once per branch
+    val edges = pairs
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist()
     // seed labels with the first propagation round for free: label(v) =
     // min(v, min neighbor) is one grouped aggregation over the edge list,
@@ -141,11 +155,9 @@ object Dedup {
     var labels = edges.groupBy(col("a").as("id"))
       .agg(min(col("b")).as("nb"))
       .select(col("id"), least(col("id"), col("nb")).as("lbl"))
-      .persist()
-    // coalesce: sum over zero rows is null (empty pair set = no components)
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
-    var sum0 = labelSum(labels)
+      .localCheckpoint(true)
+    // every init label is fresh, so round 0's frontier is all of them
+    var frontier = labels
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -154,24 +166,24 @@ object Dedup {
       // collapse exponentially across rounds
       val jumped = labels.alias("x")
         .join(labels.alias("y"), col("x.lbl") === col("y.id"), "left")
-        .select(col("x.id").as("id"),
+        .select(col("x.id").as("id"), col("x.lbl").as("old"),
           least(col("x.lbl"), coalesce(col("y.lbl"), col("x.lbl"))).as("lbl"))
       val nbrMin = edges.alias("e")
-        .join(jumped.alias("l"), col("e.b") === col("l.id"))
+        .join(frontier.alias("l"), col("e.b") === col("l.id"))
         .groupBy(col("e.a").as("nid"))
         .agg(min(col("l.lbl")).as("nlbl"))
       val next = jumped.alias("cur")
         .join(nbrMin.alias("nm"), col("cur.id") === col("nm.nid"), "left")
-        .select(col("cur.id").as("id"),
+        .select(col("cur.id").as("id"), col("cur.old").as("old"),
           least(col("cur.lbl"), coalesce(col("nm.nlbl"), col("cur.lbl"))).as("lbl"))
-        // localCheckpoint truncates the per-round lineage growth so late
-        // rounds don't replan the whole chain
-        .localCheckpoint(true)
-      val sum1 = labelSum(next)
+        .localCheckpoint(false) // lazy: the frontier count below runs it
+      val nextFrontier = next.filter(col("lbl") < col("old"))
+        .select(col("id"), col("lbl"))
+      val nChanged = nextFrontier.count()
       labels.unpersist()
-      labels = next
-      converged = sum1 == sum0 // labels only decrease: equal sum = fixpoint
-      sum0 = sum1
+      labels = next.select(col("id"), col("lbl"))
+      frontier = nextFrontier
+      converged = nChanged == 0
       it += 1
     }
     edges.unpersist()
