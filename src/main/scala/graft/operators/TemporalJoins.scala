@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-keyed join operators Spark has no native form of: point-in-time
+  * (as-of) lookup and bounded-gap (range) pairing. Both are expressed as
+  * equi-shuffle plans — the as-of as one partitioned window over a tagged
+  * union, the range join as a bucketed band join — so neither ever plans a
+  * cartesian or per-row inequality probe, the shapes that die first at
+  * 100 TB.
+  */
+object TemporalJoins {
+
+  /** As-of join: for every left row, the single right row with the
+    * greatest `rightTime <= leftTime` among rows sharing the join key — the
+    * point-in-time lookup (a streaming system would call it a temporal
+    * table join). Returns the left columns plus a `matched` struct of the
+    * right row, NULL when no right row precedes the left one (filter
+    * `matched IS NOT NULL` for inner semantics).
+    *
+    * Shape: tag both inputs, union, ONE window per key ordered by time
+    * carrying `last(right-row, ignoreNulls)` — a single shuffle on the key
+    * and a linear per-key scan. The naive alternative (join on key +
+    * inequality, rank per left row) explodes to |left| × |right-per-key|
+    * intermediate rows; this stays |left| + |right|. At equal timestamps
+    * the right row sorts FIRST, so `rightTime == leftTime` matches
+    * (`<=`, the ASOF convention).
+    *
+    * Times are compared as integral values (cast to long) — callers pick
+    * one clock resolution for both sides; sub-resolution components must
+    * already be truncated identically (see the q68 micros convention).
+    */
+  def asOf(left: DataFrame, leftKey: Column, leftTime: Column,
+           right: DataFrame, rightKey: Column, rightTime: Column): DataFrame = {
+    val refs = right.select(
+      rightKey.as("_k"), rightTime.cast("long").as("_t"),
+      struct(right.columns.map(col): _*).as("_m"))
+    val probes = left.select(
+      leftKey.as("_k"), leftTime.cast("long").as("_t"),
+      lit(null).cast(refs.schema("_m").dataType).as("_m"),
+      struct(left.columns.map(col): _*).as("_p"))
+    val tagged = refs
+      .withColumn("_p", lit(null).cast(probes.schema("_p").dataType))
+      .unionByName(probes)
+    // refs order before probes at the same instant: false < true
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_p").isNotNull)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("matched", last(col("_m"), ignoreNulls = true).over(w))
+      .filter(col("_p").isNotNull)
+      .selectExpr("_p.*", "matched")
+  }
+
+  /** Bounded-gap range join: every pair (a from left, b from right) with
+    * the same key and `0 < b.time - a.time <= gap`. Returns structs `a`
+    * and `b` of the full input rows plus `gap_` (the time delta).
+    *
+    * Shape: time is bucketed by `gap`; a qualifying b lies in a's bucket
+    * or the next one, so the right side explodes to its two candidate
+    * buckets and the join is a plain equi-join on (key, bucket) with the
+    * exact window test as a post-filter. Each true pair matches exactly
+    * once (b's two probe buckets are distinct), so no dedup pass. Output
+    * is bounded by true-pair count + same-bucket candidates — never the
+    * per-key cross product a raw inequality join plans — and bucket-count
+    * skew is bounded by events-per-gap-window, which AQE's skew splitting
+    * handles like any hot equi-join key.
+    */
+  def withinGap(left: DataFrame, leftKey: Column, leftTime: Column,
+                right: DataFrame, rightKey: Column, rightTime: Column,
+                gap: Long): DataFrame = {
+    require(gap > 0, s"withinGap: gap must be positive (got $gap)")
+    val a = left.select(
+      leftKey.as("_k"), leftTime.cast("long").as("_ta"),
+      struct(left.columns.map(col): _*).as("a"))
+      .withColumn("_bkt", expr(s"_ta div ${gap}L"))
+    val b = right.select(
+      rightKey.as("_k"), rightTime.cast("long").as("_tb"),
+      struct(right.columns.map(col): _*).as("b"))
+      .withColumn("_bkt", explode(expr(s"array(_tb div ${gap}L - 1L, _tb div ${gap}L)")))
+    a.join(b, Seq("_k", "_bkt"))
+      .filter(col("_tb") > col("_ta") && col("_tb") - col("_ta") <= gap)
+      .select(col("a"), col("b"), (col("_tb") - col("_ta")).as("gap_"))
+  }
+}

@@ -154,7 +154,71 @@ object JoinQueries {
         round(sum(col("o_totalprice").cast(D)), 2).cast("double").as("total"))
   }
 
+  /** Point-in-time (as-of) join: each error event looks up the same
+    * user's most recent click at or before it. Spark has no native ASOF
+    * operator; [[graft.operators.TemporalJoins.asOf]] builds it as a
+    * tagged union + one partitioned running-last window — one shuffle,
+    * |L|+|R| rows, no inequality-join explosion. The oracle is DuckDB's
+    * native ASOF JOIN — an independent implementation of the semantics.
+    * Both engines compare on epoch MICROS (events.ts is nanos parquet;
+    * the q68 truncation convention).
+    */
+  val q69AsofJoin = Q.checked(
+    "q69_asof_join",
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events)
+      |SELECT l.event_id, l.user_id, l.us AS err_us,
+      |       r.event_id AS click_id, r.us AS click_us
+      |FROM (SELECT * FROM e WHERE event_type = 'error') l
+      |ASOF JOIN (SELECT * FROM e WHERE event_type = 'click') r
+      |  ON l.user_id = r.user_id AND l.us >= r.us""") { (s, dir) =>
+    import graft.operators.TemporalJoins
+    val ev = table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
+        col("event_type"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("us").as("err_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cuid"),
+        col("us").as("click_us"))
+    TemporalJoins.asOf(
+      errors, col("user_id"), col("err_us"),
+      clicks, col("cuid"), col("click_us"))
+      .filter(col("matched").isNotNull) // inner, like the oracle's ASOF JOIN
+      .select(col("event_id"), col("user_id"), col("err_us"),
+        col("matched.click_id").as("click_id"),
+        col("matched.click_us").as("click_us"))
+  }
+
+  /** Bounded-gap range join: same-user event pairs at most one hour
+    * apart, ordered a-before-b. The Spark plan is a bucketed band join
+    * ([[graft.operators.TemporalJoins.withinGap]]): equi-join on
+    * (user, hour-bucket) with the right side exploded to its two
+    * candidate buckets — never a cartesian or raw inequality join. The
+    * oracle runs DuckDB's native inequality join (IEJoin), again an
+    * independent implementation.
+    */
+  val q80RangeJoin = Q.checked(
+    "q80_range_join",
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+      |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+      |       b.us - a.us AS gap_us
+      |FROM e a JOIN e b
+      |  ON a.user_id = b.user_id AND b.us > a.us
+      | AND b.us - a.us <= 3600000000""") { (s, dir) =>
+    import graft.operators.TemporalJoins
+    val ev = table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
+    TemporalJoins.withinGap(
+      ev, col("user_id"), col("us"),
+      ev, col("user_id"), col("us"),
+      gap = 3600000000L)
+      .select(col("a.user_id").as("user_id"), col("a.event_id").as("a_id"),
+        col("b.event_id").as("b_id"), col("gap_").as("gap_us"))
+  }
+
   val all: Vector[Q] =
     Vector(q10JoinInner, q11JoinOuter, q12JoinOverride, q13JoinTagged,
-      q14SemiAnti, q67BucketedJoin)
+      q14SemiAnti, q67BucketedJoin, q69AsofJoin, q80RangeJoin)
 }
