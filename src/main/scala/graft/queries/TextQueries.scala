@@ -244,7 +244,103 @@ object TextQueries {
         col("rank").cast("long").as("rank"))
   }
 
+  /** TF-IDF top terms per document — the companion to the inverted index
+    * (q74): term frequency per (doc, term), document frequency per term,
+    * and a log-free score `tf·N/df` (a ratio of exact integers — ln/log10
+    * would hand the compare to libm ulp differences, the q77 lesson), top
+    * 3 per doc with a deterministic term tiebreak.
+    *
+    * Scale shape: tf and df are grouped aggregations with map-side
+    * partial combine (df over the distinct doc-term pairs); corpus size N
+    * joins as a broadcast single-row aggregate; the final rank is a
+    * per-doc window (bounded partitions), filtered on the RAW row_number
+    * so WindowGroupLimit prunes before the window at 100 TB.
+    */
+  val q75Tfidf = Q.checked(
+    "q75_tfidf",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |s AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |         CAST(tf.tf * n.n AS DOUBLE) / df.df AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      |  FROM s)
+      |SELECT doc_id, term, tf, df, score, rk FROM r WHERE rk <= 3""") { (s, dir) =>
+    import graft.operators.Dedup
+    import org.apache.spark.sql.expressions.Window
+    val toks = table(s, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.distinct().groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val n = broadcast(table(s, dir, "documents").agg(count(lit(1)).as("n")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(n)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        ((col("tf") * col("n")).cast("double") / col("df")).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+  }
+
+  /** Repetition-based quality signals (the Gopher-rules family a training
+    * pipeline filters on): per document, the duplicate-token fraction and
+    * the most-frequent-bigram share, plus the resulting keep/drop flag.
+    *
+    * Scale shape: token stats are MAP-SIDE (size / array_distinct on the
+    * split array — zero shuffles); only the bigram frequency table
+    * aggregates, hash-partitioned on (doc, bigram) then (doc) — per-key
+    * state is one counter, never a collected list. Ratios are one
+    * integer-to-double division each, so both engines emit bit-identical
+    * doubles; the bigram share is NULL for sub-2-token docs (no bigrams)
+    * and the flag coalesces it to 0.
+    */
+  val q79Repetition = Q.checked(
+    "q79_repetition",
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |t AS (
+      |  SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_uniq
+      |  FROM d),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS b
+      |  FROM d),
+      |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+      |bs AS (SELECT doc_id, max(c) AS max_c, sum(c) AS n_big FROM bc GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_tokens,
+      |  CAST(t.n_tokens - t.n_uniq AS DOUBLE) / t.n_tokens AS dup_token_frac,
+      |  CAST(bs.max_c AS DOUBLE) / bs.n_big AS top_bigram_frac,
+      |  (CAST(t.n_tokens - t.n_uniq AS DOUBLE) / t.n_tokens > 0.6
+      |    OR coalesce(CAST(bs.max_c AS DOUBLE) / bs.n_big, 0.0) > 0.1) AS repetitive
+      |FROM t LEFT JOIN bs ON t.doc_id = bs.doc_id""") { (s, dir) =>
+    import graft.operators.Dedup
+    val docs = table(s, dir, "documents")
+    val t = docs.select(col("doc_id"),
+      size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"),
+      size(array_distinct(Dedup.tokens(col("text")))).cast("long").as("n_uniq"))
+    val bs = docs
+      .select(col("doc_id"), explode(Dedup.bigrams(col("text"))).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_c"), sum(col("c")).as("n_big"))
+    val dupFrac = (col("n_tokens") - col("n_uniq")).cast("double") / col("n_tokens")
+    val topFrac = col("max_c").cast("double") / col("n_big")
+    t.join(bs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        dupFrac.as("dup_token_frac"),
+        topFrac.as("top_bigram_frac"),
+        (dupFrac > 0.6 || coalesce(topFrac, lit(0.0)) > 0.1).as("repetitive"))
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q72TokenCount, q73Fingerprint,
-      q74InvertedIndex, q76StratifiedSplit, q77Collocations)
+      q74InvertedIndex, q75Tfidf, q76StratifiedSplit, q77Collocations,
+      q79Repetition)
 }
