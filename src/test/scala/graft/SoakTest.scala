@@ -15,7 +15,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * 10M events, q52 0.8s. Round-4 rerun: q51 19.1s, q58 components over
   * all 50k docs 11.5s (bucket-star edges keep it sublinear in the 11.7M
   * pair volume; 1.6× the sf0.1 time at 10× the data), q57 14.8s, q60
-  * 1.2s, q30 1.2s, q52 0.5s.
+  * 1.2s, q30 1.2s, q52 0.5s. Round-5 rerun (window-min star edges +
+  * delta-frontier CC, one job per round): q51 15.4s, q58 9.0s (~1.8× the
+  * sf0.1 time at 10× the data — the frontier empties after the clique
+  * hubs merge, so extra rounds cost frontier-sized, not corpus-sized,
+  * work), q57 17.1s, q60 1.0s, q30 1.4s, q52 0.5s.
   */
 class SoakTest extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
