@@ -139,6 +139,16 @@ object Dedup {
     * count materializes that round's lazy localCheckpoint, which also
     * truncates lineage so late rounds don't replan the whole chain).
     */
+  /** Release the cached blocks behind a localCheckpoint'd frame. Safe only
+    * once nothing will recompute from it — the checkpoint truncated its
+    * lineage, so a post-unpersist recompute would fail loudly.
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // undirected: propagate both ways. One explode, not a 2-branch union —
     // a union would evaluate the (unpersisted) upstream candidate-pair
@@ -152,12 +162,13 @@ object Dedup {
     // seed labels with the first propagation round for free: label(v) =
     // min(v, min neighbor) is one grouped aggregation over the edge list,
     // no join — saves a full join round
-    var labels = edges.groupBy(col("a").as("id"))
+    var ckpt = edges.groupBy(col("a").as("id"))
       .agg(min(col("b")).as("nb"))
       .select(col("id"), least(col("id"), col("nb")).as("lbl"))
       .localCheckpoint(true)
+    var labels = ckpt
     // every init label is fresh, so round 0's frontier is all of them
-    var frontier = labels
+    var frontier = ckpt
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -180,7 +191,12 @@ object Dedup {
       val nextFrontier = next.filter(col("lbl") < col("old"))
         .select(col("id"), col("lbl"))
       val nChanged = nextFrontier.count()
-      labels.unpersist()
+      // Dataset.unpersist is a no-op for localCheckpoint blocks (they live
+      // at the RDD level, outside the CacheManager) — free the superseded
+      // round's snapshot through its LogicalRDD, or maxIter corpus-sized
+      // label snapshots pile up in executor memory
+      freeLocalCheckpoint(ckpt)
+      ckpt = next
       labels = next.select(col("id"), col("lbl"))
       frontier = nextFrontier
       converged = nChanged == 0

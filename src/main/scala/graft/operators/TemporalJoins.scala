@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
+  /** The operators stage inputs under internal column names; an input that
+    * already uses one would silently shadow or ambiguously resolve — fail
+    * loudly instead.
+    */
+  private def requireNoReserved(df: DataFrame, who: String, reserved: String*): Unit = {
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"$who: input columns ${clash.mkString(", ")} collide with reserved names; rename them first")
+  }
+
   /** As-of join: for every left row, the single right row with the
     * greatest `rightTime <= leftTime` among rows sharing the join key — the
     * point-in-time lookup (a streaming system would call it a temporal
@@ -32,12 +42,18 @@ object TemporalJoins {
     * Times are compared as integral values (cast to long) — callers pick
     * one clock resolution for both sides; sub-resolution components must
     * already be truncated identically (see the q68 micros convention).
+    * NULL-keyed or NULL-timed right rows never match (ASOF convention —
+    * an equi-join would drop them); ties among right rows at the same
+    * (key, time) resolve to the row-struct maximum, deterministically.
     */
   def asOf(left: DataFrame, leftKey: Column, leftTime: Column,
            right: DataFrame, rightKey: Column, rightTime: Column): DataFrame = {
+    requireNoReserved(left, "asOf left", "_k", "_t", "_m", "_p", "matched")
+    requireNoReserved(right, "asOf right", "_k", "_t", "_m", "_p")
     val refs = right.select(
       rightKey.as("_k"), rightTime.cast("long").as("_t"),
       struct(right.columns.map(col): _*).as("_m"))
+      .filter(col("_k").isNotNull && col("_t").isNotNull)
     val probes = left.select(
       leftKey.as("_k"), leftTime.cast("long").as("_t"),
       lit(null).cast(refs.schema("_m").dataType).as("_m"),
@@ -45,9 +61,10 @@ object TemporalJoins {
     val tagged = refs
       .withColumn("_p", lit(null).cast(probes.schema("_p").dataType))
       .unionByName(probes)
-    // refs order before probes at the same instant: false < true
+    // refs order before probes at the same instant (false < true); _m
+    // breaks ref-vs-ref ties so `last` is deterministic under any shuffle
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t"), col("_p").isNotNull)
+      .orderBy(col("_t"), col("_p").isNotNull, col("_m"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("matched", last(col("_m"), ignoreNulls = true).over(w))
@@ -73,6 +90,8 @@ object TemporalJoins {
                 right: DataFrame, rightKey: Column, rightTime: Column,
                 gap: Long): DataFrame = {
     require(gap > 0, s"withinGap: gap must be positive (got $gap)")
+    requireNoReserved(left, "withinGap left", "_k", "_ta", "_tb", "_bkt", "a", "b", "gap_")
+    requireNoReserved(right, "withinGap right", "_k", "_ta", "_tb", "_bkt", "a", "b", "gap_")
     val a = left.select(
       leftKey.as("_k"), leftTime.cast("long").as("_ta"),
       struct(left.columns.map(col): _*).as("a"))

@@ -157,8 +157,8 @@ object StreamQueries {
       |  SELECT user_id, ts, epoch_us(ts) AS ts_us FROM events),
       |marks AS (
       |  SELECT user_id, ts,
-      |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
-      |           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 28800000000
+      |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts) > 28800000000
       |         THEN 1 ELSE 0 END AS new_s
       |  FROM us),
       |sess AS (

@@ -277,8 +277,9 @@ object TextQueries {
       .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = toks.distinct().groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
+    // tf already has exactly one row per (doc, term): deriving df from it
+    // skips a second scan + full-width distinct shuffle of the token stream
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = broadcast(table(s, dir, "documents").agg(count(lit(1)).as("n")))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
