@@ -161,7 +161,35 @@ object AggQueries {
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
   }
 
+  /** Pivot (long→wide): per-user event counts spread over the fixed
+    * event-type vocabulary. The value list is EXPLICIT — `pivot(col)`
+    * without one runs a driver-side distinct pass over the pivot column
+    * and makes the output schema data-dependent, both wrong at 100 TB;
+    * with the list it compiles to one grouped aggregation of conditional
+    * counts (exactly the oracle's FILTER form), map-side combined, no
+    * extra pass.
+    */
+  val q82Pivot = Q.checked(
+    "q82_pivot",
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'error') AS error,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY user_id""") { (s, dir) =>
+    import graft.core.Graft.table
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    table(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot(col("event_type"), types)
+      .agg(count(lit(1)))
+      // pivot emits NULL for absent (user, type) cells; the oracle's
+      // FILTER count emits 0 — align on 0
+      .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
   val all: Vector[Q] =
     Vector(q20AggDescriptor, q21UniqCapped, q22Histogram, q23MaxMin,
-      q24Distinct, q25UniqTyped, q78ZscoreOutliers)
+      q24Distinct, q25UniqTyped, q78ZscoreOutliers, q82Pivot)
 }

@@ -162,7 +162,38 @@ object SortQueries {
       .agg(count(lit(1)).as("n"), min(col("line")).as("min_line"))
   }
 
+  /** The navigation-window family over the event stream: lag (gap to the
+    * previous event), lead (the next event's type), first_value (the
+    * user's first-seen instant) and row_number, all over ONE per-user
+    * window — Spark plans a single partitioned WindowExec, one shuffle on
+    * user_id, per-group linear state. Every output is integral or string
+    * (epoch-micros deltas, no floats), so the cross-engine compare is
+    * exact; (user, ts) is tie-free at every SF, making lag/lead order
+    * deterministic.
+    */
+  val q81WindowFamily = Q.checked(
+    "q81_window_family",
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events)
+      |SELECT event_id, user_id,
+      |  us - lag(us) OVER w AS gap_us,
+      |  lead(event_type) OVER w AS next_type,
+      |  first_value(us) OVER w AS first_us,
+      |  row_number() OVER w AS seq
+      |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    graft.core.Graft.table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
+        col("event_type"))
+      .select(col("event_id"), col("user_id"),
+        (col("us") - lag(col("us"), 1).over(w)).as("gap_us"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        first(col("us")).over(w).as("first_us"),
+        row_number().over(w).as("seq"))
+  }
+
   val all: Vector[Q] =
     Vector(q30SortValidate, q31SecondarySort, q32KeyFieldSort, q33FieldSel,
-      q36WindowRunning, q37Rollup, q38KeyFieldPartition)
+      q36WindowRunning, q37Rollup, q38KeyFieldPartition, q81WindowFamily)
 }

@@ -105,6 +105,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Filter (o_orderstatus"), "filter should be pruned, not post-scan:\n" + p)
   }
 
+  test("q69 as-of join plans as one window, never a join") {
+    // the whole point of the union+window shape: NO join operator at all —
+    // a per-row inequality join would explode at 100 TB
+    val p = plan(JoinQueries.q69AsofJoin)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), "as-of must not plan a join:\n" + p)
+  }
+
+  test("q80 range join is a bucketed equi-join, never a cartesian") {
+    // even with broadcast disabled (forcing the large-large strategy) the
+    // band join must stay an equi-join on (key, bucket)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(JoinQueries.q80RangeJoin)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
