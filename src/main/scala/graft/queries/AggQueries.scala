@@ -189,7 +189,48 @@ object AggQueries {
       .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
   }
 
+  /** Unpivot (wide→long melt): lineitem's three money/quantity measures
+    * reshaped into (metric, value) rows. Pure reshaping — values pass
+    * through untouched (no arithmetic), so the parquet doubles compare
+    * bit-for-bit. The plan is map-only: an unpivot is a per-row explode,
+    * no shuffle at any scale.
+    */
+  val q83Unpivot = Q.checked(
+    "q83_unpivot",
+    """SELECT l_orderkey, l_linenumber, 'l_discount' AS metric, l_discount AS value FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_quantity', l_quantity FROM lineitem""") { (s, dir) =>
+    import graft.core.Graft.table
+    table(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_discount"), col("l_extendedprice"), col("l_quantity")),
+        "metric", "value")
+  }
+
+  /** CUBE over order status × priority: all four grouping combinations in
+    * one pass, disambiguated by grouping_id (a rolled-up NULL vs a data
+    * NULL). One shuffle; Spark expands the grouping sets map-side with
+    * partial aggregation per set.
+    */
+  val q84Cube = Q.checked(
+    "q84_cube",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""") { (s, dir) =>
+    import graft.core.Graft.table
+    table(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"), col("n"))
+  }
+
   val all: Vector[Q] =
     Vector(q20AggDescriptor, q21UniqCapped, q22Histogram, q23MaxMin,
-      q24Distinct, q25UniqTyped, q78ZscoreOutliers, q82Pivot)
+      q24Distinct, q25UniqTyped, q78ZscoreOutliers, q82Pivot, q83Unpivot,
+      q84Cube)
 }
