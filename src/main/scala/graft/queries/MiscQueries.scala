@@ -408,8 +408,50 @@ object MiscQueries {
         min(col("value")).as("min_line"), max(col("value")).as("max_line"))
   }
 
+  /** JSON column extraction: events.props is a JSON string; pull `$.k`
+    * per row (codegen'd path scan, no UDF) and roll up per event type,
+    * counting missing-path rows to pin the NULL-for-absent semantics both
+    * engines share. All outputs integral — the extract→cast→sum chain is
+    * exact.
+    */
+  val q85Json = Q.checked(
+    "q85_json",
+    """SELECT event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  count(*) FILTER (json_extract_string(props, '$.missing') IS NULL) AS n_missing
+      |FROM events GROUP BY event_type""") { (s, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    table(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(k).as("sum_k"), min(k).as("min_k"), max(k).as("max_k"),
+        count(when(get_json_object(col("props"), "$.missing").isNull, lit(1)))
+          .as("n_missing"))
+  }
+
+  /** Calendar rollup: daily event counts + distinct users via date_trunc
+    * over the micros clock (UTC sessions on both engines). Day boundaries
+    * compare as epoch micros — integral, no timestamp columns cross the
+    * engine boundary.
+    */
+  val q86TimeRollup = Q.checked(
+    "q86_time_rollup",
+    """SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+      |  count(*) AS n, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1""") { (s, dir) =>
+    table(s, dir, "events")
+      .select(unix_micros(date_trunc("DAY",
+        timestamp_micros(expr("ts div 1000")))).as("day_us"),
+        col("user_id"))
+      .groupBy(col("day_us"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("n_users"))
+  }
+
   val all: Vector[Q] =
     Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q47bUrlParse, q48Pi, q49TeraGen,
       q54Jdbc, q55Multimodal, q63ReferenceSelect, q64IndirectRead,
-      q65TeraSort, q90Pipe, q91Xml, q91bXmlFile)
+      q65TeraSort, q85Json, q86TimeRollup, q90Pipe, q91Xml, q91bXmlFile)
 }
