@@ -4,6 +4,7 @@ import graft.Q
 import graft.core.Graft.table
 import graft.operators.Aggregates
 import graft.functions.TypedAggs
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** The aggregate framework surface (SURVEY §2.4): descriptor DSL, capped
@@ -229,8 +230,56 @@ object AggQueries {
       .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"), col("n"))
   }
 
+  /** Pearson correlation + regression slope of event value vs the JSON
+    * `k` property, per event type — built from EXACT decimal moments
+    * (Σx, Σy, Σxy, Σx², Σy² all DECIMAL, cast to double ONCE) and a fixed
+    * IEEE op tree, so both engines emit bit-identical doubles. Spark's
+    * builtin `corr` is a streaming Welford accumulation whose result
+    * depends on partition order — unusable for cross-engine identity; the
+    * moment form is order-free. Zero-variance groups emit NULL on both
+    * sides (never a NaN-vs-NULL split).
+    */
+  val q88Corr = Q.checked(
+    "q88_corr",
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(json_extract_string(props, '$.k') AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(json_extract_string(props, '$.k') AS DECIMAL(18,4)) * CAST(json_extract_string(props, '$.k') AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(json_extract_string(props, '$.k') AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+      |    THEN (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) END AS corr_vk,
+      |  CASE WHEN n*sxx - sx*sx > 0
+      |    THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS slope
+      |FROM m""") { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val x = col("value").cast(DecimalType(18, 4))
+    val y = get_json_object(col("props"), "$.k").cast(DecimalType(18, 4))
+    val m = table(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+    def nz(c: Column) = c > 0
+    val varX = col("n") * col("sxx") - col("sx") * col("sx")
+    val varY = col("n") * col("syy") - col("sy") * col("sy")
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    m.select(col("event_type"), col("n").cast("long").as("n"),
+      when(nz(varX) && nz(varY), cov / (sqrt(varX) * sqrt(varY)))
+        .as("corr_vk"),
+      when(nz(varX), cov / varX).as("slope"))
+  }
+
   val all: Vector[Q] =
     Vector(q20AggDescriptor, q21UniqCapped, q22Histogram, q23MaxMin,
       q24Distinct, q25UniqTyped, q78ZscoreOutliers, q82Pivot, q83Unpivot,
-      q84Cube)
+      q84Cube, q88Corr)
 }
