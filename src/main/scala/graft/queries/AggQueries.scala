@@ -179,7 +179,6 @@ object AggQueries {
       |  count(*) FILTER (event_type = 'signup') AS signup,
       |  count(*) FILTER (event_type = 'view') AS view
       |FROM events GROUP BY user_id""") { (s, dir) =>
-    import graft.core.Graft.table
     val types = Seq("click", "error", "purchase", "signup", "view")
     table(s, dir, "events")
       .groupBy(col("user_id"))
@@ -203,7 +202,6 @@ object AggQueries {
       |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
       |UNION ALL
       |SELECT l_orderkey, l_linenumber, 'l_quantity', l_quantity FROM lineitem""") { (s, dir) =>
-    import graft.core.Graft.table
     table(s, dir, "lineitem")
       .unpivot(
         Array(col("l_orderkey"), col("l_linenumber")),
@@ -223,7 +221,6 @@ object AggQueries {
       |  count(*) AS n
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)""") { (s, dir) =>
-    import graft.core.Graft.table
     table(s, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"))

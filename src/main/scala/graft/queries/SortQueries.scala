@@ -168,7 +168,7 @@ object SortQueries {
     * window — Spark plans a single partitioned WindowExec, one shuffle on
     * user_id, per-group linear state. Every output is integral or string
     * (epoch-micros deltas, no floats), so the cross-engine compare is
-    * exact; (user, ts) is tie-free at every SF, making lag/lead order
+    * exact; (user, us) — the TRUNCATED micros key — is tie-free at every SF, making lag/lead order
     * deterministic.
     */
   val q81WindowFamily = Q.checked(
@@ -181,9 +181,8 @@ object SortQueries {
       |  first_value(us) OVER w AS first_us,
       |  row_number() OVER w AS seq
       |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)""") { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
-    graft.core.Graft.table(s, dir, "events")
+    table(s, dir, "events")
       .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
         col("event_type"))
       .select(col("event_id"), col("user_id"),
