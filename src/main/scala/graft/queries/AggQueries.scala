@@ -275,8 +275,49 @@ object AggQueries {
       when(nz(varX), cov / varX).as("slope"))
   }
 
+  /** Exact discrete percentiles (p50/p90/p99 of extended price per return
+    * flag) by rank selection: row_number over a per-group sort, group
+    * sizes from a broadcast aggregate (NOT count-over-window, which would
+    * buffer whole partitions), and the value at rank ceil(q·n) picked by
+    * conditional max. Values pass through untouched — bit-identical
+    * doubles. This is the honest EXACT path (a per-group sort is what
+    * exactness costs); the sketch path for 100 TB is percentile_approx
+    * (see Aggregates.valueHistogramApprox).
+    */
+  val q89Percentiles = Q.checked(
+    "q89_percentiles",
+    """WITH n AS (
+      |  SELECT l_returnflag AS flag, count(*) AS n FROM lineitem GROUP BY 1),
+      |r AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN l_extendedprice END) AS p50,
+      |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT)) THEN l_extendedprice END) AS p90,
+      |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT)) THEN l_extendedprice END) AS p99
+      |FROM r JOIN n ON n.flag = r.l_returnflag
+      |GROUP BY l_returnflag""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val li = table(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+    val n = li.groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    def pick(q: Double) = max(when(
+      col("rn") === greatest(lit(1L), ceil(lit(q) * col("n")).cast("long")),
+      col("l_extendedprice")))
+    li.withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(n), col("flag") === col("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
+  }
+
   val all: Vector[Q] =
     Vector(q20AggDescriptor, q21UniqCapped, q22Histogram, q23MaxMin,
       q24Distinct, q25UniqTyped, q78ZscoreOutliers, q82Pivot, q83Unpivot,
-      q84Cube, q88Corr)
+      q84Cube, q88Corr, q89Percentiles)
 }
