@@ -19,6 +19,14 @@ object EventStream {
   final case class Event(ts: java.sql.Timestamp, eventType: String, value: Double)
   final case class TypeTotal(eventType: String, n: Long, total: Double)
 
+  /** One row of a keyed temporal stream: a reference (isRef=true, the side
+    * being looked up) or a probe (isRef=false, the side being enriched).
+    */
+  final case class TemporalRow(key: Long, tsUs: Long, isRef: Boolean, payload: String)
+  final case class AsOfMatch(key: Long, tsUs: Long, payload: String,
+                             refTsUs: Option[Long], refPayload: Option[String])
+  final case class AsOfState(refs: List[(Long, String)], maxTsUs: Long)
+
   /** Event-time windowed counts/sums with a watermark: late events beyond
     * the watermark are dropped, state is evicted once windows close.
     */
@@ -104,6 +112,61 @@ object EventStream {
       col(s"l.$key") === col(s"r.$key") &&
         col("r.ts") >= col("l.ts") &&
         col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"))
+  }
+
+  /** Streaming as-of enrichment — the unbounded counterpart of
+    * [[graft.operators.TemporalJoins.asOf]] (a temporal-table join): each
+    * probe row is enriched with the latest reference row of its key at or
+    * before its event time, `None` when no reference precedes it.
+    *
+    * State per key is the sorted reference list pruned to `horizonUs`
+    * behind the key's max seen time, PLUS one floor entry below the
+    * cutoff (the match target for probes right at the horizon edge) — so
+    * state is bounded by references-per-horizon, not stream length.
+    * Within a batch, rows process in event-time order with references
+    * first at equal instants (the batch operator's `<=` convention).
+    * Probes may arrive out of order and still match (the retained list
+    * serves any probe inside the horizon); a REFERENCE arriving after a
+    * probe that needed it cannot retro-correct the already-emitted probe —
+    * the documented streaming-enrichment limitation (reconcile downstream
+    * or widen the batch as-of).
+    */
+  def streamingAsOf(rows: Dataset[TemporalRow], horizonUs: Long): Dataset[AsOfMatch] = {
+    import rows.sparkSession.implicits._
+    require(horizonUs > 0, s"streamingAsOf: horizonUs must be positive (got $horizonUs)")
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfState, AsOfMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[TemporalRow], state: GroupState[AsOfState]) =>
+          val prev = state.getOption.getOrElse(AsOfState(Nil, Long.MinValue))
+          // refs kept ascending by ts; payload max breaks equal-ts ties,
+          // matching the batch operator's deterministic struct-max rule
+          var refs = prev.refs
+          var maxTs = prev.maxTsUs
+          val out = Vector.newBuilder[AsOfMatch]
+          val batch = it.toVector.sortBy(r => (r.tsUs, !r.isRef, r.payload))
+          batch.foreach { r =>
+            maxTs = math.max(maxTs, r.tsUs)
+            if (r.isRef) {
+              // full (ts, payload) order so equal-ts ties resolve to the
+              // payload max even when the refs arrive in different batches
+              val (below, above) = refs.partition(e =>
+                e._1 < r.tsUs || (e._1 == r.tsUs && e._2 <= r.payload))
+              refs = below ::: ((r.tsUs, r.payload) :: above)
+            } else {
+              val m = refs.reverseIterator.find(_._1 <= r.tsUs)
+              out += AsOfMatch(key, r.tsUs, r.payload, m.map(_._1), m.map(_._2))
+            }
+          }
+          // prune: drop refs behind the horizon, keep the last one below
+          // the cutoff as the floor for edge probes
+          val cutoff = maxTs - horizonUs
+          val (old, live) = refs.partition(_._1 < cutoff)
+          refs = (old.lastOption.toList ::: live)
+          state.update(AsOfState(refs, maxTs))
+          out.result().iterator
+      }
   }
 
   /** Idempotent `foreachBatch` parquet sink — exactly-once-to-storage on

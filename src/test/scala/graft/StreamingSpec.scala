@@ -213,6 +213,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of enriches probes with the latest prior ref across batches") {
+    import spark.implicits._
+    import EventStream.TemporalRow
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TemporalRow]
+    val q = EventStream.streamingAsOf(in.toDS(), horizonUs = 100L)
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: ref@10, probe@15 (matches), probe@5 (nothing precedes),
+      // equal-instant probe@10 (<= matches the ref)
+      in.addData(
+        TemporalRow(1L, 10L, isRef = true, "r10"),
+        TemporalRow(1L, 15L, isRef = false, "p15"),
+        TemporalRow(1L, 5L, isRef = false, "p5"),
+        TemporalRow(1L, 10L, isRef = false, "p10"))
+      q.processAllAvailable()
+      // batch 2: newer ref, a probe after it, and an OUT-OF-ORDER probe
+      // that must still match the batch-1 ref retained in state; a
+      // different key never sees key 1's refs
+      in.addData(
+        TemporalRow(1L, 20L, isRef = true, "r20"),
+        TemporalRow(1L, 25L, isRef = false, "p25"),
+        TemporalRow(1L, 12L, isRef = false, "p12"),
+        TemporalRow(2L, 30L, isRef = false, "other"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT payload, refPayload FROM asof_out")
+        .as[(String, Option[String])].collect().toMap
+      assert(got == Map(
+        "p15" -> Some("r10"), "p5" -> None, "p10" -> Some("r10"),
+        "p25" -> Some("r20"), "p12" -> Some("r10"), "other" -> None))
+    } finally q.stop()
+  }
+
+  test("streaming as-of prunes refs behind the horizon but keeps the floor") {
+    import spark.implicits._
+    import EventStream.TemporalRow
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TemporalRow]
+    val q = EventStream.streamingAsOf(in.toDS(), horizonUs = 10L)
+      .writeStream.format("memory").queryName("asof_prune")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        TemporalRow(1L, 100L, isRef = true, "old"),
+        TemporalRow(1L, 200L, isRef = true, "floor"),
+        TemporalRow(1L, 300L, isRef = true, "recent"))
+      q.processAllAvailable()
+      // "old" and "floor" are both behind 300-10, but "floor" survives as
+      // the single floor entry; a probe below it still matches it
+      in.addData(
+        TemporalRow(1L, 295L, isRef = false, "edge"),
+        TemporalRow(1L, 400L, isRef = false, "late"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT payload, refPayload FROM asof_prune")
+        .as[(String, Option[String])].collect().toMap
+      assert(got == Map("edge" -> Some("floor"), "late" -> Some("recent")))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
