@@ -44,10 +44,24 @@ object Sketches {
   def bloomSemiFilter(big: DataFrame, bigKey: Column,
                       small: DataFrame, smallKey: String,
                       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
     val bf = bloom(small, smallKey, expectedItems, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
-    // boxed Long: a primitive-typed udf would silently read NULL keys as 0
-    val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    big.filter(might(bigKey.cast("long")))
+    // probe with the SAME byte representation the filter inserted:
+    // stat.bloomFilter puts longs for integral columns and UTF8 bytes for
+    // strings — probing a string key through the long path would miss
+    // every true member (and the boxed types keep NULL keys from reading
+    // as 0 in a primitive-typed udf)
+    small.schema(smallKey).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+        big.filter(might(bigKey.cast("long")))
+      case StringType =>
+        val might = udf((k: String) => k != null && bc.value.mightContainString(k))
+        big.filter(might(bigKey.cast("string")))
+      case other =>
+        throw new IllegalArgumentException(
+          s"bloomSemiFilter: unsupported key type $other (integral or string only)")
+    }
   }
 }

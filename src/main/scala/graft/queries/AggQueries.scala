@@ -294,9 +294,9 @@ object AggQueries {
       |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
       |  FROM lineitem)
       |SELECT l_returnflag,
-      |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN l_extendedprice END) AS p50,
-      |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT)) THEN l_extendedprice END) AS p90,
-      |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT)) THEN l_extendedprice END) AS p99
+      |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_extendedprice END) AS p50,
+      |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN l_extendedprice END) AS p90,
+      |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN l_extendedprice END) AS p99
       |FROM r JOIN n ON n.flag = r.l_returnflag
       |GROUP BY l_returnflag""") { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
@@ -308,7 +308,7 @@ object AggQueries {
     val w = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
     def pick(q: Double) = max(when(
-      col("rn") === greatest(lit(1L), ceil(lit(q) * col("n")).cast("long")),
+      col("rn") === ceil(lit(q) * col("n")).cast("long"),
       col("l_extendedprice")))
     li.withColumn("rn", row_number().over(w).cast("long"))
       .join(broadcast(n), col("flag") === col("l_returnflag"))

@@ -14,18 +14,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * key with processing-time timeout — both shuffle once on the group key
   * and survive 1000-executor checkpointed restarts.
   */
+/** One row of a keyed temporal stream: a reference (isRef=true, the side
+  * being looked up) or a probe (isRef=false, the side being enriched).
+  * Top-level (not nested in the object): nested case classes trip Janino
+  * encoder codegen into silent interpreted fallback, and these types
+  * (de)serialize on every batch of every key through the state store.
+  */
+final case class TemporalRow(key: Long, tsUs: Long, isRef: Boolean, payload: String)
+final case class AsOfMatch(key: Long, tsUs: Long, payload: String,
+                           refTsUs: Option[Long], refPayload: Option[String])
+final case class AsOfState(refs: List[(Long, String)], maxTsUs: Long)
+
 object EventStream {
 
   final case class Event(ts: java.sql.Timestamp, eventType: String, value: Double)
   final case class TypeTotal(eventType: String, n: Long, total: Double)
-
-  /** One row of a keyed temporal stream: a reference (isRef=true, the side
-    * being looked up) or a probe (isRef=false, the side being enriched).
-    */
-  final case class TemporalRow(key: Long, tsUs: Long, isRef: Boolean, payload: String)
-  final case class AsOfMatch(key: Long, tsUs: Long, payload: String,
-                             refTsUs: Option[Long], refPayload: Option[String])
-  final case class AsOfState(refs: List[(Long, String)], maxTsUs: Long)
 
   /** Event-time windowed counts/sums with a watermark: late events beyond
     * the watermark are dropped, state is evicted once windows close.
@@ -130,15 +133,29 @@ object EventStream {
     * probe that needed it cannot retro-correct the already-emitted probe —
     * the documented streaming-enrichment limitation (reconcile downstream
     * or widen the batch as-of).
+    *
+    * State is horizon-bounded PER KEY; on an unbounded key domain pass
+    * `idleTimeout` so idle keys evict (same opt-in contract as
+    * [[runningTotals]] — the processing-time timeout makes the engine run
+    * continuous timer batches, so tests that rely on
+    * `processAllAvailable` quiescing keep the NoTimeout default).
     */
-  def streamingAsOf(rows: Dataset[TemporalRow], horizonUs: Long): Dataset[AsOfMatch] = {
+  def streamingAsOf(rows: Dataset[TemporalRow], horizonUs: Long,
+                    idleTimeout: Option[String] = None): Dataset[AsOfMatch] = {
     import rows.sparkSession.implicits._
     require(horizonUs > 0, s"streamingAsOf: horizonUs must be positive (got $horizonUs)")
+    val mode = idleTimeout
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
     rows
       .groupByKey(_.key)
       .flatMapGroupsWithState[AsOfState, AsOfMatch](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), mode) {
         (key: Long, it: Iterator[TemporalRow], state: GroupState[AsOfState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           val prev = state.getOption.getOrElse(AsOfState(Nil, Long.MinValue))
           // refs kept ascending by ts; payload max breaks equal-ts ties,
           // matching the batch operator's deterministic struct-max rule
@@ -165,7 +182,9 @@ object EventStream {
           val (old, live) = refs.partition(_._1 < cutoff)
           refs = (old.lastOption.toList ::: live)
           state.update(AsOfState(refs, maxTs))
+          idleTimeout.foreach(state.setTimeoutDuration)
           out.result().iterator
+          }
       }
   }
 

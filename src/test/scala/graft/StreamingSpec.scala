@@ -215,7 +215,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming as-of enriches probes with the latest prior ref across batches") {
     import spark.implicits._
-    import EventStream.TemporalRow
+    import graft.streaming.TemporalRow
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TemporalRow]
     val q = EventStream.streamingAsOf(in.toDS(), horizonUs = 100L)
@@ -249,7 +249,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming as-of prunes refs behind the horizon but keeps the floor") {
     import spark.implicits._
-    import EventStream.TemporalRow
+    import graft.streaming.TemporalRow
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TemporalRow]
     val q = EventStream.streamingAsOf(in.toDS(), horizonUs = 10L)
