@@ -218,7 +218,38 @@ object JoinQueries {
         col("b.event_id").as("b_id"), col("gap_").as("gap_us"))
   }
 
+  /** Bloom-prefiltered semi-join, end-to-end: orders are pruned by a
+    * broadcast Bloom filter built from high-balance customers BEFORE the
+    * exact semi-join, then aggregated. The sketch's false positives are
+    * removed by the exact join, so the result equals a plain semi-join —
+    * which is exactly what the oracle runs (sketch bits are
+    * implementation-specific; the EQUIVALENCE is the cross-engine
+    * contract). At 100 TB the few-MB filter prunes the fact scan before
+    * any shuffle; SketchesSpec separately proves no true match is ever
+    * dropped.
+    */
+  val q63cBloomSemi = Q.checked(
+    "q63c_bloom_semi",
+    """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      |SELECT o_orderstatus, count(*) AS n,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM rich r WHERE r.c_custkey = o.o_custkey)
+      |GROUP BY o_orderstatus""") { (s, dir) =>
+    import graft.operators.Sketches
+    val rich = table(s, dir, "customer")
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"))
+    val pruned = Sketches.bloomSemiFilter(
+      table(s, dir, "orders"), col("o_custkey"),
+      rich, "c_custkey", expectedItems = 100000L)
+    pruned.join(rich, pruned("o_custkey") === rich("c_custkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast(D)), 2).cast("double").as("total"))
+  }
+
   val all: Vector[Q] =
     Vector(q10JoinInner, q11JoinOuter, q12JoinOverride, q13JoinTagged,
-      q14SemiAnti, q67BucketedJoin, q69AsofJoin, q80RangeJoin)
+      q14SemiAnti, q63cBloomSemi, q67BucketedJoin, q69AsofJoin, q80RangeJoin)
 }

@@ -126,6 +126,11 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q89 joins the 3-row group-size side as a broadcast, never a shuffle") {
+    val p = plan(graft.queries.AggQueries.q89Percentiles)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
