@@ -32,6 +32,34 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got == Map("a" -> Some("r7"), "b" -> None))
   }
 
+  test("asOf never matches NULL-keyed or NULL-timed refs, like an ASOF join") {
+    val probes = Seq((1L, 10L, "p")).toDF("k", "t", "p")
+    val refs = Seq(
+      (Option.empty[Long], Option(5L), "nullKey"),
+      (Option(1L), Option.empty[Long], "nullTime"),
+      (Option(1L), Option(3L), "real")).toDF("k", "t", "r")
+    val got = TemporalJoins.asOf(
+      probes, col("k"), col("t"), refs, col("k"), col("t"))
+      .select(col("matched.r")).as[Option[String]].collect().toList
+    // the NULL-keyed and NULL-timed refs are invisible; only "real" matches
+    assert(got == List(Some("real")))
+  }
+
+  test("operators reject inputs whose columns collide with staging names") {
+    val bad = Seq((1L, 2L, "x")).toDF("k", "t", "_m")
+    val ok = Seq((1L, 2L)).toDF("k", "t")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.asOf(ok, col("k"), col("t"), bad, col("k"), col("t"))
+    }
+    assert(e.getMessage.contains("_m"))
+    val e2 = intercept[IllegalArgumentException] {
+      TemporalJoins.withinGap(
+        Seq((1L, 2L, 3L)).toDF("k", "t", "_bkt"), col("k"), col("t"),
+        ok, col("k"), col("t"), gap = 10L)
+    }
+    assert(e2.getMessage.contains("_bkt"))
+  }
+
   test("withinGap honors the boundary exactly and finds cross-bucket pairs") {
     // gap=10: pairs land same-bucket and cross-bucket; diff 0 and diff 11
     // must be excluded, diff exactly 10 included
