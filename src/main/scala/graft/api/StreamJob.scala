@@ -280,11 +280,14 @@ object StreamJob {
             // sqrt can never yield NaN → DECIMAL NULL → a report whose
             // stddev field silently vanishes from concat_ws.
             // Σf² is a sequential double fold over the SORTED fs array —
-            // the oracle uses the identical recipe (list_sum over
-            // list_transform of list_sort), so both engines execute the
-            // same IEEE multiply/add sequence and agree bit-for-bit at any
-            // magnitude (exact-int-then-cast vs incremental double would
-            // diverge once f² leaves the 2^53 exact range).
+            // the oracle uses the identical recipe via an EXPLICIT ordered
+            // fold (list_reduce left-fold over list_transform of
+            // list_sort, zero prepended), so both engines execute the same
+            // IEEE multiply/add sequence by documented semantics — not by
+            // assuming list_sum happens to fold in order — and agree
+            // bit-for-bit at any magnitude (exact-int-then-cast vs
+            // incremental double would diverge once f² leaves the 2^53
+            // exact range).
             round(sqrt(greatest(
               (aggregate(col("fs"), lit(0.0),
                 (acc, x) => acc + x.cast("double") * x.cast("double"))

@@ -145,4 +145,61 @@ object Aggregates {
       medianAgg = Seq(
         percentile_approx(col("f"), lit(0.5), lit(accuracy)).as("fmed")),
       medianOut = col("fmed"))
+
+  /** Self-routing ValueHistogram: exact median for keys with at most
+    * `exactCap` distinct values, `percentile_approx` beyond — decided
+    * PER KEY inside one plan, so a corpus mixing ordinary keys with one
+    * degenerate 10⁸-distinct key needs neither a priori knowledge nor a
+    * second pass, and no aggregation buffer ever exceeds `exactCap`.
+    *
+    * Shape: frequencies are ranked per key by a WINDOW (`WindowExec`
+    * spills its per-group buffer to disk, so even the degenerate key
+    * degrades to disk bandwidth, never OOM), then one grouped pass
+    * collects only the `exactCap` lowest-ranked frequencies (a capped
+    * buffer — `collect_list` drops the NULLs the cap condition leaves)
+    * alongside a fixed-size quantile sketch of all of them. The exact
+    * median index `uniq/2 + 1` only dereferences the capped array when
+    * `uniq <= exactCap`, where the array is complete; otherwise the
+    * sketch answers. The ranking window shuffles on the key once and the
+    * following groupBy reuses that partitioning — same shuffle count as
+    * [[valueHistogram]].
+    *
+    * The routing decision is LOUD, not silent: the report carries a
+    * `median_is_approx` flag per key (drop it for reference-shaped
+    * output), so a pipeline can count routed keys with one
+    * [[Counters.instrument]] aggregate instead of discovering sketchy
+    * medians in a postmortem. ScaleSpec drives a 10⁶-distinct key through
+    * a small cap; AggregatesSpec pins auto == exact on ordinary data.
+    */
+  def valueHistogramAuto(df: DataFrame, key: Column, value: Column,
+                         exactCap: Int = 100000,
+                         accuracy: Int = 10000): DataFrame = {
+    require(exactCap > 0, s"valueHistogramAuto: exactCap must be positive (got $exactCap)")
+    val freq = df.groupBy(key.as("k"), value.as("v")).agg(count(lit(1)).as("f"))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("f"), col("v"))
+    freq
+      .withColumn("_rn", row_number().over(rank))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("uniq"),
+        min(col("f")).as("min_f"),
+        max(col("f")).as("max_f"),
+        sum(col("f")).as("s"),
+        sum(col("f") * col("f")).as("ssq"),
+        sort_array(collect_list(when(col("_rn") <= exactCap, col("f")))).as("fs"),
+        percentile_approx(col("f"), lit(0.5), lit(accuracy)).as("fmed"))
+      .select(
+        col("k"),
+        col("uniq"),
+        col("min_f"),
+        when(col("uniq") <= exactCap,
+          element_at(col("fs"), (col("uniq") / 2).cast("int") + 1))
+          .otherwise(col("fmed")).as("median_f"),
+        col("max_f"),
+        (col("s").cast("double") / col("uniq")).as("avg_f"),
+        sqrt((col("ssq").cast("double") - col("s").cast("double") * col("s").cast("double") / col("uniq")) / col("uniq"))
+          .as("sd_f"),
+        (col("uniq") > exactCap).as("median_is_approx"))
+  }
 }

@@ -28,9 +28,15 @@ object Counters {
   /** Counter values from the most recent action on an instrumented frame
     * (driver-side, one row of aggregates).
     */
-  def lastObserved(df: DataFrame): Map[String, Any] = {
+  def lastObserved(df: DataFrame): Map[String, Any] =
+    lastObservedNamed(df, ObservationName)
+
+  /** Same, for a frame carrying a differently-named observation (operators
+    * attach their own — e.g. `graft.lsh.bucket_cap` on [[Dedup.candidatePairs]]).
+    */
+  def lastObservedNamed(df: DataFrame, name: String): Map[String, Any] = {
     val row: Row = df.queryExecution.observedMetrics.getOrElse(
-      ObservationName, sys.error("frame was not instrumented"))
+      name, sys.error(s"frame carries no observation named '$name'"))
     row.schema.fieldNames.zip(row.toSeq).toMap
   }
 }

@@ -75,12 +75,32 @@ object Dedup {
     * buckets only, never all-pairs. One grouped pass: bucket ids are
     * collected (sorted, so a < b falls out of position order) and pairs
     * exploded per bucket. A self-join would recompute the whole minhash
-    * subtree for both sides; this shape computes it once, and the per-key
-    * state is one id array per bucket — bounded by bucket size, which
-    * banded LSH keeps small by construction.
+    * subtree for both sides; this shape computes it once.
+    *
+    * Bucket membership is CAPPED at `maxBucket` (production dedup
+    * practice): listing pairs is inherently bucket-quadratic, so one
+    * degenerate bucket — millions of identical or empty docs sharing a
+    * band signature — would otherwise concentrate a corpus-sized array in
+    * one aggregation buffer and emit a quadratic pair explosion that adds
+    * NO recall (group assembly comes from [[bucketStarEdges]] +
+    * [[connectedComponents]], which stay bucket-linear and uncapped; docs
+    * beyond the cap are already grouped there). The cap keeps the
+    * `maxBucket` smallest ids per bucket: ranking is a WINDOW row_number
+    * (spills, never buffers the bucket), so the collect buffer is ≤ cap
+    * by construction. Truncation is LOUD, not silent — the plan carries
+    * an observe metric (`graft.lsh.bucket_cap` / DROPPED_MEMBERS, read it
+    * with `observedMetrics` or a QueryExecutionListener) counting members
+    * dropped past the cap.
     */
-  def candidatePairs(bands: DataFrame): DataFrame =
-    bands.groupBy(col("band"), col("key"))
+  def candidatePairs(bands: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    require(maxBucket >= 2, s"candidatePairs: maxBucket must be >= 2 (got $maxBucket)")
+    val bucket = Window.partitionBy(col("band"), col("key")).orderBy(col("id"))
+    bands
+      .withColumn("_rn", row_number().over(bucket))
+      .observe("graft.lsh.bucket_cap",
+        sum(when(col("_rn") > maxBucket, 1L).otherwise(0L)).as("DROPPED_MEMBERS"))
+      .filter(col("_rn") <= maxBucket)
+      .groupBy(col("band"), col("key"))
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
@@ -88,6 +108,7 @@ object Dedup {
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
+  }
 
   /** Clique-contracted edge list for component finding: every LSH bucket
     * is a complete subgraph of the candidate-pair graph, so linking each
@@ -116,6 +137,24 @@ object Dedup {
       .distinct()
   }
 
+  /** Release the cached blocks behind a (possibly projected)
+    * localCheckpoint'd frame. Safe only once nothing will recompute from
+    * it — the checkpoint truncated its lineage, so a post-unpersist
+    * recompute would fail loudly. Falling through WITHOUT finding a
+    * checkpointed RDD is a caller bug (the blocks it meant to free stay
+    * pinned), so it warns instead of silently no-opping.
+    */
+  def release(df: DataFrame): Unit = {
+    val rdds = df.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    if (rdds.isEmpty)
+      System.err.println(
+        "[graft] Dedup.release: no localCheckpoint RDD under this plan — " +
+          "nothing was freed (plan shape changed?)")
+    rdds.foreach(_.unpersist(false))
+  }
+
   /** Near-dup GROUPS from candidate pairs: connected components by
     * iterative min-label propagation — each round every node takes the
     * minimum label among itself and its neighbors, a fixpoint reached in
@@ -138,17 +177,12 @@ object Dedup {
     * count doubles as the convergence check (ONE job per round — the
     * count materializes that round's lazy localCheckpoint, which also
     * truncates lineage so late rounds don't replan the whole chain).
+    *
+    * The RETURNED labels ride on the final round's localCheckpoint — one
+    * label-set-sized snapshot stays pinned in executor storage until the
+    * caller consumes the frame and calls [[release]] on it (Bench/Verify
+    * sweep leaked snapshots between queries as a backstop).
     */
-  /** Release the cached blocks behind a localCheckpoint'd frame. Safe only
-    * once nothing will recompute from it — the checkpoint truncated its
-    * lineage, so a post-unpersist recompute would fail loudly.
-    */
-  private def freeLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
-
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // undirected: propagate both ways. One explode, not a 2-branch union —
     // a union would evaluate the (unpersisted) upstream candidate-pair
@@ -195,7 +229,7 @@ object Dedup {
       // at the RDD level, outside the CacheManager) — free the superseded
       // round's snapshot through its LogicalRDD, or maxIter corpus-sized
       // label snapshots pile up in executor memory
-      freeLocalCheckpoint(ckpt)
+      release(ckpt)
       ckpt = next
       labels = next.select(col("id"), col("lbl"))
       frontier = nextFrontier

@@ -45,6 +45,13 @@ object TemporalJoins {
     * NULL-keyed or NULL-timed right rows never match (ASOF convention —
     * an equi-join would drop them); ties among right rows at the same
     * (key, time) resolve to the row-struct maximum, deterministically.
+    *
+    * NULL-keyed LEFT rows can only ever yield matched=NULL, yet
+    * `partitionBy(_k)` hashes every NULL key into ONE window partition —
+    * a null-heavy left side would funnel through a single straggler task.
+    * They are routed AROUND the window (emitted directly with
+    * matched=NULL, unioned after), costing a second pushed-down scan of
+    * the left side instead of an unbounded skew partition.
     */
   def asOf(left: DataFrame, leftKey: Column, leftTime: Column,
            right: DataFrame, rightKey: Column, rightTime: Column): DataFrame = {
@@ -60,7 +67,7 @@ object TemporalJoins {
       struct(left.columns.map(col): _*).as("_p"))
     val tagged = refs
       .withColumn("_p", lit(null).cast(probes.schema("_p").dataType))
-      .unionByName(probes)
+      .unionByName(probes.filter(col("_k").isNotNull))
     // refs order before probes at the same instant (false < true); _m
     // breaks ref-vs-ref ties so `last` is deterministic under any shuffle
     val w = Window.partitionBy(col("_k"))
@@ -69,6 +76,9 @@ object TemporalJoins {
     tagged
       .withColumn("matched", last(col("_m"), ignoreNulls = true).over(w))
       .filter(col("_p").isNotNull)
+      .select(col("_p"), col("matched"))
+      .unionByName(probes.filter(col("_k").isNull)
+        .select(col("_p"), col("_m").as("matched")))
       .selectExpr("_p.*", "matched")
   }
 

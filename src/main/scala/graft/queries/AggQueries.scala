@@ -62,6 +62,12 @@ object AggQueries {
     * distribution of value buckets per event type — [uniq, min, median,
     * max, mean, stddev_pop] of the frequencies, median = sorted
     * counts[n/2] exactly as the reference computes it.
+    *
+    * Runs through the SELF-ROUTING variant ([[Aggregates.valueHistogramAuto]]):
+    * keys here are far under the exact cap, so every median takes the
+    * exact branch and the oracle match proves the auto path byte-equal to
+    * the reference recipe on ordinary data; ScaleSpec drives its approx
+    * branch on a degenerate 10⁶-distinct key.
     */
   val q22Histogram = Q.checked(
     "q22_histogram",
@@ -75,10 +81,11 @@ object AggQueries {
       |  CAST(sum(f) AS DOUBLE) / count(*) AS avg_f,
       |  sqrt((CAST(sum(f*f) AS DOUBLE) - CAST(sum(f) AS DOUBLE) * CAST(sum(f) AS DOUBLE) / count(*)) / count(*)) AS sd_f
       |FROM freq GROUP BY k""") { (s, dir) =>
-    Aggregates.valueHistogram(
+    Aggregates.valueHistogramAuto(
       table(s, dir, "events"),
       col("event_type"),
       floor(col("value") / 50).cast("long"))
+      .drop("median_is_approx")
   }
 
   /** Long/String ValueMax/Min quick wins over supplier per nation. */

@@ -162,6 +162,12 @@ object JoinQueries {
     * native ASOF JOIN — an independent implementation of the semantics.
     * Both engines compare on epoch MICROS (events.ts is nanos parquet;
     * the q68 truncation convention).
+    *
+    * DATA INVARIANT the hash compare rests on: clicks are tie-free per
+    * (user_id, us). DuckDB's ASOF pick among equal-timestamp matches is
+    * unspecified while ours is deterministic (struct max), so a corpus
+    * with ties could hash-diverge; TemporalJoinsSpec asserts tie-freedom
+    * on every fixture so a data-gen change fails loudly there instead.
     */
   val q69AsofJoin = Q.checked(
     "q69_asof_join",

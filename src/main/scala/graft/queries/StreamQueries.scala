@@ -126,7 +126,7 @@ object StreamQueries {
       |  (list_sort(list(f)))[CAST(count(*) // 2 AS BIGINT) + 1] || chr(9) ||
       |  max(f) || chr(9) ||
       |  CAST(CAST(round(CAST(sum(f) AS DOUBLE) / count(*), 2) AS DECIMAL(38,2)) AS VARCHAR) || chr(9) ||
-      |  CAST(CAST(round(sqrt(greatest((list_sum(list_transform(list_sort(list(f)), x -> CAST(x AS DOUBLE)*x)) - CAST(sum(f) AS DOUBLE) * CAST(sum(f) AS DOUBLE) / count(*)) / count(*), 0)), 2) AS DECIMAL(38,2)) AS VARCHAR) AS value
+      |  CAST(CAST(round(sqrt(greatest((list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_sort(list(f)), x -> CAST(x AS DOUBLE)*x)), (acc, x) -> acc + x) - CAST(sum(f) AS DOUBLE) * CAST(sum(f) AS DOUBLE) / count(*)) / count(*), 0)), 2) AS DECIMAL(38,2)) AS VARCHAR) AS value
       |FROM freq GROUP BY id""") { (s, dir) =>
     val in = tmp("q95in")
     table(s, dir, "lineitem")

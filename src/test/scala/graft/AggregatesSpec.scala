@@ -23,6 +23,21 @@ class AggregatesSpec extends AnyFunSuite {
     assert(got == 3L) // regression: Long.MaxValue.toInt == -1 capped everything
   }
 
+  test("valueHistogramAuto == valueHistogram on keys under the exact cap") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val df = Seq.fill(500)((s"k${rnd.nextInt(4)}", rnd.nextInt(20).toLong))
+      .toDF("k", "v")
+    val exact = Aggregates.valueHistogram(df, col("k"), col("v"))
+      .collect().map(_.toSeq).toSet
+    val auto = Aggregates.valueHistogramAuto(df, col("k"), col("v"))
+    // every key is under the cap: nothing routed, reports identical
+    assert(auto.filter(col("median_is_approx")).count() == 0)
+    assert(auto.drop("median_is_approx").collect().map(_.toSeq).toSet == exact)
+  }
+
   test("CappedUniq result = sorted distinct take cap, any fold/merge order") {
     val agg = new CappedUniq(5)
     val rnd = new scala.util.Random(42)

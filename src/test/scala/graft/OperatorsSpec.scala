@@ -33,6 +33,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fromPairs.nonEmpty && fromPairs == fromStars)
   }
 
+  test("candidatePairs caps a degenerate bucket and counts the drop loudly") {
+    import graft.operators.Dedup
+    // a degenerate corpus: 50 identical docs land in ONE band bucket.
+    // Uncapped that is 50*49/2 = 1225 pairs from one aggregation buffer;
+    // with maxBucket=10 only the 10 smallest ids pair (45 pairs) and the
+    // 40 dropped members are observable on the plan's metric. Recall is
+    // unaffected in the real pipeline: group assembly (star edges +
+    // components) is uncapped.
+    val bands = (1L to 50L).map(i => (i, 0, "sig")).toDF("id", "band", "key")
+    val pairs = Dedup.candidatePairs(bands, maxBucket = 10)
+    // collect THIS frame (not a derived .as[] dataset): observed metrics
+    // live on the executed QueryExecution
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (for { a <- 1L to 10L; b <- (a + 1) to 10L } yield (a, b)).toSet)
+    val dropped = Counters.lastObservedNamed(pairs, "graft.lsh.bucket_cap")("DROPPED_MEMBERS")
+    assert(dropped == 40L, s"expected 40 dropped members, got $dropped")
+    // default cap is far above the fixture bucket sizes: uncapped result
+    // unchanged on a normal corpus
+    val normal = Seq((1L, 0, "x"), (2L, 0, "x"), (3L, 0, "y")).toDF("id", "band", "key")
+    assert(Dedup.candidatePairs(normal).as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+  }
+
   test("connectedComponents folds a 100-node path in few rounds (pointer jump)") {
     import graft.operators.Dedup
     // a pure path graph is the worst case for plain min-propagation

@@ -26,6 +26,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.exists { case (k, n, _) => k == "hot" && n == 500 })
   }
 
+  test("valueHistogramAuto routes a 10⁶-distinct key to the sketch median") {
+    // one degenerate key with 10⁶ distinct values (each frequency 1 or 2)
+    // plus an ordinary key: the exact path would buffer a million-element
+    // array for the hot key; the auto path must cap the buffer at
+    // exactCap and answer its median from the sketch, while the ordinary
+    // key still gets the exact median — in the same plan.
+    val df = spark.range(0, 1200000).select(
+      when(col("id") < 1100000, lit("hot")).otherwise(lit("cold")).as("k"),
+      when(col("id") < 1100000, col("id") % 1000000)
+        .otherwise(col("id") % 10).as("v"))
+    val got = Aggregates
+      .valueHistogramAuto(df, col("k"), col("v"), exactCap = 1000)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val hot = got("hot")
+    assert(hot.getAs[Boolean]("median_is_approx"),
+      "hot key must route to the sketch median")
+    assert(hot.getAs[Long]("uniq") == 1000000L)
+    // frequencies are 1 (900k values) and 2 (100k values): any sane
+    // median estimate of that distribution is 1
+    assert(hot.getAs[Long]("median_f") == 1L)
+    val cold = got("cold")
+    assert(!cold.getAs[Boolean]("median_is_approx"),
+      "ordinary key must keep the exact median")
+    assert(cold.getAs[Long]("uniq") == 10L &&
+      cold.getAs[Long]("median_f") == 10000L)
+  }
+
   test("bucketed tables sort-merge join without shuffle exchanges") {
     spark.sql("DROP TABLE IF EXISTS bkt_a")
     spark.sql("DROP TABLE IF EXISTS bkt_b")

@@ -45,6 +45,61 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got == List(Some("real")))
   }
 
+  test("asOf keeps NULL-keyed probes (matched=NULL) without windowing them") {
+    // range-backed (not a LocalRelation) so the optimizer can't fold the
+    // NULL-key guard away before the plan assertion below sees it
+    val probes = spark.range(0, 2).select(
+      when(col("id") === 0, lit(1L)).as("k"), lit(10L).as("t"),
+      when(col("id") === 0, lit("p")).otherwise(lit("pnull")).as("p"))
+    val refs = Seq((1L, 5L, "r")).toDF("k", "t", "r")
+    val joined = TemporalJoins.asOf(
+      probes, col("k"), col("t"), refs, col("k"), col("t"))
+    val got = joined.select(col("p"), col("matched.r").as("r"))
+      .as[(String, Option[String])].collect().toMap
+    // a NULL-keyed probe row is kept (left semantics) but can never match
+    assert(got == Map("p" -> Some("r"), "pnull" -> None))
+    // and it must not ride through the window: NULL-keyed probes take a
+    // separate union branch with NO Window in it, so a null-heavy left
+    // side can't pile into one straggler window partition. (The exact
+    // NULL-key guard predicate is optimizer-rewritten — e.g. isnotnull of
+    // a CASE folds into the CASE's condition — so assert the SPLIT shape,
+    // not the expression.)
+    val plan = joined.queryExecution.optimizedPlan
+    val topUnion = plan.collectFirst {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.getOrElse(fail(s"expected a top-level Union in the asOf plan:\n$plan"))
+    def hasWindow(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collectFirst {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.nonEmpty
+    assert(topUnion.children.exists(hasWindow),
+      s"expected a windowed branch, plan:\n$plan")
+    assert(topUnion.children.exists(!hasWindow(_)),
+      s"expected a window-free NULL-probe branch, plan:\n$plan")
+  }
+
+  /** q69's oracle (DuckDB ASOF JOIN) leaves its pick among equal-timestamp
+    * right rows UNSPECIFIED, while our asOf resolves ties to the struct
+    * max, deterministically. The hash compare is therefore only sound
+    * while the events corpus has no duplicate (user_id, us) among clicks —
+    * assert that invariant on the real fixtures so a data-gen change fails
+    * HERE, loudly, instead of flaking the q69 hash.
+    */
+  test("q69 data invariant: clicks are tie-free per (user_id, us)") {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(s"$dir/events.parquet").exists) {
+        val dups = graft.core.Graft.table(spark, dir, "events")
+          .filter(col("event_type") === "click")
+          .groupBy(col("user_id"), expr("ts div 1000"))
+          .count().filter(col("count") > 1).count()
+        assert(dups == 0L,
+          s"$sf: $dups duplicate (user_id, us) click rows — q69's oracle " +
+            "ASOF tie-break is unspecified; the hash compare would flake")
+      }
+    }
+  }
+
   test("operators reject inputs whose columns collide with staging names") {
     val bad = Seq((1L, 2L, "x")).toDF("k", "t", "_m")
     val ok = Seq((1L, 2L)).toDF("k", "t")
