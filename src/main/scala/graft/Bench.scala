@@ -44,17 +44,22 @@ object Bench {
     locally {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types.DecimalType
-      val n = spark.read.parquet(s"$sfDir/nation.parquet")
-      n.groupBy(col("n_regionkey"))
-        .agg(sum(col("n_nationkey").cast(DecimalType(18, 4))), count(lit(1)))
-        .collect()
-      n.join(n.select(col("n_nationkey").as("k")), col("n_nationkey") === col("k"))
-        .count()
+      // tolerate a partial data dir (e.g. pointing at soak fixtures that
+      // carry only the tables under test) — warmup is best-effort
+      scala.util.Try {
+        val n = spark.read.parquet(s"$sfDir/nation.parquet")
+        n.groupBy(col("n_regionkey"))
+          .agg(sum(col("n_nationkey").cast(DecimalType(18, 4))), count(lit(1)))
+          .collect()
+        n.join(n.select(col("n_nationkey").as("k")), col("n_nationkey") === col("k"))
+          .count()
+      }
       // touch the big fact/doc scans too: the first query over each file
       // otherwise pays its parquet-footer + column-reader JIT inside the
       // measured window (q01 was ~1.4s warmup + ~0.3s compute)
       Seq("lineitem", "orders", "events", "documents").foreach { t =>
-        spark.read.parquet(s"$sfDir/$t.parquet").agg(count(lit(1))).collect()
+        scala.util.Try(
+          spark.read.parquet(s"$sfDir/$t.parquet").agg(count(lit(1))).collect())
       }
     }
     // fixed-work CPU calibration (single-thread xorshift): query seconds

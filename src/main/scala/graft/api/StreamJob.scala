@@ -321,8 +321,16 @@ object StreamJob {
         else Pipe.pipeRawBytes(spark, kvIn, tokenize(cmd))
           .select(col("key").cast("string"), col("value").cast("string"))
       case Some(cmd) =>
-        val out = rawLines.as[String].rdd.pipe(tokenize(cmd))
-        splitKeyVal(out.toDF("line"), args.mapSep, args.numMapKeyFields)
+        // `-D mapred.skip.map.max.skip.records=N` (SkipBadRecords.java:51)
+        // arms crash-range skipping: a mapper binary that dies on a record
+        // skips + counts it instead of failing the job
+        val maxSkip = args.conf.get("mapred.skip.map.max.skip.records")
+          .map(_.toLong).getOrElse(0L)
+        val out =
+          if (maxSkip > 0)
+            Pipe.pipeLinesSkipping(spark, rawLines, tokenize(cmd), maxSkip)._1
+          else rawLines.as[String].rdd.pipe(tokenize(cmd)).toDF("line")
+        splitKeyVal(out, args.mapSep, args.numMapKeyFields)
       case None =>
         splitKeyVal(rawLines, args.mapSep, args.numMapKeyFields)
     }

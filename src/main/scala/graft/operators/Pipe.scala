@@ -34,6 +34,81 @@ object Pipe {
         expr("substring(line, instr(line, '\t') + 1)")).otherwise("").as("value"))
   }
 
+  /** Crash-range-skipping line pipe — SkipBadRecords semantics for an
+    * EXTERNAL process (`src/mapred/org/apache/hadoop/mapred/
+    * SkipBadRecords.java:51` + the narrowing ranges of
+    * `SortedRanges.java:383`): a user binary that crashes on some record
+    * must not fail the job; the framework isolates the offending record
+    * range, skips it, and counts it.
+    *
+    * Spark shape: the partition streams through the process in bounded
+    * CHUNKS (one fork per chunk — bounded memory, since a chunk must be
+    * replayable). A chunk whose process exits non-zero is BISECTED and
+    * each half re-run, recursively, until the crashing records are
+    * isolated 1-by-1 — the reference's skip-range narrowing, at log₂(chunk)
+    * extra forks per bad record, paid only on failure. Skipped records
+    * count into the returned accumulator (the reference's
+    * `MAP_SKIPPED_RECORDS` counter) and each one logs to task stderr.
+    *
+    * Same contract as the reference's skip mode: the command must be
+    * deterministic and record-wise (output for record i must not depend
+    * on records before i), because a failed chunk's partial output is
+    * discarded and recomputed from clean re-runs. `maxSkip` bounds the
+    * skipped records PER PARTITION — past it the job fails loudly
+    * (`mapred.skip.map.max.skip.records` semantics): a binary that
+    * crashes on everything is a broken job, not a skippable blemish.
+    */
+  def pipeLinesSkipping(spark: SparkSession, lines: DataFrame, cmd: Seq[String],
+                        maxSkip: Long, chunkSize: Int = 4096)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
+    import spark.implicits._
+    require(maxSkip > 0, s"pipeLinesSkipping: maxSkip must be positive (got $maxSkip)")
+    require(chunkSize > 0, s"pipeLinesSkipping: chunkSize must be positive (got $chunkSize)")
+    val skipped = spark.sparkContext.longAccumulator("graft.pipe.skipped_records")
+    val out = lines.select(col("line")).as[String].rdd.mapPartitions { it =>
+      var partitionSkips = 0L
+      def runChunk(chunk: Seq[String]): Option[Vector[String]] = {
+        val proc = new ProcessBuilder(cmd: _*)
+          .redirectError(ProcessBuilder.Redirect.INHERIT)
+          .start()
+        val writer = new Thread(() => {
+          val w = new java.io.BufferedWriter(
+            new java.io.OutputStreamWriter(proc.getOutputStream))
+          // the process may die mid-write (that is the point) — swallow
+          // the broken pipe; the exit code decides pass/fail
+          try { chunk.foreach { l => w.write(l); w.newLine() }; w.flush() }
+          catch { case _: java.io.IOException => () }
+          finally scala.util.Try(w.close())
+        })
+        writer.setDaemon(true)
+        writer.start()
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        val outLines = Vector.newBuilder[String]
+        try Iterator.continually(r.readLine()).takeWhile(_ != null).foreach(outLines += _)
+        finally r.close()
+        if (proc.waitFor() == 0) Some(outLines.result()) else None
+      }
+      def runOrBisect(chunk: Seq[String]): Iterator[String] =
+        runChunk(chunk) match {
+          case Some(ok) => ok.iterator
+          case None if chunk.size == 1 =>
+            partitionSkips += 1
+            if (partitionSkips > maxSkip)
+              sys.error(s"pipe skip limit exceeded: > $maxSkip skipped records " +
+                "in one partition (mapred.skip.map.max.skip.records)")
+            skipped.add(1)
+            System.err.println(s"[graft.pipe] skipped crashing record: ${chunk.head.take(200)}")
+            Iterator.empty
+          case None =>
+            val (l, r) = chunk.splitAt(chunk.size / 2)
+            runOrBisect(l) ++ runOrBisect(r)
+        }
+      it.grouped(chunkSize).flatMap(c => runOrBisect(c))
+    }
+    (out.toDF("line"), skipped)
+  }
+
   /** RawBytes pipe mode (`-io rawbytes`, `io/RawBytesOutputReader.java`):
     * length-prefixed key and value frames, no type tags — the fastest
     * binary interchange. Same fork/stream shape as typedbytes.

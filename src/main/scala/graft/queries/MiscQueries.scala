@@ -166,6 +166,52 @@ object MiscQueries {
       .select(col("url"), col("views"))
   }
 
+  /** JDBC source over a VARCHAR key (`TextSplitter.java:220`): q54 can only
+    * split-scan a numeric column — a legacy table whose ONLY key is a
+    * string was unsplittable. Here the pageview table is keyed by its url:
+    * the splitter asks the DB for MIN/MAX (the reference's bounding-vals
+    * query, `DataDrivenDBInputFormat.java:91`), interpolates VARCHAR split
+    * points, and the scan runs one partition per WHERE fragment. The query
+    * fails loudly if the plan does not carry >1 partition, so the split
+    * path is asserted on every run; the oracle (reading only the original
+    * parquet) proves the partitioned ranges cover every row exactly once.
+    */
+  val q54bJdbcTextSplit = Q.checked(
+    "q54b_jdbc_text_split",
+    """SELECT event_type AS url, count(*) AS views
+      |FROM events GROUP BY event_type""") { (s, dir) =>
+    import graft.operators.JdbcSplitters
+    System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+    val url = s"jdbc:derby:${graft.core.Graft.scratch("derby54b")};create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    table(s, dir, "events")
+      .groupBy(col("event_type").as("url"))
+      .agg(count(lit(1)).as("views"))
+      .write.mode("overwrite")
+      // Derby maps StringType to CLOB, which MIN/MAX (the splitter's
+      // bounding query) cannot aggregate — pin a real VARCHAR key
+      .option("createTableColumnTypes", "url VARCHAR(255)")
+      .jdbc(url, "pageviews_text", props)
+    // Spark's Derby dialect CREATEs quoted (case-sensitive) identifiers,
+    // so the raw bounding query and the predicate fragments must quote too
+    val conn = java.sql.DriverManager.getConnection(url)
+    val (lo, hi) =
+      try {
+        val rs = conn.createStatement()
+          .executeQuery("""SELECT MIN("url"), MAX("url") FROM pageviews_text""")
+        rs.next()
+        (rs.getString(1), rs.getString(2))
+      } finally conn.close()
+    val out = s.read
+      .jdbc(url, "pageviews_text",
+        JdbcSplitters.textPredicates("\"url\"", lo, hi, 4), props)
+      .select(col("url"), col("views"))
+    require(out.rdd.getNumPartitions > 1,
+      s"q54b: expected a split VARCHAR scan, got ${out.rdd.getNumPartitions} partition(s)")
+    out
+  }
+
   /** Multimodal binary pipeline: payload as BinaryType + typed metadata,
     * stride frame-sampling as pure binary slicing, and the deterministic
     * decode stub (real codec call goes there; the plumbing is real).
@@ -452,6 +498,6 @@ object MiscQueries {
 
   val all: Vector[Q] =
     Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q47bUrlParse, q48Pi, q49TeraGen,
-      q54Jdbc, q55Multimodal, q63ReferenceSelect, q64IndirectRead,
+      q54Jdbc, q54bJdbcTextSplit, q55Multimodal, q63ReferenceSelect, q64IndirectRead,
       q65TeraSort, q85Json, q86TimeRollup, q90Pipe, q91Xml, q91bXmlFile)
 }

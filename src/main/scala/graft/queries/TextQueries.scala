@@ -158,6 +158,57 @@ object TextQueries {
         col("postings"), col("df"))
   }
 
+  /** Incremental index-shard MERGE — the second half of the contrib Lucene
+    * pattern (`src/contrib/index/.../IndexUpdater.java:150`,
+    * `IntermediateForm.java:239`): q74 builds shards from scratch; the
+    * reference also folds a DELTA corpus into EXISTING shards (read old
+    * postings + new intermediate forms, merge per term within each shard).
+    * Here the corpus is split 90/10, the 90% index is WRITTEN to disk
+    * partitioned by shard (the persisted index), and the 10% delta's
+    * postings are merged in by a per-term full-outer join — postings
+    * lists union numerically, document frequency recomputed from the
+    * merged list. The oracle rebuilds from scratch over the WHOLE corpus,
+    * so a green row proves merged == rebuilt — the reference's exact
+    * correctness contract for incremental updates. Scale shape: the merge
+    * is one equi-join on the term, shard-locally (old side is read
+    * shard-partitioned), never a rebuild of the 90%.
+    */
+  val q74bIndexMerge = Q.checked(
+    "q74b_index_merge",
+    """WITH toks AS (
+      |  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok, doc_id FROM documents
+      |)
+      |SELECT tok,
+      |  CAST(('0x' || substring(md5(tok), 1, 8))::BIGINT % 4 AS BIGINT) AS shard,
+      |  array_to_string(list_sort(list(doc_id)), ',') AS postings,
+      |  count(*) AS df
+      |FROM toks GROUP BY tok""") { (s, dir) =>
+    def build(d: org.apache.spark.sql.DataFrame) = d
+      .select(explode(split(col("text"), " ")).as("tok"), col("doc_id"))
+      .distinct()
+      .groupBy(col("tok"))
+      .agg(array_join(sort_array(collect_set(col("doc_id"))), ",").as("postings"))
+    val docs = table(s, dir, "documents")
+    val shardDir = graft.core.Graft.scratch("q74b-shards")
+    build(docs.filter(col("doc_id") % 10 =!= 0))
+      .select(col("tok"), (Hashing.hash32(col("tok")) % 4).as("shard"), col("postings"))
+      .write.mode("overwrite").partitionBy("shard").parquet(shardDir)
+    val old = s.read.parquet(shardDir)
+    val delta = build(docs.filter(col("doc_id") % 10 === 0))
+    def plist(c: Column) = coalesce(
+      transform(split(c, ","), x => x.cast("long")),
+      array().cast("array<bigint>"))
+    val unioned = array_sort(array_union(plist(col("p_old")), plist(col("p_new"))))
+    old.select(col("tok"), col("postings").as("p_old"))
+      .join(delta.select(col("tok"), col("postings").as("p_new")),
+        Seq("tok"), "full_outer")
+      .select(
+        col("tok"),
+        (Hashing.hash32(col("tok")) % 4).as("shard"),
+        array_join(transform(unioned, x => x.cast("string")), ",").as("postings"),
+        size(unioned).cast("long").as("df"))
+  }
+
   /** Deterministic stratified sampling + train/test split — the
     * training-data curation step after filtering/dedup: per-class keep
     * rates (downsample the over-represented language) and an 80/20 split,
@@ -342,6 +393,6 @@ object TextQueries {
 
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q72TokenCount, q73Fingerprint,
-      q74InvertedIndex, q75Tfidf, q76StratifiedSplit, q77Collocations,
-      q79Repetition)
+      q74InvertedIndex, q74bIndexMerge, q75Tfidf, q76StratifiedSplit,
+      q77Collocations, q79Repetition)
 }

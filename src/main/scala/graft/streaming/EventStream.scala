@@ -188,6 +188,38 @@ object EventStream {
       }
   }
 
+  /** Batch reconciliation for [[streamingAsOf]]'s documented limitation:
+    * a reference arriving AFTER a probe it should have matched cannot
+    * retro-correct the already-emitted row. Downstream, where the full
+    * reference set exists (the reference stream's sink, or the batch
+    * table it lands in), this helper RE-matches every emitted probe with
+    * the batch as-of operator and returns the corrected enrichment —
+    * run it over the suspect horizon (e.g. each day's probes against
+    * that day's complete references) and the streaming answer converges
+    * to the batch answer.
+    *
+    * Tie rule matches both engines' convention: at equal timestamps the
+    * payload-max reference wins ([[TemporalJoins.asOf]]'s struct-max —
+    * `refTsUs` ties inside a key resolve by payload — and
+    * [[streamingAsOf]]'s in-state payload-max insertion). Scale shape is
+    * the batch operator's: one shuffle, |probes| + |refs| window rows,
+    * no inequality join.
+    */
+  def reconcileAsOf(matches: Dataset[AsOfMatch],
+                    refs: Dataset[TemporalRow]): Dataset[AsOfMatch] = {
+    import matches.sparkSession.implicits._
+    val probes = matches.toDF().select(col("key"), col("tsUs"), col("payload"))
+    val refRows = refs.filter(_.isRef).toDF()
+      .select(col("key").as("_rk"), col("tsUs").as("refTsUs"),
+        col("payload").as("refPayload"))
+    graft.operators.TemporalJoins
+      .asOf(probes, col("key"), col("tsUs"), refRows, col("_rk"), col("refTsUs"))
+      .select(col("key"), col("tsUs"), col("payload"),
+        col("matched.refTsUs").as("refTsUs"),
+        col("matched.refPayload").as("refPayload"))
+      .as[AsOfMatch]
+  }
+
   /** Idempotent `foreachBatch` parquet sink — exactly-once-to-storage on
     * a non-transactional sink: each micro-batch lands in its OWN
     * `batch_id=` partition with dynamic partition overwrite, so a

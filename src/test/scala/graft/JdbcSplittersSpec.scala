@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.JdbcSplitters
+import org.scalatest.funsuite.AnyFunSuite
+
+class JdbcSplittersSpec extends AnyFunSuite {
+
+  test("textSplitPoints: ordered boundaries from min to max, fraction round-trip") {
+    val pts = JdbcSplitters.textSplitPoints("apple", "zebra", 4)
+    assert(pts.head == "apple" && pts.last == "zebra")
+    assert(pts == pts.sorted && pts.distinct == pts)
+    assert(pts.size >= 2 && pts.size <= 5)
+    // interpolated points stay inside the interval
+    assert(pts.forall(p => p >= "apple" && p <= "zebra"))
+    // fraction mapping is monotonic, so interpolation preserves order
+    val f = (s: String) => JdbcSplitters.toFraction(s, 0)
+    assert(f("apple").compareTo(f("zebra")) < 0)
+    assert(JdbcSplitters.fromFraction(f("melon")) == "melon")
+  }
+
+  test("textSplitPoints honors a shared prefix and degenerate ranges") {
+    val pts = JdbcSplitters.textSplitPoints("user_aaa", "user_zzz", 3)
+    assert(pts.forall(_.startsWith("user_")))
+    assert(JdbcSplitters.textSplitPoints("same", "same", 5) == Seq("same", "same"))
+  }
+
+  test("textPredicates: disjoint cover, closed ends, NULLs in first range") {
+    val preds = JdbcSplitters.textPredicates("k", "click", "view", 4)
+    assert(preds.length >= 2 && preds.length <= 4)
+    assert(preds.head.contains("k >= 'click'") && preds.head.contains("k IS NULL"))
+    assert(preds.last.contains("k <= 'view'"))
+    // interior bounds half-open: every non-final range uses <, so a key
+    // equal to a boundary lands in exactly one fragment
+    preds.init.foreach(p => assert(p.contains("k < '")))
+    assert(preds.tail.forall(!_.contains("IS NULL")))
+    // SQL string literals escape embedded quotes
+    val esc = JdbcSplitters.textPredicates("k", "o'hara", "o'neil", 1)
+    assert(esc.head.contains("'o''hara'"))
+  }
+
+  test("datePredicates: even strides over epoch millis, renderer applied") {
+    val render = (ms: Long) => s"TS($ms)"
+    val preds = JdbcSplitters.datePredicates("d", 0L, 1000L, 4, render)
+    assert(preds.length == 4)
+    assert(preds.head == "(d >= TS(0) AND d < TS(250) OR d IS NULL)")
+    assert(preds.last == "(d >= TS(750) AND d <= TS(1000))")
+    // n larger than the interval collapses to one closed range
+    val one = JdbcSplitters.datePredicates("d", 5L, 5L, 3, render)
+    assert(one.length == 1 && one.head.contains("d <= TS(5)"))
+  }
+}

@@ -19,7 +19,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * delta-frontier CC, one job per round): q51 15.4s, q58 9.0s (~1.8× the
   * sf0.1 time at 10× the data — the frontier empties after the clique
   * hubs merge, so extra rounds cost frontier-sized, not corpus-sized,
-  * work), q57 17.1s, q60 1.0s, q30 1.4s, q52 0.5s.
+  * work), q57 17.1s, q60 1.0s, q30 1.4s, q52 0.5s. Round-6 run, adding
+  * the round-5 query families (events replicated with DISJOINT user ids
+  * per copy — see the inline comment): q51 19.6s / 9.26M pairs, q58
+  * 11.3s, q57 20.6s, q60 1.1s, q30 1.6s, q52 0.8s, q69 as-of 2.8s over
+  * 10M events (~3× its sf0.1 time — the |L|+|R| window scales linearly),
+  * q80 range join 3.1s / 92k pairs, q89 percentiles 3.0s over 6M
+  * lineitems (per-group sort is the exactness cost, as documented).
+  * q87 triangles measured 237s with the old two-hop self-join plan —
+  * the replicated corpus makes every dup group a 10× clique, and the
+  * join materialized one shuffled row per two-hop path (Σ C(deg,2)) —
+  * and 72s after the rewrite to adjacency-array intersection (rows =
+  * |E|, nothing wider than an edge shuffles; the rest is the inherent
+  * intersection work of a graph whose triangle count itself grew
+  * cubically with clique size).
   */
 class SoakTest extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -37,10 +50,20 @@ class SoakTest extends AnyFunSuite {
     (0 until n).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // events ×10: remap user_id as well as event_id — the temporal joins
+    // (q69 as-of, q80 bounded-gap) key on user; replicating users in place
+    // would multiply per-user-per-hour event DENSITY 10×, quadratically
+    // inflating q80's true-pair count instead of scaling the corpus 10×
     val ev = spark.read.parquet(s"$base/events.parquet")
-    (0 until n).map(i => ev.withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+    (0 until n).map(i => ev
+        .withColumn("event_id", col("event_id") + lit(i * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 100000000L)))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    (0 until n).map(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
 
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -64,6 +87,18 @@ class SoakTest extends AnyFunSuite {
     }
     time("q52_simhash") {
       graft.queries.DedupQueries.q52Simhash.run(spark, dir).count()
+    }
+    time("q69_asof_join") {
+      graft.queries.JoinQueries.q69AsofJoin.run(spark, dir).count()
+    }
+    time("q80_range_join") {
+      graft.queries.JoinQueries.q80RangeJoin.run(spark, dir).count()
+    }
+    time("q89_percentiles") {
+      graft.queries.AggQueries.q89Percentiles.run(spark, dir).count()
+    }
+    time("q87_triangles") {
+      graft.queries.DedupQueries.q87Triangles.run(spark, dir).count()
     }
   }
 }

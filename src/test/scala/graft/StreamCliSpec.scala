@@ -58,6 +58,50 @@ class StreamCliSpec extends AnyFunSuite {
     }
   }
 
+  test("crash-range skipping: a mapper that dies on records skips + counts them") {
+    import graft.operators.Pipe
+    import spark.implicits._
+    // a deterministic record-wise mapper that crashes on any BOOM line
+    val cmd = Seq("/bin/sh", "-c",
+      """while read l; do case "$l" in *BOOM*) exit 1;; *) echo "ok:$l";; esac; done""")
+    val lines = ((1 to 40).map(i => s"rec$i")
+      ++ Seq("BOOM-a", "BOOM-b") ++ (41 to 80).map(i => s"rec$i"))
+    val df = lines.toDF("line").repartition(2)
+    // tiny chunk so bisection recursion actually exercises multiple levels
+    val (out, skipped) = Pipe.pipeLinesSkipping(spark, df, cmd, maxSkip = 10, chunkSize = 8)
+    val got = out.as[String].collect().toSet
+    assert(got == (1 to 80).map(i => s"ok:rec$i").toSet)
+    assert(skipped.value == 2L, s"expected 2 skipped, got ${skipped.value}")
+    // past the per-partition limit the job fails loudly, like the reference
+    val allBad = (1 to 20).map(i => s"BOOM-$i").toDF("line").coalesce(1)
+    val (dead, _) = Pipe.pipeLinesSkipping(spark, allBad, cmd, maxSkip = 3, chunkSize = 8)
+    val e = intercept[org.apache.spark.SparkException](dead.count())
+    assert(e.getMessage.contains("skip limit") ||
+      Option(e.getCause).exists(_.getMessage.contains("skip limit")))
+  }
+
+  test("StreamJob -D mapred.skip.map.max.skip.records arms mapper skip mode") {
+    import spark.implicits._
+    // keys are already AggType:id on the input lines (q92 recipe shape);
+    // the mapper passes good lines through and dies on the CRASH one
+    val in2 = writeLines("skipcli2", Seq(
+      "LongValueSum:a\t1", "CRASH\t1", "LongValueSum:b\t2", "LongValueSum:a\t3"))
+    val got = StreamJob.run(spark, StreamJob.parseArgs(Seq(
+        "-input", in2,
+        "-mapper", """/bin/sh -c 'while read l; do case "$l" in CRASH*) exit 9;; *) echo "$l";; esac; done'""",
+        "-reducer", "aggregate",
+        "-D", "mapred.skip.map.max.skip.records=5")))
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "4", "b" -> "2"))
+    // without skip mode the same job dies on the crashing record
+    assertThrows[org.apache.spark.SparkException] {
+      StreamJob.run(spark, StreamJob.parseArgs(Seq(
+        "-input", in2,
+        "-mapper", """/bin/sh -c 'while read l; do case "$l" in CRASH*) exit 9;; *) echo "$l";; esac; done'""",
+        "-reducer", "aggregate"))).count()
+    }
+  }
+
   test("tokenize honors single and double quotes") {
     assert(StreamJob.tokenize("tr a-z A-Z") == Seq("tr", "a-z", "A-Z"))
     assert(StreamJob.tokenize("awk -F'\t' '{print $1\"x\"}'") ==

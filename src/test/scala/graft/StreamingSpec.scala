@@ -273,6 +273,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("reconcileAsOf corrects probes whose reference arrived late") {
+    import spark.implicits._
+    import graft.streaming.{AsOfMatch, TemporalRow}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TemporalRow]
+    val q = EventStream.streamingAsOf(in.toDS(), horizonUs = 1000L)
+      .writeStream.format("memory").queryName("asof_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // the probe fires FIRST; its reference (r5, earlier event time)
+      // arrives a batch later — the stream emits refPayload=None, the
+      // documented limitation
+      in.addData(TemporalRow(1L, 10L, isRef = false, "p10"))
+      q.processAllAvailable()
+      in.addData(
+        TemporalRow(1L, 5L, isRef = true, "r5"),
+        TemporalRow(1L, 20L, isRef = false, "p20"))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM asof_late").as[AsOfMatch]
+      val byProbe = streamed.collect().map(m => m.payload -> m.refPayload).toMap
+      assert(byProbe == Map("p10" -> None, "p20" -> Some("r5")),
+        s"precondition: the stream must have missed the late ref, got $byProbe")
+      // downstream reconcile against the COMPLETE reference set re-matches
+      // the miss; the already-correct probe is unchanged
+      val allRefs = Seq(TemporalRow(1L, 5L, isRef = true, "r5")).toDS()
+      val fixed = EventStream.reconcileAsOf(streamed, allRefs)
+        .collect().map(m => m.payload -> m.refPayload).toMap
+      assert(fixed == Map("p10" -> Some("r5"), "p20" -> Some("r5")))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
