@@ -212,6 +212,48 @@ object MiscQueries {
     out
   }
 
+  /** JDBC source over a TIMESTAMP key (`DateSplitter.java:177`): the date
+    * sibling of q54b — daily rollups land in Derby keyed by a real
+    * TIMESTAMP column, the splitter bounds it with MIN/MAX, strides the
+    * epoch evenly, and renders Derby `TIMESTAMP('...')` literals into one
+    * WHERE fragment per partition. Output crosses the engine boundary as
+    * epoch micros (never a raw TIMESTAMP column, per the repo convention);
+    * both JVM-side Derby writes and reads use the same UTC session, so
+    * the round trip is symmetric.
+    */
+  val q54cJdbcDateSplit = Q.checked(
+    "q54c_jdbc_date_split",
+    """SELECT epoch_us(date_trunc('day', ts)) AS day_us, count(*) AS n
+      |FROM events GROUP BY 1""") { (s, dir) =>
+    import graft.operators.JdbcSplitters
+    System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+    val url = s"jdbc:derby:${graft.core.Graft.scratch("derby54c")};create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    table(s, dir, "events")
+      .groupBy(date_trunc("DAY",
+        timestamp_micros(expr("ts div 1000"))).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").jdbc(url, "daily_counts", props)
+    val conn = java.sql.DriverManager.getConnection(url)
+    val (lo, hi) =
+      try {
+        val rs = conn.createStatement()
+          .executeQuery("""SELECT MIN("day"), MAX("day") FROM daily_counts""")
+        rs.next()
+        (rs.getTimestamp(1).getTime, rs.getTimestamp(2).getTime)
+      } finally conn.close()
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    val render = (ms: Long) => s"TIMESTAMP('${fmt.format(new java.util.Date(ms))}')"
+    val out = s.read
+      .jdbc(url, "daily_counts",
+        JdbcSplitters.datePredicates("\"day\"", lo, hi, 4, render), props)
+      .select(unix_micros(col("day")).as("day_us"), col("n"))
+    require(out.rdd.getNumPartitions > 1,
+      s"q54c: expected a split TIMESTAMP scan, got ${out.rdd.getNumPartitions} partition(s)")
+    out
+  }
+
   /** Multimodal binary pipeline: payload as BinaryType + typed metadata,
     * stride frame-sampling as pure binary slicing, and the deterministic
     * decode stub (real codec call goes there; the plumbing is real).
@@ -498,6 +540,7 @@ object MiscQueries {
 
   val all: Vector[Q] =
     Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q47bUrlParse, q48Pi, q49TeraGen,
-      q54Jdbc, q54bJdbcTextSplit, q55Multimodal, q63ReferenceSelect, q64IndirectRead,
+      q54Jdbc, q54bJdbcTextSplit, q54cJdbcDateSplit, q55Multimodal,
+      q63ReferenceSelect, q64IndirectRead,
       q65TeraSort, q85Json, q86TimeRollup, q90Pipe, q91Xml, q91bXmlFile)
 }

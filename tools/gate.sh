@@ -20,4 +20,19 @@ tools/run.sh graft.Verify "$SF" "$OUT" 2>&1 | grep -v '^2[0-9]' || true
 python3 tools/check.py "$SF" "$OUT"
 rc=$?
 rm -rf "$OUT"
+[ $rc -ne 0 ] && exit $rc
+# Opt-in bench-regression gate (GATE_BENCH=1): full min-of-2 bench at
+# sf0.1, each query compared against BENCH_BASELINE.json with >2x fail
+# (calibration-normalized — see tools/benchgate.py). Off by default: it
+# adds ~4 min per commit; run it before committing anything that touches
+# a hot path, and always before a round ends.
+if [ "${GATE_BENCH:-0}" = "1" ]; then
+  echo "[gate] GATE_BENCH=1 -> bench regression check vs BENCH_BASELINE.json"
+  BJ=$(mktemp /tmp/gate-bench.XXXXXX.json)
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    tools/run.sh graft.Bench > "$BJ" 2>/dev/null
+  python3 tools/benchgate.py "$BJ"
+  rc=$?
+  rm -f "$BJ"
+fi
 exit $rc
