@@ -210,8 +210,18 @@ object StreamJob {
     * numeric aggregator fails the job like the reference's
     * NumberFormatException, while other types' values are nulled out of
     * the numeric folds instead of poisoning them.
+    *
+    * ValueHistogram per-key state is BOUNDED by `exactCap` (conf
+    * `graft.valuehistogram.exact.cap`, default 100k): up to the cap the
+    * report is the reference's exact recipe; past it — where the
+    * reference's own per-key TreeMap would OOM — the median comes from a
+    * fixed-size quantile sketch and Σf² from order-free running moments,
+    * so the job completes on a 10⁸-distinct key instead of buffering a
+    * 10⁸-element array (same routing contract as
+    * `Aggregates.valueHistogramAuto`; StreamCliSpec pins both branches).
     */
-  private def aggregateReduce(kv: DataFrame): DataFrame = {
+  private def aggregateReduce(kv: DataFrame,
+                              exactCap: Int = 100000): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val typed = kv.select(
       substring_index(col("key"), ":", 1).as("atype"),
@@ -239,6 +249,15 @@ object StreamJob {
           .cast(DecimalType(38, 0)).as("w"))
       .groupBy(col("atype"), col("id"), col("value"))
       .agg(sum(col("w")).as("f"))
+      // rank distinct values per key so the histogram's collected array
+      // is CAPPED (see the fs aggregate below): the window sorts within
+      // the (atype, id)-partitioned shuffle the next groupBy needs anyway
+      // — no extra exchange — and (f, value) is duplicate-free here, so
+      // the rank is deterministic
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("atype"), col("id"))
+          .orderBy(col("f"), col("value"))))
     val numericVal = when(
       col("atype").isin("LongValueSum", "LongValueMax", "LongValueMin"),
       col("value")).cast("long")
@@ -258,7 +277,14 @@ object StreamJob {
         min(histF).as("min_f"),
         max(histF).as("max_f"),
         sum(histFd).as("s"),
-        sort_array(collect_list(histF)).as("fs"))
+        // per-key state is bounded: only the exactCap lowest-ranked
+        // frequencies are collected (a key with more distinct values gets
+        // its median/stddev from the sketch + order-free moments below —
+        // the exact branch's buffered map is the reference's own shape,
+        // but a 10⁸-distinct key must not become a 10⁸-element buffer)
+        sort_array(collect_list(when(col("_rn") <= exactCap, histF))).as("fs"),
+        percentile_approx(histF, lit(0.5), lit(10000)).as("fmed"),
+        sum(histF.cast("double") * histF.cast("double")).as("ssq_all"))
       .select(
         col("id").as("key"),
         when(col("atype") === "LongValueSum", col("lsum").cast("string"))
@@ -271,7 +297,12 @@ object StreamJob {
           .when(col("atype") === "ValueHistogram", concat_ws("\t",
             col("nvals"),
             col("min_f"),
-            element_at(col("fs"), (col("nvals") / 2).cast("int") + 1),
+            // exact median while the capped array is complete; the
+            // quantile sketch past the cap (where the reference's own
+            // buffered TreeMap would have OOMed long before)
+            when(col("nvals") <= exactCap,
+              element_at(col("fs"), (col("nvals") / 2).cast("int") + 1))
+              .otherwise(col("fmed")),
             col("max_f"),
             round(col("s").cast("double") / col("nvals"), 2)
               .cast(DecimalType(38, 2)),
@@ -287,10 +318,15 @@ object StreamJob {
             // assuming list_sum happens to fold in order — and agree
             // bit-for-bit at any magnitude (exact-int-then-cast vs
             // incremental double would diverge once f² leaves the 2^53
-            // exact range).
+            // exact range). Past the cap the fold's array is incomplete,
+            // so Σf² comes from the order-free running double sum instead
+            // — deterministic enough for a report whose median is already
+            // a sketch, on keys no oracle (or reference) can reach.
             round(sqrt(greatest(
-              (aggregate(col("fs"), lit(0.0),
-                (acc, x) => acc + x.cast("double") * x.cast("double"))
+              (when(col("nvals") <= exactCap,
+                aggregate(col("fs"), lit(0.0),
+                  (acc, x) => acc + x.cast("double") * x.cast("double")))
+                .otherwise(col("ssq_all"))
                 - col("s").cast("double") * col("s").cast("double") / col("nvals")) / col("nvals"),
               lit(0.0))), 2)
               .cast(DecimalType(38, 2))))
@@ -364,7 +400,9 @@ object StreamJob {
       else if (isAggregate) {
         // honor the requested reduce count on the output shape, like the
         // non-aggregate branch (part-file count = reduce tasks)
-        val agg = aggregateReduce(combined)
+        val agg = aggregateReduce(combined,
+          args.conf.get("graft.valuehistogram.exact.cap")
+            .map(_.toInt).getOrElse(100000))
         args.reduceTasks.fold(agg)(n => agg.repartition(n, col("key")))
       }
       else {

@@ -102,6 +102,23 @@ class StreamCliSpec extends AnyFunSuite {
     }
   }
 
+  test("aggregate ValueHistogram routes past the exact cap to the sketch") {
+    import spark.implicits._
+    // 10 distinct values, each frequency 1; cap=3 forces the sketch branch
+    val in = writeLines("histcap",
+      (1 to 10).map(i => s"ValueHistogram:k\tv$i"))
+    val run = (conf: Seq[String]) => StreamJob.run(spark, StreamJob.parseArgs(
+        Seq("-input", in, "-reducer", "aggregate") ++ conf))
+      .as[(String, String)].collect().toMap
+    val capped = run(Seq("-D", "graft.valuehistogram.exact.cap=3"))
+    // uniq/min/max/mean are exact either way; the all-ones distribution
+    // gives the sketch the same median and a zero stddev, so the report
+    // is IDENTICAL to the exact branch — proving the routed path still
+    // produces the reference-shaped report
+    assert(capped == Map("k" -> "10\t1\t1\t1\t1.00\t0.00"))
+    assert(run(Seq()) == capped)
+  }
+
   test("tokenize honors single and double quotes") {
     assert(StreamJob.tokenize("tr a-z A-Z") == Seq("tr", "a-z", "A-Z"))
     assert(StreamJob.tokenize("awk -F'\t' '{print $1\"x\"}'") ==
