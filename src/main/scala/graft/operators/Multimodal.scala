@@ -5,13 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal (binary) column handling for training-data pipelines: treat
   * image/audio/video payloads as opaque `BinaryType` columns with typed
-  * metadata, plus frame-sampling and a feature-extraction stub.
+  * metadata, plus frame-sampling and feature extraction.
   *
-  * The real decode step needs codec libraries not present in this
-  * environment, so `decodeStub` produces a DETERMINISTIC FAKE feature
-  * (documented as the stub boundary); everything around it — schema,
-  * batching, partitioning, the binary slicing — is real Spark plumbing
-  * that a production decoder drops into.
+  * COMPRESSED codecs (JPEG/H.264/Opus...) need libraries not present in
+  * this environment, so `decodeStub` stands in for those with a
+  * deterministic fake (documented stub boundary). UNCOMPRESSED audio is
+  * decoded for REAL: [[wavDecode]] is a dependency-free RIFF/WAVE PCM
+  * parser (chunk walk, fmt validation, 16-bit little-endian samples) and
+  * [[decodeWavBatched]] runs it through the batched per-partition decode
+  * pipeline — q55b proves decode(encode(x)) reproduces x's audio features
+  * against an oracle that never touches the bytes.
   */
 object Multimodal {
 
@@ -46,6 +49,108 @@ object Multimodal {
     */
   def decodeStub(bin: Column): Column =
     graft.functions.Hashing.hash32(lower(hex(bin)))
+
+  /** Decoded PCM audio: format fields from the `fmt ` chunk + the samples. */
+  final case class WavAudio(sampleRate: Int, channels: Int,
+                            bitsPerSample: Int, samples: Array[Short])
+
+  /** Encode 16-bit mono PCM as a canonical 44-byte-header RIFF/WAVE file —
+    * the fixture generator AND a usable sink for synthesized audio.
+    */
+  def wavEncode(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL RIFF/WAVE decoder (no codec libs needed — PCM is just bytes):
+    * validates the RIFF/WAVE magic, walks chunks word-aligned (skipping
+    * LIST/fact/anything unknown, like any robust reader), reads the
+    * `fmt ` chunk, and decodes the `data` chunk's 16-bit little-endian
+    * PCM. Fails loudly on non-PCM or non-16-bit payloads — a silent
+    * misparse would poison every downstream feature.
+    */
+  def wavDecode(bytes: Array[Byte]): WavAudio = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(bytes.length >= 44, s"wav: truncated header (${bytes.length} bytes)")
+    require(tag() == "RIFF", "wav: missing RIFF magic")
+    bb.getInt // riff payload length (unchecked: trailing junk is tolerated)
+    require(tag() == "WAVE", "wav: missing WAVE form type")
+    var rate, channels, bits = 0
+    var fmtSeen = false
+    var samples: Array[Short] = null
+    while (samples == null && bb.remaining >= 8) {
+      val id = tag()
+      val len = bb.getInt
+      require(len >= 0 && len <= bb.remaining,
+        s"wav: chunk '$id' claims $len bytes with ${bb.remaining} left")
+      val next = bb.position() + len + (len & 1) // chunks are word-aligned
+      id match {
+        case "fmt " =>
+          val audioFormat = bb.getShort
+          require(audioFormat == 1, s"wav: not PCM (format $audioFormat)")
+          channels = bb.getShort
+          rate = bb.getInt
+          bb.getInt   // byte rate
+          bb.getShort // block align
+          bits = bb.getShort
+          require(bits == 16, s"wav: only 16-bit PCM is decoded (got $bits)")
+          fmtSeen = true
+        case "data" =>
+          require(fmtSeen, "wav: data chunk before fmt")
+          samples = Array.fill(len / 2)(bb.getShort)
+        case _ => () // LIST, fact, cue, ... — skip
+      }
+      bb.position(math.min(next, bytes.length))
+    }
+    require(samples != null, "wav: no data chunk")
+    WavAudio(rate, channels, bits, samples)
+  }
+
+  /** Batched REAL-decode pipeline over (id, bin) WAV payloads: per-batch
+    * decode via [[wavDecode]], emitting integral audio features (sample
+    * rate, channel count, sample count, peak amplitude, energy Σx²) —
+    * exact-arithmetic outputs an engine-independent oracle can recompute
+    * from the generation formula without parsing a byte.
+    */
+  def decodeWavBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("bin"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val w = wavDecode(bytes)
+            var peak = 0L
+            var sumSq = 0L
+            w.samples.foreach { s =>
+              peak = math.max(peak, math.abs(s.toLong))
+              sumSq += s.toLong * s
+            }
+            (id, w.sampleRate.toLong, w.channels.toLong,
+              w.samples.length.toLong, peak, sumSq)
+          }
+        }
+      }
+      .toDF("id", "sample_rate", "channels", "n_samples", "peak", "sum_sq")
+  }
 
   /** Batched decode pipeline — the mapInPandas-equivalent shape: payloads
     * stream through `mapPartitions` in fixed-size batches (real decoders

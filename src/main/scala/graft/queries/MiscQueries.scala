@@ -279,6 +279,44 @@ object MiscQueries {
       Multimodal.decodeStub(col("bin")).as("feature"))
   }
 
+  /** REAL multimodal decode, end-to-end: deterministic 16-bit PCM
+    * waveforms are synthesized per document, encoded as RIFF/WAVE files
+    * (real 44-byte headers + chunks), and run through the batched decode
+    * pipeline whose parser ([[Multimodal.wavDecode]]) walks the chunks
+    * and decodes the samples — no codec library, PCM is just bytes. The
+    * oracle recomputes the audio features (count, peak, energy) from the
+    * generation FORMULA without ever seeing a byte, so a green row proves
+    * decode(encode(x)) recovered exactly the waveform x. Compressed
+    * codecs remain behind `decodeStub` (no libs in this environment);
+    * this pins the decode PIPELINE — batching, schema, feature shape —
+    * with a real decoder in the slot.
+    */
+  val q55bWavDecode = Q.checked(
+    "q55b_wav_decode",
+    """WITH g AS (
+      |  SELECT doc_id, 50 + doc_id % 20 AS n FROM documents),
+      |s AS (
+      |  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS k FROM g),
+      |v AS (
+      |  SELECT doc_id, n, (doc_id * 31 + k * 7) % 2001 - 1000 AS x FROM s)
+      |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(1 AS BIGINT) AS channels, CAST(max(n) AS BIGINT) AS n_samples,
+      |  CAST(max(abs(x)) AS BIGINT) AS peak, CAST(sum(x * x) AS BIGINT) AS sum_sq
+      |FROM v GROUP BY doc_id""") { (s, dir) =>
+    import s.implicits._
+    val gen = table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (50 + id % 20).toInt
+        val samples = Array.tabulate(n)(k =>
+          ((id * 31 + k * 7) % 2001 - 1000).toShort)
+        (id, Multimodal.wavEncode(samples, 8000))
+      })
+      .toDF("id", "bin")
+    Multimodal.decodeWavBatched(gen)
+      .select(col("id").as("doc_id"), col("sample_rate"), col("channels"),
+        col("n_samples"), col("peak"), col("sum_sq"))
+  }
+
   /** Pipe operator (`PipeMapRed.java:204-214`): fork `tr a-z A-Z` per
     * partition, stream `key \t value` lines through it, parse back on the
     * first separator.
@@ -541,6 +579,6 @@ object MiscQueries {
   val all: Vector[Q] =
     Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q47bUrlParse, q48Pi, q49TeraGen,
       q54Jdbc, q54bJdbcTextSplit, q54cJdbcDateSplit, q55Multimodal,
-      q63ReferenceSelect, q64IndirectRead,
+      q55bWavDecode, q63ReferenceSelect, q64IndirectRead,
       q65TeraSort, q85Json, q86TimeRollup, q90Pipe, q91Xml, q91bXmlFile)
 }

@@ -125,6 +125,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) == Seq(2f, 122f, 122f, 122f))
   }
 
+  test("wavDecode round-trips PCM and survives extra chunks; fails loudly on junk") {
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 7)
+    val wav = Multimodal.wavEncode(samples, 44100)
+    val got = Multimodal.wavDecode(wav)
+    assert(got.sampleRate == 44100 && got.channels == 1 && got.bitsPerSample == 16)
+    assert(got.samples.toSeq == samples.toSeq)
+    // a robust reader skips chunks it doesn't know (LIST metadata before
+    // data, odd-length chunk word-padded) — splice one in and re-decode
+    val bb = java.nio.ByteBuffer.allocate(wav.length + 8 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(wav, 0, 36)                        // RIFF header + fmt chunk
+    bb.put("LIST".getBytes("US-ASCII")).putInt(5)
+    bb.put("INFOx".getBytes("US-ASCII")).put(0.toByte) // 5 bytes + pad
+    bb.put(wav, 36, wav.length - 36)          // data chunk
+    val spliced = bb.array()
+    assert(Multimodal.wavDecode(spliced).samples.toSeq == samples.toSeq)
+    // loud failures, never a silent misparse
+    val notRiff = "JUNKJUNKJUNK".getBytes("US-ASCII") ++ new Array[Byte](40)
+    assert(intercept[IllegalArgumentException](
+      Multimodal.wavDecode(notRiff)).getMessage.contains("RIFF"))
+    val lying = wav.clone()
+    lying(40) = -1; lying(41) = -1; lying(42) = -1; lying(43) = 0x7f // data len
+    assert(intercept[IllegalArgumentException](
+      Multimodal.wavDecode(lying)).getMessage.contains("claims"))
+  }
+
   test("named side outputs: one cached frame, N filtered sinks (MultipleOutputs)") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-sideout"
     val df = Seq((1, "even"), (2, "odd"), (3, "even"), (4, "odd"), (5, "even"))
