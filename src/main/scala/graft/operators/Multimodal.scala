@@ -152,6 +152,91 @@ object Multimodal {
       .toDF("id", "sample_rate", "channels", "n_samples", "peak", "sum_sq")
   }
 
+  /** Decoded image: row-major top-down 0xRRGGBB pixels. */
+  final case class BmpImage(width: Int, height: Int, pixels: Array[Int])
+
+  /** Encode a top-down 0xRRGGBB pixel array as an uncompressed 24-bit BMP
+    * (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows, rows padded to
+    * 4 bytes — the standard layout every BMP reader expects).
+    */
+  def bmpEncode(img: BmpImage): Array[Byte] = {
+    val rowBytes = (img.width * 3 + 3) & ~3
+    val dataLen = rowBytes * img.height
+    val bb = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putShort(0).putShort(0).putInt(54) // reserved + pixel offset
+    bb.putInt(40).putInt(img.width).putInt(img.height)
+      .putShort(1)  // planes
+      .putShort(24) // bpp
+      .putInt(0)    // BI_RGB, uncompressed
+      .putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (y <- img.height - 1 to 0 by -1) { // bottom-up
+      for (x <- 0 until img.width) {
+        val p = img.pixels(y * img.width + x)
+        bb.put((p & 0xff).toByte)         // B
+          .put(((p >> 8) & 0xff).toByte)  // G
+          .put(((p >> 16) & 0xff).toByte) // R
+      }
+      (img.width * 3 until rowBytes).foreach(_ => bb.put(0.toByte))
+    }
+    bb.array()
+  }
+
+  /** REAL BMP decoder (uncompressed 24-bit — just bytes, no codec lib):
+    * validates the `BM` magic, honors the header's pixel-data offset,
+    * handles bottom-up AND top-down (negative height) row order and the
+    * 4-byte row padding. Fails loudly on compressed or non-24-bit
+    * payloads.
+    */
+  def bmpDecode(bytes: Array[Byte]): BmpImage = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54, s"bmp: truncated header (${bytes.length} bytes)")
+    require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte, "bmp: missing BM magic")
+    bb.getInt; bb.getInt // file size, reserved
+    val pixelOffset = bb.getInt
+    val hdrSize = bb.getInt
+    require(hdrSize >= 40, s"bmp: unsupported header size $hdrSize")
+    val width = bb.getInt
+    val rawHeight = bb.getInt
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    bb.getShort // planes
+    val bpp = bb.getShort
+    require(bpp == 24, s"bmp: only 24-bit uncompressed is decoded (got $bpp)")
+    val compression = bb.getInt
+    require(compression == 0, s"bmp: compressed payload (method $compression)")
+    val rowBytes = (width * 3 + 3) & ~3
+    require(pixelOffset + rowBytes.toLong * height <= bytes.length,
+      s"bmp: header claims ${rowBytes.toLong * height} pixel bytes past the payload")
+    val pixels = new Array[Int](width * height)
+    for (row <- 0 until height) {
+      val y = if (topDown) row else height - 1 - row
+      var off = pixelOffset + row * rowBytes
+      for (x <- 0 until width) {
+        val b = bytes(off) & 0xff
+        val g = bytes(off + 1) & 0xff
+        val r = bytes(off + 2) & 0xff
+        pixels(y * width + x) = (r << 16) | (g << 8) | b
+        off += 3
+      }
+    }
+    BmpImage(width, height, pixels)
+  }
+
+  /** REAL nearest-neighbor resize on decoded pixels — integer index math
+    * (`sx = tx·w / ow`), so any engine reproduces the exact output image.
+    */
+  def resizeNearest(img: BmpImage, ow: Int, oh: Int): BmpImage = {
+    require(ow > 0 && oh > 0, s"resize: bad target ${ow}x$oh")
+    val out = new Array[Int](ow * oh)
+    for (ty <- 0 until oh; tx <- 0 until ow)
+      out(ty * ow + tx) = img.pixels(
+        (ty * img.height / oh) * img.width + (tx * img.width / ow))
+    BmpImage(ow, oh, out)
+  }
+
   /** Batched decode pipeline — the mapInPandas-equivalent shape: payloads
     * stream through `mapPartitions` in fixed-size batches (real decoders
     * amortize model/codec setup per batch, not per record), emitting

@@ -317,6 +317,60 @@ object MiscQueries {
         col("n_samples"), col("peak"), col("sum_sq"))
   }
 
+  /** REAL image decode + resize, end-to-end (the BMP sibling of q55b):
+    * deterministic small RGB images are synthesized per document, encoded
+    * as standard 24-bit BMPs (file+info headers, bottom-up padded rows),
+    * decoded by the real parser, RESIZED with integer nearest-neighbor,
+    * and reduced to channel sums. The oracle replays the pixel formula
+    * through the same integer index math (`sx = tx·w/4`) without seeing a
+    * byte — green proves decode and resize both recovered the exact
+    * pixels. (JPEG/PNG stay behind the stub: entropy coding needs libs
+    * this environment lacks; the pipeline they'd drop into is this one.)
+    */
+  val q55cBmpResize = Q.checked(
+    "q55c_bmp_resize",
+    """WITH g AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    (doc_id + 3 * ((tx * w) // 4) + 7 * ((ty * h) // 3)) % 256 AS r,
+      |    (doc_id * 2 + 5 * ((tx * w) // 4) + (ty * h) // 3) % 256 AS gr,
+      |    (((tx * w) // 4) * ((ty * h) // 3) + doc_id) % 256 AS b
+      |  FROM g, generate_series(0, 3) AS s1(tx), generate_series(0, 2) AS s2(ty))
+      |SELECT doc_id,
+      |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+      |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(gr) AS BIGINT) AS sum_g,
+      |  CAST(sum(b) AS BIGINT) AS sum_b
+      |FROM px GROUP BY doc_id""") { (s, dir) =>
+    import s.implicits._
+    val gen = table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val px = Array.tabulate(w * h) { i =>
+          val x = i % w
+          val y = i / w
+          val r = ((id + 3 * x + 7 * y) % 256).toInt
+          val g = ((id * 2 + 5 * x + y) % 256).toInt
+          val b = ((x.toLong * y + id) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }
+        (id, Multimodal.bmpEncode(Multimodal.BmpImage(w, h, px)))
+      })
+      .toDF("id", "bin")
+    gen.as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.iterator.map { case (id, bytes) =>
+        val src = Multimodal.bmpDecode(bytes)
+        val img = Multimodal.resizeNearest(src, 4, 3)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        img.pixels.foreach { p =>
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        }
+        (id, src.width.toLong, src.height.toLong, sr, sg, sb)
+      }))
+      .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
   /** Pipe operator (`PipeMapRed.java:204-214`): fork `tr a-z A-Z` per
     * partition, stream `key \t value` lines through it, parse back on the
     * first separator.
@@ -579,6 +633,6 @@ object MiscQueries {
   val all: Vector[Q] =
     Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q47bUrlParse, q48Pi, q49TeraGen,
       q54Jdbc, q54bJdbcTextSplit, q54cJdbcDateSplit, q55Multimodal,
-      q55bWavDecode, q63ReferenceSelect, q64IndirectRead,
+      q55bWavDecode, q55cBmpResize, q63ReferenceSelect, q64IndirectRead,
       q65TeraSort, q85Json, q86TimeRollup, q90Pipe, q91Xml, q91bXmlFile)
 }

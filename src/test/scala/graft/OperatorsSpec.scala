@@ -151,6 +151,34 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.wavDecode(lying)).getMessage.contains("claims"))
   }
 
+  test("bmpDecode round-trips pixels, honors top-down rows, resize is exact") {
+    import Multimodal.{BmpImage, bmpDecode, bmpEncode, resizeNearest}
+    // 3x2, width*3=9 bytes/row -> padded to 12: exercises row padding
+    val img = BmpImage(3, 2, Array(0xff0000, 0x00ff00, 0x0000ff,
+      0x123456, 0xffffff, 0x000000))
+    val back = bmpDecode(bmpEncode(img))
+    assert(back.width == 3 && back.height == 2)
+    assert(back.pixels.toSeq == img.pixels.toSeq)
+    // top-down variant: negate the height field (offset 22, int32 LE) and
+    // flip the stored row order -> must decode to the SAME image
+    val bytes = bmpEncode(img)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -2)
+    val row0 = bytes.slice(54, 66).clone()
+    System.arraycopy(bytes, 66, bytes, 54, 12)
+    System.arraycopy(row0, 0, bytes, 66, 12)
+    assert(bmpDecode(bytes).pixels.toSeq == img.pixels.toSeq)
+    // resize: identity at same dims; 2x upscale duplicates each pixel
+    assert(resizeNearest(img, 3, 2).pixels.toSeq == img.pixels.toSeq)
+    val up = resizeNearest(BmpImage(2, 1, Array(1, 2)), 4, 2)
+    assert(up.pixels.toSeq == Seq(1, 1, 2, 2, 1, 1, 2, 2))
+    // loud failure on a compressed payload
+    val rle = bmpEncode(img); java.nio.ByteBuffer.wrap(rle)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(30, 1) // BI_RLE8
+    assert(intercept[IllegalArgumentException](
+      bmpDecode(rle)).getMessage.contains("compressed"))
+  }
+
   test("named side outputs: one cached frame, N filtered sinks (MultipleOutputs)") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-sideout"
     val df = Seq((1, "even"), (2, "odd"), (3, "even"), (4, "odd"), (5, "even"))
