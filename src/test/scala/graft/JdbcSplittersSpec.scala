@@ -38,6 +38,37 @@ class JdbcSplittersSpec extends AnyFunSuite {
     assert(esc.head.contains("'o''hara'"))
   }
 
+  test("property: split points stay ordered inside [min, max] on random keys") {
+    val rnd = new scala.util.Random(2026)
+    def randKey(): String = {
+      val n = 1 + rnd.nextInt(12)
+      (1 to n).map(_ => (32 + rnd.nextInt(95)).toChar).mkString // printable ASCII
+    }
+    for (_ <- 1 to 300) {
+      val a = randKey(); val b = randKey()
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      val n = 1 + rnd.nextInt(8)
+      val pts = JdbcSplitters.textSplitPoints(lo, hi, n)
+      assert(pts.head == lo && pts.last == hi, s"ends for [$lo, $hi] n=$n")
+      assert(pts == pts.sorted && pts.distinct == pts, s"order for [$lo, $hi] n=$n")
+      assert(pts.size <= n + 1)
+      // predicates partition the interval: ranges are adjacent (each
+      // range's upper bound is the next range's lower bound)
+      val preds = JdbcSplitters.textPredicates("k", lo, hi, n)
+      assert(preds.length == pts.size - 1)
+    }
+  }
+
+  test("property: fraction round trip is exact for printable keys up to 8 chars") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 300) {
+      val n = 1 + rnd.nextInt(8)
+      val s = (1 to n).map(_ => (33 + rnd.nextInt(94)).toChar).mkString
+      assert(JdbcSplitters.fromFraction(JdbcSplitters.toFraction(s, 0)) == s,
+        s"round trip of '$s'")
+    }
+  }
+
   test("datePredicates: even strides over epoch millis, renderer applied") {
     val render = (ms: Long) => s"TS($ms)"
     val preds = JdbcSplitters.datePredicates("d", 0L, 1000L, 4, render)

@@ -55,6 +55,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.candidatePairs(normal).as[(Long, Long)].collect().toSet == Set((1L, 2L)))
   }
 
+  test("Dedup.release frees the final label checkpoint and warns on a plain frame") {
+    import graft.operators.Dedup
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(pairs)
+    labels.collect()
+    // the returned frame rides a localCheckpoint: blocks are registered
+    val before = spark.sparkContext.getPersistentRDDs.size
+    assert(before > 0, "expected the final checkpoint's RDD to be registered")
+    Dedup.release(labels)
+    assert(spark.sparkContext.getPersistentRDDs.size < before,
+      "release must unpersist the final checkpoint's blocks")
+    // a frame with no checkpoint under it warns loudly instead of no-opping
+    // (the warning goes to System.err, so capture via a stream swap)
+    val orig = System.err
+    val buf = new java.io.ByteArrayOutputStream()
+    System.setErr(new java.io.PrintStream(buf))
+    try Dedup.release(Seq((1L, 1L)).toDF("id", "lbl"))
+    finally System.setErr(orig)
+    assert(buf.toString.contains("nothing was freed"))
+  }
+
   test("connectedComponents folds a 100-node path in few rounds (pointer jump)") {
     import graft.operators.Dedup
     // a pure path graph is the worst case for plain min-propagation
