@@ -207,6 +207,10 @@ object Multimodal {
     require(bpp == 24, s"bmp: only 24-bit uncompressed is decoded (got $bpp)")
     val compression = bb.getInt
     require(compression == 0, s"bmp: compressed payload (method $compression)")
+    require(width > 0 && height > 0 && width.toLong * height <= (1L << 30),
+      s"bmp: implausible dimensions ${width}x$rawHeight")
+    require(pixelOffset >= 54 && pixelOffset <= bytes.length,
+      s"bmp: pixel offset $pixelOffset outside the payload")
     val rowBytes = (width * 3 + 3) & ~3
     require(pixelOffset + rowBytes.toLong * height <= bytes.length,
       s"bmp: header claims ${rowBytes.toLong * height} pixel bytes past the payload")
