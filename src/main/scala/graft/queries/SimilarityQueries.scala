@@ -53,9 +53,12 @@ object SimilarityQueries {
 
   private def planeSql(j: Int): String = signs(j).mkString("[", ",", "]")
 
-  /** LSH-bucketed ANN: 6 deterministic ±1 hyperplanes → 64 buckets;
-    * candidates restricted to the query's bucket before exact cosine.
-    * The hyperplane matrix is shared with the oracle as literals.
+  /** LSH-bucketed ANN with multi-probe: 6 deterministic ±1 hyperplanes →
+    * 64 buckets; candidates come from the query's bucket AND every bucket
+    * one bit-flip away (Hamming ≤ 1 — single-bucket SRP recalls almost
+    * nothing on a near-orthogonal corpus, see RecallSpec) before exact
+    * cosine. The hyperplane matrix and the probe set are shared with the
+    * oracle as literals.
     */
   val q61AnnLsh = Q.checked(
     "q61_ann_lsh",
@@ -71,7 +74,8 @@ object SimilarityQueries {
        |  FROM embeddings x JOIN b ON b.vec_id = x.vec_id WHERE x.vec_id < $NQueries
        |), cand AS (
        |  SELECT q.qid, x.vec_id AS xid, q.qv, x.embedding AS xv
-       |  FROM q JOIN b xb ON xb.bucket = q.bucket JOIN embeddings x ON x.vec_id = xb.vec_id
+       |  FROM q JOIN b xb ON xb.bucket IN (q.bucket${(0 until Planes).map(j => s", xor(q.bucket, ${1L << j})").mkString})
+       |  JOIN embeddings x ON x.vec_id = xb.vec_id
        |), el2 AS (
        |  SELECT qid, xid, unnest(qv) AS qa, unnest(xv) AS xa FROM cand
        |), dots AS (

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The q61/q62 oracles prove the bucketed ANN plans compute exactly what
+  * they claim — but a broken bucketing could return deterministic garbage
+  * and still match its own oracle. This spec pins QUALITY: the candidates
+  * an approximate index returns must overlap the brute-force ground truth.
+  */
+class RecallSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val K = 5
+  private val NQ = 20
+
+  private def recallOf(ann: org.apache.spark.sql.DataFrame,
+                       truth: Map[Long, Set[Long]]): Double = {
+    val got = ann.select(col("qid"), col("xid")).as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val per = truth.map { case (q, t) =>
+      got.get(q).fold(0.0)(g => (g intersect t).size.toDouble / t.size)
+    }
+    per.sum / per.size
+  }
+
+  test("LSH and IVF top-k overlap the brute-force ground truth") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val truth = Similarity.bruteForceTopK(queries, corpus, K)
+      .select(col("qid"), col("xid")).as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+
+    val signs = Similarity.srpSigns(6, 64)
+    val lshByProbe = (0 to 2).map(h =>
+      recallOf(Similarity.lshTopK(queries, corpus, signs, K, hammingProbe = h), truth))
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val ivf = recallOf(
+      Similarity.ivfTopK(queries, corpus, centroids, nProbe = 2, K), truth)
+
+    info(f"recall@$K over $NQ queries: lsh(h=0/1/2)=${lshByProbe(0)}%.3f/" +
+      f"${lshByProbe(1)}%.3f/${lshByProbe(2)}%.3f ivf=$ivf%.3f")
+    // This corpus is ADVERSARIAL for LSH: near-orthogonal random vectors,
+    // whose "nearest" neighbors sit at cos≈0.4 — a 6-plane bucket keeps
+    // such a neighbor with p≈0.06, which is WHY single-bucket recall
+    // measured 0.20 (the self-match and little else) and multi-probe
+    // exists. Measured ladder on this corpus: 0.20 (h=0) → 0.35 (h=1) →
+    // 0.57 (h=2); clustered production embeddings score far higher at
+    // the same settings. The floors guard against collapse (an index
+    // that stops finding anything but itself), not against noise.
+    assert(lshByProbe(1) >= 0.3, f"multi-probe LSH recall collapsed: ${lshByProbe(1)}%.3f")
+    assert(ivf >= 0.5, f"IVF recall collapsed: $ivf%.3f")
+    // widening the probe radius must never lose candidates
+    assert(lshByProbe(0) <= lshByProbe(1) && lshByProbe(1) <= lshByProbe(2),
+      s"probe widening lost recall: $lshByProbe")
+    // the self-match (cos = 1) must never be lost by its own bucket
+    assert(recallOf(
+      Similarity.lshTopK(queries, corpus, signs, 1), truth.map {
+        case (q, _) => q -> Set(q)
+      }) == 1.0, "a vector must find itself in its own LSH bucket")
+  }
+}
