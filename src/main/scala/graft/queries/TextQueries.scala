@@ -28,12 +28,26 @@ object TextQueries {
   private def scoreSql(ms: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), x -> x IN (${ms.map("'" + _ + "'").mkString(",")})))"
 
-  private def scoreCol(ms: Seq[String]): Column =
-    size(filter(split(col("text"), " "), x => x.isInCollection(ms)))
-
   /** Deterministic argmax with alphabetical tiebreak as a CASE chain —
-    * identical shape in both engines.
+    * identical shape in both engines. Public so the spec can drive it
+    * over synthetic per-language texts (the fixture's `lang` label is
+    * uncorrelated with its text, which is English-ish for every label,
+    * so corpus accuracy is not a meaningful check — marker behavior is).
     */
+  def langIdPredict(text: Column): Column = {
+    def s(lang: String): Column = {
+      val ms = markers.find(_._1 == lang).get._2
+      size(filter(split(text, " "), x => x.isInCollection(ms)))
+    }
+    when(s("de") >= s("en") && s("de") >= s("es") &&
+      s("de") >= s("fr") && s("de") >= s("zh"), "de")
+      .when(s("en") >= s("es") && s("en") >= s("fr") &&
+        s("en") >= s("zh"), "en")
+      .when(s("es") >= s("fr") && s("es") >= s("zh"), "es")
+      .when(s("fr") >= s("zh"), "fr")
+      .otherwise("zh")
+  }
+
   val q70LangId = Q.checked(
     "q70_langid",
     s"""WITH scored AS (
@@ -50,17 +64,9 @@ object TextQueries {
        |    ELSE 'zh'
        |  END AS pred_lang
        |FROM scored""") { (s, dir) =>
-    val scored = table(s, dir, "documents")
-      .select(col("doc_id") +: col("lang").as("true_lang") +:
-        markers.map { case (l, ms) => scoreCol(ms).as(s"s_$l") }: _*)
-    scored.select(col("doc_id"), col("true_lang"),
-      when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
-        col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
-        .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
-          col("s_en") >= col("s_zh"), "en")
-        .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
-        .when(col("s_fr") >= col("s_zh"), "fr")
-        .otherwise("zh").as("pred_lang"))
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        langIdPredict(col("text")).as("pred_lang"))
   }
 
   /** Quality scoring: token count, mean token length, stopword ratio, and
