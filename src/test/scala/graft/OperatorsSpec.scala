@@ -33,6 +33,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fromPairs.nonEmpty && fromPairs == fromStars)
   }
 
+  test("simhash is a locality hash: near-dups land close, unrelated far") {
+    import graft.operators.Dedup
+    // q52's oracle proves the signature math is engine-identical; this
+    // pins the PROPERTY the signature exists for — single-token edits
+    // move few of the 16 bits, unrelated token sets move many
+    val base = "spark query engine filter join window aggregate shuffle partition broadcast"
+    val near = base.replace("broadcast", "sort") // one token of ten changed
+    val far = "zebra quark melon violin harbor crystal nomad ember tundra prism"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val sig = Dedup.simhash(df, col("doc_id"), Dedup.tokens(col("text")), 16)
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val dNear = hamming(sig(1L), sig(2L))
+    val dFar = hamming(sig(1L), sig(3L))
+    assert(dNear <= 4, s"one-token edit moved $dNear of 16 bits")
+    assert(dFar > dNear, s"unrelated text ($dFar bits) not farther than a near-dup ($dNear)")
+    assert(dFar >= 5, s"unrelated texts suspiciously close: $dFar bits")
+  }
+
   test("candidatePairs caps a degenerate bucket and counts the drop loudly") {
     import graft.operators.Dedup
     // a degenerate corpus: 50 identical docs land in ONE band bucket.
