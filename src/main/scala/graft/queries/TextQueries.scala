@@ -96,6 +96,96 @@ object TextQueries {
           lit(2.0) * (col("stops").cast("double") / size(col("w")))).as("quality"))
   }
 
+  /** Corpus-frequency document scoring — the unigram-LM quality signal a
+    * pretraining pipeline runs (a doc dominated by corpus-rare tokens is
+    * usually junk, boilerplate, or the wrong language): every token joins
+    * the corpus-wide frequency table and each doc reports its mean and
+    * minimum token frequency. Kept in EXACT integers (sum of counts,
+    * min count, token count) — the -log-prob form is a client-side
+    * transform of these sufficient statistics, and log would break
+    * cross-engine bit-identity. Scale shape: one groupBy builds the
+    * vocabulary (token cardinality, not corpus size), the tokens-to-freq
+    * join is a plain equi-join on the token, and the per-doc rollup
+    * reuses the doc partitioning; nothing collects.
+    */
+  val q71bCorpusFreq = Q.checked(
+    "q71b_corpus_freq",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), vocab AS (
+      |  SELECT tok, count(*) AS f FROM toks GROUP BY tok
+      |)
+      |SELECT t.doc_id, count(*) AS n_tokens,
+      |  CAST(sum(v.f) AS BIGINT) AS sum_f, min(v.f) AS min_f,
+      |  CAST(round(CAST(sum(v.f) AS DECIMAL(38,6)) / count(*), 2) AS DOUBLE) AS mean_f
+      |FROM toks t JOIN vocab v ON v.tok = t.tok
+      |GROUP BY t.doc_id""") { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val toks = table(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    toks.join(vocab, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("f")).as("sum_f"), min(col("f")).as("min_f"),
+        round(sum(col("f")).cast(DecimalType(38, 6)) / count(lit(1)), 2)
+          .cast("double").as("mean_f"))
+  }
+
+  /** Benchmark DECONTAMINATION — the eval-integrity step every serious
+    * training pipeline runs: flag training documents that contain an
+    * n-gram from the held-out benchmark set. The benchmark here is a
+    * deterministic slice of the corpus (doc_id % 97 = 0, standing in for
+    * the real eval suites); its distinct word 8-gram hashes form the
+    * contamination index, and every other document counts how many of
+    * its own 8-grams hit it. Scale shape: the index is grouped-distinct
+    * on the n-gram hash and the probe is an equi-join on that hash —
+    * at real scale the index side is the small one (benchmarks are
+    * thousands of docs, the corpus billions), so it broadcasts; a Bloom
+    * prefilter (operators/Sketches) slots in front when even the join is
+    * too wide. Exact integer outputs.
+    */
+  val q96Decontaminate = Q.checked(
+    "q96_decontaminate",
+    """WITH grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(string_split(text,' ')) - 7),
+      |      i -> ('0x' || substring(md5(array_to_string(string_split(text,' ')[i:i+7], ' ')), 1, 8))::BIGINT)) AS g
+      |  FROM documents
+      |), bench AS (
+      |  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+      |), hits AS (
+      |  SELECT gr.doc_id, count(*) AS contaminated_grams
+      |  FROM grams gr JOIN bench b ON b.g = gr.g
+      |  WHERE gr.doc_id % 97 <> 0
+      |  GROUP BY gr.doc_id
+      |)
+      |SELECT d.doc_id, coalesce(h.contaminated_grams, 0) AS contaminated_grams,
+      |  coalesce(h.contaminated_grams, 0) > 0 AS flagged
+      |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+      |WHERE d.doc_id % 97 <> 0""") { (s, dir) =>
+    import graft.functions.Hashing
+    val docs = table(s, dir, "documents")
+    val w = split(col("text"), " ")
+    // word 8-grams, hashed with the portable hash (join key = 8 bytes,
+    // not an 8-word string)
+    val grams = docs.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(1), greatest(size(w) - 7, lit(0))),
+        i => Hashing.hash32(concat_ws(" ", slice(w, i, lit(8)))))).as("g"))
+    val bench = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("g")).distinct()
+    val hits = grams.filter(col("doc_id") % 97 =!= 0).alias("gr")
+      .join(broadcast(bench).alias("b"), col("gr.g") === col("b.g"))
+      .groupBy(col("gr.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("contaminated_grams"))
+    docs.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated_grams"), lit(0L)).as("contaminated_grams"),
+        (coalesce(col("contaminated_grams"), lit(0L)) > 0).as("flagged"))
+  }
+
   /** Token counting two ways — whitespace tokens and a BPE-ish regex
     * lexer (letter runs / digit runs / single other) — rolled up per
     * source: the per-corpus token-budget accounting a training pipeline
@@ -398,7 +488,7 @@ object TextQueries {
   }
 
   val all: Vector[Q] =
-    Vector(q70LangId, q71Quality, q72TokenCount, q73Fingerprint,
-      q74InvertedIndex, q74bIndexMerge, q75Tfidf, q76StratifiedSplit,
-      q77Collocations, q79Repetition)
+    Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
+      q73Fingerprint, q74InvertedIndex, q74bIndexMerge, q75Tfidf,
+      q76StratifiedSplit, q77Collocations, q79Repetition, q96Decontaminate)
 }
