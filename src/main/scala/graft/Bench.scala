@@ -134,10 +134,17 @@ object Bench {
               false
           }
         val sec = (System.nanoTime() - t0) / 1e9
+        // gc delta BEFORE the sweep (its cleanup GC is not the query's),
+        // recorded only when this pass sets the reported minimum — the
+        // published gc_ms must describe the same run as the seconds, or
+        // the "slow with flat gc => host noise" triage misfires
+        val gcMs = gcTotalMs - gc0
         sweep()
-        gcs += q.name -> (gcTotalMs - gc0)
-        System.err.println(f"[bench] pass $pass ${q.name} ${sec}%.3f s gc ${gcs(q.name)} ms")
-        if (ok) best += q.name -> math.min(sec, best.getOrElse(q.name, Double.MaxValue))
+        System.err.println(f"[bench] pass $pass ${q.name} ${sec}%.3f s gc $gcMs ms")
+        if (ok && sec < best.getOrElse(q.name, Double.MaxValue)) {
+          best += q.name -> sec
+          gcs += q.name -> gcMs
+        }
       }
     }
     val results = selected.toVector.map(q => q.name -> best.getOrElse(q.name, -1.0))

@@ -250,10 +250,12 @@ object StreamJob {
       .groupBy(col("atype"), col("id"), col("value"))
       .agg(sum(col("w")).as("f"))
       // rank distinct values per key so the histogram's collected array
-      // is CAPPED (see the fs aggregate below): the window sorts within
-      // the (atype, id)-partitioned shuffle the next groupBy needs anyway
-      // — no extra exchange — and (f, value) is duplicate-free here, so
-      // the rank is deterministic
+      // is CAPPED (see the fs aggregate below): the window rides the
+      // (atype, id) shuffle the next groupBy needs anyway — no extra
+      // exchange, though every aggregate job (histogram or not) now pays
+      // the window's within-partition sort, the flat price of bounding
+      // histogram state. (f, value) is duplicate-free here, so the rank
+      // is deterministic
       .withColumn("_rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("atype"), col("id"))

@@ -207,7 +207,10 @@ object Multimodal {
     require(bpp == 24, s"bmp: only 24-bit uncompressed is decoded (got $bpp)")
     val compression = bb.getInt
     require(compression == 0, s"bmp: compressed payload (method $compression)")
-    require(width > 0 && height > 0 && width.toLong * height <= (1L << 30),
+    // width bound also keeps rowBytes = width*3+3 inside Int — a wrapped
+    // negative rowBytes would vacuously pass the pixel-bytes check below
+    require(width > 0 && height > 0 && width <= 100000000 &&
+      width.toLong * height <= (1L << 30),
       s"bmp: implausible dimensions ${width}x$rawHeight")
     require(pixelOffset >= 54 && pixelOffset <= bytes.length,
       s"bmp: pixel offset $pixelOffset outside the payload")
@@ -239,6 +242,34 @@ object Multimodal {
       out(ty * ow + tx) = img.pixels(
         (ty * img.height / oh) * img.width + (tx * img.width / ow))
     BmpImage(ow, oh, out)
+  }
+
+  /** Batched REAL image decode + resize over (id, bin) BMP payloads:
+    * [[bmpDecode]] then [[resizeNearest]] to `ow`×`oh` per batch,
+    * emitting source dimensions and the resized image's exact per-channel
+    * sums — the same batched per-partition shape as [[decodeWavBatched]],
+    * kept in ONE place so the two modalities cannot drift.
+    */
+  def decodeBmpResizeBatched(df: DataFrame, ow: Int, oh: Int,
+                             batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("bin"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val src = bmpDecode(bytes)
+            val img = resizeNearest(src, ow, oh)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            img.pixels.foreach { p =>
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            }
+            (id, src.width.toLong, src.height.toLong, sr, sg, sb)
+          }
+        }
+      }
+      .toDF("id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
   /** Batched decode pipeline — the mapInPandas-equivalent shape: payloads

@@ -49,6 +49,11 @@ object Pipe {
     * extra forks per bad record, paid only on failure. Skipped records
     * count into the returned accumulator (the reference's
     * `MAP_SKIPPED_RECORDS` counter) and each one logs to task stderr.
+    * Accumulator caveat (standard Spark transformation semantics): a
+    * retried or speculatively-duplicated task re-adds its skips, so the
+    * counter is at-least-once under failures — the per-record stderr log
+    * is the exact audit trail; the partition-level `maxSkip` limit is
+    * enforced per attempt and unaffected.
     *
     * Same contract as the reference's skip mode: the command must be
     * deterministic and record-wise (output for record i must not depend

@@ -243,6 +243,13 @@ object MiscQueries {
         rs.next()
         (rs.getTimestamp(1).getTime, rs.getTimestamp(2).getTime)
       } finally conn.close()
+    // boundary strings must ORDER like their epoch millis; a DST fold in
+    // the JVM default zone would break that monotonicity (wall clocks
+    // repeat), and the zone must match the one Spark's JDBC writer used
+    // for the stored wall-clock values — so demand a DST-free default
+    // zone loudly instead of mis-partitioning quietly
+    require(!java.util.TimeZone.getDefault.useDaylightTime,
+      s"q54c needs a DST-free JVM zone (got ${java.util.TimeZone.getDefault.getID}); run with -Duser.timezone=UTC")
     val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
     val render = (ms: Long) => s"TIMESTAMP('${fmt.format(new java.util.Date(ms))}')"
     val out = s.read
@@ -358,17 +365,8 @@ object MiscQueries {
         (id, Multimodal.bmpEncode(Multimodal.BmpImage(w, h, px)))
       })
       .toDF("id", "bin")
-    gen.as[(Long, Array[Byte])]
-      .mapPartitions(_.grouped(64).flatMap(_.iterator.map { case (id, bytes) =>
-        val src = Multimodal.bmpDecode(bytes)
-        val img = Multimodal.resizeNearest(src, 4, 3)
-        var sr = 0L; var sg = 0L; var sb = 0L
-        img.pixels.foreach { p =>
-          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-        }
-        (id, src.width.toLong, src.height.toLong, sr, sg, sb)
-      }))
-      .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+    Multimodal.decodeBmpResizeBatched(gen, ow = 4, oh = 3)
+      .withColumnRenamed("id", "doc_id")
   }
 
   /** Pipe operator (`PipeMapRed.java:204-214`): fork `tr a-z A-Z` per

@@ -132,6 +132,21 @@ object TextQueries {
           .cast("double").as("mean_f"))
   }
 
+  /** Portable hashes of a text's word n-grams (the decontamination join
+    * key: 8 bytes, not an n-word string). Guards the short-text case
+    * BEFORE `sequence()`: Spark's `sequence(1, 0)` DESCENDS to [1, 0]
+    * (step defaults to -1) and index 0 is a slice error — while DuckDB's
+    * `generate_series(1, 0)` is empty. A text with fewer than `n` tokens
+    * must yield an EMPTY array on both engines (spec-pinned).
+    */
+  def wordGramHashes(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) >= n, transform(
+      sequence(lit(1), size(w) - (n - 1)),
+      i => Hashing.hash32(concat_ws(" ", slice(w, i, lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** Benchmark DECONTAMINATION — the eval-integrity step every serious
     * training pipeline runs: flag training documents that contain an
     * n-gram from the held-out benchmark set. The benchmark here is a
@@ -164,15 +179,9 @@ object TextQueries {
       |  coalesce(h.contaminated_grams, 0) > 0 AS flagged
       |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
       |WHERE d.doc_id % 97 <> 0""") { (s, dir) =>
-    import graft.functions.Hashing
     val docs = table(s, dir, "documents")
-    val w = split(col("text"), " ")
-    // word 8-grams, hashed with the portable hash (join key = 8 bytes,
-    // not an 8-word string)
     val grams = docs.select(col("doc_id"),
-      explode(transform(
-        sequence(lit(1), greatest(size(w) - 7, lit(0))),
-        i => Hashing.hash32(concat_ws(" ", slice(w, i, lit(8)))))).as("g"))
+      explode(wordGramHashes(col("text"), 8)).as("g"))
     val bench = grams.filter(col("doc_id") % 97 === 0)
       .select(col("g")).distinct()
     val hits = grams.filter(col("doc_id") % 97 =!= 0).alias("gr")
