@@ -21,7 +21,11 @@ final case class StreamArgs(
     io: String = "text",
     partitioner: Option[String] = None,
     numReduceTasks: Option[Int] = None,
-    conf: Map[String, String] = Map.empty) {
+    conf: Map[String, String] = Map.empty,
+    /** `-inputreader StreamXmlRecordReader,begin=...,end=...` → the
+      * (begin, end) record delimiters; None = plain line input.
+      */
+    inputReader: Option[(String, String)] = None) {
 
   /** `stream.map.output.field.separator` (PipeMapRed.java:204-214). */
   def mapSep: String = conf.getOrElse("stream.map.output.field.separator", "\t")
@@ -112,6 +116,23 @@ object StreamJob {
           case Array(k, v) => loop(t, s.copy(conf = s.conf + (k -> v)))
           case _ => sys.error(s"bad -D '$kv' (want key=value)")
         }
+      // the XML record reader is the one -inputreader the reference ships
+      // (StreamJob.java:295, StreamXmlRecordReader.java); an unknown
+      // reader class must fail, not silently fall back to line input
+      case "-inputreader" :: v :: t =>
+        val parts = v.split(",").map(_.trim)
+        if (!parts.head.contains("StreamXmlRecordReader"))
+          sys.error(s"-inputreader: unsupported reader '${parts.head}' " +
+            "(StreamXmlRecordReader is routed)")
+        val kv = parts.tail.flatMap(_.split("=", 2) match {
+          case Array(k, value) => Some(k -> value)
+          case _ => None
+        }).toMap
+        val begin = kv.getOrElse("begin",
+          sys.error("-inputreader StreamXmlRecordReader: missing begin="))
+        val end = kv.getOrElse("end",
+          sys.error("-inputreader StreamXmlRecordReader: missing end="))
+        loop(t, s.copy(inputReader = Some((begin, end))))
       // files ship with the Spark job submit; nothing to do per-job
       case "-file" :: _ :: t => loop(t, s)
       // only PLAIN-text line formats are honored; "AsText" SequenceFile
@@ -348,7 +369,17 @@ object StreamJob {
     require(args.inputs.nonEmpty, "streaming job needs at least one -input")
     import spark.implicits._
 
-    val rawLines = spark.read.textFile(args.inputs: _*).toDF("line")
+    // -inputreader swaps the line scanner for the begin/end XML record
+    // scanner: each record becomes one mapper input line, exactly the
+    // reference's StreamXmlRecordReader contract
+    val rawLines = args.inputReader match {
+      case Some((begin, end)) =>
+        args.inputs
+          .map(p => graft.sources.XmlScan.records(spark, p, begin, end))
+          .reduce(_ unionByName _)
+          .select(col("record").as("line"))
+      case None => spark.read.textFile(args.inputs: _*).toDF("line")
+    }
 
     // ---- map phase: external fork (or IdentityMapper when -mapper absent)
     val mapped: DataFrame = args.mapper match {

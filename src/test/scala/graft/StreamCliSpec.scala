@@ -119,6 +119,37 @@ class StreamCliSpec extends AnyFunSuite {
     assert(run(Seq()) == capped)
   }
 
+  test("-inputreader StreamXmlRecordReader feeds XML records to the pipeline") {
+    import spark.implicits._
+    val in = writeLines("xmlreader", Seq(
+      "junk preamble",
+      "<rec><name>alpha</name></rec>",
+      "<rec><name>beta</name></rec> trailing",
+      "<rec>truncated"))
+    // map-only identity: each XML record arrives as one input line and,
+    // being separator-free, becomes the whole key (PipeMapper contract);
+    // preamble and the truncated trailing record are dropped
+    val got = StreamJob.run(spark, StreamJob.parseArgs(Seq(
+        "-input", in, "-reducer", "NONE",
+        "-inputreader", "StreamXmlRecordReader,begin=<rec>,end=</rec>")))
+      .select(col("key")).as[String].collect().toSet
+    assert(got == Set(
+      "<rec><name>alpha</name></rec>",
+      "<rec><name>beta</name></rec>"))
+    // a mapper in the loop sees one record per line: extract the name
+    val names = StreamJob.run(spark, StreamJob.parseArgs(Seq(
+        "-input", in, "-reducer", "NONE",
+        "-inputreader", "StreamXmlRecordReader,begin=<rec>,end=</rec>",
+        "-mapper", "sed -e 's|.*<name>||' -e 's|</name>.*||'")))
+      .select(col("key")).as[String].collect().toSet
+    assert(names == Set("alpha", "beta"))
+    // unknown readers and missing delimiters fail loudly
+    assertThrows[RuntimeException](StreamJob.parseArgs(Seq(
+      "-input", in, "-inputreader", "MyCustomReader,begin=a,end=b")))
+    assertThrows[RuntimeException](StreamJob.parseArgs(Seq(
+      "-input", in, "-inputreader", "StreamXmlRecordReader,begin=<rec>")))
+  }
+
   test("tokenize honors single and double quotes") {
     assert(StreamJob.tokenize("tr a-z A-Z") == Seq("tr", "a-z", "A-Z"))
     assert(StreamJob.tokenize("awk -F'\t' '{print $1\"x\"}'") ==
