@@ -159,7 +159,17 @@ object Bench {
       .mkString("[", ",", "]")
     val calibPost = calibMs
     val calibParPost = calibParMs
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcJson,"errors":$errJson,"calib_spin_ms":$calibPre,"calib_spin_ms_post":$calibPost,"calib_par_ms":$calibParPre,"calib_par_ms_post":$calibParPost,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcJson,"errors":$errJson,"calib_spin_ms":$calibPre,"calib_spin_ms_post":$calibPost,"calib_par_ms":$calibParPre,"calib_par_ms_post":$calibParPost,"sf":"$sfDir"}"""
+    println(json)
+    // the stdout line is scraped by the round driver with a bounded window
+    // (BENCH_r06 lost its per-query map to a 2000-char tail) — persist the
+    // identical JSON to a file so the round's perf record can't be clipped
+    scala.util.Try {
+      val p = java.nio.file.Paths.get("target/bench_latest.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] wrote ${p.toAbsolutePath}")
+    }
     spark.stop()
   }
 }

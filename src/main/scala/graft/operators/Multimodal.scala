@@ -7,14 +7,18 @@ import org.apache.spark.sql.functions._
   * image/audio/video payloads as opaque `BinaryType` columns with typed
   * metadata, plus frame-sampling and feature extraction.
   *
-  * COMPRESSED codecs (JPEG/H.264/Opus...) need libraries not present in
-  * this environment, so `decodeStub` stands in for those with a
-  * deterministic fake (documented stub boundary). UNCOMPRESSED audio is
-  * decoded for REAL: [[wavDecode]] is a dependency-free RIFF/WAVE PCM
-  * parser (chunk walk, fmt validation, 16-bit little-endian samples) and
-  * [[decodeWavBatched]] runs it through the batched per-partition decode
-  * pipeline — q55b proves decode(encode(x)) reproduces x's audio features
-  * against an oracle that never touches the bytes.
+  * ENTROPY-coded codecs needing a real codec library (JPEG/H.264/Opus)
+  * stay behind `decodeStub` (documented stub boundary — Huffman+DCT has
+  * no JDK primitive to build on). Everything reachable without new
+  * dependencies is decoded for REAL: [[wavDecode]] is a RIFF/WAVE PCM
+  * parser (chunk walk, fmt validation, 16-bit little-endian samples),
+  * [[bmpDecode]] reads uncompressed 24-bit BMPs, and [[pngDecode]] is a
+  * full PNG read path for 8-bit RGB — zlib DEFLATE via the JDK's
+  * `java.util.zip.Inflater`, CRC-verified chunk walk, and all five
+  * scanline filters un-applied (None/Sub/Up/Average/Paeth). Each runs
+  * through the same batched per-partition decode pipeline — q55b/q55c/
+  * q55d prove decode(encode(x)) reproduces x's features against oracles
+  * that never touch a byte.
   */
 object Multimodal {
 
@@ -251,7 +255,20 @@ object Multimodal {
     * kept in ONE place so the two modalities cannot drift.
     */
   def decodeBmpResizeBatched(df: DataFrame, ow: Int, oh: Int,
-                             batchSize: Int = 64): DataFrame = {
+                             batchSize: Int = 64): DataFrame =
+    decodeImageResizeBatched(df, bmpDecode, ow, oh, batchSize)
+
+  /** PNG sibling of [[decodeBmpResizeBatched]]: same batched shape, same
+    * output schema, [[pngDecode]] in the decoder slot.
+    */
+  def decodePngResizeBatched(df: DataFrame, ow: Int, oh: Int,
+                             batchSize: Int = 64): DataFrame =
+    decodeImageResizeBatched(df, pngDecode, ow, oh, batchSize)
+
+  private def decodeImageResizeBatched(df: DataFrame,
+                                       decode: Array[Byte] => BmpImage,
+                                       ow: Int, oh: Int,
+                                       batchSize: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("id"), col("bin"))
@@ -259,7 +276,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, bytes) =>
-            val src = bmpDecode(bytes)
+            val src = decode(bytes)
             val img = resizeNearest(src, ow, oh)
             var sr = 0L; var sg = 0L; var sb = 0L
             img.pixels.foreach { p =>
@@ -270,6 +287,194 @@ object Multimodal {
         }
       }
       .toDF("id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** PNG Paeth predictor (RFC 2083 §6.6): closest of left/up/up-left to
+    * the linear estimate a+b−c, ties broken a, then b.
+    */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private val PngSig =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Encode top-down 0xRRGGBB pixels as a REAL PNG (8-bit RGB color type
+    * 2, non-interlaced) — no image library: scanlines are filtered, zlib
+    * DEFLATE comes from the JDK (`java.util.zip.Deflater`), chunks carry
+    * real CRC-32s. The filter type CYCLES row % 5 through None/Sub/Up/
+    * Average/Paeth, so any consumer (including [[pngDecode]]'s round
+    * trip) must correctly reverse every filter the spec defines — a
+    * constant filter-0 encoder would leave the interesting un-filter
+    * paths untested.
+    */
+  def pngEncode(img: BmpImage): Array[Byte] = {
+    val w = img.width; val h = img.height
+    val stride = w * 3
+    val raw = new Array[Byte]((stride + 1) * h)
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride) // all-zero virtual row above row 0
+    var o = 0
+    for (y <- 0 until h) {
+      for (x <- 0 until w) {
+        val p = img.pixels(y * w + x)
+        cur(x * 3) = (p >> 16) & 0xff
+        cur(x * 3 + 1) = (p >> 8) & 0xff
+        cur(x * 3 + 2) = p & 0xff
+      }
+      val ft = y % 5
+      raw(o) = ft.toByte; o += 1
+      var i = 0
+      while (i < stride) {
+        val a = if (i >= 3) cur(i - 3) else 0 // left (bpp=3 bytes back)
+        val b = prev(i)                       // up
+        val c = if (i >= 3) prev(i - 3) else 0 // up-left
+        val v = ft match {
+          case 0 => cur(i)
+          case 1 => cur(i) - a
+          case 2 => cur(i) - b
+          case 3 => cur(i) - (a + b) / 2
+          case 4 => cur(i) - paeth(a, b, c)
+        }
+        raw(o) = (v & 0xff).toByte; o += 1
+        i += 1
+      }
+      Array.copy(cur, 0, prev, 0, stride)
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zOut.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length) // PNG is big-endian
+      bb.putInt(data.length).put(t).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte) // bit depth
+      .put(2.toByte) // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive filter, no interlace
+      .array()
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zOut.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** REAL PNG decoder for 8-bit RGB (color type 2) non-interlaced images —
+    * the entropy-coded-codec boundary closed with zero new dependencies:
+    * the compressed stream is zlib DEFLATE, which the JDK ships
+    * (`java.util.zip.Inflater`). Validates the signature, walks chunks
+    * (big-endian length/type/data/CRC) VERIFYING every CRC-32,
+    * concatenates multi-IDAT streams, inflates to exactly
+    * (1 + 3·width)·height filtered bytes, and reverses all five scanline
+    * filters (None/Sub/Up/Average/Paeth). Fails loudly on palette/gray/
+    * alpha color types, 16-bit depth, interlacing, CRC mismatches, or an
+    * inflated size that disagrees with IHDR — a silent misparse would
+    * poison every downstream feature. (JPEG stays a stub: Huffman+DCT is
+    * a full codec with no JDK primitive to build on.)
+    */
+  def pngDecode(bytes: Array[Byte]): BmpImage = {
+    require(bytes.length >= 8 + 25 + 12,
+      s"png: truncated payload (${bytes.length} bytes)")
+    require(PngSig.indices.forall(i => bytes(i) == PngSig(i)),
+      "png: missing PNG signature")
+    val bb = java.nio.ByteBuffer.wrap(bytes, 8, bytes.length - 8) // big-endian
+    var width, height = 0
+    var ihdrSeen = false
+    var done = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!done && bb.remaining >= 12) {
+      val len = bb.getInt
+      require(len >= 0 && len <= bb.remaining - 8,
+        s"png: chunk claims $len bytes with ${bb.remaining - 8} left")
+      val t = new Array[Byte](4); bb.get(t)
+      val typ = new String(t, "US-ASCII")
+      val data = new Array[Byte](len); bb.get(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      val stored = bb.getInt
+      require(stored == crc.getValue.toInt,
+        f"png: CRC mismatch on '$typ' (stored 0x$stored%08x != computed 0x${crc.getValue.toInt}%08x)")
+      typ match {
+        case "IHDR" =>
+          val ib = java.nio.ByteBuffer.wrap(data)
+          require(len == 13, s"png: IHDR is $len bytes, expected 13")
+          width = ib.getInt; height = ib.getInt
+          val depth = ib.get; val colorType = ib.get
+          val compression = ib.get; val filterMethod = ib.get; val interlace = ib.get
+          require(depth == 8, s"png: only 8-bit depth is decoded (got $depth)")
+          require(colorType == 2,
+            s"png: only truecolor RGB (type 2) is decoded (got $colorType)")
+          require(compression == 0 && filterMethod == 0,
+            s"png: nonstandard compression/filter method ($compression/$filterMethod)")
+          require(interlace == 0, "png: Adam7 interlacing is not decoded")
+          require(width > 0 && height > 0 && width <= 100000000 &&
+            width.toLong * height <= (1L << 30),
+            s"png: implausible dimensions ${width}x$height")
+          ihdrSeen = true
+        case "IDAT" =>
+          require(ihdrSeen, "png: IDAT before IHDR")
+          idat.write(data)
+        case "IEND" => done = true
+        case _ => () // tEXt, gAMA, ... — ancillary, skip
+      }
+    }
+    require(ihdrSeen, "png: no IHDR chunk")
+    require(done, "png: no IEND chunk")
+    val stride = width * 3
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        require(n > 0 || inflater.finished(),
+          "png: IDAT stream stalled (truncated or needs a dictionary)")
+        got += n
+      }
+      require(got == raw.length && inflater.finished(),
+        s"png: inflated $got bytes, IHDR implies ${raw.length}")
+    } finally inflater.end()
+    val pixels = new Array[Int](width * height)
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    for (y <- 0 until height) {
+      val base = y * (stride + 1)
+      val ft = raw(base) & 0xff
+      require(ft <= 4, s"png: unknown filter type $ft on row $y")
+      var i = 0
+      while (i < stride) {
+        val x = raw(base + 1 + i) & 0xff
+        val a = if (i >= 3) cur(i - 3) else 0
+        val b = prev(i)
+        val c = if (i >= 3) prev(i - 3) else 0
+        cur(i) = (ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => x + paeth(a, b, c)
+        }) & 0xff
+        i += 1
+      }
+      var px = 0
+      while (px < width) {
+        pixels(y * width + px) =
+          (cur(px * 3) << 16) | (cur(px * 3 + 1) << 8) | cur(px * 3 + 2)
+        px += 1
+      }
+      Array.copy(cur, 0, prev, 0, stride)
+    }
+    BmpImage(width, height, pixels)
   }
 
   /** Batched decode pipeline — the mapInPandas-equivalent shape: payloads

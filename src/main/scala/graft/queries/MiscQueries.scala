@@ -331,8 +331,8 @@ object MiscQueries {
     * and reduced to channel sums. The oracle replays the pixel formula
     * through the same integer index math (`sx = tx·w/4`) without seeing a
     * byte — green proves decode and resize both recovered the exact
-    * pixels. (JPEG/PNG stay behind the stub: entropy coding needs libs
-    * this environment lacks; the pipeline they'd drop into is this one.)
+    * pixels. (PNG gets the same treatment in q55d; JPEG stays behind the
+    * stub — Huffman+DCT needs a codec lib this environment lacks.)
     */
   val q55cBmpResize = Q.checked(
     "q55c_bmp_resize",
@@ -366,6 +366,54 @@ object MiscQueries {
       })
       .toDF("id", "bin")
     Multimodal.decodeBmpResizeBatched(gen, ow = 4, oh = 3)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  /** REAL entropy-coded image decode, end-to-end (closes the compressed-
+    * codec boundary q55c left open): deterministic RGB images are encoded
+    * as standard PNGs — filtered scanlines (the encoder cycles all five
+    * filter types), zlib DEFLATE, CRC-32 chunks — then decoded by
+    * [[Multimodal.pngDecode]] (JDK `Inflater` + un-filtering, no image
+    * library), resized, and reduced to channel sums. The oracle replays
+    * the pixel formula through the same integer index math without seeing
+    * a byte: green proves inflate + un-filter (incl. Paeth) recovered the
+    * exact pixels. JPEG remains the one documented stub (no JDK
+    * primitive for Huffman+DCT).
+    */
+  val q55dPngDecode = Q.checked(
+    "q55d_png_decode",
+    """WITH g AS (
+      |  SELECT doc_id, 5 + doc_id % 4 AS w, 4 + doc_id % 6 AS h FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    (doc_id * 3 + 11 * ((tx * w) // 4) + 5 * ((ty * h) // 3)) % 256 AS r,
+      |    (doc_id + ((tx * w) // 4) * ((ty * h) // 3)) % 256 AS gr,
+      |    (doc_id * 7 + 2 * ((tx * w) // 4) + 13 * ((ty * h) // 3)) % 256 AS b
+      |  FROM g, generate_series(0, 3) AS s1(tx), generate_series(0, 2) AS s2(ty))
+      |SELECT doc_id,
+      |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+      |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(gr) AS BIGINT) AS sum_g,
+      |  CAST(sum(b) AS BIGINT) AS sum_b
+      |FROM px GROUP BY doc_id""") { (s, dir) =>
+    import s.implicits._
+    val gen = table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        // h up to 9 rows so the row%5 filter cycle exercises every filter
+        // type, including a second visit of None/Sub/Up/Average
+        val w = (5 + id % 4).toInt
+        val h = (4 + id % 6).toInt
+        val px = Array.tabulate(w * h) { i =>
+          val x = i % w
+          val y = i / w
+          val r = ((id * 3 + 11 * x + 5 * y) % 256).toInt
+          val g = ((id + x.toLong * y) % 256).toInt
+          val b = ((id * 7 + 2 * x + 13 * y) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }
+        (id, Multimodal.pngEncode(Multimodal.BmpImage(w, h, px)))
+      })
+      .toDF("id", "bin")
+    Multimodal.decodePngResizeBatched(gen, ow = 4, oh = 3)
       .withColumnRenamed("id", "doc_id")
   }
 
@@ -631,6 +679,6 @@ object MiscQueries {
   val all: Vector[Q] =
     Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q47bUrlParse, q48Pi, q49TeraGen,
       q54Jdbc, q54bJdbcTextSplit, q54cJdbcDateSplit, q55Multimodal,
-      q55bWavDecode, q55cBmpResize, q63ReferenceSelect, q64IndirectRead,
+      q55bWavDecode, q55cBmpResize, q55dPngDecode, q63ReferenceSelect, q64IndirectRead,
       q65TeraSort, q85Json, q86TimeRollup, q90Pipe, q91Xml, q91bXmlFile)
 }

@@ -198,7 +198,7 @@ object TextQueries {
   /** Token counting two ways — whitespace tokens and a BPE-ish regex
     * lexer (letter runs / digit runs / single other) — rolled up per
     * source: the per-corpus token-budget accounting a training pipeline
-    * runs.
+    * runs. (The REAL merges-table BPE count is q72b.)
     */
   val q72TokenCount = Q.checked(
     "q72_token_count",
@@ -213,6 +213,48 @@ object TextQueries {
         sum(size(split(col("text"), " "))).as("ws_tokens"),
         sum(size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))).as("bpe_tokens"),
         count(lit(1)).as("docs"))
+  }
+
+  /** REAL BPE token counting (upgrades q72's "BPE-ish" regex stand-in):
+    * the merges-table apply loop of [[graft.functions.Bpe]] — lowest-rank
+    * adjacent pair, merge left-to-right, repeat — over every lowercase
+    * letter run, rolled up per source. The oracle replays the SAME table
+    * (its replace-chain SQL is generated from `Bpe.fixtureMerges`, one
+    * literal replace per merge in rank order over `<c>`-wrapped symbols),
+    * so a green row proves the iterative loop and the rank-order replay
+    * agree on exact token counts — the equivalence BpeSpec property-checks.
+    * Per-word map work + one aggregation: embarrassingly parallel; the
+    * merges table rides the closure (a real vocab would broadcast the
+    * same way).
+    */
+  val q72bBpeTokens = Q.checked(
+    "q72b_bpe_tokens",
+    s"""WITH runs AS (
+      |  SELECT source, unnest(regexp_extract_all(text, '[a-z]+')) AS w
+      |  FROM documents),
+      |tok AS (
+      |  SELECT source, len(w) AS chars,
+      |    ${graft.functions.Bpe.oracleReplayExpr("w")} AS s
+      |  FROM runs)
+      |SELECT source,
+      |  CAST(sum(len(s) - len(replace(s, '<', ''))) AS BIGINT) AS bpe_tokens,
+      |  CAST(sum(chars) AS BIGINT) AS chars,
+      |  count(*) AS words
+      |FROM tok GROUP BY source""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ranks = graft.functions.Bpe.fixtureRanks
+    table(s, dir, "documents")
+      .select(col("source"), col("text"))
+      .as[(String, String)]
+      .flatMap { case (src, text) =>
+        graft.functions.Bpe.letterRuns(text).map { w =>
+          (src, graft.functions.Bpe.tokenize(w, ranks).length.toLong, w.length.toLong)
+        }
+      }
+      .toDF("source", "toks", "chars")
+      .groupBy(col("source"))
+      .agg(sum(col("toks")).as("bpe_tokens"), sum(col("chars")).as("chars"),
+        count(lit(1)).as("words"))
   }
 
   /** Document fingerprinting: min-hash over all char 8-grams (rolling
@@ -498,6 +540,7 @@ object TextQueries {
 
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
-      q73Fingerprint, q74InvertedIndex, q74bIndexMerge, q75Tfidf,
-      q76StratifiedSplit, q77Collocations, q79Repetition, q96Decontaminate)
+      q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
+      q75Tfidf, q76StratifiedSplit, q77Collocations, q79Repetition,
+      q96Decontaminate)
 }

@@ -219,6 +219,63 @@ class OperatorsSpec extends AnyFunSuite {
       bmpDecode(rle)).getMessage.contains("compressed"))
   }
 
+  test("pngDecode round-trips all five scanline filters; fails loudly on damage") {
+    import Multimodal.{BmpImage, pngDecode, pngEncode}
+    // 4x7: seven rows so the encoder's row%5 filter cycle covers every
+    // filter type (None/Sub/Up/Average/Paeth) plus a second None/Sub pass
+    val rnd = new scala.util.Random(42)
+    val img = BmpImage(4, 7, Array.fill(4 * 7)(rnd.nextInt(1 << 24)))
+    val back = pngDecode(pngEncode(img))
+    assert(back.width == 4 && back.height == 7)
+    assert(back.pixels.toSeq == img.pixels.toSeq)
+    // 1-pixel-wide image: every left/up-left reference is the zero edge
+    val thin = BmpImage(1, 6, Array.tabulate(6)(i => i * 0x030507))
+    assert(pngDecode(pngEncode(thin)).pixels.toSeq == thin.pixels.toSeq)
+    // multi-IDAT: split the single IDAT into two chunks (spec-legal — the
+    // zlib stream is the CONCATENATION of all IDAT data) and re-decode
+    val bytes = pngEncode(img)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val ihdrLen = bb.getInt(8)
+    val idatOff = 8 + 12 + ihdrLen // sig + IHDR chunk
+    val idatLen = bb.getInt(idatOff)
+    assert(idatLen >= 2, "fixture too small to split")
+    val d1 = bytes.slice(idatOff + 8, idatOff + 8 + 1)
+    val d2 = bytes.slice(idatOff + 8 + 1, idatOff + 8 + idatLen)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(t).put(data)
+      val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+      out.putInt(crc.getValue.toInt).array()
+    }
+    val split = bytes.take(idatOff) ++ chunk("IDAT", d1) ++ chunk("IDAT", d2) ++
+      bytes.drop(idatOff + 12 + idatLen)
+    assert(pngDecode(split).pixels.toSeq == img.pixels.toSeq)
+    // loud failures: flipped payload byte -> CRC mismatch; bad signature;
+    // truncated IDAT -> inflated-size disagreement
+    val corrupt = pngEncode(img)
+    corrupt(idatOff + 8) = (corrupt(idatOff + 8) ^ 0x01).toByte
+    assert(intercept[IllegalArgumentException](
+      pngDecode(corrupt)).getMessage.contains("CRC"))
+    val badSig = pngEncode(img); badSig(0) = 'X'.toByte
+    assert(intercept[IllegalArgumentException](
+      pngDecode(badSig)).getMessage.contains("signature"))
+    val truncated = bytes.take(idatOff) ++ chunk("IDAT", d1) ++
+      bytes.drop(idatOff + 12 + idatLen)
+    assert(intercept[IllegalArgumentException](pngDecode(truncated))
+      .getMessage.matches(".*(stalled|inflated).*"))
+    // unsupported color types refuse rather than misparse: patch IHDR's
+    // colorType to 6 (RGBA) and re-CRC the chunk so ONLY the type check fires
+    val rgba = pngEncode(img)
+    rgba(8 + 8 + 9) = 6.toByte
+    val ihdrData = rgba.slice(16, 16 + 13)
+    val crc = new java.util.zip.CRC32()
+    crc.update("IHDR".getBytes("US-ASCII")); crc.update(ihdrData)
+    java.nio.ByteBuffer.wrap(rgba).putInt(16 + 13, crc.getValue.toInt)
+    assert(intercept[IllegalArgumentException](
+      pngDecode(rgba)).getMessage.contains("truecolor"))
+  }
+
   test("named side outputs: one cached frame, N filtered sinks (MultipleOutputs)") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-sideout"
     val df = Seq((1, "even"), (2, "odd"), (3, "even"), (4, "odd"), (5, "even"))

@@ -13,6 +13,17 @@ import sys, json, glob, os
 import duckdb
 import pandas as pd
 
+# The oracle hash identity is pinned to this DuckDB version: aggregate fold
+# order, float formatting, and CLOB/quoting behavior can all shift across
+# releases and would flake a hash compare with no engine change. Fail loudly
+# on an image upgrade instead of chasing a phantom regression.
+EXPECTED_DUCKDB = "1.0.0"
+if duckdb.__version__ != EXPECTED_DUCKDB:
+    sys.exit(
+        f"check.py: duckdb {duckdb.__version__} != pinned {EXPECTED_DUCKDB}; "
+        f"oracle hashes are only valid on the pinned version — re-validate the "
+        f"suite on the new version, then update EXPECTED_DUCKDB here.")
+
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
