@@ -416,8 +416,13 @@ object Multimodal {
           require(compression == 0 && filterMethod == 0,
             s"png: nonstandard compression/filter method ($compression/$filterMethod)")
           require(interlace == 0, "png: Adam7 interlacing is not decoded")
+          // cap at 2^28 pixels: the filtered buffer is (3w+1)*h bytes and
+          // must stay under Int.MaxValue (a 2^30 cap would overflow the
+          // Int allocation below and crash with NegativeArraySizeException
+          // instead of this loud require)
           require(width > 0 && height > 0 && width <= 100000000 &&
-            width.toLong * height <= (1L << 30),
+            width.toLong * height <= (1L << 28) &&
+            (width.toLong * 3 + 1) * height <= Int.MaxValue,
             s"png: implausible dimensions ${width}x$height")
           ihdrSeen = true
         case "IDAT" =>

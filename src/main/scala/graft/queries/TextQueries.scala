@@ -4,7 +4,7 @@ import graft.Q
 import graft.core.Graft.table
 import graft.functions.Hashing
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Text-analysis operators over `documents` (builder brief): language-ID
   * heuristic, quality scoring, token counting (whitespace + BPE-ish regex),
@@ -147,6 +147,39 @@ object TextQueries {
       .otherwise(array().cast("array<bigint>"))
   }
 
+  /** Broadcast cap for the decontamination gram index: up to this many
+    * distinct 8-byte gram hashes (~32 MB of longs) broadcast to every
+    * executor; past it the probe join degrades gracefully to Catalyst's
+    * shuffled choice (SMJ under AQE) instead of an executor-OOMing
+    * broadcast build. 4M grams covers any real benchmark suite
+    * (thousands of eval docs); the fallback exists for when the
+    * "benchmark" side violates that contract.
+    */
+  val MaxBroadcastGrams = 4000000L
+
+  /** Contamination hit-counts: for every non-benchmark document, how many
+    * of its word `n`-gram hashes appear in the benchmark slice's distinct
+    * gram index. The index is materialized ONCE via localCheckpoint — the
+    * size decision (broadcast vs shuffled join) and the probe join both
+    * read that snapshot instead of re-deriving the gram pipeline per
+    * consumer. Bench/Verify sweep the snapshot between queries; a real
+    * pipeline would persist the index as a table anyway.
+    */
+  def decontaminationHits(docs: DataFrame, n: Int,
+      maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(wordGramHashes(col("text"), n)).as("g"))
+    val bench = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("g")).distinct()
+      .localCheckpoint() // eager: count below is on the snapshot, free
+    val index = if (bench.count() <= maxBroadcastGrams) broadcast(bench)
+                else bench
+    grams.filter(col("doc_id") % 97 =!= 0).alias("gr")
+      .join(index.alias("b"), col("gr.g") === col("b.g"))
+      .groupBy(col("gr.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("contaminated_grams"))
+  }
+
   /** Benchmark DECONTAMINATION — the eval-integrity step every serious
     * training pipeline runs: flag training documents that contain an
     * n-gram from the held-out benchmark set. The benchmark here is a
@@ -156,9 +189,10 @@ object TextQueries {
     * its own 8-grams hit it. Scale shape: the index is grouped-distinct
     * on the n-gram hash and the probe is an equi-join on that hash —
     * at real scale the index side is the small one (benchmarks are
-    * thousands of docs, the corpus billions), so it broadcasts; a Bloom
-    * prefilter (operators/Sketches) slots in front when even the join is
-    * too wide. Exact integer outputs.
+    * thousands of docs, the corpus billions), so it broadcasts UNDER A
+    * CAP ([[MaxBroadcastGrams]]) and falls back to a shuffled join past
+    * it; a Bloom prefilter (operators/Sketches) slots in front when even
+    * the join is too wide. Exact integer outputs.
     */
   val q96Decontaminate = Q.checked(
     "q96_decontaminate",
@@ -180,14 +214,7 @@ object TextQueries {
       |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
       |WHERE d.doc_id % 97 <> 0""") { (s, dir) =>
     val docs = table(s, dir, "documents")
-    val grams = docs.select(col("doc_id"),
-      explode(wordGramHashes(col("text"), 8)).as("g"))
-    val bench = grams.filter(col("doc_id") % 97 === 0)
-      .select(col("g")).distinct()
-    val hits = grams.filter(col("doc_id") % 97 =!= 0).alias("gr")
-      .join(broadcast(bench).alias("b"), col("gr.g") === col("b.g"))
-      .groupBy(col("gr.doc_id").as("doc_id"))
-      .agg(count(lit(1)).as("contaminated_grams"))
+    val hits = decontaminationHits(docs, 8)
     docs.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -140,6 +140,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(Search.nQueensCount(spark, 3) == 0L)
   }
 
+  test("decontamination index past the broadcast cap degrades to a shuffled join") {
+    import graft.queries.TextQueries
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // -1 so Catalyst can't silently re-broadcast the uncapped side: the
+      // fallback path must complete as a genuinely shuffled join
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fallback = TextQueries.decontaminationHits(docs, 8, maxBroadcastGrams = 0)
+      val plan = fallback.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        "oversized gram index must not broadcast:\n" + plan.take(3000))
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(3000))
+      val viaShuffle = fallback.as[(Long, Long)].collect().toSet
+      val viaBroadcast = TextQueries.decontaminationHits(docs, 8)
+        .as[(Long, Long)].collect().toSet
+      assert(viaShuffle == viaBroadcast && viaShuffle.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("ivf serves queries that are NOT corpus members") {
     import graft.operators.Similarity
     val corpus = spark.range(0, 100)

@@ -10,8 +10,14 @@ cd /root/repo
 SF=${1:-/root/testdata/sf0.001}
 sbt -batch 'Test/compile' 2>&1 | tail -5
 ENGINE_TOUCHED=0
-if { git status --porcelain; git diff --name-only HEAD~1 2>/dev/null; } \
-    | grep -qE 'src/main/scala/graft/(operators|queries|api|sources|functions|core)/'; then
+# collect FIRST, then grep a herestring: piping the git commands straight
+# into grep -q is a SIGPIPE race under pipefail (grep exits on the first
+# match, the still-writing git dies 141, the condition reads false) that
+# silently skipped the plan-guard + bench gates whenever the match came
+# early in the output
+CHANGED=$({ git status --porcelain; git diff --name-only HEAD~1 2>/dev/null; } || true)
+if grep -qE 'src/main/scala/graft/(operators|queries|api|sources|functions|core)/' \
+    <<< "$CHANGED"; then
   ENGINE_TOUCHED=1
   echo "[gate] engine code touched -> running plan-guard suites"
   sbt -batch 'testOnly graft.PlanSpec graft.WindowGuardSpec graft.ScaleSpec' 2>&1 \
@@ -31,11 +37,16 @@ rm -rf "$OUT"
 # emergency commits).
 if [ "${GATE_BENCH:-$ENGINE_TOUCHED}" = "1" ]; then
   echo "[gate] bench regression check vs BENCH_BASELINE.json"
+  # clear the durable copy first: if this run crashes (or its best-effort
+  # write fails), a stale file from a previous run must not get archived
+  # as this round's record
+  rm -f target/bench_latest.json
   BJ=$(mktemp /tmp/gate-bench.XXXXXX.json)
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     tools/run.sh graft.Bench > "$BJ" 2>/dev/null
-  python3 tools/benchgate.py "$BJ"
-  rc=$?
+  # && / || so a failing gate can't set -e us out before the cleanup and
+  # the durable-record archive below run
+  python3 tools/benchgate.py "$BJ" && rc=0 || rc=$?
   rm -f "$BJ"
   # archive the durable per-query record alongside the gate run so the
   # round artifact survives even if the driver's stdout scrape truncates
