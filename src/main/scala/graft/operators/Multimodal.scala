@@ -236,6 +236,48 @@ object Multimodal {
     BmpImage(width, height, pixels)
   }
 
+  /** Canonical string of a payload's DECODED content, format-sniffed by
+    * magic bytes (PNG signature / `BM` / `RIFF`): images canonicalize as
+    * `img:<w>x<h>:<px0>,<px1>,...` (row-major 0xRRGGBB as decimal) and
+    * audio as `wav:<n>:<s0>,<s1>,...`. Two payloads carrying the same
+    * decoded pixels or samples in DIFFERENT containers (a BMP and a PNG
+    * of one image; two PNGs with different filter choices) canonicalize
+    * identically — the content-identity key for decoded-content dedup
+    * (q97), which raw-byte hashing structurally cannot provide. Fails
+    * loudly on an unrecognized container.
+    */
+  def contentCanonical(bytes: Array[Byte]): String = {
+    require(bytes.length >= 8, s"payload too short to sniff (${bytes.length} bytes)")
+    def is(off: Int, s: String) =
+      s.indices.forall(i => bytes(off + i) == s(i).toByte)
+    if (PngSig.indices.forall(i => bytes(i) == PngSig(i))) {
+      val img = pngDecode(bytes)
+      s"img:${img.width}x${img.height}:${img.pixels.mkString(",")}"
+    } else if (is(0, "BM")) {
+      val img = bmpDecode(bytes)
+      s"img:${img.width}x${img.height}:${img.pixels.mkString(",")}"
+    } else if (is(0, "RIFF")) {
+      val a = wavDecode(bytes)
+      s"wav:${a.samples.length}:${a.samples.mkString(",")}"
+    } else sys.error(
+      f"content: unrecognized payload magic 0x${bytes(0)}%02x${bytes(1)}%02x...")
+  }
+
+  /** Batched decoded-content canonicalization over (id, fmt, bin) — the
+    * q55 decode-pipeline shape (mapPartitions, fixed-size batches) with
+    * [[contentCanonical]] in the decoder slot, emitting (id, fmt, canon).
+    */
+  def contentCanonicalBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("fmt"), col("bin"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map {
+        case (id, fmt, bytes) => (id, fmt, contentCanonical(bytes))
+      }))
+      .toDF("id", "fmt", "canon")
+  }
+
   /** REAL nearest-neighbor resize on decoded pixels — integer index math
     * (`sx = tx·w / ow`), so any engine reproduces the exact output image.
     */

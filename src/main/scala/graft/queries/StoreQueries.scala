@@ -57,6 +57,97 @@ object StoreQueries {
       .filter(col("value").isin("Customer#000000042", "Customer#000000777"))
   }
 
+  /** SetFile parity (`src/core/org/apache/hadoop/io/SetFile.java:26` — "a
+    * file-based set of keys", a MapFile whose values are all null): the
+    * distinct sorted key set written as range-partitioned sorted parquet,
+    * membership probe = left join against it (stats-pruned like q34's
+    * point lookup). Probes mix present and absent keys so the FALSE path
+    * is exercised too.
+    */
+  val q34cSetFile = Q.checked(
+    "q34c_setfile",
+    """SELECT CAST(k AS BIGINT) AS key,
+      |  k IN (SELECT o_custkey FROM orders) AS present
+      |FROM (SELECT unnest([1, 4, 777, 999999]) AS k)""") { (s, dir) =>
+    val out = tmp("setfile")
+    table(s, dir, "orders")
+      .select(col("o_custkey").as("key")).distinct()
+      .repartitionByRange(4, col("key"))
+      .sortWithinPartitions(col("key"))
+      .write.mode("overwrite").parquet(out)
+    val set = s.read.parquet(out).withColumn("present", lit(true))
+    s.range(0, 1).select(
+        explode(array(lit(1L), lit(4L), lit(777L), lit(999999L))).as("key"))
+      .join(set, Seq("key"), "left")
+      .select(col("key"), coalesce(col("present"), lit(false)).as("present"))
+  }
+
+  /** ArrayFile parity (`src/core/org/apache/hadoop/io/ArrayFile.java:29` —
+    * a MapFile keyed by the append position 0..n-1): contiguous indices
+    * are assigned DISTRIBUTED — range-partition + sort by the append
+    * order key, then `zipWithIndex` (per-partition counts + one offset
+    * pass, never a single-partition global window) — written sorted by
+    * idx, and `arr[i]` reads back as a stats-pruned point filter.
+    */
+  val q34dArrayFile = Q.checked(
+    "q34d_arrayfile",
+    """SELECT idx, value FROM (
+      |  SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS idx,
+      |         c_name AS value
+      |  FROM customer)
+      |WHERE idx IN (0, 49, 120)""") { (s, dir) =>
+    import s.implicits._
+    val out = tmp("arrayfile")
+    val sorted = table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+      .repartitionByRange(4, col("c_custkey"))
+      .sortWithinPartitions(col("c_custkey"))
+      .as[(Long, String)]
+    sorted.rdd.zipWithIndex
+      .map { case ((_, name), i) => (i, name) }
+      .toDF("idx", "value")
+      .repartitionByRange(4, col("idx"))
+      .sortWithinPartitions(col("idx"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out).filter(col("idx").isin(0L, 49L, 120L))
+  }
+
+  /** TFile parity (`src/core/org/apache/hadoop/io/file/tfile/TFile.java:128`
+    * — block-compressed K/V sorted by RAW BYTE order, memcmp): binary keys
+    * written range-partitioned + sorted (Spark's BinaryType ordering IS
+    * unsigned lexicographic memcmp, parquet pages are the compressed
+    * blocks), then a byte-range scan [0x10, 0x20) answered by binary
+    * comparisons against the sorted layout. The oracle orders lowercase
+    * hex strings — equal to memcmp on the bytes — so a green row pins the
+    * byte-order contract cross-engine.
+    */
+  val q34eTFile = Q.checked(
+    "q34e_tfile",
+    """SELECT count(*) AS n,
+      |  min(md5(c_name)) AS min_key_hex,
+      |  max(md5(c_name)) AS max_key_hex,
+      |  CAST(count(*) FILTER (WHERE substring(md5(c_name), 1, 2) >= '10'
+      |                          AND substring(md5(c_name), 1, 2) < '20') AS BIGINT) AS range_n,
+      |  CAST(coalesce(sum(c_custkey) FILTER (WHERE substring(md5(c_name), 1, 2) >= '10'
+      |                          AND substring(md5(c_name), 1, 2) < '20'), 0) AS BIGINT) AS range_sum
+      |FROM customer""") { (s, dir) =>
+    val out = tmp("tfile")
+    table(s, dir, "customer")
+      .select(unhex(md5(col("c_name"))).as("key"), col("c_custkey").as("value"))
+      .repartitionByRange(4, col("key"))
+      .sortWithinPartitions(col("key"))
+      .write.mode("overwrite").parquet(out)
+    val kv = s.read.parquet(out)
+    val inRange = col("key") >= lit(Array(0x10.toByte)) &&
+      col("key") < lit(Array(0x20.toByte))
+    kv.agg(
+      count(lit(1)).as("n"),
+      min(lower(hex(col("key")))).as("min_key_hex"),
+      max(lower(hex(col("key")))).as("max_key_hex"),
+      count(when(inRange, 1)).as("range_n"),
+      coalesce(sum(when(inRange, col("value"))), lit(0L)).as("range_sum"))
+  }
+
   /** MultiFileWordCount + CombineFileInputFormat
     * (`MultiFileWordCount.java:58-213`): documents scattered across many
     * small text files, read back as one coalesced scan (Spark packs small
@@ -113,5 +204,6 @@ object StoreQueries {
   }
 
   val all: Vector[Q] =
-    Vector(q34MapFile, q34bBloomFile, q35MultiFileWordCount, q56RandomText)
+    Vector(q34MapFile, q34bBloomFile, q34cSetFile, q34dArrayFile, q34eTFile,
+      q35MultiFileWordCount, q56RandomText)
 }
