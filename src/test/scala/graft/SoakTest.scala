@@ -32,7 +32,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * and 72s after the rewrite to adjacency-array intersection (rows =
   * |E|, nothing wider than an edge shuffles; the rest is the inherent
   * intersection work of a graph whose triangle count itself grew
-  * cubically with clique size).
+  * cubically with clique size). Round-8 run adds every round-6/7/8
+  * family (q54b/c, q55b/c/d, q71b, q72b, q74b, q96, q97, q34c/d/e): all
+  * ≤ 1.9s at 10× — map-side decode/score work plus single aggregations
+  * scales trivially; full table in COVERAGE.md §"10× soak record".
   */
 class SoakTest extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -64,6 +67,19 @@ class SoakTest extends AnyFunSuite {
     (0 until n).map(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L)))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // orders/customer ×10 for the sorted-file shims (q34c/d/e): remap the
+    // keys the shims sort/probe on
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+    (0 until n).map(i => ord
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val cust = spark.read.parquet(s"$base/customer.parquet")
+    (0 until n).map(i => cust
+        .withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
 
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -99,6 +115,46 @@ class SoakTest extends AnyFunSuite {
     }
     time("q87_triangles") {
       graft.queries.DedupQueries.q87Triangles.run(spark, dir).count()
+    }
+    // round-6/7/8 families (the previously-unsoaked rows)
+    time("q54b_jdbc_text_split") {
+      graft.queries.MiscQueries.q54bJdbcTextSplit.run(spark, dir).count()
+    }
+    time("q54c_jdbc_date_split") {
+      graft.queries.MiscQueries.q54cJdbcDateSplit.run(spark, dir).count()
+    }
+    time("q55b_wav_decode") {
+      graft.queries.MiscQueries.q55bWavDecode.run(spark, dir).count()
+    }
+    time("q55c_bmp_resize") {
+      graft.queries.MiscQueries.q55cBmpResize.run(spark, dir).count()
+    }
+    time("q55d_png_decode") {
+      graft.queries.MiscQueries.q55dPngDecode.run(spark, dir).count()
+    }
+    time("q71b_corpus_freq") {
+      graft.queries.TextQueries.q71bCorpusFreq.run(spark, dir).count()
+    }
+    time("q72b_bpe_tokens") {
+      graft.queries.TextQueries.q72bBpeTokens.run(spark, dir).count()
+    }
+    time("q74b_index_merge") {
+      graft.queries.TextQueries.q74bIndexMerge.run(spark, dir).count()
+    }
+    time("q96_decontaminate") {
+      graft.queries.TextQueries.q96Decontaminate.run(spark, dir).count()
+    }
+    time("q97_binary_dedup") {
+      graft.queries.DedupQueries.q97BinaryDedup.run(spark, dir).count()
+    }
+    time("q34c_setfile") {
+      graft.queries.StoreQueries.q34cSetFile.run(spark, dir).count()
+    }
+    time("q34d_arrayfile") {
+      graft.queries.StoreQueries.q34dArrayFile.run(spark, dir).count()
+    }
+    time("q34e_tfile") {
+      graft.queries.StoreQueries.q34eTFile.run(spark, dir).count()
     }
   }
 }
