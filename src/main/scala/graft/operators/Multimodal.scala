@@ -7,18 +7,19 @@ import org.apache.spark.sql.functions._
   * image/audio/video payloads as opaque `BinaryType` columns with typed
   * metadata, plus frame-sampling and feature extraction.
   *
-  * ENTROPY-coded codecs needing a real codec library (JPEG/H.264/Opus)
-  * stay behind `decodeStub` (documented stub boundary — Huffman+DCT has
-  * no JDK primitive to build on). Everything reachable without new
-  * dependencies is decoded for REAL: [[wavDecode]] is a RIFF/WAVE PCM
-  * parser (chunk walk, fmt validation, 16-bit little-endian samples),
-  * [[bmpDecode]] reads uncompressed 24-bit BMPs, and [[pngDecode]] is a
-  * full PNG read path for 8-bit RGB — zlib DEFLATE via the JDK's
-  * `java.util.zip.Inflater`, CRC-verified chunk walk, and all five
-  * scanline filters un-applied (None/Sub/Up/Average/Paeth). Each runs
-  * through the same batched per-partition decode pipeline — q55b/q55c/
-  * q55d prove decode(encode(x)) reproduces x's features against oracles
-  * that never touch a byte.
+  * Everything reachable without new dependencies is decoded for REAL:
+  * [[wavDecode]] is a RIFF/WAVE PCM parser (chunk walk, fmt validation,
+  * 16-bit little-endian samples), [[bmpDecode]] reads uncompressed
+  * 24-bit BMPs, [[pngDecode]] is a full PNG read path for 8-bit RGB —
+  * zlib DEFLATE via the JDK's `java.util.zip.Inflater`, CRC-verified
+  * chunk walk, and all five scanline filters un-applied — and
+  * [[graft.operators.Jpeg]] decodes baseline grayscale JFIF (stream-read
+  * Huffman tables, dequant, IDCT). Each runs through the same batched
+  * per-partition decode pipeline — q55b/c/d/e prove decode(encode(x))
+  * reproduces x's features against oracles that never touch a byte.
+  * Codecs needing a real external library (H.264/Opus/color-subsampled
+  * JPEG profiles) stay behind `decodeStub` — the one documented stub
+  * boundary.
   */
 object Multimodal {
 
@@ -331,6 +332,31 @@ object Multimodal {
       .toDF("id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
+  /** JPEG sibling of the batched decode pipelines: baseline grayscale
+    * JFIF payloads ([[graft.operators.Jpeg.decode]]) reduced to integral
+    * luminance features (dimensions, sum, min, max) an oracle can replay
+    * from the generation formula.
+    */
+  def decodeJpegBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("bin"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val img = Jpeg.decode(bytes)
+            var sum = 0L; var mn = 255L; var mx = 0L
+            img.pixels.foreach { p =>
+              sum += p; mn = math.min(mn, p.toLong); mx = math.max(mx, p.toLong)
+            }
+            (id, img.width.toLong, img.height.toLong, sum, mn, mx)
+          }
+        }
+      }
+      .toDF("id", "width", "height", "sum_lum", "min_lum", "max_lum")
+  }
+
   /** PNG Paeth predictor (RFC 2083 §6.6): closest of left/up/up-left to
     * the linear estimate a+b−c, ties broken a, then b.
     */
@@ -420,8 +446,9 @@ object Multimodal {
     * filters (None/Sub/Up/Average/Paeth). Fails loudly on palette/gray/
     * alpha color types, 16-bit depth, interlacing, CRC mismatches, or an
     * inflated size that disagrees with IHDR — a silent misparse would
-    * poison every downstream feature. (JPEG stays a stub: Huffman+DCT is
-    * a full codec with no JDK primitive to build on.)
+    * poison every downstream feature. (Baseline grayscale JPEG is decoded
+    * by [[graft.operators.Jpeg]]; entropy-coded codecs beyond it need a
+    * real codec library.)
     */
   def pngDecode(bytes: Array[Byte]): BmpImage = {
     require(bytes.length >= 8 + 25 + 12,

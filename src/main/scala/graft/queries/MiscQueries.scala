@@ -417,6 +417,52 @@ object MiscQueries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** REAL entropy-coded JPEG decode, end-to-end (closes the LAST
+    * multimodal stub): deterministic grayscale images — constant within
+    * each 8×8 block region — are encoded as baseline JFIF
+    * ([[graft.operators.Jpeg]]: FDCT, all-ones quant, Annex-K Huffman,
+    * byte stuffing) and decoded back (tables read from the stream, IDCT).
+    * Block-constant images carry only DC coefficients, which are
+    * integer-exact through the whole pipeline, so the oracle can replay
+    * the pixel formula without seeing a byte and demand BIT-exact
+    * features; arbitrary-image round-trips (AC/run-length/ZRL paths) are
+    * pinned within ±1/sample by JpegSpec, where lossy-codec exactness
+    * genuinely can't hold. Odd, non-multiple-of-8 dimensions exercise
+    * edge-replication padding and decode-side cropping.
+    */
+  val q55eJpegDecode = Q.checked(
+    "q55e_jpeg_decode",
+    """WITH g AS (
+      |  SELECT doc_id, 10 + doc_id % 9 AS w, 9 + doc_id % 7 AS h FROM documents),
+      |i AS (
+      |  SELECT doc_id, w, h, unnest(generate_series(0, CAST(w * h AS INT) - 1)) AS i FROM g),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    (doc_id * 7 + ((i % w) // 8) * 3 + ((i // w) // 8) * 5) % 256 AS lum
+      |  FROM i)
+      |SELECT doc_id,
+      |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+      |  CAST(sum(lum) AS BIGINT) AS sum_lum,
+      |  CAST(min(lum) AS BIGINT) AS min_lum, CAST(max(lum) AS BIGINT) AS max_lum
+      |FROM px GROUP BY doc_id""") { (s, dir) =>
+    import s.implicits._
+    import graft.operators.Jpeg
+    val gen = table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (10 + id % 9).toInt
+        val h = (9 + id % 7).toInt
+        val px = Array.tabulate(w * h) { i =>
+          val x = i % w
+          val y = i / w
+          ((id * 7 + (x / 8) * 3 + (y / 8) * 5) % 256).toInt
+        }
+        (id, Jpeg.encode(Jpeg.GrayImage(w, h, px)))
+      })
+      .toDF("id", "bin")
+    Multimodal.decodeJpegBatched(gen)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Pipe operator (`PipeMapRed.java:204-214`): fork `tr a-z A-Z` per
     * partition, stream `key \t value` lines through it, parse back on the
     * first separator.
@@ -679,6 +725,7 @@ object MiscQueries {
   val all: Vector[Q] =
     Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q47bUrlParse, q48Pi, q49TeraGen,
       q54Jdbc, q54bJdbcTextSplit, q54cJdbcDateSplit, q55Multimodal,
-      q55bWavDecode, q55cBmpResize, q55dPngDecode, q63ReferenceSelect, q64IndirectRead,
+      q55bWavDecode, q55cBmpResize, q55dPngDecode, q55eJpegDecode,
+      q63ReferenceSelect, q64IndirectRead,
       q65TeraSort, q85Json, q86TimeRollup, q90Pipe, q91Xml, q91bXmlFile)
 }
