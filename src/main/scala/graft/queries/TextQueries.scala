@@ -565,9 +565,60 @@ object TextQueries {
         (dupFrac > 0.6 || coalesce(topFrac, lit(0.0)) > 0.1).as("repetitive"))
   }
 
+  /** PII detection + redaction ([[graft.operators.Pii]]): the corpus text
+    * is synthetic word-soup, so both engines append the SAME deterministic
+    * PII spans (emails — doubled on every 7th doc, dotted-quad IPs,
+    * NANP phones, each conditionally absent on a different residue class
+    * so the no-PII and multi-PII paths are both exercised), then detect
+    * and redact with regexes from the Java∩RE2 common subset. The
+    * `md5(redacted)` compare makes the check span-exact: one character of
+    * disagreement in any replacement anywhere fails the hash.
+    */
+  val q98PiiRedact = Q.checked(
+    "q98_pii_redact",
+    s"""WITH p AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 3 <> 2 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' cc admin@corp.example.org' ELSE '' END
+       |    || CASE WHEN doc_id % 4 <> 3 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+       |    || CASE WHEN doc_id % 5 <> 4 THEN ' call ' || CAST(200 + doc_id % 700 AS VARCHAR) || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |    AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '${graft.operators.Pii.emailRe}')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(t, '${graft.operators.Pii.ipv4Re}')) AS BIGINT) AS n_ip,
+       |  CAST(len(regexp_extract_all(t, '${graft.operators.Pii.phoneRe}')) AS BIGINT) AS n_phone,
+       |  md5(${graft.operators.Pii.redactSql("t")}) AS redacted_md5,
+       |  CAST(length(${graft.operators.Pii.redactSql("t")}) AS BIGINT) AS redacted_len
+       |FROM p""") { (s, dir) =>
+    import graft.operators.Pii
+    val t = concat(
+      col("text"),
+      when(col("doc_id") % 3 =!= 2,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com"))).otherwise(""),
+      when(col("doc_id") % 7 === 0, lit(" cc admin@corp.example.org"))
+        .otherwise(""),
+      when(col("doc_id") % 4 =!= 3,
+        concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string"))).otherwise(""),
+      when(col("doc_id") % 5 =!= 4,
+        concat(lit(" call "), (col("doc_id") % 700 + 200).cast("string"),
+          lit("-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""))
+    table(s, dir, "documents")
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        Pii.emailCount(col("t")).cast("long").as("n_email"),
+        Pii.ipv4Count(col("t")).cast("long").as("n_ip"),
+        Pii.phoneCount(col("t")).cast("long").as("n_phone"),
+        md5(Pii.redact(col("t"))).as("redacted_md5"),
+        length(Pii.redact(col("t"))).cast("long").as("redacted_len"))
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
       q75Tfidf, q76StratifiedSplit, q77Collocations, q79Repetition,
-      q96Decontaminate)
+      q96Decontaminate, q98PiiRedact)
 }
