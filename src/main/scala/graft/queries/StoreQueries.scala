@@ -203,7 +203,43 @@ object StoreQueries {
       min(col("line")).as("min_line"), max(col("line")).as("max_line"))
   }
 
+  /** Hadoop-archive round trip ([[graft.sources.HarLite]] —
+    * `HadoopArchives.java:77` parity): docs are first materialized as
+    * REAL individual small files (distributed `foreachPartition` writers,
+    * the namenode-hostile input shape HAR exists to fix), packed into the
+    * sorted-parquet archive, then read back THROUGH the archive. The
+    * oracle recomputes `(path, length, md5)` from the generation formula
+    * without touching a file, so a green row proves filenames, byte
+    * lengths, and full content all survived the pack. A small `partBytes`
+    * forces multiple part files so range packing itself is exercised.
+    */
+  val q99Har = Q.checked(
+    "q99_har",
+    """SELECT 'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+      |  CAST(length(text) AS BIGINT) AS length,
+      |  md5(text) AS content_md5
+      |FROM documents WHERE doc_id < 400""") { (s, dir) =>
+    import s.implicits._
+    import graft.sources.HarLite
+    val src = tmp("har_src")
+    val arch = tmp("har_arch")
+    table(s, dir, "documents").filter(col("doc_id") < 400)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .foreachPartition { (it: Iterator[(Long, String)]) =>
+        val d = java.nio.file.Paths.get(src)
+        java.nio.file.Files.createDirectories(d)
+        it.foreach { case (id, text) =>
+          java.nio.file.Files.write(d.resolve(s"doc$id.txt"),
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    HarLite.build(s, src, arch, partBytes = 64 * 1024)
+    HarLite.open(s, arch)
+      .select(col("path"), col("length"),
+        md5(col("content")).as("content_md5"))
+  }
+
   val all: Vector[Q] =
     Vector(q34MapFile, q34bBloomFile, q34cSetFile, q34dArrayFile, q34eTFile,
-      q35MultiFileWordCount, q56RandomText)
+      q35MultiFileWordCount, q56RandomText, q99Har)
 }
