@@ -33,9 +33,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * |E|, nothing wider than an edge shuffles; the rest is the inherent
   * intersection work of a graph whose triangle count itself grew
   * cubically with clique size). Round-8 run adds every round-6/7/8
-  * family (q54b/c, q55b/c/d, q71b, q72b, q74b, q96, q97, q34c/d/e): all
-  * ≤ 1.9s at 10× — map-side decode/score work plus single aggregations
-  * scales trivially; full table in COVERAGE.md §"10× soak record".
+  * family (q54b/c, q55b/c/d/e, q71b, q72b, q74b, q96, q97, q34c/d/e,
+  * q98 PII, q99 HAR over 4,000 real files): all ≤ 2.6s at 10× —
+  * map-side decode/score work plus single aggregations scales
+  * trivially; full table in COVERAGE.md §"10× soak record".
   */
 class SoakTest extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -155,6 +156,33 @@ class SoakTest extends AnyFunSuite {
     }
     time("q34e_tfile") {
       graft.queries.StoreQueries.q34eTFile.run(spark, dir).count()
+    }
+    time("q55e_jpeg_decode") {
+      graft.queries.MiscQueries.q55eJpegDecode.run(spark, dir).count()
+    }
+    time("q98_pii_redact") {
+      graft.queries.TextQueries.q98PiiRedact.run(spark, dir).count()
+    }
+    time("q99_har_4000files") {
+      // 10× the q99 shape: 4,000 REAL small files (the per-copy doc_id<400
+      // slice of every replica) written, packed, and read back through
+      // the archive
+      import spark.implicits._
+      val src = s"$dir/har_soak_src"
+      val arch = s"$dir/har_soak_arch"
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 1000000L < 400)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .foreachPartition { (it: Iterator[(Long, String)]) =>
+          val d = java.nio.file.Paths.get(src)
+          java.nio.file.Files.createDirectories(d)
+          it.foreach { case (id, text) =>
+            java.nio.file.Files.write(d.resolve(s"doc$id.txt"),
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      graft.sources.HarLite.build(spark, src, arch, partBytes = 64 * 1024)
+      graft.sources.HarLite.open(spark, arch).count()
     }
   }
 }
