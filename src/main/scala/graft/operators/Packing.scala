@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing (builder brief: what a large-scale training
+  * pipeline needs; no reference counterpart): GPT-style dataset prep
+  * concatenates every document's tokens in a fixed corpus order and cuts
+  * the stream into fixed-length sequences, so each document owns the
+  * token span `[start_off, start_off + n_tokens)` and lands in sequences
+  * `start_off / seqLen .. (start_off + n_tokens - 1) / seqLen`.
+  *
+  * The whole operator is one DISTRIBUTED prefix sum — the classic
+  * two-pass shape, same family as `RDD.zipWithIndex`: range-partition by
+  * the corpus order key and sort within partitions, compute one token
+  * subtotal per partition, scan those few numbers on the driver (one Long
+  * per partition — the SortValidate boundary-stats pattern, NOT a data
+  * collect), then stream each partition once adding its offset. No
+  * single-partition window, no global sort barrier beyond the range
+  * exchange; at 100 TB the per-partition pass is the scan and the driver
+  * sees kilobytes.
+  */
+object Packing {
+
+  /** Per-doc token offsets in doc_id order: `(doc_id, n_tokens,
+    * start_off)`. `parts` controls the range partitioning of the pass.
+    */
+  def tokenOffsets(docs: DataFrame, parts: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sorted = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, Long)]
+      .rdd
+    val partSums = sorted
+      .mapPartitionsWithIndex { case (i, it) =>
+        Iterator.single(i -> it.map(_._2).sum)
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    sorted
+      .mapPartitionsWithIndex { case (i, it) =>
+        var acc = offsets(i)
+        it.map { case (id, n) => val s = acc; acc += n; (id, n, s) }
+      }
+      .toDF("doc_id", "n_tokens", "start_off")
+  }
+
+  /** [[tokenOffsets]] plus the sequence assignment at `seqLen` tokens:
+    * first/last sequence index per doc and whether the doc straddles a
+    * sequence boundary (the span a loader must reassemble).
+    */
+  def packed(docs: DataFrame, seqLen: Int, parts: Int = 32): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val first = expr(s"start_off DIV $seqLen")
+    val last = expr(s"(start_off + n_tokens - 1) DIV $seqLen")
+    tokenOffsets(docs, parts)
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        first.as("first_seq"), last.as("last_seq"),
+        (first =!= last).as("crosses_boundary"))
+  }
+}

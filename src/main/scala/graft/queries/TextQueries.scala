@@ -565,6 +565,65 @@ object TextQueries {
         (dupFrac > 0.6 || coalesce(topFrac, lit(0.0)) > 0.1).as("repetitive"))
   }
 
+  /** Cross-document duplicated-SPAN detection — the fixed-granularity
+    * form of exact substring dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022: repeated spans, not
+    * just whole-doc dups, degrade models): an 8-word gram occurring in
+    * ≥2 DISTINCT documents marks every one of its occurrences as
+    * duplicated text. Per doc: total grams, duplicated-gram occurrences,
+    * their fraction, and a flag. Scale shape: one groupBy on the 8-byte
+    * gram hash builds the shared-gram set (count-distinct ≥ 2 — never a
+    * doc×doc comparison), one semi-join marks occurrences; both shuffle
+    * on the gram hash, so the plan is linear in total grams at any
+    * corpus size. A gram repeated only WITHIN one doc is not "shared" —
+    * the distinct-doc count is what separates self-repetition (q79's
+    * job) from cross-doc duplication.
+    */
+  val q100DupSpans = Q.checked(
+    "q100_dup_spans",
+    """WITH grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(string_split(text,' ')) - 7),
+      |      i -> ('0x' || substring(md5(array_to_string(string_split(text,' ')[i:i+7], ' ')), 1, 8))::BIGINT)) AS g
+      |  FROM documents
+      |), shared AS (
+      |  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+      |), tot AS (
+      |  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+      |), hit AS (
+      |  SELECT gr.doc_id, count(*) AS dup_grams
+      |  FROM grams gr JOIN shared s ON s.g = gr.g GROUP BY gr.doc_id
+      |)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(h.dup_grams, 0) AS BIGINT) AS dup_grams,
+      |  CASE WHEN coalesce(t.n_grams, 0) = 0 THEN 0.0
+      |       ELSE CAST(coalesce(h.dup_grams, 0) AS DOUBLE) / t.n_grams END AS dup_frac,
+      |  coalesce(h.dup_grams, 0) > 0 AS flagged
+      |FROM documents d
+      |LEFT JOIN tot t ON t.doc_id = d.doc_id
+      |LEFT JOIN hit h ON h.doc_id = d.doc_id""") { (s, dir) =>
+    val docs = table(s, dir, "documents")
+    val grams = docs.select(col("doc_id"),
+      explode(wordGramHashes(col("text"), 8)).as("g"))
+    // "≥2 distinct docs" as min≠max — a plain single-phase agg, no
+    // count-distinct expansion
+    val shared = grams.groupBy(col("g"))
+      .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("sh"))
+      .filter(col("sh")).select(col("g"), col("sh"))
+    val per = grams.join(shared, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("sh"), 1)).as("dup_grams"))
+    val n = coalesce(col("n_grams"), lit(0L))
+    val dup = coalesce(col("dup_grams"), lit(0L))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), n.as("n_grams"), dup.as("dup_grams"),
+        when(n === 0, 0.0).otherwise(dup.cast("double") / n).as("dup_frac"),
+        (dup > 0).as("flagged"))
+  }
+
   /** PII detection + redaction ([[graft.operators.Pii]]): the corpus text
     * is synthetic word-soup, so both engines append the SAME deterministic
     * PII spans (emails — doubled on every 7th doc, dotted-quad IPs,
@@ -616,9 +675,34 @@ object TextQueries {
         length(Pii.redact(col("t"))).cast("long").as("redacted_len"))
   }
 
+  /** Training-sequence packing ([[graft.operators.Packing]]): every doc's
+    * token span within the concatenated corpus stream and its sequence
+    * assignment at 1024 tokens. The oracle computes the prefix sum with a
+    * single-threaded window — the Spark side must reproduce it exactly
+    * from the two-pass distributed scan, so a green row proves the
+    * partition-offset bookkeeping (not just the token counts).
+    */
+  val q101SeqPack = Q.checked(
+    "q101_seq_pack",
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      |  FROM t)
+      |SELECT doc_id, n_tokens, start_off,
+      |  start_off // 1024 AS first_seq,
+      |  (start_off + n_tokens - 1) // 1024 AS last_seq,
+      |  start_off // 1024 <> (start_off + n_tokens - 1) // 1024 AS crosses_boundary
+      |FROM c""") { (s, dir) =>
+    graft.operators.Packing.packed(table(s, dir, "documents"), 1024)
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
       q75Tfidf, q76StratifiedSplit, q77Collocations, q79Repetition,
-      q96Decontaminate, q98PiiRedact)
+      q96Decontaminate, q98PiiRedact, q100DupSpans, q101SeqPack)
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Packing
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Packing]]'s two-pass distributed prefix sum must equal the
+  * single-threaded scan regardless of partition count, and the sequence
+  * assignment must respect span arithmetic at the boundaries.
+  */
+class PackingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(texts: Seq[String]) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("offsets equal the single-threaded prefix sum at any partition count") {
+    val rnd = new scala.util.Random(101)
+    val texts = Seq.fill(500)(Seq.fill(1 + rnd.nextInt(40))("w").mkString(" "))
+    val expected = texts.map(_.split(" ").length.toLong)
+      .scanLeft(0L)(_ + _).init
+    for (parts <- Seq(1, 3, 7, 32)) {
+      val got = Packing.tokenOffsets(docs(texts), parts)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      assert(got.map(_._1).toSeq === (0L until 500L),
+        s"parts=$parts lost or reordered docs")
+      assert(got.map(_._2).toSeq === expected, s"parts=$parts offsets wrong")
+    }
+  }
+
+  test("sequence assignment: exact-fit, straddle, and multi-sequence docs") {
+    // seqLen 10: doc0 takes [0,10) exactly, doc1 straddles [10,25),
+    // doc2 sits inside [25,27), doc3 spans 3 sequences [27,60)
+    val texts = Seq(
+      Seq.fill(10)("a").mkString(" "),
+      Seq.fill(15)("b").mkString(" "),
+      Seq.fill(2)("c").mkString(" "),
+      Seq.fill(33)("d").mkString(" "))
+    val rows = Packing.packed(docs(texts), 10, parts = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows === Array(
+      (0L, 0L, 0L, false),
+      (10L, 1L, 2L, true),
+      (25L, 2L, 2L, false),
+      (27L, 2L, 5L, true)))
+  }
+
+  test("more partitions than rows still works") {
+    val got = Packing.tokenOffsets(docs(Seq("x y", "z")), parts = 32)
+      .orderBy("doc_id").collect().map(_.getLong(2))
+    assert(got.toSeq === Seq(0L, 2L))
+  }
+}
