@@ -700,9 +700,40 @@ object TextQueries {
     graft.operators.Packing.packed(table(s, dir, "documents"), 1024)
   }
 
+  /** Per-source document cap — the domain-balancing step web-corpus
+    * pipelines run (cap any one domain's contribution before mixing):
+    * keep at most K docs per source, chosen by a deterministic seeded
+    * hash order (stable under reruns and corpus growth — a doc's
+    * keep/drop fate changes only if its source crosses the cap), with
+    * doc_id as the total-order tiebreak so both engines rank
+    * identically. Plans as WindowGroupLimit (rank ≤ K pushed into the
+    * window — per-source top-K heaps, never a full per-source sort) on
+    * the source-hash shuffle; skew caveat: one colossal source still
+    * routes to one task, the standard pre-aggregated-top-K answer
+    * applies if a real corpus needs it.
+    */
+  val q102SourceCap = Q.checked(
+    "q102_source_cap",
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY
+      |      ('0x'||substring(md5('cap:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT, doc_id) AS rk
+      |  FROM documents)
+      |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 18""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = Hashing.hash32(concat(lit("cap:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("source")).orderBy(h.asc, col("doc_id").asc)
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk0", row_number().over(w))
+      .filter(col("rk0") <= 18)
+      .select(col("doc_id"), col("source"), col("rk0").cast("long").as("rk"))
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
       q75Tfidf, q76StratifiedSplit, q77Collocations, q79Repetition,
-      q96Decontaminate, q98PiiRedact, q100DupSpans, q101SeqPack)
+      q96Decontaminate, q98PiiRedact, q100DupSpans, q101SeqPack,
+      q102SourceCap)
 }
