@@ -211,4 +211,41 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("xid"), col("cos"), col("rank").cast("long").as("rank"))
   }
+
+  /** One distributed Lloyd (k-means) iteration — the offline step that
+    * produces [[ivfTopK]]'s coarse quantizer in production: assign every
+    * corpus vector to its nearest current centroid (exact scaled-long
+    * d² = |x|² − 2x·c + |c|², centroid-id tiebreak, engine-identical),
+    * then emit each cluster's sufficient statistics per dimension —
+    * member count and the EXACT integer sum of scaled values — plus the
+    * decimal-rounded mean (the next centroid's coordinate). Keeping
+    * sums/counts exact is what makes the update verifiable cross-engine
+    * AND mergeable: at 100 TB the per-dimension sums combine map-side
+    * (one partial agg per partition), the broadcast centroid table is
+    * tiny (k × dims), and no vector ever shuffles wider than its (cid,
+    * dim, value) triples. Iterating = feeding the means back in as the
+    * next centroids table.
+    */
+  def kmeansStep(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val scored = corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
+      .crossJoin(broadcast(centroids.select(col("cid"), scaled(col("cvec")).as("cs"))))
+      .select(col("xid"), col("xs"), col("cid"),
+        (dotScaled(col("xs"), col("xs")) -
+          lit(2L) * dotScaled(col("xs"), col("cs")) +
+          dotScaled(col("cs"), col("cs"))).as("d2"))
+    val assign = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("xid")).orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("xs"))
+    assign
+      .select(col("cid"), posexplode(col("xs")).as(Seq("dim0", "v")))
+      .select(col("cid"), (col("dim0") + 1).cast("long").as("dim"), col("v"))
+      .groupBy(col("cid"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_scaled"),
+        round(sum(col("v")).cast(DecimalType(38, 6)) / count(lit(1)), 2)
+          .cast("double").as("mean_scaled"))
+  }
 }

@@ -143,5 +143,42 @@ object SimilarityQueries {
     Similarity.ivfTopK(queries, corpus, centroids, NProbe, K)
   }
 
-  val all: Vector[Q] = Vector(q60AnnCosine, q61AnnLsh, q62AnnIvf)
+  /** One distributed k-means (Lloyd) iteration over the embedding corpus
+    * ([[Similarity.kmeansStep]]) from the same 8 deterministic seed
+    * centroids q62 probes: nearest-centroid assignment by exact
+    * scaled-long d², then per-(cluster, dimension) sufficient statistics
+    * — member count, exact integer sum, decimal-rounded mean (the next
+    * centroid). The oracle replays assignment AND update in SQL, so a
+    * green row pins the full iteration, not just the distance math.
+    */
+  val q104KmeansStep = Q.checked(
+    "q104_kmeans_step",
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $Cells),
+       |el AS (
+       |  SELECT x.vec_id AS xid, c.cid, unnest(x.embedding) AS xa, unnest(c.cv) AS ca
+       |  FROM embeddings x, cent c
+       |), dots AS (
+       |  SELECT xid, cid, ${dd("xa", "ca")} AS dxc, ${dd("xa", "xa")} AS dxx, ${dd("ca", "ca")} AS dcc
+       |  FROM el GROUP BY xid, cid
+       |), assign AS (
+       |  SELECT xid, cid FROM (
+       |    SELECT xid, cid, row_number() OVER (PARTITION BY xid ORDER BY dxx - 2*dxc + dcc, cid) AS rn
+       |    FROM dots) WHERE rn = 1
+       |), sv AS (
+       |  SELECT a.cid, CAST(generate_subscripts(x.embedding, 1) AS BIGINT) AS dim,
+       |    ${sc("unnest(x.embedding)")} AS v
+       |  FROM assign a JOIN embeddings x ON x.vec_id = a.xid
+       |)
+       |SELECT cid, dim, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_scaled,
+       |  CAST(round(CAST(sum(v) AS DECIMAL(38,6)) / count(*), 2) AS DOUBLE) AS mean_scaled
+       |FROM sv GROUP BY cid, dim""") { (s, dir) =>
+    val emb = table(s, dir, "embeddings")
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val centroids = emb.filter(col("vec_id") < Cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.kmeansStep(corpus, centroids)
+  }
+
+  val all: Vector[Q] =
+    Vector(q60AnnCosine, q61AnnLsh, q62AnnIvf, q104KmeansStep)
 }
