@@ -224,7 +224,10 @@ object Similarity {
     * (one partial agg per partition), the broadcast centroid table is
     * tiny (k × dims), and no vector ever shuffles wider than its (cid,
     * dim, value) triples. Iterating = feeding the means back in as the
-    * next centroids table.
+    * next centroids table. A centroid that captures no members emits no
+    * rows — the caller sees k shrink rather than a NaN coordinate;
+    * re-seeding starved clusters is caller policy (KmeansSpec pins both
+    * the convergence and the starvation contract).
     */
   def kmeansStep(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
