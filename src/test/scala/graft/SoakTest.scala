@@ -36,7 +36,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * family (q54b/c, q55b/c/d/e, q71b, q72b, q74b, q96, q97, q34c/d/e,
   * q98 PII, q99 HAR over 4,000 real files): all ≤ 2.6s at 10× —
   * map-side decode/score work plus single aggregations scales
-  * trivially; full table in COVERAGE.md §"10× soak record".
+  * trivially. Late-round-8 families: q100 dup-spans 10.0s at 10× (its
+  * soak forces full evaluation — a bare count() lets Catalyst eliminate
+  * the final outer join), q101 packing 0.7s, q102 cap 0.4s, q103 diff
+  * 0.6s, q104 k-means step 2.3s. Full table in COVERAGE.md §"10× soak
+  * record".
   */
 class SoakTest extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -183,6 +187,25 @@ class SoakTest extends AnyFunSuite {
         }
       graft.sources.HarLite.build(spark, src, arch, partBytes = 64 * 1024)
       graft.sources.HarLite.open(spark, arch).count()
+    }
+    time("q100_dup_spans") {
+      // count flagged rows, not rows: a bare count() lets Catalyst
+      // eliminate the outer join (unique grouped key, no right columns)
+      // and would time only the doc scan
+      graft.queries.TextQueries.q100DupSpans.run(spark, dir)
+        .filter(col("flagged")).count()
+    }
+    time("q101_seq_pack") {
+      graft.queries.TextQueries.q101SeqPack.run(spark, dir).count()
+    }
+    time("q102_source_cap") {
+      graft.queries.TextQueries.q102SourceCap.run(spark, dir).count()
+    }
+    time("q103_snapshot_diff") {
+      graft.queries.DedupQueries.q103SnapshotDiff.run(spark, dir).count()
+    }
+    time("q104_kmeans_step") {
+      graft.queries.SimilarityQueries.q104KmeansStep.run(spark, dir).count()
     }
   }
 }
