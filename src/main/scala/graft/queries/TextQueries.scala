@@ -730,10 +730,47 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("rk0").cast("long").as("rk"))
   }
 
+  /** BPE vocab-training step ([[graft.operators.BpeTrain]]): from the
+    * fixture-merges state, the top-10 next-merge candidates — weighted
+    * adjacent-symbol-pair counts over the corpus vocab, ranked (cnt desc,
+    * pair asc). This is one iteration of the Sennrich greedy learn loop,
+    * oracle-checked the q104-kmeans way (the SQL replays the CURRENT state
+    * — q72b's generated replace-chain — then recomputes the argmax
+    * frontier); BpeSpec drives the full multi-iteration loop against an
+    * independent single-threaded reference. All integers: no float
+    * accumulation anywhere.
+    */
+  val q105BpeTrainStep = Q.checked(
+    "q105_bpe_train_step",
+    s"""WITH runs AS (
+       |  SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS w FROM documents),
+       |wc AS (SELECT w, count(*) AS c FROM runs GROUP BY w),
+       |tok AS (
+       |  SELECT c, regexp_extract_all(${graft.functions.Bpe.oracleReplayExpr("w")}, '<([^>]*)>', 1) AS syms
+       |  FROM wc),
+       |px AS (
+       |  SELECT unnest(generate_series(1, len(syms) - 1)) AS i, syms, c FROM tok),
+       |pc AS (
+       |  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+       |  FROM px GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  SELECT a, b, cnt,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS BIGINT) AS rk
+       |  FROM pc) WHERE rk <= 10""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.BpeTrain
+    val words = BpeTrain.vocab(table(s, dir, "documents"))
+    val pc = BpeTrain.pairCounts(words, graft.functions.Bpe.fixtureRanks)
+    val win = Window.orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+    pc.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 10)
+      .select(col("a"), col("b"), col("cnt"), col("rk").cast("long").as("rk"))
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
       q75Tfidf, q76StratifiedSplit, q77Collocations, q79Repetition,
       q96Decontaminate, q98PiiRedact, q100DupSpans, q101SeqPack,
-      q102SourceCap)
+      q102SourceCap, q105BpeTrainStep)
 }

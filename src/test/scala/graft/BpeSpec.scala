@@ -66,4 +66,77 @@ class BpeSpec extends AnyFunSuite {
       assert(Bpe.tokenCount(w) == Bpe.tokenize(w, Bpe.fixtureRanks).length.toLong)
     }
   }
+
+  // ---- training loop ([[graft.operators.BpeTrain]]) ----------------------
+
+  /** Independent single-threaded reference learner: same greedy objective
+    * (max weighted pair count, ties (a, b) ascending), written directly
+    * against a Map vocab with none of the operator's machinery.
+    */
+  private def referenceTrain(vocab: Map[String, Long], n: Int,
+      init: Vector[(String, String)]): Vector[(String, String)] = {
+    var merges = init
+    var continue = true
+    while (merges.size < init.size + n && continue) {
+      val ranks = merges.zipWithIndex.toMap
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (w, c) =>
+        val syms = Bpe.tokenize(w, ranks)
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) continue = false
+      else merges :+= counts.toSeq
+        .minBy { case ((a, b), c) => (-c, a, b) }._1
+    }
+    merges
+  }
+
+  private def trainVocab(rows: Seq[(String, Long)]) = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    rows.toDF("w", "c")
+  }
+
+  test("trainMerges learns the argmax merge every round (vs reference)") {
+    val vocab = Map(
+      "thethethe" -> 40L, "other" -> 25L, "running" -> 18L, "banana" -> 12L,
+      "and" -> 30L, "sandman" -> 7L, "ere" -> 9L, "z" -> 100L)
+    val learned = graft.operators.BpeTrain.trainMerges(trainVocab(vocab.toSeq), 6)
+    val expect = referenceTrain(vocab, 6, Vector.empty)
+    assert(learned == expect,
+      s"learned=${learned.mkString(",")} expect=${expect.mkString(",")}")
+  }
+
+  test("trainMerges continues a prior table and stays well-formed") {
+    val vocab = Map("thinking" -> 10L, "thermal" -> 8L, "sound" -> 6L,
+      "ground" -> 5L, "ingot" -> 4L)
+    val learned = graft.operators.BpeTrain.trainMerges(
+      trainVocab(vocab.toSeq), 4, Bpe.fixtureMerges)
+    assert(learned.take(Bpe.fixtureMerges.size) == Bpe.fixtureMerges)
+    assert(learned.size == Bpe.fixtureMerges.size + 4)
+    assert(learned == referenceTrain(vocab, 4, Bpe.fixtureMerges))
+    // well-formedness: every merge input is a base char or earlier output —
+    // the invariant tokenize/replay equivalence depends on
+    val known = scala.collection.mutable.Set.empty[String]
+    learned.foreach { case (a, b) =>
+      Seq(a, b).foreach(s =>
+        assert(s.length == 1 || known.contains(s), s"ill-formed input '$s'"))
+      known += (a + b)
+    }
+  }
+
+  test("trainMerges stops when no adjacent pair remains") {
+    val learned = graft.operators.BpeTrain.trainMerges(
+      trainVocab(Seq("a" -> 5L, "b" -> 3L)), 3)
+    assert(learned.isEmpty)
+    // one two-symbol word -> exactly one learnable merge, then exhaustion
+    val one = graft.operators.BpeTrain.trainMerges(
+      trainVocab(Seq("ab" -> 2L, "c" -> 9L)), 5)
+    assert(one == Vector(("a", "b")))
+  }
 }
