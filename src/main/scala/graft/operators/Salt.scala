@@ -29,4 +29,24 @@ object Salt {
       .drop(replicated(key))
       .drop("_salt")
   }
+
+  /** Data-derived-salt variant for the cases where `rand` determinism is
+    * not enough (a retried task must route every row identically, e.g.
+    * under speculative execution, and reruns must be bit-reproducible for
+    * an oracle compare): the salt is `pmod(hash(disambig), n)` of a column
+    * that VARIES WITHIN a join key — each hot key's rows genuinely fan
+    * across lanes instead of re-colliding on one. Multi-column key,
+    * USING-style join (one output key column). Result is bit-identical to
+    * the plain inner join — q107's oracle IS the plain join, so the hash
+    * compare pins that salting never changes one output bit.
+    */
+  def saltedJoin(
+      probe: DataFrame, build: DataFrame, keys: Seq[String],
+      salts: Int, disambig: Column): DataFrame = {
+    require(salts > 0, s"salt: lane count must be positive, got $salts")
+    val saltCol = "_graft_salt"
+    val p = probe.withColumn(saltCol, pmod(hash(disambig), lit(salts)))
+    val b = build.withColumn(saltCol, explode(sequence(lit(0), lit(salts - 1))))
+    p.join(b, keys :+ saltCol, "inner").drop(saltCol)
+  }
 }

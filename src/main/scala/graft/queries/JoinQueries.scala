@@ -255,7 +255,34 @@ object JoinQueries {
         round(sum(col("o_totalprice").cast(D)), 2).cast("double").as("total"))
   }
 
+  /** Salted skew-join parity ([[graft.operators.Salt.saltedJoin]],
+    * data-derived-salt variant): the lineitem⋈orders large-large join run
+    * through the 8-lane salted path, then aggregated. The oracle is the
+    * PLAIN join — a green hash proves salting is invisible to join
+    * semantics (the whole point of the pattern: spread a hot key across
+    * lanes without changing one output bit). l_linenumber varies within
+    * l_orderkey, so each hot order's rows really do fan across lanes
+    * rather than re-colliding on one.
+    */
+  val q107SaltedJoin = Q.checked(
+    "q107_salted_join",
+    """SELECT o.o_orderpriority,
+      |  count(*) AS n_items,
+      |  CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o.o_orderpriority""") { (s, dir) =>
+    val li = table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_linenumber"), col("l_quantity"))
+    val ord = table(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    graft.operators.Salt.saltedJoin(li, ord, Seq("k"), 8, col("l_linenumber"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity").cast(D)), 2).cast("double").as("sum_qty"))
+  }
+
   val all: Vector[Q] =
     Vector(q10JoinInner, q11JoinOuter, q12JoinOverride, q13JoinTagged,
-      q14SemiAnti, q63cBloomSemi, q67BucketedJoin, q69AsofJoin, q80RangeJoin)
+      q14SemiAnti, q63cBloomSemi, q67BucketedJoin, q69AsofJoin, q80RangeJoin,
+      q107SaltedJoin)
 }

@@ -26,6 +26,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.exists { case (k, n, _) => k == "hot" && n == 500 })
   }
 
+  test("data-derived-salt join: hot key fans across lanes, result is exact") {
+    // 2000-row hot key with a within-key disambiguator, plus cold keys and
+    // an unmatched build row — the q107 production shape in miniature
+    val probe = ((1 to 2000).map(i => ("hot", i, i.toLong)) ++
+      Seq(("a", 1, 10L), ("b", 1, 20L), ("orphan", 1, 0L)))
+      .toDF("k", "line", "v")
+    val build = Seq(("hot", "H"), ("a", "A"), ("b", "B"), ("unmatched", "U"))
+      .toDF("k", "tag")
+    val salted = Salt.saltedJoin(probe, build, Seq("k"), 8, col("line"))
+    val got = salted.groupBy("k", "tag")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .as[(String, String, Long, Long)].collect().toSet
+    val want = probe.join(build, Seq("k"), "inner").groupBy("k", "tag")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.exists { case (k, _, n, _) => k == "hot" && n == 2000 })
+    // the salt must genuinely split the hot key: >1 distinct lane used
+    val lanes = probe.filter(col("k") === "hot")
+      .select(pmod(hash(col("line")), lit(8)).as("s"))
+      .distinct().count()
+    assert(lanes > 1, s"hot key collapsed to $lanes lane(s)")
+  }
+
   test("valueHistogramAuto routes a 10⁶-distinct key to the sketch median") {
     // one degenerate key with 10⁶ distinct values (each frequency 1 or 2)
     // plus an ordinary key: the exact path would buffer a million-element
