@@ -767,10 +767,66 @@ object TextQueries {
       .select(col("a"), col("b"), col("cnt"), col("rk").cast("long").as("rk"))
   }
 
+  /** Mixture resampling to target domain weights — the corpus-mixing step
+    * (Pile/DoReMi-style) that runs after per-source caps: compute each
+    * domain's share, derive a deterministic acceptance rate toward a
+    * uniform target (`ppm = min(1e6, 1e6·total/(ndom·cnt))` — over-
+    * represented domains downsample, under-represented ones keep all;
+    * ALL-INTEGER arithmetic so both engines agree bitwise), then accept
+    * docs whose seeded hash falls under the rate. The corpus `source`
+    * column is balanced, so the skew comes from a synthetic domain split
+    * (55/25/15/5 on doc_id residues) that exercises both the downsample
+    * branch and the cap branch, with 'books' landing exactly ON the
+    * 1 000 000 boundary. Scale shape: rates are an ndomain-row broadcast;
+    * the corpus sees two pruned map passes (count, then filter+count) and
+    * never shuffles anything wider than (domain).
+    */
+  val q108MixtureResample = Q.checked(
+    "q108_mixture_resample",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 100 < 55 THEN 'web'
+      |         WHEN doc_id % 100 < 80 THEN 'books'
+      |         WHEN doc_id % 100 < 95 THEN 'code'
+      |         ELSE 'wiki' END AS domain
+      |  FROM documents),
+      |c AS (SELECT domain, count(*) AS n_docs FROM d GROUP BY domain),
+      |t AS (SELECT sum(n_docs) AS total, count(*) AS ndom FROM c),
+      |r AS (SELECT domain, n_docs,
+      |        least(1000000, (1000000 * total) // (ndom * n_docs)) AS accept_ppm
+      |      FROM c, t),
+      |k AS (SELECT d.domain, count(*) AS n_kept
+      |      FROM d JOIN r ON r.domain = d.domain
+      |      WHERE ('0x' || substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < r.accept_ppm
+      |      GROUP BY d.domain)
+      |SELECT r.domain, CAST(r.n_docs AS BIGINT) AS n_docs,
+      |  CAST(r.accept_ppm AS BIGINT) AS accept_ppm,
+      |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+      |FROM r LEFT JOIN k ON k.domain = r.domain""") { (s, dir) =>
+    val res = col("doc_id") % 100
+    val dom = when(res < 55, "web").when(res < 80, "books")
+      .when(res < 95, "code").otherwise("wiki")
+    val d = table(s, dir, "documents").select(col("doc_id"), dom.as("domain"))
+    val counts = d.groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("total"), count(lit(1)).as("ndom"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("accept_ppm",
+        least(lit(1000000L), expr("(1000000 * total) div (ndom * n_docs)")))
+      .select(col("domain"), col("n_docs"), col("accept_ppm"))
+    val u = Hashing.hash32(concat(lit("mix:"), col("doc_id").cast("string")))
+    val kept = d
+      .join(broadcast(rates.select(col("domain"), col("accept_ppm"))), Seq("domain"))
+      .filter(u % 1000000L < col("accept_ppm"))
+      .groupBy(col("domain")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("domain"), "left")
+      .select(col("domain"), col("n_docs"), col("accept_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
       q75Tfidf, q76StratifiedSplit, q77Collocations, q79Repetition,
       q96Decontaminate, q98PiiRedact, q100DupSpans, q101SeqPack,
-      q102SourceCap, q105BpeTrainStep)
+      q102SourceCap, q105BpeTrainStep, q108MixtureResample)
 }

@@ -39,7 +39,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * trivially. Late-round-8 families: q100 dup-spans 10.0s at 10× (its
   * soak forces full evaluation — a bare count() lets Catalyst eliminate
   * the final outer join), q101 packing 0.7s, q102 cap 0.4s, q103 diff
-  * 0.6s, q104 k-means step 2.3s. Full table in COVERAGE.md §"10× soak
+  * 0.6s, q104 k-means step 2.3s, q105 BPE train step 0.8s, q106 URL
+  * dedup 2.0s, q107 salted join 10.6s (the deliberate ×8 build-side
+  * replication over 6M lineitems — the documented salting cost model),
+  * q108 mixture resample 0.8s. Full table in COVERAGE.md §"10× soak
   * record".
   */
 class SoakTest extends AnyFunSuite {
@@ -206,6 +209,35 @@ class SoakTest extends AnyFunSuite {
     }
     time("q104_kmeans_step") {
       graft.queries.SimilarityQueries.q104KmeansStep.run(spark, dir).count()
+    }
+    time("q105_bpe_train_step") {
+      graft.queries.TextQueries.q105BpeTrainStep.run(spark, dir).count()
+    }
+    time("q106_url_dedup") {
+      graft.queries.DedupQueries.q106UrlDedup.run(spark, dir).count()
+    }
+    time("q107_salted_join") {
+      graft.queries.JoinQueries.q107SaltedJoin.run(spark, dir).count()
+    }
+    time("q108_mixture_resample") {
+      graft.queries.TextQueries.q108MixtureResample.run(spark, dir).count()
+    }
+  }
+}
+
+/** Dev tool: time one registered query against an arbitrary table dir —
+  * `graft.SoakOne <dir> <query>...` on the test classpath. Lets a new
+  * family get its 10× number from an existing soak replication without
+  * re-running the whole suite.
+  */
+object SoakOne {
+  def main(args: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    val dir = args(0)
+    args.drop(1).foreach { name =>
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, dir).count()
+      println(f"SOAK $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$rows")
     }
   }
 }
