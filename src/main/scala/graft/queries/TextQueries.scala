@@ -823,10 +823,117 @@ object TextQueries {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** End-to-end curation funnel — the capstone composition query: the
+    * stages a pretraining corpus actually passes through, chained in ONE
+    * plan with per-source survivor counts after each. quality gate
+    * (integer inequality form of q71's score, so no float ever exists:
+    * `n_chars − 2·stops > 5·n_tokens`) → language gate (q70's marker
+    * argmax = 'en') → exact-dedup keeper among survivors (min doc_id per
+    * md5(text), a PARTITIONED window) → per-source cap (q102's seeded-hash
+    * rank ≤ 18, partial+final WindowGroupLimit) → mixture resample (q108's
+    * integer ppm toward uniform DOMAIN shares, computed over the post-cap
+    * survivors). A green hash proves the operators compose — stage
+    * ordering, survivor-set handoff, and every per-stage formula — not
+    * just that each works alone. Monotone by construction: each count ≤
+    * the previous column.
+    */
+  val q109CurationFunnel = Q.checked(
+    "q109_curation_funnel",
+    s"""WITH b AS (
+       |  SELECT doc_id, source, text, n_chars,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(list_filter(string_split(text, ' '), x -> x IN ('the','a'))) AS stops,
+       |    ${markers.map { case (l, ms) => s"${scoreSql(ms)} AS s_$l" }.mkString(",\n    ")}
+       |  FROM documents),
+       |s1 AS (SELECT * FROM b WHERE n_chars - 2 * stops > 5 * n_tokens),
+       |s2 AS (SELECT * FROM s1 WHERE (CASE
+       |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |    WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END) = 'en'),
+       |s3 AS (SELECT * FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS kmin FROM s2)
+       |  WHERE doc_id = kmin),
+       |s4 AS (SELECT * FROM (
+       |    SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY
+       |      ('0x' || substring(md5('cap9:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id) AS rk
+       |    FROM s3)
+       |  WHERE rk <= 18),
+       |s4d AS (SELECT doc_id, source,
+       |    CASE WHEN doc_id % 100 < 55 THEN 'web'
+       |         WHEN doc_id % 100 < 80 THEN 'books'
+       |         WHEN doc_id % 100 < 95 THEN 'code'
+       |         ELSE 'wiki' END AS domain
+       |  FROM s4),
+       |c AS (SELECT domain, count(*) AS cnt FROM s4d GROUP BY domain),
+       |t AS (SELECT sum(cnt) AS total, count(*) AS ndom FROM c),
+       |r AS (SELECT domain, least(1000000, (1000000 * total) // (ndom * cnt)) AS ppm FROM c, t),
+       |s5 AS (SELECT s4d.doc_id, s4d.source FROM s4d JOIN r ON r.domain = s4d.domain
+       |  WHERE ('0x' || substring(md5('mix9:' || CAST(s4d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < r.ppm)
+       |SELECT f0.source,
+       |  f0.n AS n_raw,
+       |  CAST(coalesce(f1.n, 0) AS BIGINT) AS n_quality,
+       |  CAST(coalesce(f2.n, 0) AS BIGINT) AS n_lang,
+       |  CAST(coalesce(f3.n, 0) AS BIGINT) AS n_dedup,
+       |  CAST(coalesce(f4.n, 0) AS BIGINT) AS n_cap,
+       |  CAST(coalesce(f5.n, 0) AS BIGINT) AS n_final
+       |FROM       (SELECT source, count(*) AS n FROM documents GROUP BY source) f0
+       |LEFT JOIN (SELECT source, count(*) AS n FROM s1 GROUP BY source) f1 ON f1.source = f0.source
+       |LEFT JOIN (SELECT source, count(*) AS n FROM s2 GROUP BY source) f2 ON f2.source = f0.source
+       |LEFT JOIN (SELECT source, count(*) AS n FROM s3 GROUP BY source) f3 ON f3.source = f0.source
+       |LEFT JOIN (SELECT source, count(*) AS n FROM s4 GROUP BY source) f4 ON f4.source = f0.source
+       |LEFT JOIN (SELECT source, count(*) AS n FROM s5 GROUP BY source) f5 ON f5.source = f0.source""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.DataFrame
+    val docs = table(s, dir, "documents")
+    val w = split(col("text"), " ")
+    val stops = size(filter(w, x => x.isInCollection(Seq("the", "a"))))
+    val base = docs.select(col("doc_id"), col("source"), col("text"),
+      col("n_chars"), size(w).cast("long").as("n_tokens"), stops.cast("long").as("stops"))
+    val s1 = base.filter(col("n_chars") - lit(2L) * col("stops") > lit(5L) * col("n_tokens"))
+    val s2 = s1.filter(langIdPredict(col("text")) === "en")
+    val s3 = s2
+      .withColumn("kmin", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("kmin"))
+      .select(col("doc_id"), col("source"))
+    val hcap = Hashing.hash32(concat(lit("cap9:"), col("doc_id").cast("string")))
+    val s4 = s3
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(hcap.asc, col("doc_id").asc)))
+      .filter(col("rk") <= 18).drop("rk")
+    val res = col("doc_id") % 100
+    val s4d = s4.withColumn("domain",
+      when(res < 55, "web").when(res < 80, "books")
+        .when(res < 95, "code").otherwise("wiki"))
+    val cnts = s4d.groupBy(col("domain")).agg(count(lit(1)).as("cnt"))
+    val tot = cnts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("ndom"))
+    val rates = cnts.crossJoin(broadcast(tot))
+      .withColumn("ppm", least(lit(1000000L), expr("(1000000 * total) div (ndom * cnt)")))
+      .select(col("domain"), col("ppm"))
+    val hmix = Hashing.hash32(concat(lit("mix9:"), col("doc_id").cast("string")))
+    val s5 = s4d.join(broadcast(rates), Seq("domain"))
+      .filter(hmix % 1000000L < col("ppm"))
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.groupBy(col("source")).agg(count(lit(1)).as(name))
+    stage(docs, "n_raw")
+      .join(stage(s1, "c1"), Seq("source"), "left")
+      .join(stage(s2, "c2"), Seq("source"), "left")
+      .join(stage(s3, "c3"), Seq("source"), "left")
+      .join(stage(s4, "c4"), Seq("source"), "left")
+      .join(stage(s5, "c5"), Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("c1"), lit(0L)).as("n_quality"),
+        coalesce(col("c2"), lit(0L)).as("n_lang"),
+        coalesce(col("c3"), lit(0L)).as("n_dedup"),
+        coalesce(col("c4"), lit(0L)).as("n_cap"),
+        coalesce(col("c5"), lit(0L)).as("n_final"))
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
       q75Tfidf, q76StratifiedSplit, q77Collocations, q79Repetition,
       q96Decontaminate, q98PiiRedact, q100DupSpans, q101SeqPack,
-      q102SourceCap, q105BpeTrainStep, q108MixtureResample)
+      q102SourceCap, q105BpeTrainStep, q108MixtureResample,
+      q109CurationFunnel)
 }
