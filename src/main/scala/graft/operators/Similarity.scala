@@ -251,4 +251,17 @@ object Similarity {
         round(sum(col("v")).cast(DecimalType(38, 6)) / count(lit(1)), 2)
           .cast("double").as("mean_scaled"))
   }
+
+  /** Reassemble [[kmeansStep]]'s per-(cid, dim) means into the (cid, cvec)
+    * centroid table the next iteration (or [[ivfTopK]]) consumes —
+    * un-scaling back to float coordinates. Starved clusters emitted no
+    * rows upstream, so they simply don't reappear here.
+    */
+  def centroidsFromStep(step: DataFrame): DataFrame =
+    step.groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("mean_scaled"))))
+        .as("dims"))
+      .select(col("cid"),
+        expr("transform(dims, d -> cast(d.mean_scaled / 1e6 as float))")
+          .as("cvec"))
 }

@@ -25,14 +25,11 @@ class KmeansSpec extends AnyFunSuite {
     pts.toDF("xid", "xvec")
   }
 
-  /** Reconstruct a centroid table from kmeansStep's per-dim means. */
+  /** Reconstruct a centroid table from kmeansStep's per-dim means (the
+    * operator-side reassembly, under test here too).
+    */
   private def nextCentroids(step: DataFrame): DataFrame =
-    step.groupBy("cid")
-      .agg(sort_array(collect_list(struct(col("dim"), col("mean_scaled"))))
-        .as("dims"))
-      .select(col("cid"),
-        expr("transform(dims, d -> cast(d.mean_scaled / 1e6 as float))")
-          .as("cvec"))
+    Similarity.centroidsFromStep(step)
 
   private def sse(corpus: DataFrame, cents: DataFrame): Double = {
     import org.apache.spark.sql.expressions.Window

@@ -64,4 +64,35 @@ class RecallSpec extends AnyFunSuite {
         case (q, _) => q -> Set(q)
       }) == 1.0, "a vector must find itself in its own LSH bucket")
   }
+
+  test("k-means-trained centroids keep IVF recall (the q104 loop, closed)") {
+    // The coarse quantizer q104 exists FOR: seed the IVF centroid table
+    // with arbitrary corpus vectors, refine with kmeansStep iterations,
+    // and the index built on the refined centroids must not lose recall
+    // vs the raw seeds at the same probe budget (on clustered data it
+    // gains; this corpus is near-uniform, so the guard is non-regression
+    // plus the absolute collapse floor).
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val truth = Similarity.bruteForceTopK(queries, corpus, K)
+      .select(col("qid"), col("xid")).as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    var cents = seeds
+    (1 to 3).foreach { _ =>
+      cents = Similarity.centroidsFromStep(Similarity.kmeansStep(corpus, cents))
+        .localCheckpoint()
+    }
+    val seedRecall = recallOf(
+      Similarity.ivfTopK(queries, corpus, seeds, nProbe = 2, K), truth)
+    val trainedRecall = recallOf(
+      Similarity.ivfTopK(queries, corpus, cents, nProbe = 2, K), truth)
+    info(f"ivf recall@$K: seed=$seedRecall%.3f trained(3 steps)=$trainedRecall%.3f")
+    assert(trainedRecall >= 0.5, f"trained-IVF recall collapsed: $trainedRecall%.3f")
+    assert(trainedRecall >= seedRecall - 0.05,
+      f"k-means refinement LOST recall: $seedRecall%.3f -> $trainedRecall%.3f")
+  }
 }
