@@ -836,6 +836,17 @@ object TextQueries {
     * ordering, survivor-set handoff, and every per-stage formula — not
     * just that each works alone. Monotone by construction: each count ≤
     * the previous column.
+    *
+    * Plan shape: the naive funnel (one filtered branch per stage count)
+    * scans the corpus six times; this one computes every stage flag as a
+    * cascading boolean on ONE staged lineage — dedup keeper via
+    * `min(when(s2, doc_id))` over the md5 partition, cap rank via a
+    * running conditional sum over the (source, hash-order) window (equal
+    * to row_number on the s3-filtered set at every s3 row) — and rolls
+    * all six counts up in ONE `count(when(...))` aggregation. Two corpus
+    * passes total (the mixture rates need an s4 aggregate before the
+    * final pass), and the final groupBy(source) reuses the cap window's
+    * source partitioning.
     */
   val q109CurationFunnel = Q.checked(
     "q109_curation_funnel",
@@ -884,49 +895,46 @@ object TextQueries {
        |LEFT JOIN (SELECT source, count(*) AS n FROM s4 GROUP BY source) f4 ON f4.source = f0.source
        |LEFT JOIN (SELECT source, count(*) AS n FROM s5 GROUP BY source) f5 ON f5.source = f0.source""") { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.DataFrame
     val docs = table(s, dir, "documents")
     val w = split(col("text"), " ")
     val stops = size(filter(w, x => x.isInCollection(Seq("the", "a"))))
-    val base = docs.select(col("doc_id"), col("source"), col("text"),
-      col("n_chars"), size(w).cast("long").as("n_tokens"), stops.cast("long").as("stops"))
-    val s1 = base.filter(col("n_chars") - lit(2L) * col("stops") > lit(5L) * col("n_tokens"))
-    val s2 = s1.filter(langIdPredict(col("text")) === "en")
-    val s3 = s2
-      .withColumn("kmin", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-      .filter(col("doc_id") === col("kmin"))
-      .select(col("doc_id"), col("source"))
-    val hcap = Hashing.hash32(concat(lit("cap9:"), col("doc_id").cast("string")))
-    val s4 = s3
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("source")).orderBy(hcap.asc, col("doc_id").asc)))
-      .filter(col("rk") <= 18).drop("rk")
     val res = col("doc_id") % 100
-    val s4d = s4.withColumn("domain",
-      when(res < 55, "web").when(res < 80, "books")
-        .when(res < 95, "code").otherwise("wiki"))
-    val cnts = s4d.groupBy(col("domain")).agg(count(lit(1)).as("cnt"))
+    val staged = docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(col("text")).as("h"),
+        size(w).cast("long").as("n_tokens"), stops.cast("long").as("stops"),
+        (langIdPredict(col("text")) === "en").as("l_ok"),
+        when(res < 55, "web").when(res < 80, "books")
+          .when(res < 95, "code").otherwise("wiki").as("domain"))
+      .withColumn("s1",
+        col("n_chars") - lit(2L) * col("stops") > lit(5L) * col("n_tokens"))
+      .withColumn("s2", col("s1") && col("l_ok"))
+      .withColumn("s3", col("s2") && col("doc_id") ===
+        min(when(col("s2"), col("doc_id"))).over(Window.partitionBy(col("h"))))
+      .withColumn("rk",
+        sum(when(col("s3"), 1L).otherwise(0L)).over(
+          Window.partitionBy(col("source"))
+            .orderBy(Hashing.hash32(concat(lit("cap9:"),
+              col("doc_id").cast("string"))).asc, col("doc_id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("s4", col("s3") && col("rk") <= 18)
+    val cnts = staged.filter(col("s4")).groupBy(col("domain"))
+      .agg(count(lit(1)).as("cnt"))
     val tot = cnts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("ndom"))
     val rates = cnts.crossJoin(broadcast(tot))
       .withColumn("ppm", least(lit(1000000L), expr("(1000000 * total) div (ndom * cnt)")))
       .select(col("domain"), col("ppm"))
     val hmix = Hashing.hash32(concat(lit("mix9:"), col("doc_id").cast("string")))
-    val s5 = s4d.join(broadcast(rates), Seq("domain"))
-      .filter(hmix % 1000000L < col("ppm"))
-    def stage(df: DataFrame, name: String): DataFrame =
-      df.groupBy(col("source")).agg(count(lit(1)).as(name))
-    stage(docs, "n_raw")
-      .join(stage(s1, "c1"), Seq("source"), "left")
-      .join(stage(s2, "c2"), Seq("source"), "left")
-      .join(stage(s3, "c3"), Seq("source"), "left")
-      .join(stage(s4, "c4"), Seq("source"), "left")
-      .join(stage(s5, "c5"), Seq("source"), "left")
-      .select(col("source"), col("n_raw"),
-        coalesce(col("c1"), lit(0L)).as("n_quality"),
-        coalesce(col("c2"), lit(0L)).as("n_lang"),
-        coalesce(col("c3"), lit(0L)).as("n_dedup"),
-        coalesce(col("c4"), lit(0L)).as("n_cap"),
-        coalesce(col("c5"), lit(0L)).as("n_final"))
+    staged.join(broadcast(rates), Seq("domain"), "left")
+      .withColumn("s5",
+        col("s4") && hmix % 1000000L < coalesce(col("ppm"), lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        count(when(col("s1"), 1)).as("n_quality"),
+        count(when(col("s2"), 1)).as("n_lang"),
+        count(when(col("s3"), 1)).as("n_dedup"),
+        count(when(col("s4"), 1)).as("n_cap"),
+        count(when(col("s5"), 1)).as("n_final"))
   }
 
   val all: Vector[Q] =
