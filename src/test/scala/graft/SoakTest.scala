@@ -42,7 +42,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * 0.6s, q104 k-means step 2.3s, q105 BPE train step 0.8s, q106 URL
   * dedup 2.0s, q107 salted join 10.6s (the deliberate ×8 build-side
   * replication over 6M lineitems — the documented salting cost model),
-  * q108 mixture resample 0.8s, q109 curation funnel 0.6s (conditional-aggregation form; 0.9s as six filtered branches). Full table in COVERAGE.md §"10× soak
+  * q108 mixture resample 0.8s, q109 curation funnel 0.6s (conditional-aggregation form; 0.9s as six filtered branches), q110 incremental dedup 5.6s (delta-only signatures vs 12.5s full rebuild). Full table in COVERAGE.md §"10× soak
   * record".
   */
 class SoakTest extends AnyFunSuite {
@@ -224,6 +224,9 @@ class SoakTest extends AnyFunSuite {
     }
     time("q109_curation_funnel") {
       graft.queries.TextQueries.q109CurationFunnel.run(spark, dir).count()
+    }
+    time("q110_incremental_dedup") {
+      graft.queries.DedupQueries.q110IncrementalDedup.run(spark, dir).count()
     }
   }
 }
