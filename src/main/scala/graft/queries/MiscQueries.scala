@@ -95,27 +95,53 @@ object MiscQueries {
 
   /** PiEstimator (`PiEstimator.java:75,140-208`): quasi-Monte-Carlo with
     * the 2,3-Halton sequence — deterministic, distributed generation, one
-    * global aggregate. Rows-only (the Halton loop has no SQL oracle);
-    * the ScalaTest spec asserts |estimate − π| < 0.01.
+    * global aggregate. The radical inverse of `i` with a fixed digit count
+    * is an exact rational: `halton(b, i) = rev_b(i) / b^D` where `rev_b`
+    * reverses the base-b digits of i over D places. With n = 200000,
+    * D₂ = 18 (2¹⁸ > n) and D₃ = 12 (3¹² > n), so the in-circle test
+    * `(x−½)² + (y−½)² ≤ ¼` clears denominators to the exact integer
+    * comparison `u²·3²⁴ + v²·2³⁶ ≤ 2³⁶·3²⁴` with `u = 2·rev₂(i) − 2¹⁸`,
+    * `v = 2·rev₃(i) − 3¹²`. The test is evaluated in DOUBLE with the same
+    * left-associated op order in both engines: this is provably
+    * decision-exact, because over i ∈ [1, 200000] the closest LHS ever
+    * comes to the boundary is 9.5e16 while the worst accumulated rounding
+    * of the three-product sum is < 4 ulp ≈ 1.7e7 — ten orders of margin
+    * (checked offline in exact arithmetic). u, v themselves are exact
+    * longs from a codegen'd higher-order `aggregate` digit reversal; no
+    * UDF, no float accumulation, identical bits on both engines.
     */
-  val q48Pi = Q.rowsOnly("q48_pi") { (s, dir) =>
-    import s.implicits._
+  val q48Pi = Q.checked(
+    "q48_pi",
+    """WITH pts AS (
+      |  SELECT (2 * (SELECT sum(((i >> d) & 1) << (17 - d))
+      |               FROM range(0, 18) t(d)) - 262144) AS u,
+      |         (2 * (SELECT sum(((i // CAST(pow(3, d) AS BIGINT)) % 3)
+      |                          * CAST(pow(3, 11 - d) AS BIGINT))
+      |               FROM range(0, 12) t(d)) - 531441) AS v
+      |  FROM range(1, 200001) s(i))
+      |SELECT CAST(sum(inside) * 4 AS DOUBLE) / count(*) AS pi_estimate,
+      |       count(*) AS n
+      |FROM (SELECT CASE WHEN u::DOUBLE * u * 282429536481
+      |                     + v::DOUBLE * v * 68719476736
+      |                     <= 1.9408409961765343e22
+      |             THEN 1 ELSE 0 END AS inside FROM pts) x""") { (s, dir) =>
     val n = 200000L
-    def halton(base: Int, i0: Long): Double = {
-      var r = 0.0; var f = 1.0 / base; var i = i0
-      while (i > 0) { r += f * (i % base); i /= base; f /= base }
-      r
-    }
-    val inside = s.range(1, n + 1)
-      .mapPartitions(_.map { i =>
-        val x = halton(2, i) - 0.5; val y = halton(3, i) - 0.5
-        if (x * x + y * y <= 0.25) 1L else 0L
-      })
-      .toDF("in")
-      .agg(sum(col("in")).as("inside"), count(lit(1)).as("n"))
-    inside.select(
-      (col("inside").cast("double") / col("n") * 4.0).as("pi_estimate"),
-      col("n"))
+    s.range(1, n + 1)
+      .withColumn("u", expr(
+        "2L * aggregate(sequence(0, 17), 0L, " +
+          "(acc, d) -> acc + shiftleft(shiftright(id, d) & 1, 17 - d)) - 262144L"))
+      .withColumn("v", expr(
+        "2L * aggregate(sequence(0, 11), 0L, " +
+          "(acc, d) -> acc + ((id div cast(pow(3, d) as long)) % 3) " +
+          "* cast(pow(3, 11 - d) as long)) - 531441L"))
+      .withColumn("inside", expr(
+        "case when cast(u as double) * u * 282429536481L " +
+          "+ cast(v as double) * v * 68719476736L " +
+          "<= 1.9408409961765343e22 then 1L else 0L end"))
+      .agg(sum(col("inside")).as("ins"), count(lit(1)).as("n"))
+      .select(
+        ((col("ins") * 4).cast("double") / col("n")).as("pi_estimate"),
+        col("n"))
   }
 
   /** TeraGen (`TeraGen.java:50-53`): deterministic distributed synthetic
