@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   * UDF, embarrassingly parallel, so the canonical form costs one map pass
   * at any corpus size. The q106 oracle re-implements the same rules in
   * DuckDB SQL independently; the hash compare keeps the two in lockstep.
+  *
+  * Contract: the rules apply to absolute `scheme://host` URLs. Anything
+  * else (scheme-less paths, `mailto:` forms, malformed strings) is
+  * returned UNCHANGED — a crawl pipeline treats such records as
+  * already-canonical keys; silently emitting a mangled `"://"` prefix
+  * would corrupt the dedup key space.
   */
 object Urls {
 
@@ -36,7 +42,8 @@ object Urls {
     val kept = array_join(
       array_sort(filter(split(qs, "&"),
         x => x =!= lit("") && !x.startsWith("utm_"))), "&")
-    concat(scheme, lit("://"), host, path,
+    val canon = concat(scheme, lit("://"), host, path,
       when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+    when(scheme === "", u).otherwise(canon)
   }
 }

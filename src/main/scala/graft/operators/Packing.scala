@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Training-sequence packing (builder brief: what a large-scale training
   * pipeline needs; no reference counterpart): GPT-style dataset prep
@@ -28,6 +29,13 @@ object Packing {
   def tokenOffsets(docs: DataFrame, parts: Int = 32): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // Both passes MUST see identical partition contents; persisting the
+    // shuffled+sorted frame makes that contract explicit (rather than
+    // leaning on shuffle-output reuse) and skips re-running the
+    // within-partition sort in the second job. The result rides on eager
+    // localCheckpoint blocks so the intermediate can be freed here and
+    // now — the Dedup persistence idiom; the session sweep (or
+    // Dedup.release) frees the checkpoint blocks after consumption.
     val sorted = docs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -35,18 +43,22 @@ object Packing {
       .sortWithinPartitions(col("doc_id"))
       .as[(Long, Long)]
       .rdd
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val partSums = sorted
       .mapPartitionsWithIndex { case (i, it) =>
         Iterator.single(i -> it.map(_._2).sum)
       }
       .collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _)
-    sorted
+    val out = sorted
       .mapPartitionsWithIndex { case (i, it) =>
         var acc = offsets(i)
         it.map { case (id, n) => val s = acc; acc += n; (id, n, s) }
       }
       .toDF("doc_id", "n_tokens", "start_off")
+      .localCheckpoint(true)
+    sorted.unpersist(false)
+    out
   }
 
   /** [[tokenOffsets]] plus the sequence assignment at `seqLen` tokens:

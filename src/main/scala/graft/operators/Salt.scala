@@ -22,6 +22,8 @@ object Salt {
   def saltedJoin(
       large: DataFrame, small: DataFrame, key: String,
       n: Int, seed: Long = 42L): DataFrame = {
+    require(!large.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "salt: input already has a '_salt' column — withColumn would silently replace it")
     val salted = large.withColumn("_salt", pmod(floor(rand(seed) * n).cast("int"), lit(n)))
     val replicated = small.withColumn("_salt", explode(sequence(lit(0), lit(n - 1))))
     salted.join(replicated,
@@ -45,6 +47,8 @@ object Salt {
       salts: Int, disambig: Column): DataFrame = {
     require(salts > 0, s"salt: lane count must be positive, got $salts")
     val saltCol = "_graft_salt"
+    require(!probe.columns.contains(saltCol) && !build.columns.contains(saltCol),
+      s"salt: input already has a '$saltCol' column — withColumn would silently replace it")
     val p = probe.withColumn(saltCol, pmod(hash(disambig), lit(salts)))
     val b = build.withColumn(saltCol, explode(sequence(lit(0), lit(salts - 1))))
     p.join(b, keys :+ saltCol, "inner").drop(saltCol)

@@ -5,7 +5,8 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Unit coverage for the bench harness's outlier-retry decision (round-8:
   * a host stall spanned BOTH min-of-2 passes of q95 in the round-7 record,
   * so min-of-N alone can't absorb a sustained stall — queries whose min
-  * exceeds 3x their baseline get one bounded extra pass).
+  * exceeds SPARK_GRAFT_BENCH_RETRY_RATIO x their baseline (default 2.0,
+  * matching benchgate's threshold) get one bounded extra pass).
   */
 class BenchRetrySpec extends AnyFunSuite {
 

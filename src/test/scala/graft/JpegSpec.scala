@@ -97,10 +97,16 @@ class JpegSpec extends AnyFunSuite {
     val good = Jpeg.encode(blockFlat(16, 16, 1L))
     intercept[IllegalArgumentException](Jpeg.decode(Array[Byte](1, 2, 3)))
     intercept[IllegalArgumentException](Jpeg.decode(good.take(20))) // truncated markers
-    // flip the quant-table id the scan references to an undefined one
-    val noSof = good.filter(_ => true)
+    // flip the quant-table id the scan references to an undefined one:
+    // the encoder writes exactly one DQT (FF DB len len Pq|Tq ...) with
+    // Tq=0; setting Tq=1 leaves table 0 — which SOF0 references — undefined
+    val dqt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xdb).get
+    val badTq = good.clone()
+    badTq(dqt + 4) = 0x01
+    val e = intercept[IllegalArgumentException](Jpeg.decode(badTq))
+    assert(e.getMessage.contains("undefined quant table"))
     // truncating inside the entropy stream must not return a plausible image
     intercept[Exception](Jpeg.decode(good.dropRight(good.length / 3)))
-    assert(noSof.length == good.length)
   }
 }

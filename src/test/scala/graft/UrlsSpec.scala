@@ -57,6 +57,11 @@ class UrlsSpec extends AnyFunSuite {
       "https://ex.com/p?a=1&b=2"))
   }
 
+  test("non-absolute inputs pass through unchanged") {
+    val odd = Seq("ex.com/path?b=1", "mailto:a@ex.com", "/rel/path", "", "not a url")
+    assert(canon(odd: _*) == odd)
+  }
+
   test("canonicalize is idempotent") {
     val messy = Seq(
       "HTTPS://WWW.Ex.COM:443/a/b?b=2&a=1&utm_source=x#frag",
