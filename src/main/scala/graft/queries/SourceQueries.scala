@@ -226,8 +226,40 @@ object SourceQueries {
       .agg(count(lit(1)).as("n"), sum(col("lineno")).as("s"))
   }
 
+  /** Unsplittable-gzip text semantics (SURVEY §7.4 risk 6;
+    * `TextInputFormat.java:41` `isSplitable` = codec-aware,
+    * `LineRecordReader.java:111`): a `.gz` text file must be read as ONE
+    * split, decompressed whole, and a directory mixing plain and gzipped
+    * parts must dispatch the codec per file extension — the reference's
+    * everyday log-ingest layout. The fixture is the nation table written
+    * twice, once plain and once gzip; reading both dirs back through the
+    * text scan doubles every count, so the oracle is `2×count` over the
+    * source table. A green row proves the decompressed records parse
+    * identically to the uncompressed ones (codec dispatch, no
+    * mid-stream split corruption); XmlScanSpec pins the single-split
+    * contract itself on the scan's partitioning.
+    */
+  val q111GzipText = Q.checked(
+    "q111_gzip_text",
+    """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+      |       2 * count(*) AS n, min(n_name) AS min_name
+      |FROM nation GROUP BY 1""") { (s, dir) =>
+    val base = tmp("gziptext")
+    val lines = table(s, dir, "nation")
+      .select(concat_ws("|",
+        col("n_name"), col("n_nationkey"), col("n_regionkey")).as("value"))
+    lines.write.mode("overwrite").text(s"$base/plain")
+    lines.write.mode("overwrite").option("compression", "gzip").text(s"$base/gz")
+    s.read.text(s"$base/plain", s"$base/gz")
+      .select(split(col("value"), "\\|").as("f"))
+      .select(element_at(col("f"), 3).cast("long").as("n_regionkey"),
+        element_at(col("f"), 1).as("n_name"))
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n"), min(col("n_name")).as("min_name"))
+  }
+
   val all: Vector[Q] =
     Vector(q40KvText, q41MultiOutput, q42SeqFile, q42bSeqFileBinary,
       q42cSeqFileAsText, q43ScanFilters, q44MultiInputs, q45SetOps,
-      q94RecordDdl)
+      q94RecordDdl, q111GzipText)
 }

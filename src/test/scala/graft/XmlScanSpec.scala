@@ -32,6 +32,34 @@ class XmlScanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
   }
 
+  test("gzip input is one unsplittable split and parses identically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xmlgz")
+    val body = (1 to 200).map { i =>
+      s"<rec>\n  <name>doc-$i${"x" * (i % 17)}</name>\n  <key>$i</key>\n</rec>"
+    }.mkString("\n junk \n")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("data.xml.gz")))
+    gz.write(body.getBytes("UTF-8")); gz.close()
+    val before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      // tiny target split size: a splittable input would fan out into
+      // many partitions (the plain-text case above proves >1), but gzip
+      // is NOT splittable (TextInputFormat.java:41 isSplitable →
+      // codec-aware), so the whole file must stay one partition — a
+      // future custom scanner that ignored the codec and split at byte
+      // offsets would decompress garbage or drop records here
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "256")
+      val recs = XmlScan.records(spark, dir.toString, "<rec>", "</rec>")
+      assert(recs.rdd.getNumPartitions == 1,
+        "a .gz text input must be a single split per file")
+      val keys = recs.select(
+        regexp_extract(col("record"), "<key>([0-9]+)</key>", 1).cast("int"))
+        .as[Int].collect().sorted.toSeq
+      assert(keys == (1 to 200))
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+  }
+
   test("recordsExact keeps nested begin tags inside one record") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-xmlnest")
