@@ -20,6 +20,34 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Corpus-adaptive banded-LSH geometry: `(bands, rowsPerBand)` from a
+    * corpus-count estimate. Rows-per-band grows ∝ log₂(corpus): a
+    * background (unrelated) pair at Jaccard s collides in one band with
+    * probability s^r, so keeping the spurious candidate volume
+    * n²·b·s_bg^r sub-linear in n forces r up with log n. Bands then
+    * re-anchor the S-curve threshold t = (1/b)^(1/r) at the near-dup
+    * definition: b = round(t^−r). The r-growth rate (log₂n / 8) assumes
+    * background Jaccard ≲ t/250 ≈ 0.001 — typical for word-bigram
+    * shingles of unrelated documents; a corpus that violates it
+    * (boilerplate-heavy) surfaces loudly through [[candidatePairs]]'s
+    * bucket-cap observe metric, not silently.
+    *
+    * At the verify/bench scales (500–5000 docs) this reproduces the
+    * hand-tuned 8 bands × 2 rows = 16-seed signature that every
+    * committed oracle was generated with; at 10⁹ docs it yields
+    * 67 bands × 4 rows = a 268-permutation signature — the
+    * production-scale config a fixed 16-seed signature could never be.
+    */
+  def lshGeometry(corpusEst: Long, threshold: Double = 0.35): (Int, Int) = {
+    require(corpusEst > 0, s"lshGeometry: corpus estimate must be positive, got $corpusEst")
+    require(threshold > 0 && threshold < 1,
+      s"lshGeometry: threshold must be in (0,1), got $threshold")
+    val r = math.max(2, math.ceil(
+      math.log(corpusEst.toDouble) / math.log(2) / 8.0).toInt)
+    val b = math.max(2, math.round(math.pow(threshold, -r)).toInt)
+    (b, r)
+  }
+
   /** Whitespace word tokens of a document. */
   def tokens(text: Column): Column = split(text, " ")
 

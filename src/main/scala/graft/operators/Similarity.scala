@@ -70,9 +70,10 @@ object Similarity {
     * (as literals) with the oracle.
     *
     * Sizing: expected bucket size = corpus / 2^planes, and within-bucket
-    * scoring is quadratic in bucket size — scale the plane count with
-    * log2(corpus) (e.g. ~17 planes for 10^9 vectors at ~10k/bucket); the
-    * test queries use 6 planes for a 5k-vector corpus.
+    * scoring is quadratic in bucket size — [[srpPlanesFor]] derives the
+    * plane count from a corpus estimate (∝ log₂ corpus), and
+    * [[probeRadiusFor]] the matching multi-probe radius; the queries call
+    * them with the runtime corpus count instead of hard-coding.
     */
   def srpBucket(vec: Column, signs: Seq[Seq[Int]]): Column =
     srpBucketScaled(scaled(vec), signs)
@@ -159,17 +160,58 @@ object Similarity {
     }
   }
 
+  /** Corpus-adaptive SRP plane count:
+    * `planes = ceil(log₂(corpus / targetBucket))` clamped to [4, 28] —
+    * the ∝ log₂ growth law (COVERAGE.md): buckets otherwise grow linearly
+    * with the corpus at a fixed plane count, and within-bucket work is
+    * quadratic. `targetBucket` is the intended expected bucket size
+    * (default 8 — candidate scoring per probe stays O(targetBucket)).
+    * 500 vectors → 6 planes (the committed oracle geometry); 10⁹ → 27.
+    */
+  def srpPlanesFor(corpusEst: Long, targetBucket: Long = 8L): Int = {
+    require(corpusEst > 0 && targetBucket > 0,
+      s"srpPlanesFor: positive sizes required, got ($corpusEst, $targetBucket)")
+    val p = math.ceil(math.log(
+      math.max(corpusEst.toDouble / targetBucket, 2.0)) / math.log(2)).toInt
+    math.max(4, math.min(28, p))
+  }
+
+  /** Multi-probe radius matched to a plane count: the smallest h such
+    * that a true neighbor at cosine `targetCos` falls within Hamming-h of
+    * the query's bucket with probability ≥ `capture`. Per-plane
+    * disagreement probability is p = acos(targetCos)/π (the SRP collision
+    * identity), so capture = P(Binomial(planes, p) ≤ h). Growing planes
+    * ∝ log₂ corpus WITHOUT growing h collapses recall (each added plane
+    * multiplies the neighbor's same-bucket odds by 1−p); this pins the
+    * capture probability instead, so the recall floor survives the
+    * scale-up while probed buckets stay ≪ 2^planes.
+    */
+  def probeRadiusFor(planes: Int, targetCos: Double = 0.5,
+                     capture: Double = 0.5): Int = {
+    require(planes > 0 && capture > 0 && capture <= 1 &&
+      targetCos > -1 && targetCos < 1,
+      s"probeRadiusFor: bad args ($planes, $targetCos, $capture)")
+    val p = math.acos(targetCos) / math.Pi
+    def c(n: Int, k: Int): Double =
+      (0 until k).map(i => (n - i).toDouble / (i + 1)).product
+    var cum = 0.0
+    (0 to planes).find { k =>
+      cum += c(planes, k) * math.pow(1 - p, planes - k) * math.pow(p, k)
+      cum >= capture
+    }.getOrElse(planes)
+  }
+
   /** All bucket-flip masks of Hamming weight ≤ h over `planes` bits —
-    * the multi-probe sequence (mask 0 = the home bucket).
+    * the multi-probe sequence (mask 0 = the home bucket), enumerated in
+    * weight order then index order.
     */
   private[graft] def probeMasks(planes: Int, h: Int): Seq[Long] = {
-    require(h >= 0 && h <= 2, s"hammingProbe must be 0..2 (got $h)")
-    val singles = (0 until planes).map(j => 1L << j)
-    val pairs = for {
-      i <- 0 until planes; j <- (i + 1) until planes
-    } yield (1L << i) | (1L << j)
-    (Seq(0L) ++ (if (h >= 1) singles else Nil) ++
-      (if (h >= 2) pairs else Nil))
+    require(h >= 0 && h <= planes, s"hammingProbe must be 0..$planes (got $h)")
+    require(planes <= 28, s"probeMasks: at most 28 planes (got $planes)")
+    def combos(start: Int, left: Int, acc: Long): Seq[Long] =
+      if (left == 0) Seq(acc)
+      else (start until planes).flatMap(j => combos(j + 1, left - 1, acc | (1L << j)))
+    (0 to h).flatMap(k => combos(0, k, 0L))
   }
 
   /** LSH-bucketed ANN with MULTI-PROBE: candidates come from every bucket

@@ -12,11 +12,30 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  // 16 permutations in 8 bands of 2 — tighter near-dup recall than the
-  // original 8/4 config, enabled by the chained-digest hash family
-  private val Seeds = 16
-  private val Bands = 8
-  private val RowsPerBand = 2
+  // Geometry is DERIVED, never hand-tuned: Dedup.lshGeometry maps a
+  // corpus-count estimate to (bands, rowsPerBand) by the log₂ growth law.
+  // The oracle SQL below is a static string, so it is generated for the
+  // verify corpus (500 documents at sf0.01); the Spark bodies derive the
+  // SAME geometry from the runtime corpus count via [[autoBands]] —
+  // identical at verify scale by construction (stable across 500–5000
+  // docs: 8 bands × 2 rows = 16 seeds), production-sized at real scale
+  // where no oracle runs.
+  private val VerifyCorpus = 500L
+  private val Geom = Dedup.lshGeometry(VerifyCorpus)
+  private val Bands = Geom._1
+  private val RowsPerBand = Geom._2
+  private val Seeds = Bands * RowsPerBand
+
+  /** MinHash signature → banded LSH with corpus-adaptive geometry — the
+    * shared front half of every near-dup query body. One count() job
+    * (parquet metadata) prices the geometry.
+    */
+  private def autoBands(docs: org.apache.spark.sql.DataFrame) = {
+    val (b, r) = Dedup.lshGeometry(docs.count())
+    Dedup.lshBands(
+      Dedup.minhash(docs, col("doc_id"), Dedup.bigrams(col("text")), b * r),
+      b, r)
+  }
 
   /** The simulated re-crawl — ONE definition of the doubled corpus (and
     * its +1e6 id offset) shared by the group step (q50) and the apply
@@ -98,17 +117,17 @@ object DedupQueries {
   }
   private def duckCandCtes: String = duckCandCtesWith(capped = true)
 
-  /** MinHash (16 seeded portable hashes over word 2-shingles) + banded LSH
-    * (8 bands × 2 rows): near-duplicate candidate pairs generated by a
-    * self-join on the band key — within buckets only, never all-pairs.
+  /** MinHash (seeded portable hashes over word 2-shingles) + banded LSH
+    * with corpus-adaptive geometry (8 bands × 2 rows at verify scale, per
+    * [[Dedup.lshGeometry]]'s log₂ law): near-duplicate candidate pairs
+    * generated by a self-join on the band key — within buckets only,
+    * never all-pairs.
     */
   val q51MinhashLsh = Q.checked(
     "q51_minhash_lsh",
     s"WITH $duckCandCtes\nSELECT a, b FROM cand") { (s, dir) =>
     val docs = table(s, dir, "documents")
-    val sig = Dedup.minhash(docs, col("doc_id"), Dedup.bigrams(col("text")), Seeds)
-    val bands = Dedup.lshBands(sig, Bands, RowsPerBand)
-    Dedup.candidatePairs(bands, BucketCap).select(col("a"), col("b"))
+    Dedup.candidatePairs(autoBands(docs), BucketCap).select(col("a"), col("b"))
   }
 
   private val SimBits = 16
@@ -161,8 +180,7 @@ object DedupQueries {
        |JOIN sizes sb ON sb.doc_id = m.b
        |WHERE CAST(m.c AS DOUBLE) / (sa.n + sb.n - m.c) >= 0.5""") { (s, dir) =>
     val docs = table(s, dir, "documents")
-    val sig = Dedup.minhash(docs, col("doc_id"), Dedup.bigrams(col("text")), Seeds)
-    val cand = Dedup.candidatePairs(Dedup.lshBands(sig, Bands, RowsPerBand), BucketCap)
+    val cand = Dedup.candidatePairs(autoBands(docs), BucketCap)
     val uni = docs.select(col("doc_id").as("id"), explode(Dedup.tokens(col("text"))).as("tok"))
       .distinct()
     Dedup.jaccard(cand, uni).filter(col("jaccard") >= 0.5)
@@ -188,12 +206,11 @@ object DedupQueries {
        |       CAST(id = min(lbl) AS BOOLEAN) AS keep
        |FROM reach GROUP BY id""") { (s, dir) =>
     val docs = table(s, dir, "documents")
-    val sig = Dedup.minhash(docs, col("doc_id"), Dedup.bigrams(col("text")), Seeds)
     // star-contracted bucket edges: same components as the pair graph
     // (the oracle proves it — its closure runs over the full UNCAPPED
     // pair list: group assembly is deliberately cap-free, so its oracle
     // must be too) at bucket-linear instead of bucket-quadratic volume
-    val edges = Dedup.bucketStarEdges(Dedup.lshBands(sig, Bands, RowsPerBand))
+    val edges = Dedup.bucketStarEdges(autoBands(docs))
     Dedup.connectedComponents(edges)
       .select(col("id").as("doc_id"), col("lbl").as("component"),
         (col("id") === col("lbl")).as("keep"))
@@ -231,7 +248,11 @@ object DedupQueries {
     */
   val q57EmbedDedup: Q = {
     import graft.operators.Similarity
-    val Planes = 6
+    // oracle geometry from the verify corpus (500 embeddings → 6 planes);
+    // the Spark body re-derives from the runtime count. Dedup stays
+    // single-bucket (no probing): a missed near-dup pair costs recall,
+    // not correctness, and the group step (q58 pattern) is transitive.
+    val Planes = Similarity.srpPlanesFor(VerifyCorpus)
     val signs = Similarity.srpSigns(Planes, 64)
     def planeSql(j: Int) = signs(j).mkString("[", ",", "]")
     def sc(x: String) = s"CAST(round(CAST($x AS DOUBLE) * 1000000) AS BIGINT)"
@@ -259,12 +280,13 @@ object DedupQueries {
          |SELECT a, b, dqx / (sqrt(dqq) * sqrt(dxx)) AS cos
          |FROM dots WHERE dqx / (sqrt(dqq) * sqrt(dxx)) >= 0.4""") { (s, dir) =>
       val emb = table(s, dir, "embeddings")
+      val sg = Similarity.srpSigns(Similarity.srpPlanesFor(emb.count()), 64)
       // quantize once per row; the bucket join carries only the scaled
       // array, and per-pair scoring is pure integer multiply-adds
       val withBucket = emb
         .select(col("vec_id"), Similarity.scaled(col("embedding")).as("sv"))
         .select(col("vec_id"), col("sv"),
-          Similarity.srpBucketScaled(col("sv"), signs).as("bucket"),
+          Similarity.srpBucketScaled(col("sv"), sg).as("bucket"),
           sqrt(Similarity.dotScaled(col("sv"), col("sv")).cast("double")).as("norm"))
       val cand = withBucket.alias("l")
         .join(withBucket.alias("r"),
@@ -308,8 +330,7 @@ object DedupQueries {
        |JOIN cand e2 ON e2.a = e1.b
        |JOIN cand e3 ON e3.a = e1.a AND e3.b = e2.b""") { (s, dir) =>
     val docs = table(s, dir, "documents")
-    val sig = Dedup.minhash(docs, col("doc_id"), Dedup.bigrams(col("text")), Seeds)
-    val cand = Dedup.candidatePairs(Dedup.lshBands(sig, Bands, RowsPerBand), BucketCap)
+    val cand = Dedup.candidatePairs(autoBands(docs), BucketCap)
     val adj = cand.groupBy(col("a")).agg(sort_array(collect_list(col("b"))).as("nbrs"))
     cand
       .join(adj.select(col("a").as("_ja"), col("nbrs").as("na")),
@@ -531,18 +552,25 @@ object DedupQueries {
     s"WITH $duckCandCtes\nSELECT a, b FROM cand WHERE a % 13 = 4 OR b % 13 = 4") { (s, dir) =>
     val docs = table(s, dir, "documents")
     val bandDir = graft.core.Graft.scratch("q110-base-bands")
+    // Geometry is PINNED when the index is built — derived from the full
+    // corpus estimate at nightly-build time. The delta MUST reuse the
+    // index geometry verbatim (band keys are not comparable across
+    // geometries); re-deriving from the delta's own count would silently
+    // produce a disjoint key space. Re-banding under new geometry is a
+    // full rebuild, by definition.
+    val (b110, r110) = Dedup.lshGeometry(docs.count())
     // nightly build: base bands persisted (uncapped — the cap is applied
     // at pair time over the union, exactly as the from-scratch q51 does)
     Dedup.lshBands(
       Dedup.minhash(docs.filter(col("doc_id") % 13 =!= 4),
-        col("doc_id"), Dedup.bigrams(col("text")), Seeds),
-      Bands, RowsPerBand)
+        col("doc_id"), Dedup.bigrams(col("text")), b110 * r110),
+      b110, r110)
       .write.mode("overwrite").parquet(bandDir)
     // incremental run: delta-only signature work + persisted read-back
     val deltaBands = Dedup.lshBands(
       Dedup.minhash(docs.filter(col("doc_id") % 13 === 4),
-        col("doc_id"), Dedup.bigrams(col("text")), Seeds),
-      Bands, RowsPerBand)
+        col("doc_id"), Dedup.bigrams(col("text")), b110 * r110),
+      b110, r110)
     val allBands = s.read.parquet(bandDir).unionByName(deltaBands)
     Dedup.candidatePairs(allBands, BucketCap)
       .filter(col("a") % 13 === 4 || col("b") % 13 === 4)

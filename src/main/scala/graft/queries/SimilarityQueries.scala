@@ -13,7 +13,15 @@ object SimilarityQueries {
 
   private val K = 3
   private val NQueries = 5
-  private val Planes = 6
+  // SRP geometry is DERIVED from the corpus size (Similarity.srpPlanesFor:
+  // planes ∝ log₂ corpus; probeRadiusFor: smallest Hamming radius that
+  // keeps a cos≥0.5 neighbor's capture probability ≥ 0.5). The oracle SQL
+  // is generated for the verify corpus (500 embeddings at sf0.01 → 6
+  // planes, probe radius 2); the Spark bodies re-derive from the runtime
+  // count, so the two agree at verify scale by construction.
+  private val VerifyCorpus = 500L
+  private val Planes = Similarity.srpPlanesFor(VerifyCorpus)
+  private val ProbeH = Similarity.probeRadiusFor(Planes)
   private val Dims = 64
 
   // scaled-long dot product: round(x*1e6)::BIGINT per element, integer
@@ -53,12 +61,13 @@ object SimilarityQueries {
 
   private def planeSql(j: Int): String = signs(j).mkString("[", ",", "]")
 
-  /** LSH-bucketed ANN with multi-probe: 6 deterministic ±1 hyperplanes →
-    * 64 buckets; candidates come from the query's bucket AND every bucket
-    * one bit-flip away (Hamming ≤ 1 — single-bucket SRP recalls almost
-    * nothing on a near-orthogonal corpus, see RecallSpec) before exact
-    * cosine. The hyperplane matrix and the probe set are shared with the
-    * oracle as literals.
+  /** LSH-bucketed ANN with multi-probe and corpus-adaptive geometry: the
+    * plane count and probe radius come from [[Similarity.srpPlanesFor]] /
+    * [[Similarity.probeRadiusFor]] (6 planes → 64 buckets, Hamming ≤ 2 at
+    * verify scale — single-bucket SRP recalls almost nothing on a
+    * near-orthogonal corpus, see RecallSpec) before exact cosine. The
+    * hyperplane matrix and the probe-mask set are shared with the oracle
+    * as literals generated from the same helpers.
     */
   val q61AnnLsh = Q.checked(
     "q61_ann_lsh",
@@ -74,7 +83,7 @@ object SimilarityQueries {
        |  FROM embeddings x JOIN b ON b.vec_id = x.vec_id WHERE x.vec_id < $NQueries
        |), cand AS (
        |  SELECT q.qid, x.vec_id AS xid, q.qv, x.embedding AS xv
-       |  FROM q JOIN b xb ON xb.bucket IN (q.bucket${(0 until Planes).map(j => s", xor(q.bucket, ${1L << j})").mkString})
+       |  FROM q JOIN b xb ON xb.bucket IN (${Similarity.probeMasks(Planes, ProbeH).map(m => if (m == 0L) "q.bucket" else s"xor(q.bucket, $m)").mkString(", ")})
        |  JOIN embeddings x ON x.vec_id = xb.vec_id
        |), el2 AS (
        |  SELECT qid, xid, unnest(qv) AS qa, unnest(xv) AS xa FROM cand
@@ -91,10 +100,12 @@ object SimilarityQueries {
        |  FROM dots
        |) WHERE rank <= $K""") { (s, dir) =>
     val emb = table(s, dir, "embeddings")
+    val planes = Similarity.srpPlanesFor(emb.count())
+    val sg = Similarity.srpSigns(planes, Dims)
     val queries = emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
-    Similarity.lshTopK(queries, corpus, signs, K)
+    Similarity.lshTopK(queries, corpus, sg, K, Similarity.probeRadiusFor(planes))
   }
 
   private val Cells = 8

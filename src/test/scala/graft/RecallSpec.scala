@@ -65,6 +65,57 @@ class RecallSpec extends AnyFunSuite {
       }) == 1.0, "a vector must find itself in its own LSH bucket")
   }
 
+  test("auto-sizing laws: geometry derives from the corpus count") {
+    import graft.operators.Dedup
+    // pins the committed-oracle geometry at verify scale AND the growth
+    // at production scale — a change to either law must be deliberate
+    assert(Dedup.lshGeometry(500L) == (8, 2))
+    assert(Dedup.lshGeometry(5000L) == (8, 2), "bench scale must match verify scale")
+    assert(Dedup.lshGeometry(1000000000L) == (67, 4))
+    assert(Similarity.srpPlanesFor(500L) == 6)
+    assert(Similarity.srpPlanesFor(5000L) == 10)
+    assert(Similarity.srpPlanesFor(1000000000L) == 27)
+    assert(Similarity.probeRadiusFor(6) == 2)
+    assert(Similarity.probeRadiusFor(10) == 3)
+    // clamps: tiny and absurd corpora stay in the supported plane range
+    assert(Similarity.srpPlanesFor(1L) == 4)
+    assert(Similarity.srpPlanesFor(Long.MaxValue / 2) == 28)
+  }
+
+  test("auto-sized SRP geometry holds recall at 1x and 10x corpus") {
+    val emb1 = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // 10x: the 500 fixture vectors plus 4500 deterministic hash-derived
+    // vectors from the same near-orthogonal family — the queries' true
+    // neighbors shift as the corpus grows, and the auto geometry (more
+    // planes, wider probe radius) has to keep finding them
+    val synth = spark.range(500, 5000).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), d -> cast((hash(id * 64 + d) % 1001) / 1000.0 as float))")
+        .as("embedding"))
+    val emb10 = emb1.unionByName(synth)
+    val fracs = Seq((emb1, "1x"), (emb10, "10x")).map { case (emb, label) =>
+      val n = emb.count()
+      val planes = Similarity.srpPlanesFor(n)
+      val h = Similarity.probeRadiusFor(planes)
+      val signs = Similarity.srpSigns(planes, 64)
+      val queries = emb.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+      val truth = Similarity.bruteForceTopK(queries, corpus, K)
+        .select(col("qid"), col("xid")).as[(Long, Long)]
+        .collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      val r = recallOf(Similarity.lshTopK(queries, corpus, signs, K, h), truth)
+      val probed = Similarity.probeMasks(planes, h).size.toDouble / (1L << planes)
+      info(f"$label: n=$n planes=$planes h=$h recall@$K=$r%.3f probedFrac=$probed%.3f")
+      assert(r >= 0.3, f"auto-geometry recall collapsed at $label: $r%.3f")
+      probed
+    }
+    // the point of the log2 law: per-query probed fraction SHRINKS as the
+    // corpus grows (sub-linear candidate work), while recall holds above
+    assert(fracs(1) < fracs(0),
+      s"probed fraction must shrink with corpus growth: $fracs")
+  }
+
   test("k-means-trained centroids keep IVF recall (the q104 loop, closed)") {
     // The coarse quantizer q104 exists FOR: seed the IVF centroid table
     // with arbitrary corpus vectors, refine with kmeansStep iterations,
