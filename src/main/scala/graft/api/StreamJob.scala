@@ -25,7 +25,13 @@ final case class StreamArgs(
     /** `-inputreader StreamXmlRecordReader,begin=...,end=...` → the
       * (begin, end) record delimiters; None = plain line input.
       */
-    inputReader: Option[(String, String)] = None) {
+    inputReader: Option[(String, String)] = None,
+    /** `-inputformat` routing: "text" (default; mapper sees the value
+      * line, offset key dropped), "kvtext" (KeyValueTextInputFormat:
+      * first-separator split, mapper sees key+sep+value), or "seqfile"
+      * (the SequenceFile family, writables rendered toString).
+      */
+    inputFormat: String = "text") {
 
   /** `stream.map.output.field.separator` (PipeMapRed.java:204-214). */
   def mapSep: String = conf.getOrElse("stream.map.output.field.separator", "\t")
@@ -135,11 +141,21 @@ object StreamJob {
         loop(t, s.copy(inputReader = Some((begin, end))))
       // files ship with the Spark job submit; nothing to do per-job
       case "-file" :: _ :: t => loop(t, s)
-      // only PLAIN-text line formats are honored; "AsText" SequenceFile
-      // wrappers would silently read binary bytes as lines, so fail fast
+      // the reference accepts any InputFormat class (StreamJob.java:
+      // 690-814); this facade routes the three families the engine
+      // implements — plain text, KeyValueTextInputFormat (the q40
+      // first-separator reader), and the SequenceFile family (the q42
+      // shim, streamed as toString-rendered lines exactly like the
+      // reference's non-text mapper framing). Anything else fails fast
+      // rather than silently reading bytes as lines.
       case "-inputformat" :: v :: t =>
-        if (v.contains("Text") && !v.contains("SequenceFile")) loop(t, s)
-        else sys.error(s"-inputformat: only plain text formats supported, got $v")
+        if (v.contains("KeyValueTextInputFormat"))
+          loop(t, s.copy(inputFormat = "kvtext"))
+        else if (v.contains("SequenceFile"))
+          loop(t, s.copy(inputFormat = "seqfile"))
+        else if (v.contains("Text")) loop(t, s.copy(inputFormat = "text"))
+        else sys.error(s"-inputformat: unsupported class $v (TextInputFormat, " +
+          "KeyValueTextInputFormat and the SequenceFile family are routed)")
       case "-outputformat" :: v :: t =>
         if (v.contains("Text") && !v.contains("SequenceFile")) loop(t, s)
         else sys.error(s"-outputformat: only TextOutputFormat supported, got $v")
@@ -372,13 +388,41 @@ object StreamJob {
     // -inputreader swaps the line scanner for the begin/end XML record
     // scanner: each record becomes one mapper input line, exactly the
     // reference's StreamXmlRecordReader contract
+    require(args.inputReader.isEmpty || args.inputFormat == "text",
+      "-inputreader replaces the record reader and cannot combine with a " +
+        s"non-text -inputformat (got ${args.inputFormat})")
     val rawLines = args.inputReader match {
       case Some((begin, end)) =>
         args.inputs
           .map(p => graft.sources.XmlScan.records(spark, p, begin, end))
           .reduce(_ unionByName _)
           .select(col("record").as("line"))
-      case None => spark.read.textFile(args.inputs: _*).toDF("line")
+      case None => args.inputFormat match {
+        case "kvtext" =>
+          // KeyValueTextInputFormat (KeyValueLineRecordReader.java): key =
+          // text before the first separator, value = the rest. Streaming
+          // frames mapper stdin as key+sep+value for every non-text
+          // format (PipeMapper.java) — byte-identical to the raw line
+          // when it contains a separator, key + trailing separator when
+          // it does not (empty value still framed).
+          spark.read.textFile(args.inputs: _*).toDF("line")
+            .select(when(instr(col("line"), "\t") > 0, col("line"))
+              .otherwise(concat(col("line"), lit("\t"))).as("line"))
+        case "seqfile" =>
+          // SequenceFile[AsText]InputFormat via Hadoop's own AsText view
+          // (the q42c shim): each writable rendered toString, framed
+          // key+sep+value — non-text keys (LongWritable etc.) arrive as
+          // their decimal rendering, exactly the reference's framing
+          args.inputs.map { p =>
+            spark.sparkContext.hadoopFile(p,
+              classOf[org.apache.hadoop.mapred.SequenceFileAsTextInputFormat],
+              classOf[org.apache.hadoop.io.Text],
+              classOf[org.apache.hadoop.io.Text])
+              .map { case (k, v) => k.toString + "\t" + v.toString }
+              .toDF("line")
+          }.reduce(_ unionByName _)
+        case _ => spark.read.textFile(args.inputs: _*).toDF("line")
+      }
     }
 
     // ---- map phase: external fork (or IdentityMapper when -mapper absent)

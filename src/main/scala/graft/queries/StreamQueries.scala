@@ -68,6 +68,34 @@ object StreamQueries {
       "-D", "mapred.text.key.partitioner.options=-k1,2"))
   }
 
+  /** `-inputformat SequenceFileInputFormat` end-to-end through the CLI
+    * facade (`StreamJob.java:690-814` accepts any InputFormat class; the
+    * engine routes the SequenceFile family through Hadoop's AsText view,
+    * q42c's shim): the fixture is a REAL SequenceFile with a non-text key
+    * writable (LongWritable region keys), so a green row proves the
+    * toString mapper framing — `key \t value` lines — not a text round
+    * trip, then the canonical aggregate reduce over it.
+    */
+  val q112StreamSeqfile = Q.checked(
+    "q112_stream_seqfile",
+    """SELECT 'r' || CAST(n_regionkey AS VARCHAR) AS key,
+      |       CAST(CAST(sum(n_nationkey) AS BIGINT) AS VARCHAR) AS value
+      |FROM nation GROUP BY n_regionkey""") { (s, dir) =>
+    val in = tmp("q112in")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(in).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(in), true)
+    table(s, dir, "nation")
+      .select(col("n_regionkey").cast("long"), col("n_nationkey").cast("string"))
+      .rdd.map(r => (r.getLong(0), r.getString(1)))
+      .saveAsSequenceFile(in) // LongWritable / Text pairs
+    StreamJob.run(s, Seq(
+      "-input", in,
+      "-inputformat", "org.apache.hadoop.mapred.SequenceFileInputFormat",
+      "-mapper", "awk -F'\t' '{print \"LongValueSum:r\"$1\"\t\"$2}'",
+      "-reducer", "aggregate"))
+  }
+
   /** Gridmix job 5, the streaming API variant of "API text sort"
     * (`src/benchmarks/gridmix/README`, `streamsort/`): identity mapper and
     * reducer as REAL external processes (`cat`), the framework supplying
@@ -185,5 +213,5 @@ object StreamQueries {
 
   val all: Vector[Q] =
     Vector(q66StreamApiSort, q68Sessionize, q92StreamCli, q93StreamPipeline,
-      q95StreamHistogram)
+      q95StreamHistogram, q112StreamSeqfile)
 }

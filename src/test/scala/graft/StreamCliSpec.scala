@@ -40,7 +40,19 @@ class StreamCliSpec extends AnyFunSuite {
     assertThrows[RuntimeException](StreamJob.parseArgs(Seq("-bogus", "x")))
     assertThrows[RuntimeException](StreamJob.parseArgs(Seq("-D", "noequals")))
     assertThrows[RuntimeException](
-      StreamJob.parseArgs(Seq("-inputformat", "SequenceFileInputFormat")))
+      StreamJob.parseArgs(Seq("-inputformat", "com.example.MyInputFormat")))
+  }
+
+  test("parseArgs routes the three supported -inputformat families") {
+    assert(StreamJob.parseArgs(
+      Seq("-inputformat", "TextInputFormat")).inputFormat == "text")
+    assert(StreamJob.parseArgs(
+      Seq("-inputformat", "org.apache.hadoop.mapred.KeyValueTextInputFormat"))
+      .inputFormat == "kvtext")
+    assert(StreamJob.parseArgs(
+      Seq("-inputformat", "SequenceFileInputFormat")).inputFormat == "seqfile")
+    assert(StreamJob.parseArgs(
+      Seq("-inputformat", "SequenceFileAsTextInputFormat")).inputFormat == "seqfile")
   }
 
   test("parseArgs randomized round trip (order-independent options)") {
@@ -357,9 +369,26 @@ class StreamCliSpec extends AnyFunSuite {
     assert(got == Seq(("a", "1"), ("a", "1"), ("b", "2")))
   }
 
-  test("SequenceFile 'AsText' input formats are rejected, not read as lines") {
-    assertThrows[RuntimeException](StreamJob.parseArgs(
-      Seq("-inputformat", "SequenceFileAsTextInputFormat")))
+  test("-inputformat KeyValueTextInputFormat frames mapper stdin key+sep+value") {
+    import spark.implicits._
+    // a line WITH a tab arrives byte-identical; a line WITHOUT one arrives
+    // as key + trailing separator (empty value still framed) — the
+    // non-text-format framing of PipeMapper.java
+    val in = writeLines("kvtextin", Seq("a\t1", "b\t2", "noseparator"))
+    val got = StreamJob.run(spark, Seq(
+      "-input", in,
+      "-inputformat", "KeyValueTextInputFormat",
+      "-mapper", "cat", "-reducer", "NONE"))
+      .as[(String, String)].collect().toSeq.sorted
+    assert(got == Seq(("a", "1"), ("b", "2"), ("noseparator", "")))
+  }
+
+  test("-inputreader cannot combine with a non-text -inputformat") {
+    assertThrows[IllegalArgumentException](StreamJob.run(spark, Seq(
+      "-input", "/nonexistent",
+      "-inputformat", "SequenceFileInputFormat",
+      "-inputreader", "StreamXmlRecordReader,begin=<a>,end=</a>",
+      "-mapper", "cat")))
   }
 
   test("reducer input framing uses the reduce INPUT separator knob") {
