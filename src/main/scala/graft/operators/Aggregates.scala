@@ -173,13 +173,25 @@ object Aggregates {
     */
   def valueHistogramAuto(df: DataFrame, key: Column, value: Column,
                          exactCap: Int = 100000,
-                         accuracy: Int = 10000): DataFrame = {
+                         accuracy: Int = 10000,
+                         detailsTopN: Int = 20): DataFrame = {
     require(exactCap > 0, s"valueHistogramAuto: exactCap must be positive (got $exactCap)")
+    require(detailsTopN > 0, s"valueHistogramAuto: detailsTopN must be positive (got $detailsTopN)")
     val freq = df.groupBy(key.as("k"), value.as("v")).agg(count(lit(1)).as("f"))
     val rank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("k")).orderBy(col("f"), col("v"))
+    // the reference report's item dump (`ValueHistogram.java:134`
+    // getReportDetails: every value/frequency pair) rides along as a
+    // BOUNDED `details` column: the top-N items by frequency
+    // (value-ascending tiebreak) rendered `v:f` comma-joined, with a loud
+    // `+k` marker counting the items past the cap — never the reference's
+    // unbounded dump, never a silent truncation. Both rankings share the
+    // one partition-by-k exchange (two sorts, one shuffle).
+    val rankDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("f").desc, col("v"))
     freq
       .withColumn("_rn", row_number().over(rank))
+      .withColumn("_dn", row_number().over(rankDesc))
       .groupBy(col("k"))
       .agg(
         count(lit(1)).as("uniq"),
@@ -188,6 +200,9 @@ object Aggregates {
         sum(col("f")).as("s"),
         sum(col("f") * col("f")).as("ssq"),
         sort_array(collect_list(when(col("_rn") <= exactCap, col("f")))).as("fs"),
+        sort_array(collect_list(when(col("_dn") <= detailsTopN,
+          struct(col("_dn").as("r"), col("v").cast("string").as("v"),
+            col("f").cast("string").as("f"))))).as("_items"),
         percentile_approx(col("f"), lit(0.5), lit(accuracy)).as("fmed"))
       .select(
         col("k"),
@@ -200,6 +215,12 @@ object Aggregates {
         (col("s").cast("double") / col("uniq")).as("avg_f"),
         sqrt((col("ssq").cast("double") - col("s").cast("double") * col("s").cast("double") / col("uniq")) / col("uniq"))
           .as("sd_f"),
+        concat(
+          array_join(transform(col("_items"),
+            i => concat(i("v"), lit(":"), i("f"))), ","),
+          when(col("uniq") > detailsTopN,
+            concat(lit(",+"), (col("uniq") - detailsTopN).cast("string")))
+            .otherwise(lit(""))).as("details"),
         (col("uniq") > exactCap).as("median_is_approx"))
   }
 }

@@ -74,17 +74,24 @@ object AggQueries {
     """WITH freq AS (
       |  SELECT event_type AS k, CAST(floor(value / 50) AS BIGINT) AS v, count(*) AS f
       |  FROM events GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT k, v, f,
+      |         row_number() OVER (PARTITION BY k ORDER BY f DESC, v) AS dn
+      |  FROM freq
       |)
       |SELECT k, count(*) AS uniq, min(f) AS min_f,
       |  (list_sort(list(f)))[CAST(count(*) // 2 AS BIGINT) + 1] AS median_f,
       |  max(f) AS max_f,
       |  CAST(sum(f) AS DOUBLE) / count(*) AS avg_f,
-      |  sqrt((CAST(sum(f*f) AS DOUBLE) - CAST(sum(f) AS DOUBLE) * CAST(sum(f) AS DOUBLE) / count(*)) / count(*)) AS sd_f
-      |FROM freq GROUP BY k""") { (s, dir) =>
+      |  sqrt((CAST(sum(f*f) AS DOUBLE) - CAST(sum(f) AS DOUBLE) * CAST(sum(f) AS DOUBLE) / count(*)) / count(*)) AS sd_f,
+      |  string_agg(CASE WHEN dn <= 5 THEN CAST(v AS VARCHAR) || ':' || CAST(f AS VARCHAR) END, ',' ORDER BY dn)
+      |    || CASE WHEN count(*) > 5 THEN ',+' || CAST(count(*) - 5 AS VARCHAR) ELSE '' END AS details
+      |FROM ranked GROUP BY k""") { (s, dir) =>
     Aggregates.valueHistogramAuto(
       table(s, dir, "events"),
       col("event_type"),
-      floor(col("value") / 50).cast("long"))
+      floor(col("value") / 50).cast("long"),
+      detailsTopN = 5)
       .drop("median_is_approx")
   }
 

@@ -35,7 +35,22 @@ class AggregatesSpec extends AnyFunSuite {
     val auto = Aggregates.valueHistogramAuto(df, col("k"), col("v"))
     // every key is under the cap: nothing routed, reports identical
     assert(auto.filter(col("median_is_approx")).count() == 0)
-    assert(auto.drop("median_is_approx").collect().map(_.toSeq).toSet == exact)
+    assert(auto.drop("median_is_approx", "details").collect().map(_.toSeq).toSet == exact)
+  }
+
+  test("histogram details: top-N by frequency with a loud truncation marker") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // k1: frequencies v=1→3, v=2→2, v=3→1 (three distinct values)
+    val df = Seq(("k1", 1L), ("k1", 1L), ("k1", 1L), ("k1", 2L), ("k1", 2L),
+      ("k1", 3L)).toDF("k", "v")
+    val full = Aggregates.valueHistogramAuto(df, col("k"), col("v"))
+      .collect()(0).getAs[String]("details")
+    assert(full == "1:3,2:2,3:1") // freq desc, value-asc tiebreak, no marker
+    val capped = Aggregates.valueHistogramAuto(df, col("k"), col("v"),
+      detailsTopN = 2).collect()(0).getAs[String]("details")
+    assert(capped == "1:3,2:2,+1") // cap at 2, loud +1 for the item dropped
   }
 
   test("CappedUniq result = sorted distinct take cap, any fold/merge order") {

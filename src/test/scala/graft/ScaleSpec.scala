@@ -112,10 +112,28 @@ class ScaleSpec extends AnyFunSuite {
           lpad(col("id").cast("string"), 100, "x").as("pad"))
       val right = spark.range(0, 2000).select(col("id").as("k"), col("id").as("w"))
       val joined = left.join(right, "k")
-      joined.collect() // execute THIS QueryExecution so AQE finalizes it
+      val aqeRows = joined.collect() // execute THIS QueryExecution so AQE finalizes it
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("isFinalPlan=true"), plan.take(500))
       assert(plan.contains("skew=true"), "no skew split in:\n" + plan.take(3000))
+      // the SAME hot key through the proactive path: Salt.saltedJoin must
+      // produce the identical row multiset AQE's reactive split does.
+      // When to prefer which (COVERAGE.md "Skew handling"): AQE when skew
+      // is unknown/run-varying (zero code, splits only what it observes at
+      // the stage boundary); salting when the skew is structural and known
+      // (power-law corpus keys), when retries must route rows identically
+      // (data-derived salt, q107), or when one key's partition would blow
+      // past executor memory before AQE even gets to observe it.
+      val salted = graft.operators.Salt
+        .saltedJoin(left, right, "k", n = 8)
+        .select(col("k"), col("pad"), col("w")).collect()
+      def ms(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+      assert(ms(salted) == ms(aqeRows.map(r => org.apache.spark.sql.Row(
+        r.getLong(r.fieldIndex("k")), r.getString(r.fieldIndex("pad")),
+        r.getLong(r.fieldIndex("w"))))),
+        "salted join diverged from the AQE-split plain join on the same hot key")
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
