@@ -95,6 +95,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(buf.toString.contains("nothing was freed"))
   }
 
+  test("Dedup.release finds the checkpoint under real query plans (Spark-upgrade canary)") {
+    import graft.operators.{Dedup, Packing}
+    // release pattern-matches LogicalRDD in the logical plan — inherently
+    // Spark-version-sensitive. This case runs the REAL consumers (q58's
+    // registered body, whose result is projections over the final CC
+    // checkpoint, and Packing.tokenOffsets' eager checkpoint) and fails if
+    // an upgrade changes the plan shape enough that the warning path fires
+    // — i.e. blocks that release is supposed to free would stay pinned.
+    def releaseQuietly(df: org.apache.spark.sql.DataFrame): String = {
+      val orig = System.err
+      val buf = new java.io.ByteArrayOutputStream()
+      System.setErr(new java.io.PrintStream(buf))
+      try Dedup.release(df) finally System.setErr(orig)
+      buf.toString
+    }
+    val q58 = graft.queries.DedupQueries.q58DedupGroups.run(spark, TestSpark.sf0001)
+    q58.collect()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    assert(!releaseQuietly(q58).contains("nothing was freed"),
+      "q58's projected plan no longer exposes its localCheckpoint to release")
+    val offsets = Packing.tokenOffsets(
+      Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text"), parts = 2)
+    offsets.collect()
+    assert(!releaseQuietly(offsets).contains("nothing was freed"),
+      "tokenOffsets' checkpointed result no longer exposes its RDD to release")
+    // leave no pinned state behind for the rest of the suite
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("connectedComponents folds a 100-node path in few rounds (pointer jump)") {
     import graft.operators.Dedup
     // a pure path graph is the worst case for plain min-propagation
