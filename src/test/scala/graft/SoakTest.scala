@@ -229,6 +229,56 @@ class SoakTest extends AnyFunSuite {
       graft.queries.DedupQueries.q110IncrementalDedup.run(spark, dir).count()
     }
   }
+
+  /** 100× soak of the dedup family (~500k docs / 200k vectors) — run with
+    * `GRAFT_SOAK=1 GRAFT_TEST_MASTER=local[32] GRAFT_TEST_SHUFFLE=64
+    * SPARK_DRIVER_MEM=48g`. Large enough that the corpus-adaptive
+    * geometry actually GROWS past the verify config (lshGeometry(500k) =
+    * 23 bands × 3 rows vs 8×2; srpPlanesFor(200k) = 15 planes vs 6), so
+    * this exercises the production shape: sharper bands keep the organic
+    * candidate volume in check while the replication cliques (100 copies
+    * per doc) stress the bucket cap, the log-diameter CC rounds, and the
+    * incremental path's O(delta) claim. Results recorded in COVERAGE.md
+    * §"100× soak record".
+    */
+  private def soakGated(name: String)(body: => Unit): Unit =
+    if (sys.env.contains("GRAFT_SOAK")) test(name)(body) else ignore(name)(body)
+
+  soakGated("100x soak: dedup family at ~500k docs (auto-geometry at scale)") {
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak100"
+    val n = 100
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    (0 until n).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until n).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    import graft.operators.{Dedup, Similarity}
+    println(s"SOAK100 geometry: lsh(500k)=${Dedup.lshGeometry(500000L)} " +
+      s"srpPlanes(200k)=${Similarity.srpPlanesFor(200000L)}")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"SOAK100 $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$rows")
+    }
+    time("q51_minhash_lsh") {
+      graft.queries.DedupQueries.q51MinhashLsh.run(spark, dir).count()
+    }
+    time("q58_dedup_groups") {
+      graft.queries.DedupQueries.q58DedupGroups.run(spark, dir).count()
+    }
+    time("q57_embed_dedup") {
+      graft.queries.DedupQueries.q57EmbedDedup.run(spark, dir).count()
+    }
+    time("q110_incremental_dedup") {
+      graft.queries.DedupQueries.q110IncrementalDedup.run(spark, dir).count()
+    }
+  }
 }
 
 /** Dev tool: time one registered query against an arbitrary table dir —

@@ -5,10 +5,13 @@ import org.apache.spark.sql.SparkSession
 /** One shared local session for the whole test run. */
 object TestSpark {
   lazy val spark: SparkSession = {
+    // env knobs exist for the on-demand soaks (SoakTest needs real cores
+    // and wider shuffles at 100×); the regular suite runs the defaults
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master(sys.env.getOrElse("GRAFT_TEST_MASTER", "local[4]"))
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_TEST_SHUFFLE", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
