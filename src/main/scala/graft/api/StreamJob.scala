@@ -31,7 +31,12 @@ final case class StreamArgs(
       * first-separator split, mapper sees key+sep+value), or "seqfile"
       * (the SequenceFile family, writables rendered toString).
       */
-    inputFormat: String = "text") {
+    inputFormat: String = "text",
+    /** `-outputformat` routing: "text" (`key sep value` lines, the
+      * default) or "seqfile" (`SequenceFileOutputFormat`: Text/Text
+      * records — binary-safe, no separator framing on disk).
+      */
+    outputFormat: String = "text") {
 
   /** `stream.map.output.field.separator` (PipeMapRed.java:204-214). */
   def mapSep: String = conf.getOrElse("stream.map.output.field.separator", "\t")
@@ -157,8 +162,11 @@ object StreamJob {
         else sys.error(s"-inputformat: unsupported class $v (TextInputFormat, " +
           "KeyValueTextInputFormat and the SequenceFile family are routed)")
       case "-outputformat" :: v :: t =>
-        if (v.contains("Text") && !v.contains("SequenceFile")) loop(t, s)
-        else sys.error(s"-outputformat: only TextOutputFormat supported, got $v")
+        if (v.contains("SequenceFile"))
+          loop(t, s.copy(outputFormat = "seqfile"))
+        else if (v.contains("Text")) loop(t, s.copy(outputFormat = "text"))
+        else sys.error(s"-outputformat: unsupported class $v " +
+          "(TextOutputFormat and SequenceFileOutputFormat are routed)")
       case other :: _ => sys.error(s"unrecognized streaming option: $other")
     }
     loop(argv.toList, StreamArgs())
@@ -524,6 +532,18 @@ object StreamJob {
     // separator/key-field framing; re-splitting with the reduce knobs
     // would silently move the key/value boundary of the returned frame.
     args.output match {
+      case Some(out) if args.outputFormat == "seqfile" =>
+        // SequenceFileOutputFormat (Text, Text): records, not separator-
+        // framed lines — a key or value CONTAINING the separator
+        // round-trips byte-exact, which the text sink cannot promise for
+        // keys. Written with the q42 shim, read back through it.
+        val p = new org.apache.hadoop.fs.Path(out)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        result
+          .select(col("key").cast("string"), col("value").cast("string"))
+          .rdd.map(r => (r.getString(0), r.getString(1)))
+          .saveAsSequenceFile(out)
+        spark.sparkContext.sequenceFile[String, String](out).toDF("key", "value")
       case Some(out) =>
         val (outSep, outKeyFields) =
           if (mapOnly) (args.mapSep, args.numMapKeyFields)

@@ -96,6 +96,28 @@ object StreamQueries {
       "-reducer", "aggregate"))
   }
 
+  /** `-outputformat SequenceFileOutputFormat` end-to-end: the q92
+    * aggregate pipeline, but the `-output` sink is a real SequenceFile of
+    * Text/Text records (no separator framing on disk) and the returned
+    * frame is the READ-BACK through the q42 shim — a green row proves the
+    * sink wrote what the reducer produced, record-exact.
+    */
+  val q113StreamSeqfileOut = Q.checked(
+    "q113_stream_seqfile_out",
+    """SELECT event_type AS key, CAST(count(*) AS VARCHAR) AS value
+      |FROM events GROUP BY event_type""") { (s, dir) =>
+    val in = tmp("q113in")
+    table(s, dir, "events")
+      .select(concat_ws("\t", col("event_type"), lit("1")).as("line"))
+      .write.mode("overwrite").text(in)
+    StreamJob.run(s, Seq(
+      "-input", in,
+      "-mapper", "sed -e s/^/LongValueSum:/",
+      "-reducer", "aggregate",
+      "-output", tmp("q113out"),
+      "-outputformat", "org.apache.hadoop.mapred.SequenceFileOutputFormat"))
+  }
+
   /** Gridmix job 5, the streaming API variant of "API text sort"
     * (`src/benchmarks/gridmix/README`, `streamsort/`): identity mapper and
     * reducer as REAL external processes (`cat`), the framework supplying
@@ -213,5 +235,5 @@ object StreamQueries {
 
   val all: Vector[Q] =
     Vector(q66StreamApiSort, q68Sessionize, q92StreamCli, q93StreamPipeline,
-      q95StreamHistogram, q112StreamSeqfile)
+      q95StreamHistogram, q112StreamSeqfile, q113StreamSeqfileOut)
 }
