@@ -105,6 +105,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Filter (o_orderstatus"), "filter should be pruned, not post-scan:\n" + p)
   }
 
+  test("q110 delta-bucket prune is a broadcast left-semi before the pair window") {
+    // the incremental dedup's old-only-bucket prune must build on the
+    // small delta key set (broadcast at test scale; engine-degraded to a
+    // shuffle semi if a huge delta outgrows broadcast) and must sit
+    // BELOW the windowed pair listing so pruned buckets never reach it.
+    // AQE's initial plan is conservative — execute, then read the final.
+    val df = graft.queries.DedupQueries.q110IncrementalDedup
+      .run(spark, TestSpark.sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(p).isDefined,
+      "delta-touched-bucket prune must plan as a broadcast left-semi:\n" +
+        p.take(2000))
+  }
+
   test("q69 as-of join plans as one window, never a join") {
     // the whole point of the union+window shape: NO join operator at all —
     // a per-row inequality join would explode at 100 TB
