@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -56,6 +56,54 @@ object Packing {
         it.map { case (id, n) => val s = acc; acc += n; (id, n, s) }
       }
       .toDF("doc_id", "n_tokens", "start_off")
+      .localCheckpoint(true)
+    sorted.unpersist(false)
+    out
+  }
+
+  /** Budget-capped corpus selection — the data-selection primitive of
+    * budget-constrained training (keep the best documents until B tokens
+    * are filled): documents are taken in (`score` DESC, doc_id) order
+    * while the RUNNING token total stays within `budget`. Returns
+    * `(doc_id, n_tokens, cum_tokens)` for the selected documents.
+    *
+    * Same two-pass distributed prefix sum as [[tokenOffsets]] — range-
+    * partition on the selection order, one subtotal per partition to the
+    * driver, stream each partition once — never a single-partition
+    * window. Partitions whose START offset already exceeds the budget
+    * are skipped outright (their input is never iterated), so at 100 TB
+    * a tight budget touches only the leading partitions of the
+    * score-ordered corpus after the subtotal pass.
+    */
+  def selectUnderBudget(docs: DataFrame, score: Column, budget: Long,
+                        parts: Int = 32): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sorted = docs
+      .select(score.cast("long").as("score"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .repartitionByRange(parts, col("score").desc, col("doc_id"))
+      .sortWithinPartitions(col("score").desc, col("doc_id"))
+      .as[(Long, Long, Long)]
+      .rdd
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val partSums = sorted
+      .mapPartitionsWithIndex { case (i, it) =>
+        Iterator.single(i -> it.map(_._3).sum)
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val out = sorted
+      .mapPartitionsWithIndex { case (i, it) =>
+        if (offsets(i) >= budget) Iterator.empty
+        else {
+          var acc = offsets(i)
+          it.map { case (_, id, n) => acc += n; (id, n, acc) }
+            .takeWhile(_._3 <= budget)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "cum_tokens")
       .localCheckpoint(true)
     sorted.unpersist(false)
     out

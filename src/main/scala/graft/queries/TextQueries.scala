@@ -937,11 +937,36 @@ object TextQueries {
         count(when(col("s5"), 1)).as("n_final"))
   }
 
+  /** Token-budget corpus selection ([[graft.operators.Packing
+    * .selectUnderBudget]]): keep documents in (n_chars DESC, doc_id)
+    * quality order while the running token total stays within a 15k
+    * budget — the data-selection step of budget-constrained training
+    * (pick the best B tokens, a doc that would straddle the budget is
+    * excluded, not truncated). The oracle is the windowed cumulative sum;
+    * the engine side is the two-pass distributed prefix sum — a green
+    * row proves the distributed running total equals the sequential one.
+    */
+  val q114TokenBudget = Q.checked(
+    "q114_token_budget",
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+      |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |           AS cum_tokens
+      |  FROM t)
+      |SELECT doc_id, n_tokens, cum_tokens FROM r WHERE cum_tokens <= 15000""") { (s, dir) =>
+    graft.operators.Packing.selectUnderBudget(
+      table(s, dir, "documents"), col("n_chars"), budget = 15000L)
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
       q75Tfidf, q76StratifiedSplit, q77Collocations, q79Repetition,
       q96Decontaminate, q98PiiRedact, q100DupSpans, q101SeqPack,
       q102SourceCap, q105BpeTrainStep, q108MixtureResample,
-      q109CurationFunnel)
+      q109CurationFunnel, q114TokenBudget)
 }

@@ -52,4 +52,31 @@ class PackingSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.getLong(2))
     assert(got.toSeq === Seq(0L, 2L))
   }
+
+  test("selectUnderBudget keeps the maximal score-ordered prefix, any partition count") {
+    import org.apache.spark.sql.functions.{col, length}
+    val rnd = new scala.util.Random(77)
+    val texts = Seq.fill(300)(Seq.fill(1 + rnd.nextInt(30))("w").mkString(" "))
+    val df = docs(texts)
+    // sequential truth: (score desc = text length desc, doc_id) order
+    val ordered = texts.zipWithIndex
+      .map { case (t, i) => (t.length.toLong, i.toLong, t.split(" ").length.toLong) }
+      .sortBy { case (s, id, _) => (-s, id) }
+    val budget = ordered.map(_._3).sum / 3
+    var acc = 0L
+    val truth = ordered.flatMap { case (_, id, n) =>
+      acc += n; if (acc <= budget) Some((id, n, acc)) else None
+    }
+    for (parts <- Seq(1, 3, 32)) {
+      val got = Packing
+        .selectUnderBudget(df, length(col("text")), budget, parts)
+        .orderBy("cum_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == truth, s"parts=$parts")
+    }
+    // a straddling doc is excluded, not truncated; zero budget keeps nothing
+    assert(Packing.selectUnderBudget(docs(Seq("a b c")), length(col("text")), 2L)
+      .count() == 0)
+    assert(Packing.selectUnderBudget(df, length(col("text")), 0L).count() == 0)
+  }
 }
