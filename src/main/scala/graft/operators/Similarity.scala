@@ -201,6 +201,27 @@ object Similarity {
     }.getOrElse(planes)
   }
 
+  /** Corpus-adaptive IVF coarse-quantizer size: `cells = clamp(ceil(√n),
+    * 4, 65536)` — the classic √N sizing, balancing per-vector assignment
+    * cost (∝ cells) against per-query probe cost (∝ nprobe·n/cells).
+    * 500 vectors → 23 cells; 10⁹ → 31623.
+    */
+  def ivfCellsFor(corpusEst: Long): Int = {
+    require(corpusEst > 0, s"ivfCellsFor: corpus estimate must be positive, got $corpusEst")
+    math.max(4, math.min(65536,
+      math.ceil(math.sqrt(corpusEst.toDouble)).toInt))
+  }
+
+  /** Probe count matched to a cell count: `nprobe = max(2, ceil(√cells))`
+    * — each query scans ≈ nprobe/cells = cells^(−1/2) of the corpus, a
+    * fraction that SHRINKS as the index grows, while probing enough
+    * neighboring cells to hold recall on cell-boundary queries.
+    */
+  def ivfProbesFor(cells: Int): Int = {
+    require(cells > 0, s"ivfProbesFor: cells must be positive, got $cells")
+    math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+  }
+
   /** All bucket-flip masks of Hamming weight ≤ h over `planes` bits —
     * the multi-probe sequence (mask 0 = the home bucket), enumerated in
     * weight order then index order.

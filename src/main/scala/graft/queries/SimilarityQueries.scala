@@ -108,15 +108,22 @@ object SimilarityQueries {
     Similarity.lshTopK(queries, corpus, sg, K, Similarity.probeRadiusFor(planes))
   }
 
-  private val Cells = 8
-  private val NProbe = 2
+  // IVF geometry is derived like the SRP geometry above: √N cells and
+  // √cells probes (Similarity.ivfCellsFor/ivfProbesFor), generated into
+  // the oracle at the verify-corpus size (500 → 23 cells, 5 probes) and
+  // re-derived from the runtime count in the bodies.
+  private val Cells = Similarity.ivfCellsFor(VerifyCorpus)
+  private val NProbe = Similarity.ivfProbesFor(Cells)
 
   private def dd(a: String, b: String): String =
     s"CAST(sum(${sc(a)} * ${sc(b)}) AS DOUBLE)"
 
-  /** IVF-bucketed ANN: 8 deterministic coarse centroids (first corpus
-    * vectors standing in for offline k-means), nprobe=2, exact cosine
-    * within probed cells. The 100 TB path partitions the corpus by cell.
+  /** IVF-bucketed ANN with derived geometry: √N deterministic coarse
+    * centroids (first corpus vectors standing in for offline k-means; 23
+    * at verify scale) probed √cells deep, exact cosine within probed
+    * cells — each query scans ≈ cells^(−1/2) of the corpus, a fraction
+    * that shrinks as the index grows. The 100 TB path partitions the
+    * corpus by cell.
     */
   val q62AnnIvf = Q.checked(
     "q62_ann_ivf",
@@ -146,12 +153,14 @@ object SimilarityQueries {
        |  FROM dots2
        |) WHERE rank <= $K""") { (s, dir) =>
     val emb = table(s, dir, "embeddings")
+    val cells = Similarity.ivfCellsFor(emb.count())
     val queries = emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
-    val centroids = emb.filter(col("vec_id") < Cells)
+    val centroids = emb.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    Similarity.ivfTopK(queries, corpus, centroids, NProbe, K)
+    Similarity.ivfTopK(queries, corpus, centroids,
+      Similarity.ivfProbesFor(cells), K)
   }
 
   /** One distributed k-means (Lloyd) iteration over the embedding corpus
@@ -185,7 +194,7 @@ object SimilarityQueries {
        |FROM sv GROUP BY cid, dim""") { (s, dir) =>
     val emb = table(s, dir, "embeddings")
     val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
-    val centroids = emb.filter(col("vec_id") < Cells)
+    val centroids = emb.filter(col("vec_id") < Similarity.ivfCellsFor(emb.count()))
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     Similarity.kmeansStep(corpus, centroids)
   }

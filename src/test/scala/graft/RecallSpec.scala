@@ -42,9 +42,17 @@ class RecallSpec extends AnyFunSuite {
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val ivf = recallOf(
       Similarity.ivfTopK(queries, corpus, centroids, nProbe = 2, K), truth)
+    // the auto-sized geometry (√N cells, √cells probes — what q62 runs)
+    // must hold the same recall floor while scanning a SMALLER fraction
+    val aCells = Similarity.ivfCellsFor(500L)
+    val ivfAuto = recallOf(Similarity.ivfTopK(queries, corpus,
+      emb.filter(col("vec_id") < aCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+      Similarity.ivfProbesFor(aCells), K), truth)
+    assert(ivfAuto >= 0.5, f"auto-sized IVF recall collapsed: $ivfAuto%.3f")
 
     info(f"recall@$K over $NQ queries: lsh(h=0/1/2)=${lshByProbe(0)}%.3f/" +
-      f"${lshByProbe(1)}%.3f/${lshByProbe(2)}%.3f ivf=$ivf%.3f")
+      f"${lshByProbe(1)}%.3f/${lshByProbe(2)}%.3f ivf=$ivf%.3f ivfAuto=$ivfAuto%.3f")
     // This corpus is ADVERSARIAL for LSH: near-orthogonal random vectors,
     // whose "nearest" neighbors sit at cos≈0.4 — a 6-plane bucket keeps
     // such a neighbor with p≈0.06, which is WHY single-bucket recall
@@ -77,6 +85,9 @@ class RecallSpec extends AnyFunSuite {
     assert(Similarity.srpPlanesFor(1000000000L) == 27)
     assert(Similarity.probeRadiusFor(6) == 2)
     assert(Similarity.probeRadiusFor(10) == 3)
+    assert(Similarity.ivfCellsFor(500L) == 23)
+    assert(Similarity.ivfCellsFor(1000000000L) == 31623)
+    assert(Similarity.ivfProbesFor(23) == 5)
     // clamps: tiny and absurd corpora stay in the supported plane range
     assert(Similarity.srpPlanesFor(1L) == 4)
     assert(Similarity.srpPlanesFor(Long.MaxValue / 2) == 28)
