@@ -315,6 +315,83 @@ object Similarity {
           .cast("double").as("mean_scaled"))
   }
 
+  /** Cluster count for SEMANTIC DEDUP — the opposite sizing law from
+    * ANN's √N cells: dedup verifies pairs within a cluster (quadratic in
+    * members), so the expected cluster SIZE must stay constant, not the
+    * cell count: `cells = clamp(ceil(N / targetCluster), 4, 2^20)`. Total
+    * pair work then stays ≈ N·targetCluster/2 — linear in the corpus.
+    * 500 vectors → 16 cells; 10⁹ → the 2^20 cap (raise `targetCluster`
+    * past ~1000 before the cap binds).
+    */
+  def dedupCellsFor(corpusEst: Long, targetCluster: Long = 32L): Int = {
+    require(corpusEst > 0 && targetCluster > 0,
+      s"dedupCellsFor: positive sizes required, got ($corpusEst, $targetCluster)")
+    math.max(4, math.min(1 << 20,
+      math.ceil(corpusEst.toDouble / targetCluster).toInt))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    * removal over embeddings. Assign every vector to its nearest coarse
+    * centroid (exact scaled-long d², as [[kmeansStep]]), compare pairs
+    * ONLY within a cluster, and for every pair at/above the cosine
+    * threshold drop the member with the HIGHER cosine to its cluster
+    * centroid (the paper keeps the example farther from the cluster mode;
+    * deterministic id tiebreak). Returns one row per corpus vector:
+    * (vec_id, cid, keep, centroid_cos).
+    *
+    * Scale shape: the centroid table broadcasts; assignment is a map-side
+    * cross-join (N × cells integer dots); the pair step shuffles on cid
+    * only; and [[dedupCellsFor]]'s constant expected cluster size keeps
+    * within-cluster pair work linear in N. No all-pairs path exists at
+    * any scale. Cosines are the engine-identical scaled-long op tree, so
+    * the threshold test and the keeper rule replay exactly in the oracle.
+    */
+  def semanticDedup(
+      corpus: DataFrame, centroids: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
+      .crossJoin(broadcast(centroids.select(col("cid"), scaled(col("cvec")).as("cs"))))
+      .select(col("xid"), col("xs"), col("cid"),
+        (dotScaled(col("xs"), col("xs")) -
+          lit(2L) * dotScaled(col("xs"), col("cs")) +
+          dotScaled(col("cs"), col("cs"))).as("d2"),
+        (dotScaled(col("xs"), col("cs")).cast("double") /
+          (sqrt(dotScaled(col("xs"), col("xs")).cast("double")) *
+            sqrt(dotScaled(col("cs"), col("cs")).cast("double")))).as("ccos"))
+    // The assignment (N × cells integer dots — the dominant stage) feeds
+    // THREE consumers: both sides of the pair self-join and the final
+    // keep-flag join. An eager localCheckpoint materializes it once
+    // instead of recomputing the dot-product subtree per consumer; the
+    // blocks ride until the caller releases them ([[Dedup.release]]) or
+    // Bench's between-query sweep frees them — same lifecycle as q58's
+    // component labels.
+    val assign = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("xid")).orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("xid"), col("cid"), col("xs"), col("ccos"),
+        sqrt(dotScaled(col("xs"), col("xs")).cast("double")).as("xnorm"))
+      .localCheckpoint(true)
+    val pairs = assign
+      .select(col("cid"), col("xid").as("x1"), col("xs").as("s1"),
+        col("xnorm").as("n1"), col("ccos").as("c1"))
+      .join(assign.select(col("cid"), col("xid").as("x2"), col("xs").as("s2"),
+        col("xnorm").as("n2"), col("ccos").as("c2")), Seq("cid"))
+      .filter(col("x1") < col("x2"))
+      .filter(dotScaled(col("s1"), col("s2")).cast("double") /
+        (col("n1") * col("n2")) >= lit(threshold))
+    val dropped = pairs
+      .select(when(col("c1") > col("c2") ||
+          (col("c1") === col("c2") && col("x1") > col("x2")),
+        col("x1")).otherwise(col("x2")).as("xid"))
+      .distinct()
+      .withColumn("hit", lit(true))
+    assign.join(dropped, Seq("xid"), "left")
+      .select(col("xid").as("vec_id"), col("cid"),
+        not(coalesce(col("hit"), lit(false))).as("keep"),
+        col("ccos").as("centroid_cos"))
+  }
+
   /** Reassemble [[kmeansStep]]'s per-(cid, dim) means into the (cid, cvec)
     * centroid table the next iteration (or [[ivfTopK]]) consumes —
     * un-scaling back to float coordinates. Starved clusters emitted no

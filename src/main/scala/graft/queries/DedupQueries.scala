@@ -594,8 +594,73 @@ object DedupQueries {
       .select(col("a"), col("b"))
   }
 
+  // Paragraph granularity for q115: the synthetic documents are
+  // single-line word streams, so "paragraph" = a fixed 20-word window (the
+  // segmenter is policy — newline-split for real corpora; the keep-first
+  // semantics are the operator).
+  private val SegW = 20
+
+  /** Paragraph-level dedup (CCNet-style, Wenzek et al. 2020): segment
+    * every document, hash each segment, keep only the globally FIRST
+    * occurrence (min (doc_id, seg_idx)), and re-emit each document as its
+    * surviving segments in order plus retention stats. Runs over the
+    * doubled crawl so the drop path is real: each +1e6 copy retains
+    * nothing, and a handful of base docs share organic segments.
+    *
+    * Scale shape: segments shuffle on their content hash once for the
+    * keeper groupBy (map-side partial agg) and once for the marking join
+    * — no all-pairs, no driver path; a boilerplate segment repeated
+    * millions of times is a hot JOIN key, which AQE skew-join splits
+    * (ScaleSpec's documented preference over manual salting for exactly
+    * this shape). The per-doc reassembly groups on doc_id — bounded by
+    * document size.
+    */
+  val q115ParagraphDedup = Q.checked(
+    "q115_paragraph_dedup",
+    s"""WITH $duckCrawlCte,
+       |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM crawl),
+       |idx AS (
+       |  SELECT doc_id, w,
+       |    unnest(generate_series(0, CAST(ceil(len(w) / $SegW.0) AS INT) - 1)) AS seg_idx
+       |  FROM words
+       |), segs AS (
+       |  SELECT doc_id, seg_idx, doc_id * 1000000 + seg_idx AS pk,
+       |    array_to_string(w[(seg_idx*$SegW+1):(seg_idx*$SegW+$SegW)], ' ') AS seg
+       |  FROM idx
+       |), keepers AS (
+       |  SELECT md5(seg) AS h, min(pk) AS keeper FROM segs GROUP BY md5(seg)
+       |)
+       |SELECT s.doc_id, count(*) AS n_segs,
+       |  CAST(sum(CASE WHEN s.pk = k.keeper THEN 1 ELSE 0 END) AS BIGINT) AS kept_segs,
+       |  CAST(sum(CASE WHEN s.pk = k.keeper THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS retained_ppm,
+       |  coalesce(string_agg(CASE WHEN s.pk = k.keeper THEN s.seg END, ' ' ORDER BY s.seg_idx), '') AS clean_text
+       |FROM segs s JOIN keepers k ON k.h = md5(s.seg)
+       |GROUP BY s.doc_id""") { (s, dir) =>
+    val segs = crawl(table(s, dir, "documents"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(w) / $SegW.0) as int) - 1), " +
+          s"i -> array_join(slice(w, i * $SegW + 1, $SegW), ' '))"))
+        .as(Seq("seg_idx", "seg")))
+      .withColumn("h", md5(col("seg")))
+      .withColumn("pk", col("doc_id") * lit(1000000L) + col("seg_idx"))
+    val keepers = segs.groupBy(col("h")).agg(min(col("pk")).as("keeper"))
+    segs.join(keepers, Seq("h"))
+      .withColumn("keep", col("pk") === col("keeper"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_segs"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN keep THEN struct(seg_idx, seg) END)), x -> x.seg), ' ')")
+          .as("clean_text"))
+      .select(col("doc_id"), col("n_segs"), col("kept_segs"),
+        expr("kept_segs * 1000000 div n_segs").as("retained_ppm"),
+        col("clean_text"))
+  }
+
   val all: Vector[Q] =
     Vector(q50DedupExact, q51MinhashLsh, q52Simhash, q53Jaccard,
       q57EmbedDedup, q58DedupGroups, q59DedupApply, q87Triangles,
-      q97BinaryDedup, q103SnapshotDiff, q106UrlDedup, q110IncrementalDedup)
+      q97BinaryDedup, q103SnapshotDiff, q106UrlDedup, q110IncrementalDedup,
+      q115ParagraphDedup)
 }

@@ -199,6 +199,61 @@ object SimilarityQueries {
     Similarity.kmeansStep(corpus, centroids)
   }
 
+  // Semantic-dedup geometry: dedupCellsFor targets a constant expected
+  // CLUSTER SIZE (pair verify is quadratic in members), unlike the ANN
+  // √N law above — 500 vectors → 16 cells. The verify threshold sits
+  // below the corpus's near-orthogonal cosine ceiling (max within-cluster
+  // pair ≈ 0.49 at sf0.01) so the drop path is actually exercised;
+  // production policy for real embedding spaces is ≥ 0.9.
+  private val DedupCells = Similarity.dedupCellsFor(VerifyCorpus)
+  private val SemT = 0.4
+
+  /** SemDeDup semantic near-dup removal (Abbas et al. 2023,
+    * [[Similarity.semanticDedup]]): cluster-assign every embedding, test
+    * cosine only within a cluster, and for each pair ≥ threshold drop the
+    * member closer to the cluster mode (higher centroid cosine, id
+    * tiebreak). The oracle replays assignment, the within-cluster pair
+    * scan, the threshold test, and the keeper rule — a green row pins the
+    * whole decision, not just the distances.
+    */
+  val q116SemanticDedup = Q.checked(
+    "q116_semantic_dedup",
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $DedupCells),
+       |el AS (
+       |  SELECT x.vec_id AS xid, c.cid, unnest(x.embedding) AS xa, unnest(c.cv) AS ca
+       |  FROM embeddings x, cent c
+       |), dots AS (
+       |  SELECT xid, cid, ${dd("xa", "ca")} AS dxc, ${dd("xa", "xa")} AS dxx, ${dd("ca", "ca")} AS dcc
+       |  FROM el GROUP BY xid, cid
+       |), assign AS (
+       |  SELECT xid, cid, dxc / (sqrt(dxx) * sqrt(dcc)) AS ccos
+       |  FROM (SELECT xid, cid, dxc, dxx, dcc,
+       |          row_number() OVER (PARTITION BY xid ORDER BY dxx - 2*dxc + dcc, cid) AS rn
+       |        FROM dots) WHERE rn = 1
+       |), pel AS (
+       |  SELECT a1.cid, a1.xid AS x1, a2.xid AS x2, a1.ccos AS c1, a2.ccos AS c2,
+       |         unnest(e1.embedding) AS a, unnest(e2.embedding) AS b
+       |  FROM assign a1 JOIN assign a2 ON a1.cid = a2.cid AND a1.xid < a2.xid
+       |  JOIN embeddings e1 ON e1.vec_id = a1.xid
+       |  JOIN embeddings e2 ON e2.vec_id = a2.xid
+       |), pcos AS (
+       |  SELECT cid, x1, x2, c1, c2, ${dd("a", "b")} AS dab, ${dd("a", "a")} AS daa, ${dd("b", "b")} AS dbb
+       |  FROM pel GROUP BY cid, x1, x2, c1, c2
+       |), dropped AS (
+       |  SELECT DISTINCT CASE WHEN (c1 > c2) OR (c1 = c2 AND x1 > x2) THEN x1 ELSE x2 END AS xid
+       |  FROM pcos WHERE dab / (sqrt(daa) * sqrt(dbb)) >= $SemT
+       |)
+       |SELECT a.xid AS vec_id, a.cid, (d.xid IS NULL) AS keep, a.ccos AS centroid_cos
+       |FROM assign a LEFT JOIN dropped d ON d.xid = a.xid""") { (s, dir) =>
+    val emb = table(s, dir, "embeddings")
+    val cells = Similarity.dedupCellsFor(emb.count())
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val centroids = emb.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.semanticDedup(corpus, centroids, SemT)
+  }
+
   val all: Vector[Q] =
-    Vector(q60AnnCosine, q61AnnLsh, q62AnnIvf, q104KmeansStep)
+    Vector(q60AnnCosine, q61AnnLsh, q62AnnIvf, q104KmeansStep,
+      q116SemanticDedup)
 }

@@ -239,7 +239,39 @@ object StoreQueries {
         md5(col("content")).as("content_md5"))
   }
 
+  /** ORC interchange — the Hive-era columnar store of the reference's
+    * ecosystem (RCFile/ORC lineage) as a Spark-native sink + source: write
+    * a sorted lineitem projection as ORC, read it back, aggregate. The
+    * oracle computes the identical aggregate from the parquet table
+    * directly, so a green row proves the ORC round trip is lossless
+    * (exact decimals, strings, keys). The range-partitioned sorted layout
+    * gives ORC stripe min/max stats the same prune role parquet row
+    * groups play in q34 — and at 100 TB the interchange IS the operator:
+    * a corpus written once as ORC stays predicate-prunable without a
+    * rewrite to parquet.
+    */
+  val q117OrcInterchange = Q.checked(
+    "q117_orc_interchange",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey % 7 = 0
+      |GROUP BY l_returnflag""") { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val out = tmp("orcstore")
+    table(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .repartitionByRange(4, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast(DecimalType(18, 4))), 2)
+          .cast("double").as("sum_qty"))
+  }
+
   val all: Vector[Q] =
     Vector(q34MapFile, q34bBloomFile, q34cSetFile, q34dArrayFile, q34eTFile,
-      q35MultiFileWordCount, q56RandomText, q99Har)
+      q35MultiFileWordCount, q56RandomText, q99Har, q117OrcInterchange)
 }

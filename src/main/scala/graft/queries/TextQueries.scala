@@ -962,11 +962,52 @@ object TextQueries {
       table(s, dir, "documents"), col("n_chars"), budget = 15000L)
   }
 
+  // Retrieval-chunking geometry: 64-token windows advancing 48 tokens
+  // (16-token overlap) — the standard RAG corpus-construction shape.
+  private val ChunkW = 64
+  private val ChunkS = 48
+
+  /** Sliding-window token chunking: split every document into overlapping
+    * token windows (size [[ChunkW]], stride [[ChunkS]]) with stable chunk
+    * ids and token offsets — the corpus-construction step for retrieval
+    * indexes and fixed-context training examples. A document shorter than
+    * one window emits exactly one chunk; the last window is short rather
+    * than padded (chunk k covers tokens [k·S, min(k·S+W, n))). Purely
+    * map-side — tokenize, explode the window index, slice — no shuffle at
+    * all; at 100 TB this pipelines inside whole-stage codegen over the
+    * scan.
+    */
+  val q118ChunkWindows = Q.checked(
+    "q118_chunk_windows",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |idx AS (
+       |  SELECT doc_id, w, len(w) AS n,
+       |    unnest(generate_series(0, CAST(ceil(greatest(len(w) - $ChunkW, 0) / $ChunkS.0) AS INT))) AS k
+       |  FROM words
+       |)
+       |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       |  CAST(k * $ChunkS AS BIGINT) AS tok_start,
+       |  CAST(least($ChunkW, n - k * $ChunkS) AS BIGINT) AS n_toks,
+       |  array_to_string(w[(k*$ChunkS+1):(k*$ChunkS+$ChunkW)], ' ') AS chunk_text
+       |FROM idx""") { (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .select(col("doc_id"), col("w"), col("n"), explode(expr(
+        s"sequence(0, cast(ceil(greatest(n - $ChunkW, 0) / $ChunkS.0) as int))"))
+        .as("k"))
+      .select(col("doc_id"),
+        col("k").cast("long").as("chunk_id"),
+        (col("k") * ChunkS).cast("long").as("tok_start"),
+        least(lit(ChunkW), col("n") - col("k") * ChunkS).cast("long").as("n_toks"),
+        expr(s"array_join(slice(w, k * $ChunkS + 1, $ChunkW), ' ')").as("chunk_text"))
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
       q75Tfidf, q76StratifiedSplit, q77Collocations, q79Repetition,
       q96Decontaminate, q98PiiRedact, q100DupSpans, q101SeqPack,
       q102SourceCap, q105BpeTrainStep, q108MixtureResample,
-      q109CurationFunnel, q114TokenBudget)
+      q109CurationFunnel, q114TokenBudget, q118ChunkWindows)
 }
