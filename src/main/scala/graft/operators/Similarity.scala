@@ -315,19 +315,21 @@ object Similarity {
           .cast("double").as("mean_scaled"))
   }
 
-  /** Cluster count for SEMANTIC DEDUP — the opposite sizing law from
-    * ANN's √N cells: dedup verifies pairs within a cluster (quadratic in
-    * members), so the expected cluster SIZE must stay constant, not the
-    * cell count: `cells = clamp(ceil(N / targetCluster), 4, 2^20)`. Total
-    * pair work then stays ≈ N·targetCluster/2 — linear in the corpus.
-    * 500 vectors → 16 cells; 10⁹ → the 2^20 cap (raise `targetCluster`
-    * past ~1000 before the cap binds).
+  /** Cluster count for SEMANTIC DEDUP — the BALANCED sizing: assignment
+    * costs N·k vector dots (every vector against every centroid), pair
+    * verification costs ≈ N²/(2k) (within-cluster pairs at expected
+    * cluster size N/k); their sum is minimized at `k = √(N/2)`, where the
+    * two stages cost the same — total work N^1.5·√2, subquadratic, the
+    * same balance point the SemDeDup paper hits by capping k on its 100M+
+    * corpora. A constant-cluster-size law (k ∝ N) would make the pair
+    * phase linear but the ASSIGNMENT quadratic — strictly worse.
+    * `clamp(ceil(√(N/2)), 4, 2^20)`: 500 vectors → 16 cells; 10⁹ → 22361.
     */
-  def dedupCellsFor(corpusEst: Long, targetCluster: Long = 32L): Int = {
-    require(corpusEst > 0 && targetCluster > 0,
-      s"dedupCellsFor: positive sizes required, got ($corpusEst, $targetCluster)")
+  def dedupCellsFor(corpusEst: Long): Int = {
+    require(corpusEst > 0,
+      s"dedupCellsFor: corpus estimate must be positive, got $corpusEst")
     math.max(4, math.min(1 << 20,
-      math.ceil(corpusEst.toDouble / targetCluster).toInt))
+      math.ceil(math.sqrt(corpusEst.toDouble / 2)).toInt))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
@@ -341,10 +343,13 @@ object Similarity {
     *
     * Scale shape: the centroid table broadcasts; assignment is a map-side
     * cross-join (N × cells integer dots); the pair step shuffles on cid
-    * only; and [[dedupCellsFor]]'s constant expected cluster size keeps
-    * within-cluster pair work linear in N. No all-pairs path exists at
-    * any scale. Cosines are the engine-identical scaled-long op tree, so
-    * the threshold test and the keeper rule replay exactly in the oracle.
+    * only; and [[dedupCellsFor]]'s balanced √(N/2) cell count makes
+    * assignment and pair verification cost the same — total work
+    * N^1.5·√2, never all-pairs. In production the deterministic
+    * first-vectors centroids are replaced by [[kmeansStep]]-trained ones
+    * (better-balanced clusters, same assignment math). Cosines are the
+    * engine-identical scaled-long op tree, so the threshold test and the
+    * keeper rule replay exactly in the oracle.
     */
   def semanticDedup(
       corpus: DataFrame, centroids: DataFrame, threshold: Double): DataFrame = {

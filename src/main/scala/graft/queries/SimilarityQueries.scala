@@ -199,9 +199,10 @@ object SimilarityQueries {
     Similarity.kmeansStep(corpus, centroids)
   }
 
-  // Semantic-dedup geometry: dedupCellsFor targets a constant expected
-  // CLUSTER SIZE (pair verify is quadratic in members), unlike the ANN
-  // √N law above — 500 vectors → 16 cells. The verify threshold sits
+  // Semantic-dedup geometry: dedupCellsFor picks the cell count where
+  // brute-force assignment (N·k dots) and within-cluster pair verify
+  // (N²/2k) cost the same — k = ceil(√(N/2)), 500 vectors → 16 cells.
+  // The verify threshold sits
   // below the corpus's near-orthogonal cosine ceiling (max within-cluster
   // pair ≈ 0.49 at sf0.01) so the drop path is actually exercised;
   // production policy for real embedding spaces is ≥ 0.9.

@@ -17,12 +17,13 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.01"
 
-  test("dedupCellsFor: constant expected cluster size, clamped") {
+  test("dedupCellsFor: balanced assignment-vs-pair sizing, clamped") {
     assert(Similarity.dedupCellsFor(500L) === 16)
     assert(Similarity.dedupCellsFor(1L) === 4) // floor clamp
     assert(Similarity.dedupCellsFor(Long.MaxValue / 2) === (1 << 20)) // cap
-    // the law itself: cells ≈ N / targetCluster
-    assert(Similarity.dedupCellsFor(1000000L, 1000L) === 1000)
+    // the law itself: k = ceil(√(N/2)) — assignment N·k and pair N²/2k
+    // cost the same there
+    assert(Similarity.dedupCellsFor(1000000L) === 708)
   }
 
   test("semanticDedup: no two KEPT vectors in a cluster at/above threshold; every drop has a witness pair") {
