@@ -409,4 +409,129 @@ object Similarity {
       .select(col("cid"),
         expr("transform(dims, d -> cast(d.mean_scaled / 1e6 as float))")
           .as("cvec"))
+
+  /** Scalar quantization (SQ8, the FAISS `SQ8` storage path) + asymmetric
+    * top-k: learn per-dimension `[min, max]` over the corpus, store each
+    * coordinate as ONE byte `code = ⌊(v − min)·255 / (max − min)⌋`, and
+    * score queries against the RECONSTRUCTED codes — a 4× (float32) /
+    * 8× (float64) memory cut that is what lets a 100 TB embedding store
+    * sit in executor memory instead of spilling; the codes column is what
+    * production persists, reconstruction rides the scan.
+    *
+    * Exactness: everything stays in the scaled-long integer domain. The
+    * reconstruction is kept at 255× scale — `recon255 = 255·min +
+    * code·(max − min)` — so no division ever happens on the corpus side,
+    * and the query side stays at 1× scale: cosine's normalization cancels
+    * the 255 factor, so `dot(q, recon255)/(|q|·|recon255|)` equals the
+    * cosine of the reconstructed vector exactly, with every intermediate
+    * a bit-identical integer in Spark and DuckDB. The one non-integer op,
+    * the encode's floor-divide, is exact in double: numerators stay under
+    * 2^53, and a non-integer true quotient sits ≥ 1/range from any
+    * integer — 10 orders of magnitude beyond one ulp — so the correctly
+    * rounded division can never cross the floor boundary.
+    *
+    * Overflow guard: |recon255| ≤ 255·maxAbs per element; the norm sum
+    * over `dims` elements must fit a long, so maxAbs is required under
+    * 2.3e6 scaled (|x| ≤ 2.3) for 64 dims — asserted from the stats that
+    * are collected anyway, loudly, per the fail-loud convention.
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val xs = corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
+    // per-dimension min/max: one map-side-combined agg, `dims` rows total
+    // (a bounded collect — 64 rows here, never data-scale)
+    val stats = xs.select(posexplode(col("xs")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy(col("dim"))
+      .collect()
+    val maxAbs = stats.map(r => math.max(math.abs(r.getLong(1)), math.abs(r.getLong(2)))).max
+    require(maxAbs <= 2300000L,
+      s"sq8TopK: scaled coordinate magnitude $maxAbs exceeds the 255x-domain overflow budget")
+    val mn = typedlit(stats.map(_.getLong(1)).toSeq)
+    val rng = typedlit(stats.map(r => r.getLong(2) - r.getLong(1)).toSeq)
+    def codes(sv: Column): Column =
+      zip_with(zip_with(sv, mn, (v, m) => v - m), rng, (s, r) =>
+        when(r === 0L, 0L)
+          .otherwise(floor((s * lit(255L)).cast("double") / r.cast("double")).cast("long")))
+    def recon255(sv: Column): Column =
+      zip_with(zip_with(codes(sv), rng, (c, r) => c * r), mn,
+        (cr, m) => cr + m * lit(255L))
+    val enc = xs.select(col("xid"), recon255(col("xs")).as("rx"))
+      .withColumn("xnorm", sqrt(dotScaled(col("rx"), col("rx")).cast("double")))
+    val qn = queries.select(col("qid"), scaled(col("qvec")).as("qs"))
+      .withColumn("qnorm", sqrt(dotScaled(col("qs"), col("qs")).cast("double")))
+    enc.crossJoin(broadcast(qn))
+      .select(col("qid"), col("xid"),
+        (dotScaled(col("qs"), col("rx")).cast("double") /
+          (col("qnorm") * col("xnorm"))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("xid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("xid"), col("cos"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Product quantization (PQ — Jégou et al. 2011, the FAISS `PQ`/`IVFPQ`
+    * fine-quantizer) + asymmetric top-k: split each vector into
+    * `subspaces` contiguous blocks, encode every block as the id of its
+    * nearest codebook centroid (exact scaled-long d², lowest-id
+    * tiebreak), and score queries against the codebook RECONSTRUCTION of
+    * each corpus vector. Storage per vector collapses to `subspaces`
+    * small ints (8 bytes here vs 256 float bytes — a 32× cut); at 100 TB
+    * the codes table is what persists and shuffles, the codebook is a
+    * broadcast literal (k_sub × dims scaled longs), and reconstruction +
+    * scoring ride the scan with no extra shuffle. Production trains the
+    * codebook per subspace with [[kmeansStep]] offline; here the caller
+    * passes any (cid, cvec) table (the queries use the deterministic
+    * first-vectors sample, same convention as [[ivfTopK]]).
+    *
+    * All distances/dots are integer math at 1× scale (magnitudes well
+    * under the long budget — see [[sq8TopK]]'s bound with 255× headroom
+    * to spare), so assignments and scores are bit-identical cross-engine.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+             subspaces: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the codebook is k_sub rows by construction — a bounded collect; it
+    // is scaled THROUGH the same Catalyst expression as the corpus so the
+    // two sides can never disagree on rounding
+    val cb: Array[(Long, Seq[Long])] = codebook
+      .select(col("cid").cast("long"), scaled(col("cvec")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    require(cb.nonEmpty, "pqTopK: empty codebook")
+    val dims = cb.head._2.size
+    require(dims % subspaces == 0,
+      s"pqTopK: $dims dims not divisible into $subspaces subspaces")
+    val sub = dims / subspaces
+    def slice0(sv: Column, m: Int): Column = slice(sv, m * sub + 1, sub)
+    def l2(a: Column, b: Seq[Long]): Column =
+      aggregate(zip_with(a, typedlit(b), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    // recon = per-subspace nearest codeword, concatenated back; the code
+    // itself (array_position of the min — first match = lowest cid, the
+    // cross-engine tiebreak) is what production would store
+    def recon(sv: Column): Column =
+      concat((0 until subspaces).map { m =>
+        val dists = array(cb.map { case (_, cv) =>
+          l2(slice0(sv, m), cv.slice(m * sub, m * sub + sub)) }: _*)
+        // array_position is 1-based and returns the FIRST minimum — the
+        // stored code is that index − 1, i.e. lowest-cid tiebreak
+        element_at(
+          typedlit(cb.map(_._2.slice(m * sub, m * sub + sub)).toSeq),
+          (array_position(dists, array_min(dists))).cast("int"))
+      }: _*)
+    val enc = corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
+      .select(col("xid"), recon(col("xs")).as("rx"))
+      .withColumn("xnorm", sqrt(dotScaled(col("rx"), col("rx")).cast("double")))
+    val qn = queries.select(col("qid"), scaled(col("qvec")).as("qs"))
+      .withColumn("qnorm", sqrt(dotScaled(col("qs"), col("qs")).cast("double")))
+    enc.crossJoin(broadcast(qn))
+      .select(col("qid"), col("xid"),
+        (dotScaled(col("qs"), col("rx")).cast("double") /
+          (col("qnorm") * col("xnorm"))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("xid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("xid"), col("cos"), col("rank").cast("long").as("rank"))
+  }
 }

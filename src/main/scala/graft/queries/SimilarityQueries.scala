@@ -254,7 +254,106 @@ object SimilarityQueries {
     Similarity.semanticDedup(corpus, centroids, SemT)
   }
 
+  /** Scalar-quantized (SQ8) ANN ([[Similarity.sq8TopK]]): per-dimension
+    * min/max learned over the corpus, one byte per coordinate, queries
+    * scored against the reconstruction — the 4× memory-cut storage path
+    * for a 100 TB embedding store. The oracle replays the stats pass, the
+    * floor-divide encode, the 255×-scaled reconstruction, and the
+    * asymmetric top-k, all in the same integer domain — a green row pins
+    * the whole quantize→reconstruct→score pipeline bit-for-bit.
+    */
+  val q119Sq8Ann = Q.checked(
+    "q119_sq8_ann",
+    s"""WITH el AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+       |         ${sc("unnest(embedding)")} AS v
+       |  FROM embeddings
+       |), stats AS (
+       |  SELECT dim, min(v) AS mn, max(v) AS mx FROM el GROUP BY dim
+       |), recon AS (
+       |  SELECT vec_id, e.dim,
+       |    255 * mn + (CASE WHEN mx = mn THEN 0
+       |                     ELSE ((v - mn) * 255) // (mx - mn) END) * (mx - mn) AS r
+       |  FROM el e JOIN stats s ON s.dim = e.dim
+       |), q AS (SELECT vec_id AS qid, dim, v AS qv FROM el WHERE vec_id < $NQueries),
+       |dots AS (
+       |  SELECT qid, x.vec_id AS xid,
+       |    CAST(sum(qv * r) AS DOUBLE) AS dqx,
+       |    CAST(sum(qv * qv) AS DOUBLE) AS dqq,
+       |    CAST(sum(r * r) AS DOUBLE) AS dxx
+       |  FROM q JOIN recon x ON x.dim = q.dim GROUP BY qid, x.vec_id
+       |)
+       |SELECT qid, xid, cos, rank FROM (
+       |  SELECT qid, xid, dqx / (sqrt(dqq) * sqrt(dxx)) AS cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY dqx / (sqrt(dqq) * sqrt(dxx)) DESC, xid) AS rank
+       |  FROM dots
+       |) WHERE rank <= $K""") { (s, dir) =>
+    val emb = table(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    Similarity.sq8TopK(queries, corpus, K)
+  }
+
+  // PQ geometry: 8 subspaces of 8 dims, 16 codewords per subspace — codes
+  // are 8 bytes/vector vs 256 float bytes. The codebook is the
+  // deterministic first-vectors sample (the IVF/q104 convention standing
+  // in for an offline kmeansStep run).
+  private val PqM = 8
+  private val PqK = 16
+
+  /** Product-quantized (PQ/ADC) ANN ([[Similarity.pqTopK]]): per-subspace
+    * nearest-codeword encode (exact integer d², lowest-cid tiebreak),
+    * asymmetric scoring against the codebook reconstruction — the 32×
+    * compression fine-quantizer under FAISS-style IVFPQ at 100 TB. The
+    * oracle replays subspace split, assignment, reconstruction, and
+    * top-k; a green row pins code assignment exactly (any flipped code
+    * changes the reconstructed cosine).
+    */
+  val q120PqAnn = Q.checked(
+    "q120_pq_ann",
+    s"""WITH el AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+       |         ${sc("unnest(embedding)")} AS v
+       |  FROM embeddings
+       |), sub AS (
+       |  SELECT vec_id, (dim - 1) // ${64 / PqM} AS m, dim, v FROM el
+       |), cb AS (
+       |  SELECT vec_id AS cid, m, dim, v FROM sub WHERE vec_id < $PqK
+       |), d2 AS (
+       |  SELECT x.vec_id AS xid, x.m, cb.cid, sum((x.v - cb.v) * (x.v - cb.v)) AS d
+       |  FROM sub x JOIN cb ON cb.dim = x.dim
+       |  GROUP BY x.vec_id, x.m, cb.cid
+       |), code AS (
+       |  SELECT xid, m, cid FROM (
+       |    SELECT xid, m, cid, row_number() OVER (PARTITION BY xid, m ORDER BY d, cid) AS rn
+       |    FROM d2) WHERE rn = 1
+       |), recon AS (
+       |  SELECT c.xid, cb.dim, cb.v AS r
+       |  FROM code c JOIN cb ON cb.m = c.m AND cb.cid = c.cid
+       |), q AS (SELECT vec_id AS qid, dim, v AS qv FROM el WHERE vec_id < $NQueries),
+       |dots AS (
+       |  SELECT qid, x.xid,
+       |    CAST(sum(qv * r) AS DOUBLE) AS dqx,
+       |    CAST(sum(qv * qv) AS DOUBLE) AS dqq,
+       |    CAST(sum(r * r) AS DOUBLE) AS dxx
+       |  FROM q JOIN recon x ON x.dim = q.dim GROUP BY qid, x.xid
+       |)
+       |SELECT qid, xid, cos, rank FROM (
+       |  SELECT qid, xid, dqx / (sqrt(dqq) * sqrt(dxx)) AS cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY dqx / (sqrt(dqq) * sqrt(dxx)) DESC, xid) AS rank
+       |  FROM dots
+       |) WHERE rank <= $K""") { (s, dir) =>
+    val emb = table(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val codebook = emb.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.pqTopK(queries, corpus, codebook, PqM, K)
+  }
+
   val all: Vector[Q] =
     Vector(q60AnnCosine, q61AnnLsh, q62AnnIvf, q104KmeansStep,
-      q116SemanticDedup)
+      q116SemanticDedup, q119Sq8Ann, q120PqAnn)
 }

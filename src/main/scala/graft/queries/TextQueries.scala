@@ -1003,11 +1003,82 @@ object TextQueries {
         expr(s"array_join(slice(w, k * $ChunkS + 1, $ChunkW), ' ')").as("chunk_text"))
   }
 
+  /** C4-style heuristic filter battery (Raffel et al. 2020 §2.2 + the
+    * Gopher/MassiveText doc-level rules, Rae et al. 2021 A.1.1): per
+    * document — word count, mean word length, stopword fraction,
+    * bad-word blocklist hit, terminal-punctuation line fraction, and the
+    * composite keep flag. Every GATE is pure integer arithmetic
+    * (cross-multiplied thresholds: `3·words ≤ chars ≤ 10·words`,
+    * `50·stops ≥ words`), so keep decisions are bit-identical
+    * cross-engine with no float compare anywhere; the reported fractions
+    * HALF-UP round in pure integer arithmetic — `(2·10^s·x + w) // (2w)`
+    * — then divide by the scale once in double (one correctly-rounded op
+    * over identical integers; a DECIMAL `round()` here would flake on
+    * ties, where DuckDB rounds half-even and Spark half-up — a .725
+    * mean word length landed on exactly that). All map-side builtins —
+    * at 100 TB this runs inside whole-stage codegen over the scan with
+    * zero shuffle (the Gopher paper's \"simple, scalable heuristics\"
+    * point, literally).
+    *
+    * This corpus is single-line synthetic prose with no punctuation, so
+    * the punctuation-line fraction is REPORTED but not gated (production
+    * web text flips it into the conjunction); the active gates are the
+    * word-count band, the mean-word-length band, the stopword floor, and
+    * the blocklist ('dup' standing in for the C4 bad-word list).
+    */
+  val q121C4Filters = Q.checked(
+    "q121_c4_filters",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+      |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_alpha,
+      |    CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+      |                         w -> w = 'a' OR w = 'the')) AS BIGINT) AS n_stop,
+      |    CAST(len(list_filter(string_split(text, chr(10)),
+      |                         l -> regexp_matches(l, '[.!?]$'))) AS BIGINT) AS n_punct,
+      |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |    list_contains(regexp_extract_all(text, '\S+'), 'dup') AS has_blocklist
+      |  FROM documents)
+      |SELECT doc_id, n_words,
+      |  CAST((200 * n_alpha + n_words) // (2 * n_words) AS DOUBLE) / 100 AS mean_wlen,
+      |  CAST((20000 * n_stop + n_words) // (2 * n_words) AS DOUBLE) / 10000 AS stop_frac,
+      |  CAST((20000 * n_punct + n_lines) // (2 * n_lines) AS DOUBLE) / 10000 AS punct_line_frac,
+      |  has_blocklist,
+      |  (n_words BETWEEN 50 AND 100000
+      |    AND n_alpha BETWEEN 3 * n_words AND 10 * n_words
+      |    AND 50 * n_stop >= n_words
+      |    AND NOT has_blocklist) AS keep
+      |FROM m""") { (s, dir) =>
+    val words = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    val m = table(s, dir, "documents").select(
+      col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("n_alpha"),
+      size(filter(words, w => w === "a" || w === "the")).cast("long").as("n_stop"),
+      size(filter(split(col("text"), "\n"), l => l.rlike("[.!?]$")))
+        .cast("long").as("n_punct"),
+      size(split(col("text"), "\n")).cast("long").as("n_lines"),
+      array_contains(words, "dup").as("has_blocklist"))
+    m.select(
+      col("doc_id"), col("n_words"),
+      (expr("(200 * n_alpha + n_words) div (2 * n_words)").cast("double") / 100)
+        .as("mean_wlen"),
+      (expr("(20000 * n_stop + n_words) div (2 * n_words)").cast("double") / 10000)
+        .as("stop_frac"),
+      (expr("(20000 * n_punct + n_lines) div (2 * n_lines)").cast("double") / 10000)
+        .as("punct_line_frac"),
+      col("has_blocklist"),
+      (col("n_words").between(50, 100000) &&
+        col("n_alpha").between(lit(3) * col("n_words"), lit(10) * col("n_words")) &&
+        lit(50) * col("n_stop") >= col("n_words") &&
+        !col("has_blocklist")).as("keep"))
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
       q75Tfidf, q76StratifiedSplit, q77Collocations, q79Repetition,
       q96Decontaminate, q98PiiRedact, q100DupSpans, q101SeqPack,
       q102SourceCap, q105BpeTrainStep, q108MixtureResample,
-      q109CurationFunnel, q114TokenBudget, q118ChunkWindows)
+      q109CurationFunnel, q114TokenBudget, q118ChunkWindows, q121C4Filters)
 }

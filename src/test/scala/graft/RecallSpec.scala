@@ -157,4 +157,31 @@ class RecallSpec extends AnyFunSuite {
     assert(trainedRecall >= seedRecall - 0.05,
       f"k-means refinement LOST recall: $seedRecall%.3f -> $trainedRecall%.3f")
   }
+
+  test("quantized ANN (SQ8 / PQ) ranks against the exact ground truth") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val truth = Similarity.bruteForceTopK(queries, corpus, K)
+      .select(col("qid"), col("xid")).as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val sq8 = recallOf(Similarity.sq8TopK(queries, corpus, K), truth)
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val pq = recallOf(Similarity.pqTopK(queries, corpus, codebook, 8, K), truth)
+    info(f"recall@$K over $NQ queries: sq8=$sq8%.3f pq=$pq%.3f")
+    // SQ8 keeps 8 bits/coordinate — reconstruction error ≤ range/510 per
+    // dim — so its ranking should be near-exact; a drop means the encode
+    // or the 255x-domain scoring broke, not that the corpus is hard
+    assert(sq8 >= 0.9, f"SQ8 recall collapsed: $sq8%.3f")
+    // PQ at 16 codewords/subspace on a near-orthogonal corpus is the
+    // coarsest index here (the same adversarial caveat as LSH above);
+    // the floor guards collapse, and self-retrieval must survive
+    assert(pq >= 0.2, f"PQ recall collapsed: $pq%.3f")
+    // every query must still retrieve itself under SQ8 (error ≪ self-gap)
+    assert(recallOf(Similarity.sq8TopK(queries, corpus, 1),
+      truth.map { case (q, _) => q -> Set(q) }) == 1.0,
+      "a vector must retrieve itself after SQ8 quantization")
+  }
 }
