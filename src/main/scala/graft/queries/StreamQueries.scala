@@ -233,7 +233,45 @@ object StreamQueries {
         col("n_events"))
   }
 
+  /** First-arrival ingest dedup, batch counterpart of
+    * [[graft.streaming.EventStream.firstArrivalDedup]]: at-least-once
+    * delivery replays the same logical event (here: same user × type ×
+    * event-time day), and ingest keeps only the FIRST — deterministically
+    * the earliest (event time, event id) row per key, where the streaming
+    * path keeps the first *arrival*. One window over the dedup key, rank
+    * bounded at 1 — partial WindowGroupLimit prunes losers map-side
+    * before the shuffle, so the shuffle carries ≈ one row per key at any
+    * scale. StreamingSpec pins the batch/streaming parity: an event-time-
+    * ordered feed through the watermarked streaming operator emits
+    * exactly this keeper set. Timestamps travel as epoch micros.
+    */
+  val q122IngestDedup = Q.checked(
+    "q122_ingest_dedup",
+    """WITH k AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(ts) // 86400000000 AS day_bucket, epoch_us(ts) AS ts_us,
+      |    row_number() OVER (
+      |      PARTITION BY user_id, event_type, epoch_us(ts) // 86400000000
+      |      ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events)
+      |SELECT event_id, user_id, event_type, day_bucket, ts_us
+      |FROM k WHERE rn = 1""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    // events.ts is nanos-as-long on the Spark side (q68's convention);
+    // div keeps nanos→micros→days integral
+    table(s, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("day_bucket", expr("ts_us div 86400000000"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("event_type"), col("day_bucket"))
+          .orderBy(col("ts_us"), col("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("day_bucket"), col("ts_us"))
+  }
+
   val all: Vector[Q] =
     Vector(q66StreamApiSort, q68Sessionize, q92StreamCli, q93StreamPipeline,
-      q95StreamHistogram, q112StreamSeqfile, q113StreamSeqfileOut)
+      q95StreamHistogram, q112StreamSeqfile, q113StreamSeqfileOut,
+      q122IngestDedup)
 }

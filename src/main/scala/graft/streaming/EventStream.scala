@@ -220,6 +220,23 @@ object EventStream {
       .as[AsOfMatch]
   }
 
+  /** First-arrival ingest dedup over an unbounded stream —
+    * `dropDuplicatesWithinWatermark`, the at-least-once-delivery
+    * suppressor: the first row of each key is emitted, every replay
+    * inside the watermark horizon is dropped, and (unlike a plain
+    * streaming `dropDuplicates`) the key's state EVICTS once the
+    * watermark passes it — state is bounded by keys-per-horizon, not by
+    * stream lifetime, which is the difference between a dedup that
+    * survives a month-long run and one that OOMs. The batch counterpart
+    * with a deterministic keeper (earliest event time, id tiebreak) is
+    * q122's oracle-checked query; StreamingSpec pins that an event-time-
+    * ordered feed through this operator lands on exactly that keeper set.
+    */
+  def firstArrivalDedup(events: DataFrame, keys: Seq[String],
+                        watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Idempotent `foreachBatch` parquet sink — exactly-once-to-storage on
     * a non-transactional sink: each micro-batch lands in its OWN
     * `batch_id=` partition with dynamic partition overwrite, so a

@@ -6,6 +6,12 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Top-level on purpose: nested case classes trip Janino encoder codegen
+  * (see the EventStream scaladoc); this one rides a MemoryStream.
+  */
+final case class IngestEv(eventId: Long, userId: Long, eventType: String,
+                          ts: java.sql.Timestamp, dayBucket: Long)
+
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -101,6 +107,45 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val n = spark.sql("SELECT count(*) FROM dedup_out").head().getLong(0)
       assert(n == 2, s"expected 2 deduped rows, got $n")
+    } finally q.stop()
+  }
+
+  test("firstArrivalDedup matches the q122 batch keeper set on ordered feed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // a real fixture slice, fed ONE EVENT PER BATCH in (ts, event_id)
+    // order: the streaming "first arrival" is then exactly the batch
+    // "earliest (ts, event_id)" keeper, so parity is an equality, not a
+    // count check. user_id = 3 keeps the slice small (65 events).
+    val slice = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+      .filter(col("user_id") === 3)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+    val rows = slice.as[(Long, Long, String, Long)].collect()
+      .sortBy(r => (r._4, r._1))
+    val evs = rows.map { case (id, u, t, us) =>
+      IngestEv(id, u, t, new java.sql.Timestamp(us / 1000), us / 86400000000L)
+    }
+    val in = MemoryStream[IngestEv]
+    // the watermark must OUTLIVE the dedup key's span: day-bucket keys
+    // need ≥24 h of state or an early-morning key evicts before its
+    // late-evening replay arrives and the replay re-emits
+    val q = EventStream.firstArrivalDedup(
+      in.toDF(), Seq("userId", "eventType", "dayBucket"), "25 hours")
+      .writeStream.format("memory").queryName("ingest_dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      evs.foreach { e => in.addData(e); q.processAllAvailable() }
+      val streamed = spark.sql("SELECT eventId FROM ingest_dedup_out")
+        .as[Long].collect().toSet
+      val batch = graft.queries.StreamQueries.q122IngestDedup
+        .run(spark, TestSpark.sf0001)
+        .filter(col("user_id") === 3)
+        .select(col("event_id")).as[Long].collect().toSet
+      assert(streamed == batch,
+        s"streaming keepers ${streamed.size} != batch keepers ${batch.size}")
+      assert(streamed.size < evs.length, "slice must actually contain replays")
     } finally q.stop()
   }
 
