@@ -448,17 +448,25 @@ object Similarity {
     val maxAbs = stats.map(r => math.max(math.abs(r.getLong(1)), math.abs(r.getLong(2)))).max
     require(maxAbs <= 2300000L,
       s"sq8TopK: scaled coordinate magnitude $maxAbs exceeds the 255x-domain overflow budget")
-    val mn = typedlit(stats.map(_.getLong(1)).toSeq)
-    val rng = typedlit(stats.map(r => r.getLong(2) - r.getLong(1)).toSeq)
-    def codes(sv: Column): Column =
-      zip_with(zip_with(sv, mn, (v, m) => v - m), rng, (s, r) =>
-        when(r === 0L, 0L)
-          .otherwise(floor((s * lit(255L)).cast("double") / r.cast("double")).cast("long")))
+    // one (min, range) struct per dimension, one zip_with pass per row:
+    // higher-order functions cost a lambda invocation per element, so
+    // encode+reconstruct fold into a single traversal instead of four
+    val mnRng = typedlit(stats.map(r => (r.getLong(1), r.getLong(2) - r.getLong(1))).toSeq)
     def recon255(sv: Column): Column =
-      zip_with(zip_with(codes(sv), rng, (c, r) => c * r), mn,
-        (cr, m) => cr + m * lit(255L))
+      zip_with(sv, mnRng, (v, mr) => {
+        val m = mr.getField("_1"); val r = mr.getField("_2")
+        m * lit(255L) + when(r === 0L, 0L)
+          .otherwise(floor(((v - m) * lit(255L)).cast("double") / r.cast("double"))
+            .cast("long")) * r
+      })
+    // materialize the encoded corpus ONCE: without a barrier,
+    // CollapseProject inlines the reconstruction expression into the norm
+    // and into EVERY per-query dot (measured 10x wall at the 10x soak);
+    // production persists the codes table anyway — this is that
+    // materialization, in-memory
     val enc = xs.select(col("xid"), recon255(col("xs")).as("rx"))
       .withColumn("xnorm", sqrt(dotScaled(col("rx"), col("rx")).cast("double")))
+      .localCheckpoint(true)
     val qn = queries.select(col("qid"), scaled(col("qvec")).as("qs"))
       .withColumn("qnorm", sqrt(dotScaled(col("qs"), col("qs")).cast("double")))
     enc.crossJoin(broadcast(qn))
@@ -520,9 +528,14 @@ object Similarity {
           typedlit(cb.map(_._2.slice(m * sub, m * sub + sub)).toSeq),
           (array_position(dists, array_min(dists))).cast("int"))
       }: _*)
+    // same materialization barrier as sq8TopK: the per-subspace argmin
+    // encode is ~16 distance expressions per block — letting
+    // CollapseProject re-inline it per query-pair multiplies the encode
+    // cost by the query count; the codes table is the persisted artifact
     val enc = corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
       .select(col("xid"), recon(col("xs")).as("rx"))
       .withColumn("xnorm", sqrt(dotScaled(col("rx"), col("rx")).cast("double")))
+      .localCheckpoint(true)
     val qn = queries.select(col("qid"), scaled(col("qvec")).as("qs"))
       .withColumn("qnorm", sqrt(dotScaled(col("qs"), col("qs")).cast("double")))
     enc.crossJoin(broadcast(qn))

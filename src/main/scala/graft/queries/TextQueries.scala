@@ -1074,11 +1074,69 @@ object TextQueries {
         !col("has_blocklist")).as("keep"))
   }
 
+  /** Bigram-LM fluency scoring — q71b's unigram corpus-frequency signal
+    * upgraded to the conditional-probability form real LM-based quality
+    * filters use (CCNet/KenLM shape): corpus bigram counts B(w1,w2) and
+    * unigram counts U(w1) are the sufficient statistics; each in-doc
+    * bigram scores `ppm = ⌊10⁶·B/U⌋` (the empirical P(w2|w1) in parts
+    * per million, exact integer), and the doc's fluency is the half-up
+    * integer mean of its bigram ppms — every value BIGINT end to end, no
+    * float op anywhere (same tie rationale as q121). No smoothing is
+    * needed because the probe bigrams come from the corpus itself, so
+    * B ≥ 1 by construction; production scoring against a FOREIGN corpus
+    * adds the +1 Laplace term in the same integer form.
+    *
+    * Scale shape: bigram extraction is map-side (one transform over the
+    * token array, no self-join); the statistics tables are
+    * true-vocab²-bounded (not corpus-bounded) and partially aggregate
+    * map-side; the probe joins shuffle on the bigram/unigram key exactly
+    * like q71b. The oracle derives bigrams positionally (subscript
+    * self-join — fine at verify scale) and replays the integer math.
+    */
+  val q123BigramLm = Q.checked(
+    "q123_bigram_lm",
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |el AS (
+      |  SELECT doc_id, CAST(generate_subscripts(w, 1) AS BIGINT) AS i, unnest(w) AS tok
+      |  FROM words
+      |), big AS (
+      |  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+      |  FROM el a JOIN el b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      |), uni AS (SELECT tok, count(*) AS u FROM el GROUP BY tok),
+      |bc AS (SELECT w1, w2, count(*) AS b FROM big GROUP BY w1, w2),
+      |scored AS (
+      |  SELECT g.doc_id, (1000000 * bc.b) // uni.u AS ppm
+      |  FROM big g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+      |  JOIN uni ON uni.tok = g.w1
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  (2 * sum(ppm) + count(*)) // (2 * count(*)) AS fluency_ppm
+      |FROM scored GROUP BY doc_id""") { (s, dir) =>
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    // map-side bigram extraction: pair w[i] with w[i+1] in one transform
+    val big = docs
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> named_struct('w1', x, 'w2', w[i + 1]))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = docs.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("u"))
+    val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("b"))
+    big.join(bc, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("tok", "w1"), Seq("w1"))
+      .select(col("doc_id"), expr("(1000000 * b) div u").as("ppm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("(2 * sum(ppm) + count(1)) div (2 * count(1))").as("fluency_ppm"))
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
       q75Tfidf, q76StratifiedSplit, q77Collocations, q79Repetition,
       q96Decontaminate, q98PiiRedact, q100DupSpans, q101SeqPack,
       q102SourceCap, q105BpeTrainStep, q108MixtureResample,
-      q109CurationFunnel, q114TokenBudget, q118ChunkWindows, q121C4Filters)
+      q109CurationFunnel, q114TokenBudget, q118ChunkWindows, q121C4Filters,
+      q123BigramLm)
 }

@@ -228,6 +228,19 @@ class SoakTest extends AnyFunSuite {
     time("q110_incremental_dedup") {
       graft.queries.DedupQueries.q110IncrementalDedup.run(spark, dir).count()
     }
+    // round-9 families
+    time("q119_sq8_ann") {
+      graft.queries.SimilarityQueries.q119Sq8Ann.run(spark, dir).count()
+    }
+    time("q120_pq_ann") {
+      graft.queries.SimilarityQueries.q120PqAnn.run(spark, dir).count()
+    }
+    time("q121_c4_filters") {
+      graft.queries.TextQueries.q121C4Filters.run(spark, dir).count()
+    }
+    time("q122_ingest_dedup") {
+      graft.queries.StreamQueries.q122IngestDedup.run(spark, dir).count()
+    }
   }
 
   /** 100× soak of the dedup family (~500k docs / 200k vectors) — run with
