@@ -1040,8 +1040,10 @@ object TextQueries {
       |    list_contains(regexp_extract_all(text, '\S+'), 'dup') AS has_blocklist
       |  FROM documents)
       |SELECT doc_id, n_words,
-      |  CAST((200 * n_alpha + n_words) // (2 * n_words) AS DOUBLE) / 100 AS mean_wlen,
-      |  CAST((20000 * n_stop + n_words) // (2 * n_words) AS DOUBLE) / 10000 AS stop_frac,
+      |  CASE WHEN n_words = 0 THEN NULL ELSE
+      |    CAST((200 * n_alpha + n_words) // (2 * n_words) AS DOUBLE) / 100 END AS mean_wlen,
+      |  CASE WHEN n_words = 0 THEN NULL ELSE
+      |    CAST((20000 * n_stop + n_words) // (2 * n_words) AS DOUBLE) / 10000 END AS stop_frac,
       |  CAST((20000 * n_punct + n_lines) // (2 * n_lines) AS DOUBLE) / 10000 AS punct_line_frac,
       |  has_blocklist,
       |  (n_words BETWEEN 50 AND 100000
@@ -1055,15 +1057,20 @@ object TextQueries {
       size(words).cast("long").as("n_words"),
       length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("n_alpha"),
       size(filter(words, w => w === "a" || w === "the")).cast("long").as("n_stop"),
-      size(filter(split(col("text"), "\n"), l => l.rlike("[.!?]$")))
+      // \z not $: Java's $ also matches before a final line terminator (a
+      // trailing \r on CRLF corpora), RE2's $ is end-of-string only.
+      size(filter(split(col("text"), "\n"), l => l.rlike("[.!?]\\z")))
         .cast("long").as("n_punct"),
       size(split(col("text"), "\n")).cast("long").as("n_lines"),
       array_contains(words, "dup").as("has_blocklist"))
     m.select(
       col("doc_id"), col("n_words"),
-      (expr("(200 * n_alpha + n_words) div (2 * n_words)").cast("double") / 100)
+      // explicit NULL on empty docs, not an accident of non-ANSI div-by-zero
+      expr("CASE WHEN n_words = 0 THEN NULL ELSE " +
+        "CAST((200 * n_alpha + n_words) div (2 * n_words) AS DOUBLE) / 100 END")
         .as("mean_wlen"),
-      (expr("(20000 * n_stop + n_words) div (2 * n_words)").cast("double") / 10000)
+      expr("CASE WHEN n_words = 0 THEN NULL ELSE " +
+        "CAST((20000 * n_stop + n_words) div (2 * n_words) AS DOUBLE) / 10000 END")
         .as("stop_frac"),
       (expr("(20000 * n_punct + n_lines) div (2 * n_lines)").cast("double") / 10000)
         .as("punct_line_frac"),
@@ -1110,7 +1117,7 @@ object TextQueries {
       |  JOIN uni ON uni.tok = g.w1
       |)
       |SELECT doc_id, count(*) AS n_bigrams,
-      |  (2 * sum(ppm) + count(*)) // (2 * count(*)) AS fluency_ppm
+      |  CAST((2 * sum(ppm) + count(*)) // (2 * count(*)) AS BIGINT) AS fluency_ppm
       |FROM scored GROUP BY doc_id""") { (s, dir) =>
     val docs = table(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
