@@ -1,6 +1,8 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Session factory + table loader for the graft engine.
   *
@@ -29,8 +31,9 @@ object Graft {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores ts as TIMESTAMP(NANOS) which Spark's reader
-      // rejects; read as epoch-nanos LongType (DuckDB side: epoch_ns(ts))
+      // tolerate a TIMESTAMP(NANOS) events fixture (one driver generation
+      // shipped that): read it as epoch-nanos LongType instead of erroring.
+      // [[tsUs]] normalizes whichever shape arrives.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -100,6 +103,29 @@ object Graft {
     }
 
   def scratch(name: String): String = s"$runRoot/$name"
+
+  /** Epoch-MICROSECONDS view of an event-time column, as a LongType
+    * expression — THE one place that absorbs fixture schema drift. The
+    * driver's `events.ts` has shipped as epoch-nanos long, TIMESTAMP(NANOS)
+    * (surfacing as long via `nanosAsLong`), and TIMESTAMP(MICROS) (NTZ,
+    * pyarrow writes no zone); every engine query speaks epoch micros
+    * internally (integral arithmetic, exact cross-engine compare vs
+    * DuckDB's `epoch_us(ts)`), so normalize HERE, by the frame's resolved
+    * dtype, never at call sites. NTZ casts through TimestampType first
+    * (`unix_micros` wants an instant); sessions run UTC, so the NTZ wall
+    * clock IS the instant and the cast is numerically free. Long input is
+    * nanos by fixture contract: integral `div` keeps micros exact where a
+    * double division would round at 1.7e18.
+    */
+  def tsUs(df: DataFrame, name: String = "ts"): Column =
+    df.schema(name).dataType match {
+      case TimestampType    => unix_micros(col(name))
+      case TimestampNTZType => unix_micros(col(name).cast(TimestampType))
+      case LongType         => org.apache.spark.sql.functions.expr(s"`$name` div 1000")
+      case dt => throw new IllegalArgumentException(
+        s"tsUs: column `$name` has unsupported event-time type $dt " +
+          "(expected TIMESTAMP, TIMESTAMP_NTZ, or epoch-nanos LONG)")
+    }
 
   /** Load one of the driver tables (TESTDATA.md): `$dir/$name.parquet`.
     *

@@ -160,8 +160,8 @@ object JoinQueries {
     * tagged union + one partitioned running-last window — one shuffle,
     * |L|+|R| rows, no inequality-join explosion. The oracle is DuckDB's
     * native ASOF JOIN — an independent implementation of the semantics.
-    * Both engines compare on epoch MICROS (events.ts is nanos parquet;
-    * the q68 truncation convention).
+    * Both engines compare on epoch MICROS ([[graft.core.Graft.tsUs]]
+    * normalizes whichever fixture schema ships; DuckDB side: epoch_us).
     *
     * DATA INVARIANT the hash compare rests on: clicks are tie-free per
     * (user_id, us). DuckDB's ASOF pick among equal-timestamp matches is
@@ -179,9 +179,10 @@ object JoinQueries {
       |ASOF JOIN (SELECT * FROM e WHERE event_type = 'click') r
       |  ON l.user_id = r.user_id AND l.us >= r.us""") { (s, dir) =>
     import graft.operators.TemporalJoins
-    val ev = table(s, dir, "events")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
-        col("event_type"))
+    val evRaw = table(s, dir, "events")
+    val ev = evRaw
+      .select(col("event_id"), col("user_id"),
+        graft.core.Graft.tsUs(evRaw).as("us"), col("event_type"))
     val errors = ev.filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id"), col("us").as("err_us"))
     val clicks = ev.filter(col("event_type") === "click")
@@ -214,8 +215,9 @@ object JoinQueries {
       |  ON a.user_id = b.user_id AND b.us > a.us
       | AND b.us - a.us <= 3600000000""") { (s, dir) =>
     import graft.operators.TemporalJoins
-    val ev = table(s, dir, "events")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
+    val evRaw = table(s, dir, "events")
+    val ev = evRaw
+      .select(col("event_id"), col("user_id"), graft.core.Graft.tsUs(evRaw).as("us"))
     TemporalJoins.withinGap(
       ev, col("user_id"), col("us"),
       ev, col("user_id"), col("us"),

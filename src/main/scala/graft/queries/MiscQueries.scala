@@ -256,9 +256,10 @@ object MiscQueries {
     val url = s"jdbc:derby:${graft.core.Graft.scratch("derby54c")};create=true"
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-    table(s, dir, "events")
+    val ev = table(s, dir, "events")
+    ev
       .groupBy(date_trunc("DAY",
-        timestamp_micros(expr("ts div 1000"))).as("day"))
+        timestamp_micros(graft.core.Graft.tsUs(ev))).as("day"))
       .agg(count(lit(1)).as("n"))
       .write.mode("overwrite").jdbc(url, "daily_counts", props)
     val conn = java.sql.DriverManager.getConnection(url)
@@ -740,9 +741,10 @@ object MiscQueries {
     """SELECT epoch_us(date_trunc('day', ts)) AS day_us,
       |  count(*) AS n, count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1""") { (s, dir) =>
-    table(s, dir, "events")
+    val ev = table(s, dir, "events")
+    ev
       .select(unix_micros(date_trunc("DAY",
-        timestamp_micros(expr("ts div 1000")))).as("day_us"),
+        timestamp_micros(graft.core.Graft.tsUs(ev)))).as("day_us"),
         col("user_id"))
       .groupBy(col("day_us"))
       .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("n_users"))

@@ -27,7 +27,7 @@ object SortQueries {
     val ev = table(s, dir, "events")
     SortValidate.sortAndValidate(
       s, ev,
-      sortKey = col("ts"),
+      sortKey = graft.core.Graft.tsUs(ev),
       tieBreak = col("event_id"),
       recHash = SortValidate.recordHash(col("event_id")))
   }
@@ -182,9 +182,10 @@ object SortQueries {
       |  row_number() OVER w AS seq
       |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)""") { (s, dir) =>
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
-    table(s, dir, "events")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
-        col("event_type"))
+    val ev = table(s, dir, "events")
+    ev
+      .select(col("event_id"), col("user_id"),
+        graft.core.Graft.tsUs(ev).as("us"), col("event_type"))
       .select(col("event_id"), col("user_id"),
         (col("us") - lag(col("us"), 1).over(w)).as("gap_us"),
         lead(col("event_type"), 1).over(w).as("next_type"),

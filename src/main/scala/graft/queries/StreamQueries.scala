@@ -219,11 +219,12 @@ object StreamQueries {
       |  epoch_us(max(ts)) + 28800000000 AS session_end_us,
       |  count(*) AS n_events
       |FROM sess GROUP BY user_id, sid""") { (s, dir) =>
-    // events.ts is nanos-as-long on the Spark side (TIMESTAMP(NANOS)
-    // parquet); `div` keeps the nanos→micros conversion integral — a
-    // double division would lose precision at 1.7e18
-    table(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Graft.tsUs absorbs the fixture's event-time schema (nanos long vs
+    // TIMESTAMP); session_window wants a timestamp column, so rebuild one
+    // from the normalized micros
+    val ev = table(s, dir, "events")
+    ev
+      .withColumn("ts", timestamp_micros(graft.core.Graft.tsUs(ev)))
       .groupBy(session_window(col("ts"), "8 hours"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(
@@ -257,10 +258,11 @@ object StreamQueries {
       |SELECT event_id, user_id, event_type, day_bucket, ts_us
       |FROM k WHERE rn = 1""") { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    // events.ts is nanos-as-long on the Spark side (q68's convention);
-    // div keeps nanos→micros→days integral
-    table(s, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    // Graft.tsUs normalizes the fixture's event-time schema to epoch
+    // micros; day bucketing stays integral from there
+    val ev = table(s, dir, "events")
+    ev
+      .withColumn("ts_us", graft.core.Graft.tsUs(ev))
       .withColumn("day_bucket", expr("ts_us div 86400000000"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("user_id"), col("event_type"), col("day_bucket"))

@@ -118,10 +118,11 @@ class StreamingSpec extends AnyFunSuite {
     // order: the streaming "first arrival" is then exactly the batch
     // "earliest (ts, event_id)" keeper, so parity is an equality, not a
     // count check. user_id = 3 keeps the slice small (65 events).
-    val slice = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+    val evFix = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+    val slice = evFix
       .filter(col("user_id") === 3)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"))
+        graft.core.Graft.tsUs(evFix).as("ts_us"))
     val rows = slice.as[(Long, Long, String, Long)].collect()
       .sortBy(r => (r._4, r._1))
     val evs = rows.map { case (id, u, t, us) =>

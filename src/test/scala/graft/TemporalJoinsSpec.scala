@@ -89,9 +89,10 @@ class TemporalJoinsSpec extends AnyFunSuite {
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val dir = s"/root/testdata/$sf"
       if (new java.io.File(s"$dir/events.parquet").exists) {
-        val dups = graft.core.Graft.table(spark, dir, "events")
+        val ev = graft.core.Graft.table(spark, dir, "events")
+        val dups = ev
           .filter(col("event_type") === "click")
-          .groupBy(col("user_id"), expr("ts div 1000"))
+          .groupBy(col("user_id"), graft.core.Graft.tsUs(ev))
           .count().filter(col("count") > 1).count()
         assert(dups == 0L,
           s"$sf: $dups duplicate (user_id, us) click rows — q69's oracle " +
