@@ -431,12 +431,37 @@ object Similarity {
     * rounded division can never cross the floor boundary.
     *
     * Overflow guard: |recon255| ≤ 255·maxAbs per element; the norm sum
-    * over `dims` elements must fit a long, so maxAbs is required under
-    * 2.3e6 scaled (|x| ≤ 2.3) for 64 dims — asserted from the stats that
-    * are collected anyway, loudly, per the fail-loud convention.
+    * over `dims` elements must fit a long, so maxAbs is bounded by
+    * ⌊√(Long.MaxValue/dims)⌋/255 — COMPUTED from the actual dimension
+    * count (≈1.49e6 scaled, |x| ≤ 1.49, at 64 dims), asserted from the
+    * stats that are collected anyway, loudly, per the fail-loud
+    * convention. A fixed cap independent of dims would either waste
+    * headroom at low dims or silently wrap the long norm at high ones.
     */
-  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Largest scaled coordinate magnitude [[sq8TopK]] accepts at `dims`
+    * dimensions: the reconstructed norm sums `dims` squares of elements
+    * bounded by 255·maxAbs, so the long budget is
+    * maxAbs ≤ √(Long.MaxValue/dims)/255. The double sqrt can land one ulp
+    * high at the boundary, so the result is verified (and nudged down)
+    * in exact BigInt arithmetic — the guard must never admit a wrapping
+    * corpus.
+    */
+  def sq8Budget(dims: Int): Long = {
+    require(dims > 0, s"sq8Budget: dims must be positive (got $dims)")
+    var b = (math.sqrt(Long.MaxValue.toDouble / dims) / 255.0).toLong
+    while (b > 0 && BigInt(dims) * BigInt(255L * b).pow(2) > Long.MaxValue) b -= 1
+    b
+  }
+
+  /** SQ8 encode+reconstruct of a corpus, shared by [[sq8TopK]] (flat scan)
+    * and [[ivfSq8TopK]] (cell-pruned scan): learn per-dimension min/max,
+    * quantize to one byte per coordinate, and return each vector's
+    * 255×-scaled reconstruction and its norm — `(xid, rx, xnorm)`,
+    * materialized once (localCheckpoint: production persists the codes
+    * table; without the barrier CollapseProject re-inlines the
+    * reconstruction into every consumer — a measured 10× wall cost).
+    */
+  private[graft] def sq8EncodeScaled(corpus: DataFrame): DataFrame = {
     val xs = corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
     // per-dimension min/max: one map-side-combined agg, `dims` rows total
     // (a bounded collect — 64 rows here, never data-scale)
@@ -446,8 +471,10 @@ object Similarity {
       .orderBy(col("dim"))
       .collect()
     val maxAbs = stats.map(r => math.max(math.abs(r.getLong(1)), math.abs(r.getLong(2)))).max
-    require(maxAbs <= 2300000L,
-      s"sq8TopK: scaled coordinate magnitude $maxAbs exceeds the 255x-domain overflow budget")
+    val budget = sq8Budget(stats.length)
+    require(maxAbs <= budget,
+      s"sq8TopK: scaled coordinate magnitude $maxAbs exceeds the 255x-domain " +
+        s"overflow budget $budget for ${stats.length} dims — the long norm sum would wrap")
     // one (min, range) struct per dimension, one zip_with pass per row:
     // higher-order functions cost a lambda invocation per element, so
     // encode+reconstruct fold into a single traversal instead of four
@@ -459,14 +486,14 @@ object Similarity {
           .otherwise(floor(((v - m) * lit(255L)).cast("double") / r.cast("double"))
             .cast("long")) * r
       })
-    // materialize the encoded corpus ONCE: without a barrier,
-    // CollapseProject inlines the reconstruction expression into the norm
-    // and into EVERY per-query dot (measured 10x wall at the 10x soak);
-    // production persists the codes table anyway — this is that
-    // materialization, in-memory
-    val enc = xs.select(col("xid"), recon255(col("xs")).as("rx"))
+    xs.select(col("xid"), recon255(col("xs")).as("rx"))
       .withColumn("xnorm", sqrt(dotScaled(col("rx"), col("rx")).cast("double")))
       .localCheckpoint(true)
+  }
+
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val enc = sq8EncodeScaled(corpus)
     val qn = queries.select(col("qid"), scaled(col("qvec")).as("qs"))
       .withColumn("qnorm", sqrt(dotScaled(col("qs"), col("qs")).cast("double")))
     enc.crossJoin(broadcast(qn))
@@ -477,6 +504,109 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("xid"))))
       .filter(col("rank") <= k)
       .select(col("qid"), col("xid"), col("cos"), col("rank").cast("long").as("rank"))
+  }
+
+  /** IVF × SQ8 — the composed 100 TB ANN serving path: the coarse
+    * quantizer ([[ivfTopK]]'s cell assignment) prunes the scan to the
+    * query's `nProbe` nearest cells, and the fine storage layer
+    * ([[sq8EncodeScaled]]) scores those candidates against their one-
+    * byte-per-coordinate reconstructions. Alone, each half solves a
+    * different scale problem — IVF bounds COMPUTE (each query touches
+    * ≈ cells^(−1/2) of the corpus) while SQ8 bounds MEMORY (4× smaller
+    * resident store) — composed, a 100 TB embedding table becomes a 25 TB
+    * code store of which a query scans a shrinking fraction. Results
+    * equal [[sq8TopK]] restricted to the probed cells (exact same scoring
+    * domain), which is what the oracle replays; cell assignment and probe
+    * ranking are the engine-identical scaled-long d² of [[ivfTopK]].
+    *
+    * Scale shape: the corpus partitions by cell id; centroids and the
+    * query side broadcast; the SQ8 stats pass is one map-side-combined
+    * agg; nothing driver-side exceeds (cells + dims) rows.
+    */
+  def ivfSq8TopK(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cs = centroids.select(col("cid"), scaled(col("cvec")).as("cs"))
+    // nearest-cell assignment per corpus vector (exact scaled-long d²)
+    val assign = corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
+      .crossJoin(broadcast(cs))
+      .select(col("xid"), col("cid"),
+        (dotScaled(col("xs"), col("xs")) -
+          lit(2L) * dotScaled(col("xs"), col("cs")) +
+          dotScaled(col("cs"), col("cs"))).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("xid")).orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("xid"), col("cid"))
+    // fine layer: SQ8 codes + norms, cell id riding along (production
+    // persists exactly this — the codes table partitioned by cell)
+    val enc = sq8EncodeScaled(corpus).join(assign, "xid")
+    // the query probes its nProbe nearest cells
+    val probes = queries.select(col("qid"), scaled(col("qvec")).as("qsv"))
+      .crossJoin(broadcast(cs.select(col("cid").as("qcid"), col("cs").as("qcs"))))
+      .select(col("qid"), col("qcid"),
+        (dotScaled(col("qsv"), col("qsv")) -
+          lit(2L) * dotScaled(col("qsv"), col("qcs")) +
+          dotScaled(col("qcs"), col("qcs"))).as("qd2"))
+      .withColumn("qrn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("qd2"), col("qcid"))))
+      .filter(col("qrn") <= nProbe)
+      .select(col("qid"), col("qcid").as("cid"))
+    val qn = queries.select(col("qid"), scaled(col("qvec")).as("qs"))
+      .withColumn("qnorm", sqrt(dotScaled(col("qs"), col("qs")).cast("double")))
+    enc
+      .join(broadcast(probes), "cid")
+      .join(broadcast(qn), "qid")
+      .select(col("qid"), col("xid"),
+        (dotScaled(col("qs"), col("rx")).cast("double") /
+          (col("qnorm") * col("xnorm"))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("xid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("xid"), col("cos"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Train a PQ codebook with per-subspace Lloyd iterations — the offline
+    * trainer [[pqTopK]]'s doc promises: each of the `subspaces` contiguous
+    * blocks is its own small k-means problem over the corpus's
+    * subvectors, seeded from `seed` (any (cid, cvec) table, e.g. the
+    * deterministic first-vectors sample) and refined `iters` steps with
+    * [[kmeansStep]] + [[centroidsFromStep]]. A starved codeword keeps its
+    * previous coordinates (standard Lloyd fallback) so the codebook never
+    * shrinks. Returns the same full-width (cid, cvec) shape [[pqTopK]]
+    * consumes — subspace m of codebook row c is that subspace's trained
+    * codeword c.
+    *
+    * Cost: subspaces × iters Spark jobs over (N × width) slices — the
+    * classic offline-trainer shape (run once, reuse for every query
+    * batch); per-dimension sufficient statistics combine map-side, and
+    * the only driver-held state is the (kSub × dims) codebook itself.
+    */
+  def pqTrainCodebook(corpus: DataFrame, seed: DataFrame,
+                      subspaces: Int, dims: Int, iters: Int): DataFrame = {
+    require(dims % subspaces == 0,
+      s"pqTrainCodebook: $dims dims not divisible into $subspaces subspaces")
+    val w = dims / subspaces
+    val trained = (0 until subspaces).map { m =>
+      val sub = corpus.select(col("xid"),
+        expr(s"slice(xvec, ${m * w + 1}, $w)").as("xvec"))
+      var cents = seed.select(col("cid"),
+        expr(s"slice(cvec, ${m * w + 1}, $w)").as("cvec"))
+      for (_ <- 1 to iters) {
+        val next = centroidsFromStep(kmeansStep(sub, cents))
+        // Lloyd starvation fallback: carry forward any codeword that
+        // captured no members, so codes stay dense in [0, kSub)
+        cents = next
+          .union(cents.join(next.select(col("cid")), Seq("cid"), "left_anti"))
+          .localCheckpoint(true)
+      }
+      cents.select(col("cid"), lit(m).as("m"), col("cvec"))
+    }
+    trained.reduce(_ union _)
+      .groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("m"), col("cvec")))).as("blocks"))
+      .select(col("cid"), flatten(expr("transform(blocks, b -> b.cvec)")).as("cvec"))
   }
 
   /** Product quantization (PQ — Jégou et al. 2011, the FAISS `PQ`/`IVFPQ`
@@ -497,9 +627,15 @@ object Similarity {
     * under the long budget — see [[sq8TopK]]'s bound with 255× headroom
     * to spare), so assignments and scores are bit-identical cross-engine.
     */
-  def pqTopK(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
-             subspaces: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** PQ encode+reconstruct pass shared by [[pqTopK]] (which checkpoints
+    * the narrow (xid, rx, norm) projection) and [[pqReconMse]]: each
+    * corpus vector's per-subspace nearest codeword (exact scaled-long d²,
+    * lowest-cid tiebreak — the FIRST array minimum), reconstructed and
+    * concatenated back to full width. Returns (xid, xs, rx) — original
+    * and reconstruction, both in the scaled-long domain.
+    */
+  private[graft] def pqReconScaled(corpus: DataFrame, codebook: DataFrame,
+                                   subspaces: Int): DataFrame = {
     // the codebook is k_sub rows by construction — a bounded collect; it
     // is scaled THROUGH the same Catalyst expression as the corpus so the
     // two sides can never disagree on rounding
@@ -528,12 +664,33 @@ object Similarity {
           typedlit(cb.map(_._2.slice(m * sub, m * sub + sub)).toSeq),
           (array_position(dists, array_min(dists))).cast("int"))
       }: _*)
+    corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
+      .select(col("xid"), col("xs"), recon(col("xs")).as("rx"))
+  }
+
+  /** Mean squared reconstruction error of a PQ codebook over a corpus, in
+    * the ORIGINAL float domain (scaled-long differences are exact; the
+    * single division happens once at the end). This is Lloyd's objective —
+    * [[pqTrainCodebook]] must strictly decrease it (RecallSpec pins that),
+    * whereas ranking recall on an unclustered corpus may not follow.
+    */
+  def pqReconMse(corpus: DataFrame, codebook: DataFrame, subspaces: Int): Double =
+    pqReconScaled(corpus, codebook, subspaces)
+      .select(posexplode(zip_with(col("xs"), col("rx"),
+        (x, r) => (x - r) * (x - r))).as(Seq("i", "se")))
+      .agg(sum(col("se")).cast("double").as("sse"), count(lit(1)).cast("double").as("n"))
+      .select((col("sse") / col("n") / lit(1e12)).as("mse"))
+      .head().getDouble(0)
+
+  def pqTopK(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+             subspaces: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // same materialization barrier as sq8TopK: the per-subspace argmin
     // encode is ~16 distance expressions per block — letting
     // CollapseProject re-inline it per query-pair multiplies the encode
     // cost by the query count; the codes table is the persisted artifact
-    val enc = corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
-      .select(col("xid"), recon(col("xs")).as("rx"))
+    val enc = pqReconScaled(corpus, codebook, subspaces)
+      .select(col("xid"), col("rx"))
       .withColumn("xnorm", sqrt(dotScaled(col("rx"), col("rx")).cast("double")))
       .localCheckpoint(true)
     val qn = queries.select(col("qid"), scaled(col("qvec")).as("qs"))

@@ -353,7 +353,91 @@ object SimilarityQueries {
     Similarity.pqTopK(queries, corpus, codebook, PqM, K)
   }
 
+  /** IVF × SQ8 composed ANN ([[Similarity.ivfSq8TopK]]) — the actual
+    * 100 TB serving path: coarse cells bound compute (each query scans
+    * ≈ cells^(−1/2) of the corpus), SQ8 codes bound memory (4× smaller
+    * store), candidates score against reconstructions. The oracle replays
+    * BOTH layers — assignment, probe ranking, the stats/encode pass, and
+    * the restricted top-k — so a green row pins the composition exactly:
+    * the result IS q119's scoring domain intersected with q62's probed
+    * cells.
+    */
+  val q124IvfSq8Ann = Q.checked(
+    "q124_ivf_sq8_ann",
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $Cells),
+       |cel AS (
+       |  SELECT x.vec_id AS xid, c.cid, unnest(x.embedding) AS xa, unnest(c.cv) AS ca
+       |  FROM embeddings x, cent c
+       |), cdots AS (
+       |  SELECT xid, cid, ${dd("xa", "ca")} AS dxc, ${dd("xa", "xa")} AS dxx, ${dd("ca", "ca")} AS dcc
+       |  FROM cel GROUP BY xid, cid
+       |), ranked AS (
+       |  SELECT xid, cid, row_number() OVER (PARTITION BY xid ORDER BY dxx - 2*dxc + dcc, cid) AS rn
+       |  FROM cdots
+       |), assign AS (SELECT xid, cid FROM ranked WHERE rn = 1),
+       |probes AS (SELECT xid AS qid, cid FROM ranked WHERE rn <= $NProbe AND xid < $NQueries),
+       |cand AS (SELECT p.qid, a.xid FROM probes p JOIN assign a ON a.cid = p.cid),
+       |el AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+       |         ${sc("unnest(embedding)")} AS v
+       |  FROM embeddings
+       |), stats AS (
+       |  SELECT dim, min(v) AS mn, max(v) AS mx FROM el GROUP BY dim
+       |), recon AS (
+       |  SELECT vec_id, e.dim,
+       |    255 * mn + (CASE WHEN mx = mn THEN 0
+       |                     ELSE ((v - mn) * 255) // (mx - mn) END) * (mx - mn) AS r
+       |  FROM el e JOIN stats s ON s.dim = e.dim
+       |), q AS (SELECT vec_id AS qid, dim, v AS qv FROM el WHERE vec_id < $NQueries),
+       |dots AS (
+       |  SELECT q.qid, x.vec_id AS xid,
+       |    CAST(sum(qv * r) AS DOUBLE) AS dqx,
+       |    CAST(sum(qv * qv) AS DOUBLE) AS dqq,
+       |    CAST(sum(r * r) AS DOUBLE) AS dxx
+       |  FROM q JOIN recon x ON x.dim = q.dim
+       |  JOIN cand c ON c.qid = q.qid AND c.xid = x.vec_id
+       |  GROUP BY q.qid, x.vec_id
+       |)
+       |SELECT qid, xid, cos, rank FROM (
+       |  SELECT qid, xid, dqx / (sqrt(dqq) * sqrt(dxx)) AS cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY dqx / (sqrt(dqq) * sqrt(dxx)) DESC, xid) AS rank
+       |  FROM dots
+       |) WHERE rank <= $K""") { (s, dir) =>
+    val emb = table(s, dir, "embeddings")
+    val cells = Similarity.ivfCellsFor(emb.count())
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val centroids = emb.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.ivfSq8TopK(queries, corpus, centroids,
+      Similarity.ivfProbesFor(cells), K)
+  }
+
+  /** q120 with a TRAINED codebook ([[Similarity.pqTrainCodebook]]: 3
+    * per-subspace Lloyd iterations from the deterministic first-vectors
+    * seed) — the offline-trainer loop closed. Training provably shrinks
+    * reconstruction MSE ~25% (RecallSpec pins the objective); on THIS
+    * corpus (iid near-orthogonal, no cluster structure) ranking recall at
+    * 16 codewords is ceiling-bound ≈0.38 regardless of training — the
+    * recall dial is codebook SIZE, which RecallSpec also pins (64 trained
+    * codewords beat 16). Rows-only at the driver: the oracle would have
+    * to replay 24 k-means iterations in SQL; the training math is already
+    * oracle-pinned piecewise by q104 (one kmeansStep) and q120
+    * (encode+score given a codebook).
+    */
+  val q120bPqTrained = Q.rowsOnly("q120b_pq_trained") { (s, dir) =>
+    val emb = table(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val seed = emb.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val trained = Similarity.pqTrainCodebook(corpus, seed, PqM, Dims, iters = 3)
+    Similarity.pqTopK(queries, corpus, trained, PqM, K)
+  }
+
   val all: Vector[Q] =
     Vector(q60AnnCosine, q61AnnLsh, q62AnnIvf, q104KmeansStep,
-      q116SemanticDedup, q119Sq8Ann, q120PqAnn)
+      q116SemanticDedup, q119Sq8Ann, q120PqAnn, q120bPqTrained, q124IvfSq8Ann)
 }
