@@ -1035,7 +1035,7 @@ object TextQueries {
       |    CAST(len(list_filter(regexp_extract_all(text, '\S+'),
       |                         w -> w = 'a' OR w = 'the')) AS BIGINT) AS n_stop,
       |    CAST(len(list_filter(string_split(text, chr(10)),
-      |                         l -> regexp_matches(l, '[.!?]$'))) AS BIGINT) AS n_punct,
+      |                         l -> regexp_matches(l, '[.!?]\z'))) AS BIGINT) AS n_punct,
       |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
       |    list_contains(regexp_extract_all(text, '\S+'), 'dup') AS has_blocklist
       |  FROM documents)

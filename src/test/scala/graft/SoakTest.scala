@@ -241,6 +241,13 @@ class SoakTest extends AnyFunSuite {
     time("q122_ingest_dedup") {
       graft.queries.StreamQueries.q122IngestDedup.run(spark, dir).count()
     }
+    // round-10/11 additions
+    time("q123_bigram_lm") {
+      graft.queries.TextQueries.q123BigramLm.run(spark, dir).count()
+    }
+    time("q124_ivf_sq8_ann") {
+      graft.queries.SimilarityQueries.q124IvfSq8Ann.run(spark, dir).count()
+    }
   }
 
   /** 100× soak of the dedup family (~500k docs / 200k vectors) — run with
@@ -290,6 +297,68 @@ class SoakTest extends AnyFunSuite {
     }
     time("q110_incremental_dedup") {
       graft.queries.DedupQueries.q110IncrementalDedup.run(spark, dir).count()
+    }
+  }
+
+  /** 100× soak of the round-9/11 families — same replication scheme and
+    * env contract as the dedup soak above. Adds a 100×-replicated events
+    * table for q122: event_id shifts per replica (rows stay distinct) but
+    * user_id does NOT, so each logical (user × type × day) key sees ~100
+    * replayed candidates — exactly the at-least-once burst the rank-1
+    * window must absorb, with partial WindowGroupLimit pruning losers
+    * map-side. SemDeDup runs at its balanced √(N/2) geometry over the
+    * full 200k-vector corpus (N^1.5 total work claim under test);
+    * SQ8/PQ/IVF×SQ8 exercise the encode-once barrier and (for q124) the
+    * cell-pruned scan at 632 cells/26 probes. Results in COVERAGE.md
+    * §"100× soak record".
+    */
+  soakGated("100x soak: ANN + semantic dedup + ingest dedup at production shape") {
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak100b"
+    val n = 100
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    (0 until n).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until n).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    (0 until n).map(i => ev.withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    import graft.operators.Similarity
+    val nVec = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    println(s"SOAK100B geometry: vectors=$nVec " +
+      s"ivfCells=${Similarity.ivfCellsFor(nVec)} " +
+      s"probes=${Similarity.ivfProbesFor(Similarity.ivfCellsFor(nVec))} " +
+      s"dedupCells=${Similarity.dedupCellsFor(nVec)}")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"SOAK100B $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$rows")
+    }
+    time("q115_paragraph_dedup") {
+      graft.queries.DedupQueries.q115ParagraphDedup.run(spark, dir).count()
+    }
+    time("q116_semantic_dedup") {
+      graft.queries.SimilarityQueries.q116SemanticDedup.run(spark, dir).count()
+    }
+    time("q119_sq8_ann") {
+      graft.queries.SimilarityQueries.q119Sq8Ann.run(spark, dir).count()
+    }
+    time("q120_pq_ann") {
+      graft.queries.SimilarityQueries.q120PqAnn.run(spark, dir).count()
+    }
+    time("q124_ivf_sq8_ann") {
+      graft.queries.SimilarityQueries.q124IvfSq8Ann.run(spark, dir).count()
+    }
+    time("q122_ingest_dedup") {
+      graft.queries.StreamQueries.q122IngestDedup.run(spark, dir).count()
     }
   }
 }
