@@ -523,13 +523,13 @@ object Similarity {
     * query side broadcast; the SQ8 stats pass is one map-side-combined
     * agg; nothing driver-side exceeds (cells + dims) rows.
     */
-  def ivfSq8TopK(
-      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      nProbe: Int, k: Int): DataFrame = {
+  /** Nearest-cell assignment per corpus vector (exact scaled-long d²,
+    * cid tiebreak): the BUILD half of the composed indexes — (xid, cid).
+    */
+  private def cellAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cs = centroids.select(col("cid"), scaled(col("cvec")).as("cs"))
-    // nearest-cell assignment per corpus vector (exact scaled-long d²)
-    val assign = corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
+    corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
       .crossJoin(broadcast(cs))
       .select(col("xid"), col("cid"),
         (dotScaled(col("xs"), col("xs")) -
@@ -539,11 +539,16 @@ object Similarity {
         Window.partitionBy(col("xid")).orderBy(col("d2"), col("cid"))))
       .filter(col("rn") === 1)
       .select(col("xid"), col("cid"))
-    // fine layer: SQ8 codes + norms, cell id riding along (production
-    // persists exactly this — the codes table partitioned by cell)
-    val enc = sq8EncodeScaled(corpus).join(assign, "xid")
-    // the query probes its nProbe nearest cells
-    val probes = queries.select(col("qid"), scaled(col("qvec")).as("qsv"))
+  }
+
+  /** The nProbe nearest cells per query (same d² tree): the per-batch
+    * SERVE half of the routing — (qid, cid).
+    */
+  private def cellProbes(queries: DataFrame, centroids: DataFrame,
+                         nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cs = centroids.select(col("cid"), scaled(col("cvec")).as("cs"))
+    queries.select(col("qid"), scaled(col("qvec")).as("qsv"))
       .crossJoin(broadcast(cs.select(col("cid").as("qcid"), col("cs").as("qcs"))))
       .select(col("qid"), col("qcid"),
         (dotScaled(col("qsv"), col("qsv")) -
@@ -553,6 +558,15 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("qd2"), col("qcid"))))
       .filter(col("qrn") <= nProbe)
       .select(col("qid"), col("qcid").as("cid"))
+  }
+
+  /** Score SQ8/PQ-style reconstructions against queries, restricted to
+    * the probed cells, bounded top-k per query. `enc` must carry
+    * (xid, cid, rx, xnorm).
+    */
+  private def probedTopK(enc: DataFrame, probes: DataFrame,
+                         queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qn = queries.select(col("qid"), scaled(col("qvec")).as("qs"))
       .withColumn("qnorm", sqrt(dotScaled(col("qs"), col("qs")).cast("double")))
     enc
@@ -566,6 +580,54 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("xid"), col("cos"), col("rank").cast("long").as("rank"))
   }
+
+  /** BUILD the IVF×SQ8 index once: SQ8 codes + norms with the cell id
+    * riding along — (xid, cid, rx, xnorm), the table production persists
+    * (partitioned by cell id) and every query batch reuses. The 100×
+    * soak's one-shot q124 wall is ~entirely this build (cells × corpus
+    * centroid dots); amortized over batches the serve cost is the
+    * nProbe/cells scan fraction alone.
+    */
+  def ivfSq8Build(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    sq8EncodeScaled(corpus).join(cellAssign(corpus, centroids), "xid")
+
+  /** Serve one query batch against a built (or reloaded) index. */
+  def ivfSq8Serve(index: DataFrame, queries: DataFrame, centroids: DataFrame,
+                  nProbe: Int, k: Int): DataFrame =
+    probedTopK(index, cellProbes(queries, centroids, nProbe), queries, k)
+
+  def ivfSq8TopK(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      nProbe: Int, k: Int): DataFrame =
+    ivfSq8Serve(ivfSq8Build(corpus, centroids), queries, centroids, nProbe, k)
+
+  /** IVFPQ (Jégou et al. 2011) — the canonical FAISS production index,
+    * composed from the same two layers as [[ivfSq8TopK]] but with the PQ
+    * fine quantizer: coarse cells bound compute (scan ≈ cells^(−1/2) of
+    * the corpus per query), PQ codes bound memory 32× (`subspaces` bytes
+    * per vector vs 4·dims). The codebook broadcasts as literals; scoring
+    * is asymmetric (query exact, corpus reconstructed), identical to
+    * [[pqTopK]] restricted to the probed cells — which is exactly what
+    * the oracle replays. Production trains the codebook offline with
+    * [[pqTrainCodebook]] and the centroids with [[kmeansStep]].
+    */
+  /** BUILD the IVFPQ index once: PQ codes' reconstructions + norms with
+    * the cell id — same persisted-artifact contract as [[ivfSq8Build]],
+    * at 32× compression (`subspaces` bytes/vector).
+    */
+  def ivfPqBuild(corpus: DataFrame, centroids: DataFrame,
+                 codebook: DataFrame, subspaces: Int): DataFrame =
+    pqReconScaled(corpus, codebook, subspaces)
+      .select(col("xid"), col("rx"))
+      .withColumn("xnorm", sqrt(dotScaled(col("rx"), col("rx")).cast("double")))
+      .localCheckpoint(true) // same materialization barrier as pqTopK
+      .join(cellAssign(corpus, centroids), "xid")
+
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, subspaces: Int, nProbe: Int, k: Int): DataFrame =
+    probedTopK(ivfPqBuild(corpus, centroids, codebook, subspaces),
+      cellProbes(queries, centroids, nProbe), queries, k)
 
   /** Train a PQ codebook with per-subspace Lloyd iterations — the offline
     * trainer [[pqTopK]]'s doc promises: each of the `subspaces` contiguous

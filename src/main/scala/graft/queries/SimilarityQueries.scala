@@ -437,7 +437,77 @@ object SimilarityQueries {
     Similarity.pqTopK(queries, corpus, trained, PqM, K)
   }
 
+  /** IVFPQ ([[Similarity.ivfPqTopK]]) — the canonical FAISS production
+    * index: q62's coarse routing over q120's PQ fine quantizer. Compute
+    * scans ≈ cells^(−1/2) of the corpus per query; memory is 8 code
+    * bytes/vector (32×). The oracle replays cell assignment, probe
+    * ranking, per-subspace code assignment, reconstruction, and the
+    * cell-restricted top-k — a green row pins the full composition.
+    */
+  val q125IvfPqAnn = Q.checked(
+    "q125_ivfpq_ann",
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $Cells),
+       |cel AS (
+       |  SELECT x.vec_id AS xid, c.cid, unnest(x.embedding) AS xa, unnest(c.cv) AS ca
+       |  FROM embeddings x, cent c
+       |), cdots AS (
+       |  SELECT xid, cid, ${dd("xa", "ca")} AS dxc, ${dd("xa", "xa")} AS dxx, ${dd("ca", "ca")} AS dcc
+       |  FROM cel GROUP BY xid, cid
+       |), ranked AS (
+       |  SELECT xid, cid, row_number() OVER (PARTITION BY xid ORDER BY dxx - 2*dxc + dcc, cid) AS rn
+       |  FROM cdots
+       |), assign AS (SELECT xid, cid FROM ranked WHERE rn = 1),
+       |probes AS (SELECT xid AS qid, cid FROM ranked WHERE rn <= $NProbe AND xid < $NQueries),
+       |cand AS (SELECT p.qid, a.xid FROM probes p JOIN assign a ON a.cid = p.cid),
+       |el AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+       |         ${sc("unnest(embedding)")} AS v
+       |  FROM embeddings
+       |), sub AS (
+       |  SELECT vec_id, (dim - 1) // ${64 / PqM} AS m, dim, v FROM el
+       |), cb AS (
+       |  SELECT vec_id AS ccid, m, dim, v FROM sub WHERE vec_id < $PqK
+       |), d2 AS (
+       |  SELECT x.vec_id AS xid, x.m, cb.ccid, sum((x.v - cb.v) * (x.v - cb.v)) AS d
+       |  FROM sub x JOIN cb ON cb.dim = x.dim
+       |  GROUP BY x.vec_id, x.m, cb.ccid
+       |), code AS (
+       |  SELECT xid, m, ccid FROM (
+       |    SELECT xid, m, ccid, row_number() OVER (PARTITION BY xid, m ORDER BY d, ccid) AS rn
+       |    FROM d2) WHERE rn = 1
+       |), recon AS (
+       |  SELECT c.xid, cb.dim, cb.v AS r
+       |  FROM code c JOIN cb ON cb.m = c.m AND cb.ccid = c.ccid
+       |), q AS (SELECT vec_id AS qid, dim, v AS qv FROM el WHERE vec_id < $NQueries),
+       |dots AS (
+       |  SELECT q.qid, x.xid,
+       |    CAST(sum(qv * r) AS DOUBLE) AS dqx,
+       |    CAST(sum(qv * qv) AS DOUBLE) AS dqq,
+       |    CAST(sum(r * r) AS DOUBLE) AS dxx
+       |  FROM q JOIN recon x ON x.dim = q.dim
+       |  JOIN cand c ON c.qid = q.qid AND c.xid = x.xid
+       |  GROUP BY q.qid, x.xid
+       |)
+       |SELECT qid, xid, cos, rank FROM (
+       |  SELECT qid, xid, dqx / (sqrt(dqq) * sqrt(dxx)) AS cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY dqx / (sqrt(dqq) * sqrt(dxx)) DESC, xid) AS rank
+       |  FROM dots
+       |) WHERE rank <= $K""") { (s, dir) =>
+    val emb = table(s, dir, "embeddings")
+    val cells = Similarity.ivfCellsFor(emb.count())
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val centroids = emb.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val codebook = emb.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.ivfPqTopK(queries, corpus, centroids, codebook, PqM,
+      Similarity.ivfProbesFor(cells), K)
+  }
+
   val all: Vector[Q] =
     Vector(q60AnnCosine, q61AnnLsh, q62AnnIvf, q104KmeansStep,
-      q116SemanticDedup, q119Sq8Ann, q120PqAnn, q120bPqTrained, q124IvfSq8Ann)
+      q116SemanticDedup, q119Sq8Ann, q120PqAnn, q120bPqTrained,
+      q124IvfSq8Ann, q125IvfPqAnn)
 }

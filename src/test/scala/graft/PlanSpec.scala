@@ -146,6 +146,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q124 ivf-sq8 probes and queries ride broadcasts; the only cross join is the bounded centroid assignment") {
+    val p = plan(graft.queries.SimilarityQueries.q124IvfSq8Ann)
+    // the candidate join (codes x probes) and the scoring join (x queries)
+    // must be broadcast hash joins — the corpus side never reshuffles
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), "corpus reshuffled for the probe join:\n" + p.take(3000))
+    // cells x corpus cross joins are the intended bounded assignment scans
+    // (cells ~ sqrt(N) broadcast rows per corpus row, linear total work);
+    // anything beyond the two assignment sites (corpus + query) is a bug
+    val crosses = "BroadcastNestedLoopJoin|CartesianProduct".r.findAllIn(p).size
+    assert(crosses <= 2, s"unexpected extra cross join ($crosses):\n" + p.take(3000))
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB

@@ -249,6 +249,28 @@ class RecallSpec extends AnyFunSuite {
     // IVF alone measured 0.98, SQ8 alone 0.99 — the composition loses at
     // most the union of both error sources
     assert(r >= 0.9, f"IVF x SQ8 recall collapsed: $r%.3f")
+    // IVFPQ: the fine quantizer is the bottleneck (PQ alone 0.41 on this
+    // clusterless corpus) — the floor guards collapse, matching pqTopK's
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val rPq = recallOf(
+      Similarity.ivfPqTopK(queries, corpus, centroids, codebook, 8, nProbe, K), truth)
+    info(f"ivfPq recall@$K at $cells cells / $nProbe probes: $rPq%.3f")
+    assert(rPq >= 0.2, f"IVFPQ recall collapsed: $rPq%.3f")
+    // the amortization contract: ONE build serves many query batches
+    // with answers identical to the one-shot operator — the persisted
+    // index really is the whole state, nothing is query-batch-coupled
+    val index = Similarity.ivfSq8Build(corpus, centroids).localCheckpoint()
+    val b1 = queries.filter(col("qid") < NQ / 2)
+    val b2 = queries.filter(col("qid") >= NQ / 2)
+    val served = Similarity.ivfSq8Serve(index, b1, centroids, nProbe, K)
+      .unionByName(Similarity.ivfSq8Serve(index, b2, centroids, nProbe, K))
+      .select(col("qid"), col("xid"), col("rank")).as[(Long, Long, Long)]
+      .collect().toSet
+    val oneShot = Similarity.ivfSq8TopK(queries, corpus, centroids, nProbe, K)
+      .select(col("qid"), col("xid"), col("rank")).as[(Long, Long, Long)]
+      .collect().toSet
+    assert(served == oneShot, "split-batch serving diverged from the one-shot answer")
   }
 
   test("sq8 overflow guard fires on coordinates that would wrap the long norm") {
