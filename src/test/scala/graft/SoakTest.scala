@@ -248,6 +248,9 @@ class SoakTest extends AnyFunSuite {
     time("q124_ivf_sq8_ann") {
       graft.queries.SimilarityQueries.q124IvfSq8Ann.run(spark, dir).count()
     }
+    time("q125_ivfpq_ann") {
+      graft.queries.SimilarityQueries.q125IvfPqAnn.run(spark, dir).count()
+    }
   }
 
   /** 100× soak of the dedup family (~500k docs / 200k vectors) — run with
