@@ -193,7 +193,33 @@ object SortQueries {
         row_number().over(w).as("seq"))
   }
 
+  /** Z-order (Morton) clustering key ([[graft.operators.ZOrder]]): the
+    * multi-dimensional layout pass — interleave (user_id, event_id) bits
+    * and aggregate the curve per bucket. The oracle replays the full
+    * bit-shuffle expression (generated from the same helper), so a green
+    * row pins the interleave math bit for bit; ZOrderSpec separately
+    * proves the LAYOUT property (a z-range-partitioned table bounds
+    * partition envelopes in BOTH dimensions, so 2-D box predicates prune
+    * where a linear sort cannot).
+    */
+  val q126Zorder = Q.checked(
+    "q126_zorder",
+    s"""WITH z AS (
+       |  SELECT ${graft.operators.ZOrder.zValueSql("user_id", "event_id", 16)} AS zv
+       |  FROM events)
+       |SELECT zv >> 18 AS z_bucket, count(*) AS n,
+       |  min(zv) AS min_z, max(zv) AS max_z
+       |FROM z GROUP BY 1""") { (s, dir) =>
+    table(s, dir, "events")
+      .select(graft.operators.ZOrder
+        .zValue(col("user_id"), col("event_id"), 16).as("zv"))
+      .groupBy(shiftright(col("zv"), 18).as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("zv")).as("min_z"), max(col("zv")).as("max_z"))
+  }
+
   val all: Vector[Q] =
     Vector(q30SortValidate, q31SecondarySort, q32KeyFieldSort, q33FieldSel,
-      q36WindowRunning, q37Rollup, q38KeyFieldPartition, q81WindowFamily)
+      q36WindowRunning, q37Rollup, q38KeyFieldPartition, q81WindowFamily,
+      q126Zorder)
 }
