@@ -144,6 +144,28 @@ object Vaidya {
     balance ++ Seq(mapReExec, redReExec, sideEffect, spill)
   }
 
+  /** Diagnosis over the engine's OBSERVE counters ([[Counters]] facade):
+    * after an action on a frame that carries observations, flag any
+    * metric whose name marks a lossy guard (`DROPPED_*`, e.g. the LSH
+    * bucket cap's DROPPED_MEMBERS) that actually dropped rows — the
+    * "silent truncation" class of problem, surfaced with the same
+    * Finding shape as the task-metric rules. Boolean rules use
+    * threshold 1 (the reference XML's convention for yes/no tests).
+    */
+  def diagnoseObserved(df: org.apache.spark.sql.DataFrame): Seq[Finding] =
+    df.queryExecution.observedMetrics.toSeq.sortBy(_._1).flatMap {
+      case (obsName, row) =>
+        row.schema.fieldNames.zip(row.toSeq).collect {
+          case (metric, v: Long) if metric.startsWith("DROPPED_") =>
+            val impact = if (v > 0) 1.0 else 0.0
+            Finding(s"LossyGuard:$obsName.$metric", "Medium", None, impact,
+              1.0, v > 0,
+              s"$v rows dropped by the $obsName guard",
+              "raise the guard's cap, or pre-shard the hot key so the " +
+                "capped group stays under it; the drop count is exact")
+        }
+    }
+
   /** Human-readable report, positives first — the reference's
     * PostExPerformanceDiagnoser report shape (title, impact, threshold,
     * prescription on failure).

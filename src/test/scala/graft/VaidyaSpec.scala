@@ -62,6 +62,27 @@ class VaidyaSpec extends AnyFunSuite {
       "MapSideDiskSpill").impact == 0.0)
   }
 
+  test("diagnoseObserved surfaces a lossy-guard drop from the observe facade") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 50 ids in one band bucket, cap 10: 40 members drop — the observe
+    // metric carries it, and the vaidya rule must read it as POSITIVE
+    val bands = (1L to 50L).map(i => (i, 0, "sig")).toDF("id", "band", "key")
+    val capped = Dedup.candidatePairs(bands, maxBucket = 10)
+    capped.collect()
+    val fs = Vaidya.diagnoseObserved(capped)
+    val hit = fs.find(_.rule.contains("bucket_cap"))
+      .getOrElse(fail(s"no lossy-guard finding in $fs"))
+    assert(hit.positive && hit.detail.contains("40"), hit.toString)
+    // an uncapped run reports the rule negative with impact 0
+    val clean = Dedup.candidatePairs(
+      Seq((1L, 0, "x"), (2L, 0, "x")).toDF("id", "band", "key"))
+    clean.collect()
+    val neg = Vaidya.diagnoseObserved(clean).find(_.rule.contains("bucket_cap"))
+      .getOrElse(fail("expected a negative finding"))
+    assert(!neg.positive && neg.impact == 0.0)
+  }
+
   test("listener + diagnosis flags a real skewed aggregation, clears a balanced one") {
     import spark.implicits._
     def run(key: org.apache.spark.sql.Column): Seq[TaskProbe] = {
