@@ -343,6 +343,70 @@ object DedupQueries {
         lit(0L)).as("triangles"))
   }
 
+  /** PageRank over the bipartite user ↔ event-type graph — the iterative
+    * propagation family (distinct from q58's pointer-jumping CC and
+    * q87's triangle closure): entity importance by random walk, the
+    * standard "which users/types dominate the interaction graph" signal.
+    *
+    * Exactness: ranks live in the scaled-long domain (1e6 = 1.0) and
+    * every step is integer — per-edge contribution `pr div deg` (floor
+    * division, identical in Spark `div` and DuckDB `//` on non-negative
+    * longs) and the damping update `150000 + (85 · Σcontrib) div 100`
+    * (d = 0.85 exactly). Three iterations, unrolled in the oracle as
+    * three CTEs — bit-identical cross-engine, no float ever.
+    *
+    * Scale shape: the classic Pregel loop — each iteration is ONE
+    * shuffle of (dst, contrib) with map-side partial sums; the degree
+    * table joins on the same src key; ranks checkpoint per iteration so
+    * the plan doesn't nest. Edges are symmetric by construction, so
+    * there are no dangling nodes and the walk is well-defined.
+    */
+  val q127Pagerank = Q.checked(
+    "q127_pagerank",
+    """WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events),
+      |edges AS (
+      |  SELECT 'u:' || CAST(user_id AS VARCHAR) AS src, 't:' || event_type AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT 't:' || event_type, 'u:' || CAST(user_id AS VARCHAR) FROM pairs
+      |), deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+      |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+      |i1 AS (
+      |  SELECT e.dst AS node, CAST(150000 + (85 * sum(r.pr // g.d)) // 100 AS BIGINT) AS pr
+      |  FROM edges e JOIN r0 r ON r.node = e.src JOIN deg g ON g.src = e.src
+      |  GROUP BY e.dst),
+      |i2 AS (
+      |  SELECT e.dst AS node, CAST(150000 + (85 * sum(r.pr // g.d)) // 100 AS BIGINT) AS pr
+      |  FROM edges e JOIN i1 r ON r.node = e.src JOIN deg g ON g.src = e.src
+      |  GROUP BY e.dst),
+      |i3 AS (
+      |  SELECT e.dst AS node, CAST(150000 + (85 * sum(r.pr // g.d)) // 100 AS BIGINT) AS pr
+      |  FROM edges e JOIN i2 r ON r.node = e.src JOIN deg g ON g.src = e.src
+      |  GROUP BY e.dst)
+      |SELECT node, pr FROM i3""") { (s, dir) =>
+    val pairs = table(s, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val edges = pairs
+      .select(concat(lit("u:"), col("user_id")).as("src"),
+        concat(lit("t:"), col("event_type")).as("dst"))
+      .unionByName(pairs
+        .select(concat(lit("t:"), col("event_type")).as("src"),
+          concat(lit("u:"), col("user_id")).as("dst")))
+      .localCheckpoint(true) // reused by deg + every iteration
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to 3) {
+      ranks = edges
+        .join(ranks, col("src") === col("node"))
+        .join(deg, "src")
+        .select(col("dst"), expr("pr div d").as("contrib"))
+        .groupBy(col("dst"))
+        .agg((lit(150000L) + expr("(85 * sum(contrib)) div 100")).as("pr"))
+        .select(col("dst").as("node"), col("pr"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Binary-payload dedup COMPOSITION — multimodal columns flowing
     * through the exact-dedup path: deterministic WAV / BMP / PNG payloads
     * are synthesized per document (content class = doc_id % 17, so ~17
@@ -662,5 +726,5 @@ object DedupQueries {
     Vector(q50DedupExact, q51MinhashLsh, q52Simhash, q53Jaccard,
       q57EmbedDedup, q58DedupGroups, q59DedupApply, q87Triangles,
       q97BinaryDedup, q103SnapshotDiff, q106UrlDedup, q110IncrementalDedup,
-      q115ParagraphDedup)
+      q115ParagraphDedup, q127Pagerank)
 }

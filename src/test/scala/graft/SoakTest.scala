@@ -363,6 +363,27 @@ class SoakTest extends AnyFunSuite {
     time("q122_ingest_dedup") {
       graft.queries.StreamQueries.q122IngestDedup.run(spark, dir).count()
     }
+    // the amortization measurement the one-shot q124 number motivates:
+    // build the index ONCE (the production OPTIMIZE job), then time a
+    // query batch against the built index — the steady-state serving
+    // cost, which is what a 100 TB deployment actually pays per batch
+    val emb2 = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n2 = emb2.count()
+    val cells2 = Similarity.ivfCellsFor(n2)
+    val corpus2 = emb2.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val cents2 = emb2.filter(col("vec_id") < cells2)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    var index: org.apache.spark.sql.DataFrame = null
+    time("q124_build_once") {
+      index = Similarity.ivfSq8Build(corpus2, cents2).localCheckpoint()
+      index.count()
+    }
+    val queries2 = emb2.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    time("q124_serve_batch") {
+      Similarity.ivfSq8Serve(index, queries2, cents2,
+        Similarity.ivfProbesFor(cells2), 3).count()
+    }
   }
 }
 
