@@ -308,4 +308,63 @@ object Dedup {
         (col("c").cast("double") /
           (size(col("sa.toks")) + size(col("sb.toks")) - col("c"))).as("jaccard"))
   }
+
+  /** EXACT set-similarity join with prefix filtering (AllPairs/PPJoin —
+    * Bayardo 2007, Xiao 2008): every pair of documents with token-set
+    * Jaccard ≥ t, found WITHOUT LSH — the exact-recall complement to
+    * [[candidatePairs]] for when probabilistic recall isn't acceptable
+    * (legal dedup, eval-set decontamination).
+    *
+    * Pruning: tokens sort per document by GLOBAL (frequency, token)
+    * order — rarest first — and only each document's PREFIX (the first
+    * n − ⌈t·n⌉ + 1 tokens) is exploded into the candidate join. The
+    * prefix theorem (under any global total order, |A∩B| ≥ α means the
+    * (n−α+1)-prefixes intersect; J ≥ t with the length filter gives
+    * α ≥ ⌈t·n⌉ per side) makes this lossless, while candidates shrink to
+    * pairs sharing a RARE token — the frequency order is what keeps hot
+    * tokens out of prefixes. A length filter (t·max ≤ min) prunes before
+    * the join. No global rank is materialized: the per-document sort
+    * key is the (df, token) struct itself, so ordering needs no
+    * vocab-sized window — just one df join and an array sort.
+    *
+    * Scale shape: token-frequency agg (map-side combined), one join to
+    * attach dfs, per-doc array sort (document-bounded), prefix explode
+    * (≈ (1−t)·tokens rows), equi-join on the prefix token, distinct,
+    * then the [[jaccard]]-style array-intersect verify. All integer
+    * compares: 100·|∩| ≥ tPct·(na + nb − |∩|).
+    *
+    * Input: (id, toks) with toks DISTINCT per row. Output:
+    * (a, b, inter, na, nb) for every qualifying pair, a < b.
+    */
+  def setSimJoin(docs: DataFrame, tPct: Int): DataFrame = {
+    require(tPct > 0 && tPct <= 100, s"setSimJoin: tPct in (0,100], got $tPct")
+    val tok = docs.select(col("id"), explode(col("toks")).as("w"))
+    val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // per-doc tokens in global (df, w) order + the plain token array for
+    // the verify intersect; materialize once — three consumers (both
+    // candidate sides and the verify)
+    val sorted = tok.join(dfreq, "w")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("ord"),
+        count(lit(1)).as("n"))
+      .select(col("id"), col("n"),
+        expr("transform(ord, x -> x.w)").as("ws"))
+      .localCheckpoint(true)
+    // prefix length n - ceil(t*n) + 1; ceil(t*n) = (tPct*n + 99) div 100
+    val pref = sorted.select(col("id"), col("n"),
+      explode(expr(s"slice(ws, 1, n - (($tPct * n + 99) div 100) + 1)")).as("w"))
+    val cand = pref.select(col("id").as("a"), col("n").as("_na"), col("w"))
+      .join(pref.select(col("id").as("b"), col("n").as("_nb"), col("w")), "w")
+      .filter(col("a") < col("b"))
+      .filter(lit(tPct) * greatest(col("_na"), col("_nb")) <=
+        lit(100) * least(col("_na"), col("_nb")))
+      .select(col("a"), col("b"))
+      .distinct()
+    cand
+      .join(sorted.select(col("id").as("a"), col("ws").as("wa"), col("n").as("na")), "a")
+      .join(sorted.select(col("id").as("b"), col("ws").as("wb"), col("n").as("nb")), "b")
+      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .filter(lit(100) * col("inter") >= lit(tPct) * (col("na") + col("nb") - col("inter")))
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
+  }
 }

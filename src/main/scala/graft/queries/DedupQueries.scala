@@ -407,6 +407,34 @@ object DedupQueries {
     ranks
   }
 
+  /** Exact set-similarity self-join ([[Dedup.setSimJoin]], AllPairs/
+    * PPJoin prefix filtering): every document pair with token-set
+    * Jaccard ≥ 0.8, exact recall — no LSH, no probability. The engine
+    * prunes with frequency-ordered prefixes + the length filter; the
+    * oracle finds the same pairs by the BRUTE token join — two
+    * independent algorithms, one answer, so a green row proves the
+    * prefix pruning lossless on real data (the q63c equivalence style).
+    * Integer threshold compare on both sides: 100·|∩| ≥ 80·(na+nb−|∩|).
+    */
+  val q128SetsimJoin = Q.checked(
+    "q128_setsim_join",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+      |  FROM documents),
+      |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |ov AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT ov.a, ov.b, ov.inter, sa.n AS na, sb.n AS nb
+      |FROM ov JOIN sz sa ON sa.doc_id = ov.a JOIN sz sb ON sb.doc_id = ov.b
+      |WHERE 100 * ov.inter >= 80 * (sa.n + sb.n - ov.inter)""") { (s, dir) =>
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+        array_distinct(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("toks"))
+    Dedup.setSimJoin(docs, 80)
+  }
+
   /** Binary-payload dedup COMPOSITION — multimodal columns flowing
     * through the exact-dedup path: deterministic WAV / BMP / PNG payloads
     * are synthesized per document (content class = doc_id % 17, so ~17
@@ -726,5 +754,5 @@ object DedupQueries {
     Vector(q50DedupExact, q51MinhashLsh, q52Simhash, q53Jaccard,
       q57EmbedDedup, q58DedupGroups, q59DedupApply, q87Triangles,
       q97BinaryDedup, q103SnapshotDiff, q106UrlDedup, q110IncrementalDedup,
-      q115ParagraphDedup, q127Pagerank)
+      q115ParagraphDedup, q127Pagerank, q128SetsimJoin)
 }
