@@ -159,6 +159,18 @@ class PlanSpec extends AnyFunSuite {
     assert(crosses <= 2, s"unexpected extra cross join ($crosses):\n" + p.take(3000))
   }
 
+  test("q127 pagerank and q128 set-sim join never plan a cartesian") {
+    // both are equi-join families: pagerank's per-iteration (src) joins
+    // and set-sim's prefix-token + verify joins must all key-match — a
+    // nested-loop anywhere means the pruning structure was lost
+    for (q <- Seq(graft.queries.DedupQueries.q127Pagerank,
+        graft.queries.DedupQueries.q128SetsimJoin)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"${q.name} planned a nested loop:\n" + p.take(3000))
+    }
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
