@@ -26,9 +26,19 @@ object Similarity {
   def scaled(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * 1000000d).cast("long"))
 
-  /** Integer dot product of two pre-scaled long arrays. */
-  def dotScaled(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Integer dot product of two pre-scaled long arrays — the native
+    * [[graft.functions.DotLongs]] kernel (one tight long loop inside
+    * whole-stage codegen; the prior `aggregate(zip_with(...))` form paid
+    * a lambda invocation per element, and this dot sits under every
+    * cosine/d² in the ANN, k-means, and semantic-dedup operators).
+    * Same null contract as the HOF form: null array, length mismatch, or
+    * null element → null.
+    */
+  def dotScaled(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.toColumn(graft.functions.DotLongs(
+      GraftBridge.toExpr(a), GraftBridge.toExpr(b)))
+  }
 
   /** Exact scaled dot product of two raw float-array columns. */
   def dotDecimal(a: Column, b: Column): Column = dotScaled(scaled(a), scaled(b))
@@ -83,9 +93,9 @@ object Similarity {
     */
   def srpBucketScaled(sv: Column, signs: Seq[Seq[Int]]): Column = {
     val bits = signs.zipWithIndex.map { case (row, j) =>
-      val signArr = typedlit(row.map(_.toLong))
-      val dot = aggregate(
-        zip_with(sv, signArr, (x, s) => x * s), lit(0L), (acc, v) => acc + v)
+      // the hyperplane test is a dot against a ±1 literal — same native
+      // kernel as every other dot in this module
+      val dot = dotScaled(sv, typedlit(row.map(_.toLong)))
       when(dot > 0, 1L << j).otherwise(0L)
     }
     bits.reduce(_ + _)
@@ -710,9 +720,14 @@ object Similarity {
       s"pqTopK: $dims dims not divisible into $subspaces subspaces")
     val sub = dims / subspaces
     def slice0(sv: Column, m: Int): Column = slice(sv, m * sub + 1, sub)
-    def l2(a: Column, b: Seq[Long]): Column =
-      aggregate(zip_with(a, typedlit(b), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v)
+    // native L2 kernel (graft.functions.L2Longs): this distance runs
+    // k_sub times per subspace per corpus vector — the PQ encode's whole
+    // cost — so the per-element HOF lambda tax matters here most
+    def l2(a: Column, b: Seq[Long]): Column = {
+      import org.apache.spark.sql.GraftBridge
+      GraftBridge.toColumn(graft.functions.L2Longs(
+        GraftBridge.toExpr(a), GraftBridge.toExpr(typedlit(b))))
+    }
     // recon = per-subspace nearest codeword, concatenated back; the code
     // itself (array_position of the min — first match = lowest cid, the
     // cross-engine tiebreak) is what production would store
