@@ -350,14 +350,30 @@ object Dedup {
       .select(col("id"), col("n"),
         expr("transform(ord, x -> x.w)").as("ws"))
       .localCheckpoint(true)
-    // prefix length n - ceil(t*n) + 1; ceil(t*n) = (tPct*n + 99) div 100
+    // prefix length n - ceil(t*n) + 1; ceil(t*n) = (tPct*n + 99) div 100.
+    // posexplode keeps each prefix token's position for the PPJoin
+    // positional filter below.
     val pref = sorted.select(col("id"), col("n"),
-      explode(expr(s"slice(ws, 1, n - (($tPct * n + 99) div 100) + 1)")).as("w"))
-    val cand = pref.select(col("id").as("a"), col("n").as("_na"), col("w"))
-      .join(pref.select(col("id").as("b"), col("n").as("_nb"), col("w")), "w")
+      posexplode(expr(s"slice(ws, 1, n - (($tPct * n + 99) div 100) + 1)"))
+        .as(Seq("p", "w")))
+    // PPJoin positional filter (Xiao 2008): a match at (0-based) prefix
+    // positions (pa, pb) bounds the overlap at 1 + min suffix length —
+    // all common tokens sit at or after the FIRST common one in the
+    // shared global order, so if even that bound misses the required
+    // overlap o_min = ceil(t·(na+nb)/(1+t)) (integer form below), the
+    // pair can't qualify through this match; a qualifying pair always
+    // survives via its first common prefix token, so the prune is
+    // lossless while cutting the candidate set before the distinct.
+    val cand = pref.select(col("id").as("a"), col("n").as("_na"),
+        col("p").as("_pa"), col("w"))
+      .join(pref.select(col("id").as("b"), col("n").as("_nb"),
+        col("p").as("_pb"), col("w")), "w")
       .filter(col("a") < col("b"))
       .filter(lit(tPct) * greatest(col("_na"), col("_nb")) <=
         lit(100) * least(col("_na"), col("_nb")))
+      .filter((lit(1L) + least(col("_na") - col("_pa") - 1,
+          col("_nb") - col("_pb") - 1)) * lit(100 + tPct) >=
+        lit(tPct) * (col("_na") + col("_nb")))
       .select(col("a"), col("b"))
       .distinct()
     cand
