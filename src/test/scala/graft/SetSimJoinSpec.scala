@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact set-similarity join (Dedup.setSimJoin): completeness against an
+  * in-Scala brute force on a synthetic corpus whose Jaccard values
+  * straddle the thresholds — the unit-level guard for the prefix theorem
+  * and the PPJoin positional filter (q128's oracle re-proves the same on
+  * real documents).
+  */
+class SetSimJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // 40 docs of overlapping token ranges: sizes 5..15, starts cycling 0..6,
+  // so pair similarity spans [0, 1) and both thresholds get real work
+  private val docs: Seq[(Long, Seq[String])] = (0 until 40).map { i =>
+    val start = i % 7
+    val len = 5 + (i % 11)
+    (i.toLong, (start until start + len).map(j => s"w$j"))
+  }
+
+  private def brute(tPct: Int): Set[(Long, Long, Long, Long, Long)] = {
+    val sets = docs.map { case (id, ws) => id -> ws.toSet }.toMap
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size.toLong
+      if 100 * inter >= tPct * (sa.size + sb.size - inter)
+    } yield (a, b, inter, sa.size.toLong, sb.size.toLong)).toSet
+  }
+
+  test("setSimJoin equals brute force at t=0.8 and t=0.5") {
+    import spark.implicits._
+    val df = docs.toDF("id", "toks")
+    for (t <- Seq(80, 50)) {
+      val got = Dedup.setSimJoin(df, t)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val want = brute(t)
+      assert(got == want,
+        s"t=$t: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)} " +
+          s"(got ${got.size}, want ${want.size})")
+      assert(want.nonEmpty, s"t=$t fixture degenerate: no qualifying pairs")
+    }
+    // and a threshold high enough that only identical sets pair: docs
+    // 7 apart with equal length share start AND length -> J = 1.0
+    import spark.implicits._
+    val exact = Dedup.setSimJoin(docs.toDF("id", "toks"), 100)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(exact == brute(100))
+    assert(exact.forall { case (_, _, i, na, nb) => i == na && i == nb })
+  }
+}
