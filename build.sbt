@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout/stderr through verbatim instead of the
+// default LoggedOutput ([info]/[error] prefixes): the round driver
+// scrapes Bench's final stdout JSON line, and a logger prefix breaks a
+// plain `json.loads(line)` scrape.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -206,16 +206,29 @@ object Bench {
     val calibPost = calibMs
     val calibParPost = calibParMs
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcJson,"errors":$errJson,"calib_spin_ms":$calibPre,"calib_spin_ms_post":$calibPost,"calib_par_ms":$calibParPre,"calib_par_ms_post":$calibParPost,"sf":"$sfDir"}"""
-    println(json)
-    // the stdout line is scraped by the round driver with a bounded window
-    // (BENCH_r06 lost its per-query map to a 2000-char tail) — persist the
-    // identical JSON to a file so the round's perf record can't be clipped
+    // full-fidelity record goes to a file (benchgate + gate.sh read it);
+    // written BEFORE the stdout lines so the stderr note can't trail them
     scala.util.Try {
       val p = java.nio.file.Paths.get("target/bench_latest.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] wrote ${p.toAbsolutePath}")
     }
+    println(json)
+    // The round driver scrapes a BOUNDED tail of this process's output
+    // (2000 chars — BENCH_r01..r11 all recorded parsed:null because the
+    // full JSON line above is ~6KB and was always clipped mid-line). The
+    // LAST line is therefore a compact variant guaranteed to fit whole in
+    // that window: short query keys (the unique qNN prefix), 2-decimal
+    // seconds, no gc/calib payload. Anything needing full fidelity reads
+    // target/bench_latest.json / BENCH_LATEST.json instead.
+    val compact = {
+      def d2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      val shortKeys = results.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + d2(v) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${d2(total)},"unit":"sec","queries":$shortKeys,"errors":$errJson,"sf":"$sfDir"}"""
+    }
+    println(compact)
     spark.stop()
   }
 }
