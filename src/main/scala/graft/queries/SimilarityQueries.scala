@@ -414,6 +414,41 @@ object SimilarityQueries {
       Similarity.ivfProbesFor(cells), K)
   }
 
+  /** One unrolled Lloyd iteration for the q120b oracle, all 8 subspaces
+    * jointly (a codeword's dims are disjoint per subspace, so joining on
+    * the global dim keys the (m, cid) pair implicitly). Replays
+    * [[Similarity.kmeansStep]] + [[Similarity.centroidsFromStep]] + the
+    * starvation fallback EXACTLY, including the centroid's numeric
+    * round-trip: exact integer sums → DECIMAL(38,6)/n → round(.,2) →
+    * /1e6 → float32 (centroidsFromStep stores `cast(... as float)`) →
+    * re-scaled `round(x*1e6)` long for the next iteration's distances.
+    * The CAST(... AS REAL) is load-bearing: it reproduces the float32
+    * quantization the Spark side pays when the trained centroids are fed
+    * back through [[Similarity.scaled]].
+    */
+  private def lloydIterSql(i: Int): String = {
+    val prev = s"cb_${i - 1}"
+    s"""d2_$i AS (
+       |  SELECT x.vec_id AS xid, x.m, p.cid, sum((x.v - p.v) * (x.v - p.v)) AS d
+       |  FROM sub x JOIN $prev p ON p.dim = x.dim
+       |  GROUP BY x.vec_id, x.m, p.cid
+       |), a_$i AS (
+       |  SELECT xid, m, cid FROM (
+       |    SELECT xid, m, cid, row_number() OVER (PARTITION BY xid, m ORDER BY d, cid) AS rn
+       |    FROM d2_$i) WHERE rn = 1
+       |), n_$i AS (
+       |  SELECT a.m, a.cid, x.dim,
+       |    CAST(round(CAST(CAST(CAST(round(CAST(sum(x.v) AS DECIMAL(38,6)) / count(*), 2) AS DOUBLE) / 1e6 AS REAL) AS DOUBLE) * 1000000) AS BIGINT) AS v
+       |  FROM a_$i a JOIN sub x ON x.vec_id = a.xid AND x.m = a.m
+       |  GROUP BY a.m, a.cid, x.dim
+       |), cb_$i AS (
+       |  SELECT m, cid, dim, v FROM n_$i
+       |  UNION ALL
+       |  SELECT p.m, p.cid, p.dim, p.v FROM $prev p
+       |  WHERE NOT EXISTS (SELECT 1 FROM n_$i n WHERE n.m = p.m AND n.cid = p.cid)
+       |)""".stripMargin
+  }
+
   /** q120 with a TRAINED codebook ([[Similarity.pqTrainCodebook]]: 3
     * per-subspace Lloyd iterations from the deterministic first-vectors
     * seed) — the offline-trainer loop closed. Training provably shrinks
@@ -421,12 +456,47 @@ object SimilarityQueries {
     * corpus (iid near-orthogonal, no cluster structure) ranking recall at
     * 16 codewords is ceiling-bound ≈0.38 regardless of training — the
     * recall dial is codebook SIZE, which RecallSpec also pins (64 trained
-    * codewords beat 16). Rows-only at the driver: the oracle would have
-    * to replay 24 k-means iterations in SQL; the training math is already
-    * oracle-pinned piecewise by q104 (one kmeansStep) and q120
-    * (encode+score given a codebook).
+    * codewords beat 16). The oracle unrolls all 3 Lloyd iterations in
+    * CTEs ([[lloydIterSql]], the q127 unrolling technique) and then
+    * replays q120's encode+score against the trained codebook — a green
+    * row pins the COMPOSED training loop, not just its pieces (q104 pins
+    * one step, q120 pins scoring given a codebook).
     */
-  val q120bPqTrained = Q.rowsOnly("q120b_pq_trained") { (s, dir) =>
+  val q120bPqTrained = Q.checked(
+    "q120b_pq_trained",
+    s"""WITH el AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+       |         ${sc("unnest(embedding)")} AS v
+       |  FROM embeddings
+       |), sub AS (
+       |  SELECT vec_id, (dim - 1) // ${64 / PqM} AS m, dim, v FROM el
+       |), cb_0 AS (
+       |  SELECT m, vec_id AS cid, dim, v FROM sub WHERE vec_id < $PqK
+       |), ${lloydIterSql(1)}, ${lloydIterSql(2)}, ${lloydIterSql(3)},
+       |d2_f AS (
+       |  SELECT x.vec_id AS xid, x.m, p.cid, sum((x.v - p.v) * (x.v - p.v)) AS d
+       |  FROM sub x JOIN cb_3 p ON p.dim = x.dim
+       |  GROUP BY x.vec_id, x.m, p.cid
+       |), code AS (
+       |  SELECT xid, m, cid FROM (
+       |    SELECT xid, m, cid, row_number() OVER (PARTITION BY xid, m ORDER BY d, cid) AS rn
+       |    FROM d2_f) WHERE rn = 1
+       |), recon AS (
+       |  SELECT c.xid, p.dim, p.v AS r
+       |  FROM code c JOIN cb_3 p ON p.m = c.m AND p.cid = c.cid
+       |), q AS (SELECT vec_id AS qid, dim, v AS qv FROM el WHERE vec_id < $NQueries),
+       |dots AS (
+       |  SELECT qid, x.xid,
+       |    CAST(sum(qv * r) AS DOUBLE) AS dqx,
+       |    CAST(sum(qv * qv) AS DOUBLE) AS dqq,
+       |    CAST(sum(r * r) AS DOUBLE) AS dxx
+       |  FROM q JOIN recon x ON x.dim = q.dim GROUP BY qid, x.xid
+       |)
+       |SELECT qid, xid, cos, rank FROM (
+       |  SELECT qid, xid, dqx / (sqrt(dqq) * sqrt(dxx)) AS cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY dqx / (sqrt(dqq) * sqrt(dxx)) DESC, xid) AS rank
+       |  FROM dots
+       |) WHERE rank <= $K""") { (s, dir) =>
     val emb = table(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))

@@ -26,7 +26,23 @@ def main():
     cur_path = sys.argv[1]
     base_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_BASELINE.json"
     max_ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
-    cur = json.load(open(cur_path))
+    # Bench prints TWO stdout lines since round 12 (full-fidelity first,
+    # then a compact tail-window variant for the round driver); gate on
+    # the full line — the one carrying the calibration fields.
+    cur = None
+    for line in open(cur_path):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if cur is None or "calib_par_ms" in d:
+            cur = d
+    if cur is None:
+        print(f"benchgate: no parseable bench JSON in {cur_path}")
+        sys.exit(1)
     base = json.load(open(base_path))
     # host-speed normalization: if this run's parallel calibration is 1.4x
     # the baseline's, allow 1.4x more wall per query before alarming
