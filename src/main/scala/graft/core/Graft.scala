@@ -121,7 +121,22 @@ object Graft {
     df.schema(name).dataType match {
       case TimestampType    => unix_micros(col(name))
       case TimestampNTZType => unix_micros(col(name).cast(TimestampType))
-      case LongType         => org.apache.spark.sql.functions.expr(s"`$name` div 1000")
+      case LongType         =>
+        // A plain-long ts is epoch-nanos BY FIXTURE CONTRACT; if a driver
+        // generation ever ships epoch-micros as a long instead, dividing
+        // by 1000 would be silently 1000x off. Modern event times are
+        // ≥ ~1.5e18 nanos while the same instants in micros sit near
+        // 1.7e15, so a per-row floor (1e17 ≈ 1973 in nanos) turns that
+        // drift into a loud failure instead. One codegen'd comparison per
+        // row — free next to the scan.
+        import org.apache.spark.sql.functions.{when, raise_error, concat, lit}
+        val nanosFloor = 100000000000000000L
+        when(col(name).isNull || col(name) >= nanosFloor,
+          org.apache.spark.sql.functions.expr(s"`$name` div 1000"))
+          .otherwise(raise_error(concat(
+            lit(s"tsUs: `$name` value "), col(name).cast("string"),
+            lit(" is below the plausible epoch-nanos range — " +
+              "epoch-micros-as-long fixture drift?"))).cast(LongType))
       case dt => throw new IllegalArgumentException(
         s"tsUs: column `$name` has unsupported event-time type $dt " +
           "(expected TIMESTAMP, TIMESTAMP_NTZ, or epoch-nanos LONG)")

@@ -200,15 +200,19 @@ final class VaidyaListener extends SparkListener {
 
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {
     val m = e.taskMetrics
-    if (m != null && e.taskInfo != null) {
+    // taskMetrics is routinely null for FAILED attempts; dropping those
+    // rows would make the re-execution rule undercount launched attempts
+    // (or see distinct=0) — exactly the retry storms it exists to flag.
+    // Record the attempt with zeroed metrics instead.
+    if (e.taskInfo != null) {
       buf += TaskProbe(
         stageId = e.stageId,
         attemptNumber = e.taskInfo.attemptNumber,
         failed = !e.taskInfo.successful,
-        shuffleReadRecords = m.shuffleReadMetrics.recordsRead,
-        shuffleWriteBytes = m.shuffleWriteMetrics.bytesWritten,
-        inputBytes = m.inputMetrics.bytesRead,
-        spillBytes = m.memoryBytesSpilled + m.diskBytesSpilled)
+        shuffleReadRecords = if (m != null) m.shuffleReadMetrics.recordsRead else 0L,
+        shuffleWriteBytes = if (m != null) m.shuffleWriteMetrics.bytesWritten else 0L,
+        inputBytes = if (m != null) m.inputMetrics.bytesRead else 0L,
+        spillBytes = if (m != null) m.memoryBytesSpilled + m.diskBytesSpilled else 0L)
     }
   }
 

@@ -312,8 +312,9 @@ class SoakTest extends AnyFunSuite {
     * map-side. SemDeDup runs at its balanced √(N/2) geometry over the
     * full 200k-vector corpus (N^1.5 total work claim under test);
     * SQ8/PQ/IVF×SQ8 exercise the encode-once barrier and (for q124) the
-    * cell-pruned scan at 632 cells/26 probes. Results in COVERAGE.md
-    * §"100× soak record".
+    * cell-pruned scan at the geometry DERIVED from the 200k-vector corpus
+    * (ivfCellsFor/ivfProbesFor — 448 cells / 22 probes; the run prints
+    * the exact numbers). Results in COVERAGE.md §"100× soak record".
     */
   soakGated("100x soak: ANN + semantic dedup + ingest dedup at production shape") {
     val base = "/root/testdata/sf0.1"
