@@ -115,4 +115,49 @@ object JdbcSplitters {
       s"($lo AND $hi$nulls)"
     }.toArray
   }
+
+  /** One WHERE fragment per partition over a FLOAT/DOUBLE key
+    * (`FloatSplitter.java:46`): even strides of `(max − min)/n` with the
+    * reference's minimum increment (10000·Double.MIN_VALUE) so a
+    * degenerate range still terminates; half-open ranges, last range
+    * closed, NULLs folded into the first partition. One deliberate
+    * divergence: the reference's final split lower-bounds at `curUpper`
+    * (`FloatSplitter.java:92`), which skips the rows in
+    * `[curLower, curUpper)` of the last stride — a coverage gap, not a
+    * semantic we reproduce; the last range here starts at the previous
+    * boundary, so the union of fragments covers `[min, max]` exactly.
+    */
+  def floatPredicates(column: String, min: Double, max: Double, n: Int): Array[String] = {
+    require(n >= 1 && !min.isNaN && !max.isNaN && min <= max,
+      s"floatPredicates: bad bounds ($min, $max) or n=$n")
+    val minIncrement = 10000 * java.lang.Double.MIN_VALUE
+    val splitSize = math.max((max - min) / n, minIncrement)
+    val bounds = scala.collection.mutable.ArrayBuffer(min)
+    var cur = min + splitSize
+    while (cur < max) { bounds += cur; cur += splitSize }
+    bounds += max
+    val ranges = bounds.toVector.sliding(2).toVector
+    ranges.zipWithIndex.map { case (Seq(a, b), i) =>
+      val lo = s"$column >= $a"
+      val hi = if (i == ranges.size - 1) s"$column <= $b" else s"$column < $b"
+      val nulls = if (i == 0) s" OR $column IS NULL" else ""
+      s"($lo AND $hi$nulls)"
+    }.toArray
+  }
+
+  /** One WHERE fragment per partition over a BOOLEAN key
+    * (`BooleanSplitter.java:40`): at most two value splits — `= FALSE`
+    * when the min is false, `= TRUE` when the max is true — with NULLs
+    * folded into the first fragment (the reference emits them as a third
+    * split; a partition is a WHERE fragment either way, and dropping
+    * NULL-keyed rows would be silent data loss).
+    */
+  def booleanPredicates(column: String, min: Boolean, max: Boolean): Array[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (!min) parts += s"$column = FALSE"
+    if (max) parts += s"$column = TRUE"
+    if (parts.isEmpty) parts += s"$column IS NULL" // all-null bounding query
+    parts(0) = s"(${parts(0)} OR $column IS NULL)"
+    parts.toArray
+  }
 }

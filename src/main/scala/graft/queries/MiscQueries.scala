@@ -288,6 +288,88 @@ object MiscQueries {
     out
   }
 
+  /** JDBC source over a DOUBLE key (`FloatSplitter.java:46`): the
+    * floating-point sibling of q54b/q54c — the pageview rollup lands in
+    * Derby with a derived DOUBLE score column, the splitter bounds it
+    * with MIN/MAX, strides the value range evenly (reference minimum
+    * increment for degenerate ranges), and the scan runs one partition
+    * per WHERE fragment. The oracle recomputes the same rollup + score
+    * from the original parquet, so a green row proves the float ranges
+    * cover every row exactly once (the reference's own last-split gap —
+    * see [[graft.operators.JdbcSplitters.floatPredicates]] — would drop
+    * rows here and fail the hash).
+    */
+  val q54dJdbcFloatSplit = Q.checked(
+    "q54d_jdbc_float_split",
+    """SELECT event_type AS url, count(*) AS views,
+      |  CAST(count(*) AS DOUBLE) / 1000 AS score
+      |FROM events GROUP BY event_type""") { (s, dir) =>
+    import graft.operators.JdbcSplitters
+    System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+    val url = s"jdbc:derby:${graft.core.Graft.scratch("derby54d")};create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    table(s, dir, "events")
+      .groupBy(col("event_type").as("url"))
+      .agg(count(lit(1)).as("views"),
+        (count(lit(1)).cast("double") / 1000).as("score"))
+      .write.mode("overwrite").jdbc(url, "pageviews_float", props)
+    val conn = java.sql.DriverManager.getConnection(url)
+    val (lo, hi) =
+      try {
+        val rs = conn.createStatement()
+          .executeQuery("""SELECT MIN("score"), MAX("score") FROM pageviews_float""")
+        rs.next()
+        (rs.getDouble(1), rs.getDouble(2))
+      } finally conn.close()
+    val out = s.read
+      .jdbc(url, "pageviews_float",
+        JdbcSplitters.floatPredicates("\"score\"", lo, hi, 4), props)
+      .select(col("url"), col("views"), col("score"))
+    require(out.rdd.getNumPartitions > 1,
+      s"q54d: expected a split DOUBLE scan, got ${out.rdd.getNumPartitions} partition(s)")
+    out
+  }
+
+  /** JDBC source over a BOOLEAN key (`BooleanSplitter.java:40`): the
+    * smallest key domain the reference can split — at most one `= FALSE`
+    * and one `= TRUE` fragment (NULLs folded into the first). Derby
+    * hosts a real BOOLEAN column; the oracle recomputes the flag from
+    * the parquet rollup, so parity proves the two value fragments
+    * partition the table exactly.
+    */
+  val q54eJdbcBoolSplit = Q.checked(
+    "q54e_jdbc_bool_split",
+    """SELECT event_type AS url, count(*) AS views,
+      |  (count(*) % 2 = 0) AS even_views
+      |FROM events GROUP BY event_type""") { (s, dir) =>
+    import graft.operators.JdbcSplitters
+    System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+    val url = s"jdbc:derby:${graft.core.Graft.scratch("derby54e")};create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    table(s, dir, "events")
+      .groupBy(col("event_type").as("url"))
+      .agg(count(lit(1)).as("views"),
+        (count(lit(1)) % 2 === 0).as("even_views"))
+      .write.mode("overwrite").jdbc(url, "pageviews_bool", props)
+    val conn = java.sql.DriverManager.getConnection(url)
+    val (lo, hi) =
+      try {
+        val rs = conn.createStatement()
+          .executeQuery("""SELECT MIN("even_views"), MAX("even_views") FROM pageviews_bool""")
+        rs.next()
+        (rs.getBoolean(1), rs.getBoolean(2))
+      } finally conn.close()
+    val out = s.read
+      .jdbc(url, "pageviews_bool",
+        JdbcSplitters.booleanPredicates("\"even_views\"", lo, hi), props)
+      .select(col("url"), col("views"), col("even_views"))
+    require(out.rdd.getNumPartitions >= 1,
+      s"q54e: expected >= 1 boolean fragment, got ${out.rdd.getNumPartitions}")
+    out
+  }
+
   /** Multimodal binary pipeline: payload as BinaryType + typed metadata,
     * stride frame-sampling as pure binary slicing, and the deterministic
     * decode stub (real codec call goes there; the plumbing is real).
@@ -752,7 +834,8 @@ object MiscQueries {
 
   val all: Vector[Q] =
     Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q47bUrlParse, q48Pi, q49TeraGen,
-      q54Jdbc, q54bJdbcTextSplit, q54cJdbcDateSplit, q55Multimodal,
+      q54Jdbc, q54bJdbcTextSplit, q54cJdbcDateSplit, q54dJdbcFloatSplit,
+      q54eJdbcBoolSplit, q55Multimodal,
       q55bWavDecode, q55cBmpResize, q55dPngDecode, q55eJpegDecode,
       q63ReferenceSelect, q64IndirectRead,
       q65TeraSort, q85Json, q86TimeRollup, q90Pipe, q91Xml, q91bXmlFile)

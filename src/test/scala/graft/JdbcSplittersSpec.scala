@@ -79,4 +79,36 @@ class JdbcSplittersSpec extends AnyFunSuite {
     val one = JdbcSplitters.datePredicates("d", 5L, 5L, 3, render)
     assert(one.length == 1 && one.head.contains("d <= TS(5)"))
   }
+
+  test("floatPredicates: even strides, last range closed, full coverage") {
+    val preds = JdbcSplitters.floatPredicates("f", 0.0, 1.0, 4)
+    assert(preds.length == 4)
+    assert(preds.head == "(f >= 0.0 AND f < 0.25 OR f IS NULL)")
+    assert(preds.last == "(f >= 0.75 AND f <= 1.0)")
+    // coverage: every boundary value lands in exactly one fragment —
+    // the reference's last-split gap (FloatSplitter.java:92) would fail
+    // the 0.75..1.0 stride here
+    def hits(v: Double): Int = preds.count { p =>
+      // parse "(f >= a AND f <[=] b ...)" and evaluate
+      val m = """\(f >= ([-0-9.E]+) AND f (<=?) ([-0-9.E]+).*\)""".r
+      p match {
+        case m(a, op, b) =>
+          v >= a.toDouble && (if (op == "<=") v <= b.toDouble else v < b.toDouble)
+      }
+    }
+    for (v <- Seq(0.0, 0.1, 0.25, 0.5, 0.74999, 0.75, 0.9, 1.0))
+      assert(hits(v) == 1, s"value $v covered ${hits(v)} times")
+    // degenerate range: one closed fragment
+    val one = JdbcSplitters.floatPredicates("f", 2.5, 2.5, 3)
+    assert(one.length == 1 && one.head.contains("f <= 2.5"))
+  }
+
+  test("booleanPredicates: value fragments per bounds, NULLs in the first") {
+    assert(JdbcSplitters.booleanPredicates("b", min = false, max = true).toSeq ==
+      Seq("(b = FALSE OR b IS NULL)", "b = TRUE"))
+    assert(JdbcSplitters.booleanPredicates("b", min = true, max = true).toSeq ==
+      Seq("(b = TRUE OR b IS NULL)"))
+    assert(JdbcSplitters.booleanPredicates("b", min = false, max = false).toSeq ==
+      Seq("(b = FALSE OR b IS NULL)"))
+  }
 }
