@@ -337,6 +337,23 @@ object Dedup {
     * (a, b, inter, na, nb) for every qualifying pair, a < b.
     */
   def setSimJoin(docs: DataFrame, tPct: Int): DataFrame = {
+    val (sorted, _, cand) = setSimParts(docs, tPct)
+    cand
+      .join(sorted.select(col("id").as("a"), col("ws").as("wa"), col("n").as("na")), "a")
+      .join(sorted.select(col("id").as("b"), col("ws").as("wb"), col("n").as("nb")), "b")
+      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .filter(lit(100) * col("inter") >= lit(tPct) * (col("na") + col("nb") - col("inter")))
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
+  }
+
+  /** The three phases of [[setSimJoin]], exposed so the soak can measure
+    * the growth law of each: `sorted` = per-doc token arrays in global
+    * (df, w) order, `pref` = the exploded prefix rows the self-join keys
+    * on (Σ_w C(count_w, 2) over its token counts IS the raw join volume,
+    * no join needed to measure it), `cand` = the filtered + distinct
+    * candidate pairs the verify phase consumes.
+    */
+  def setSimParts(docs: DataFrame, tPct: Int): (DataFrame, DataFrame, DataFrame) = {
     require(tPct > 0 && tPct <= 100, s"setSimJoin: tPct in (0,100], got $tPct")
     val tok = docs.select(col("id"), explode(col("toks")).as("w"))
     val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
@@ -376,11 +393,6 @@ object Dedup {
         lit(tPct) * (col("_na") + col("_nb")))
       .select(col("a"), col("b"))
       .distinct()
-    cand
-      .join(sorted.select(col("id").as("a"), col("ws").as("wa"), col("n").as("na")), "a")
-      .join(sorted.select(col("id").as("b"), col("ws").as("wb"), col("n").as("nb")), "b")
-      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))).cast("long"))
-      .filter(lit(100) * col("inter") >= lit(tPct) * (col("na") + col("nb") - col("inter")))
-      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
+    (sorted, pref, cand)
   }
 }

@@ -386,6 +386,150 @@ class SoakTest extends AnyFunSuite {
         Similarity.ivfProbesFor(cells2), 3).count()
     }
   }
+
+  /** 100× soak of the round-11 families — zorder layout, pagerank, exact
+    * set-similarity join. Fixture notes:
+    *
+    *  - events ×100 remap BOTH ids COMPACTLY (user + i·1500, event +
+    *    i·100000) so the 10M-row corpus stays inside 25 interleave bits
+    *    and the layout measurement runs on REAL id space, not masked low
+    *    bits.
+    *  - pagerank gets its own ×350 user-remapped table: 350 · 1500 users
+    *    + 5 type nodes = 525,005 nodes — the "flat lineage at 500k+
+    *    nodes" claim under test, with the 5 type nodes as ~500k-degree
+    *    hubs (the skew case map-side partial sums must absorb).
+    *  - setsim CANNOT take the exact-copy replication the other soaks
+    *    use: the operator is output-bound and every original qualifying
+    *    pair becomes copies² pairs (2.97M t80 pairs at sf0.1 → 29.7B at
+    *    ×100 — the ANSWER explodes, not the algorithm). The ×100 corpus
+    *    here prefixes every token with its replica id, giving disjoint
+    *    per-replica vocabularies: 100× the docs, 100× the vocab, the
+    *    SAME similarity structure (organic pairs scale ×100, not ×100²).
+    *    The adversarial clique shape runs at ×10 (exact copies), chosen
+    *    so both runs emit ~19M pairs at t=0.95 — equal output, 10× vs
+    *    100× corpus, so the wall difference isolates corpus-size cost
+    *    from output cost.
+    */
+  soakGated("100x soak: zorder layout + pagerank hubs + setsim growth law") {
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak100c"
+    val n = 100
+    val reps = broadcast(spark.range(n).select(col("id").as("rep")))
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    ev.crossJoin(reps)
+      .select((col("user_id") + col("rep") * lit(1500L)).as("user_id"),
+        (col("event_id") + col("rep") * lit(100000L)).as("event_id"),
+        col("event_type"), col("ts"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val reps350 = broadcast(spark.range(350).select(col("id").as("rep")))
+    ev.crossJoin(reps350)
+      .select((col("user_id") + col("rep") * lit(100000000L)).as("user_id"),
+        col("event_type"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/pagerank/events.parquet")
+    val docsTok = spark.read.parquet(s"$base/documents.parquet")
+      .select(col("doc_id").as("id"),
+        array_distinct(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("toks"))
+    docsTok.crossJoin(reps)
+      .select((col("id") + col("rep") * lit(1000000L)).as("id"),
+        expr("transform(toks, x -> concat('r', rep, '~', x))").as("toks"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/setsim_tokens.parquet")
+    docsTok.crossJoin(broadcast(spark.range(10).select(col("id").as("rep"))))
+      .select((col("id") + col("rep") * lit(1000000L)).as("id"), col("toks"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/setsim_clique10.parquet")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"SOAK100C $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$rows")
+    }
+
+    // --- q126: the registered bucket agg over 10M rows, then the real
+    // OPTIMIZE job (range-partition by z + sort) and the pruning figure
+    // of merit against a linear single-column layout
+    time("q126_zorder_10M") {
+      graft.queries.SortQueries.q126Zorder.run(spark, dir).count()
+    }
+    import graft.operators.ZOrder
+    val ev10 = spark.read.parquet(s"$dir/events.parquet")
+    var laid: org.apache.spark.sql.DataFrame = null
+    time("q126_layout_job") {
+      laid = ZOrder.layout(ev10, col("user_id"), col("event_id"), 25, 64)
+        .persist()
+      laid.count()
+    }
+    val envZ = ZOrder.partitionEnvelopes(laid, col("user_id"), col("event_id"))
+    val linear = ev10.repartitionByRange(64, col("user_id"))
+      .sortWithinPartitions(col("user_id"))
+    val envL = ZOrder.partitionEnvelopes(linear, col("user_id"), col("event_id"))
+    laid.unpersist()
+    // box = 1/8 of each id range; y-only predicate = 1/8 of event range
+    val (uMax, eMax) = (150000L, 10000000L)
+    val box = (uMax / 2, uMax / 2 + uMax / 8, eMax / 2, eMax / 2 + eMax / 8)
+    println(s"SOAK100C q126 pruning: 2-D box z=" +
+      s"${ZOrder.touchedPartitions(envZ, box._1, box._2, box._3, box._4)}/${envZ.length} " +
+      s"linear=${ZOrder.touchedPartitions(envL, box._1, box._2, box._3, box._4)}/${envL.length}; " +
+      s"y-only z=${ZOrder.touchedPartitions(envZ, 0, uMax, eMax / 2, eMax / 2 + eMax / 8)}/${envZ.length} " +
+      s"linear=${ZOrder.touchedPartitions(envL, 0, uMax, eMax / 2, eMax / 2 + eMax / 8)}/${envL.length}")
+
+    // --- q127: the registered 3-iteration query at 525k nodes, then an
+    // inline 10-iteration loop printing per-iteration wall — flat wall
+    // is the per-iteration localCheckpoint lineage-truncation claim
+    time("q127_pagerank_525k") {
+      graft.queries.DedupQueries.q127Pagerank.run(spark, s"$dir/pagerank").count()
+    }
+    locally {
+      val pairs = spark.read.parquet(s"$dir/pagerank/events.parquet")
+        .select(col("user_id"), col("event_type")).distinct()
+      val edges = pairs
+        .select(concat(lit("u:"), col("user_id")).as("src"),
+          concat(lit("t:"), col("event_type")).as("dst"))
+        .unionByName(pairs
+          .select(concat(lit("t:"), col("event_type")).as("src"),
+            concat(lit("u:"), col("user_id")).as("dst")))
+        .localCheckpoint(true)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      var ranks = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+      for (it <- 1 to 10) {
+        val t0 = System.nanoTime()
+        ranks = edges
+          .join(ranks, col("src") === col("node"))
+          .join(deg, "src")
+          .select(col("dst"), expr("pr div d").as("contrib"))
+          .groupBy(col("dst"))
+          .agg((lit(150000L) + expr("(85 * sum(contrib)) div 100")).as("pr"))
+          .select(col("dst").as("node"), col("pr"))
+          .localCheckpoint(true)
+        println(f"SOAK100C q127 iter $it%2d: ${(System.nanoTime() - t0) / 1e9}%5.1fs")
+      }
+    }
+
+    // --- q128: growth law at t=0.95. Raw prefix-join volume is computed
+    // WITHOUT the join (Σ_w C(c_w, 2) over prefix-token counts), then
+    // filtered+distinct candidates, then the full verified join — the
+    // candidates/answers ratio is the number that must stay bounded for
+    // the output-bound claim to extrapolate
+    import graft.operators.Dedup
+    for ((label, path) <- Seq(
+        ("x1_organic", null: String),
+        ("x100_disjoint", s"$dir/setsim_tokens.parquet"),
+        ("x10_clique", s"$dir/setsim_clique10.parquet"))) {
+      val docsIn =
+        if (path == null) docsTok
+        else spark.read.parquet(path)
+      val (_, pref, cand) = Dedup.setSimParts(docsIn, 95)
+      val raw = pref.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))).head().getLong(0)
+      val candN = cand.count()
+      time(s"q128_setsim_$label") {
+        Dedup.setSimJoin(docsIn, 95).count()
+      }
+      println(s"SOAK100C q128 $label: rawJoinRows=$raw candidates=$candN")
+    }
+  }
 }
 
 /** Dev tool: time one registered query against an arbitrary table dir —
