@@ -54,6 +54,56 @@ object SourceQueries {
       .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"))
   }
 
+  /** Named side outputs with HETEROGENEOUS schemas and formats — the full
+    * `MultipleOutputs.addNamedOutput(job, name, format, keyClass,
+    * valueClass)` surface (reference
+    * src/mapred/org/apache/hadoop/mapred/lib/MultipleOutputs.java:60-120),
+    * where each named output declares its OWN OutputFormat and key/value
+    * types, distinct from the job's base output. q41 covers the
+    * homogeneous key-routed case via `partitionBy`; this covers the
+    * general one. Spark-first mapping: materialize the upstream ONCE
+    * (localCheckpoint — the single map/reduce pass the reference makes),
+    * then one narrow write per named output, each with its own schema and
+    * format (parquet base + tab-text counts + json sums). The read-back
+    * union proves every output's round trip through its own format;
+    * column-count/type divergence across outputs is the point.
+    */
+  val q41bNamedOutputs = Q.checked(
+    "q41b_named_outputs",
+    """SELECT 'base' AS out, CAST(o_orderkey AS VARCHAR) AS k, CAST(o_custkey AS VARCHAR) AS v FROM orders
+      |UNION ALL
+      |SELECT 'status', o_orderstatus, CAST(CAST(count(*) AS BIGINT) AS VARCHAR) FROM orders GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT 'pri', o_orderpriority, CAST(CAST(sum(o_custkey) AS BIGINT) AS VARCHAR) FROM orders GROUP BY o_orderpriority""") { (s, dir) =>
+    val out = tmp("namedout")
+    // the single upstream pass all three outputs share
+    val orders = table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .localCheckpoint(true)
+    // base output: full detail, parquet, (long, long)
+    orders.select(col("o_orderkey"), col("o_custkey"))
+      .write.mode("overwrite").parquet(s"$out/base")
+    // named output "status": (string, long) as tab-separated text
+    orders.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .select(concat_ws("\t", col("o_orderstatus"), col("n")).as("value"))
+      .write.mode("overwrite").text(s"$out/status")
+    // named output "pri": (string, long) as json
+    orders.groupBy(col("o_orderpriority")).agg(sum(col("o_custkey")).as("sum_cust"))
+      .write.mode("overwrite").json(s"$out/pri")
+    val base = s.read.parquet(s"$out/base")
+      .select(lit("base").as("out"), col("o_orderkey").cast("string").as("k"),
+        col("o_custkey").cast("string").as("v"))
+    val status = s.read.text(s"$out/status")
+      .select(lit("status").as("out"),
+        substring_index(col("value"), "\t", 1).as("k"),
+        substring_index(col("value"), "\t", -1).as("v"))
+    val pri = s.read.json(s"$out/pri")
+      .select(lit("pri").as("out"), col("o_orderpriority").as("k"),
+        col("sum_cust").cast("string").as("v"))
+    base.unionByName(status).unionByName(pri)
+  }
+
   /** SequenceFile shim (`SequenceFileInput/OutputFormat`): RDD
     * saveAsSequenceFile → sc.sequenceFile round trip for K/V compat with
     * reference-era data; Parquet remains the native format.
@@ -259,7 +309,7 @@ object SourceQueries {
   }
 
   val all: Vector[Q] =
-    Vector(q40KvText, q41MultiOutput, q42SeqFile, q42bSeqFileBinary,
+    Vector(q40KvText, q41MultiOutput, q41bNamedOutputs, q42SeqFile, q42bSeqFileBinary,
       q42cSeqFileAsText, q43ScanFilters, q44MultiInputs, q45SetOps,
       q94RecordDdl, q111GzipText)
 }
