@@ -1138,6 +1138,80 @@ object TextQueries {
         expr("(2 * sum(ppm) + count(1)) div (2 * count(1))").as("fluency_ppm"))
   }
 
+  /** BM25 retrieval (Robertson–Spärck Jones / Okapi): rank documents
+    * against a query term set with tf SATURATION and document-LENGTH
+    * normalization — the two effects q75's raw tf·N/df lacks, and the
+    * standard lexical-retrieval scorer a RAG / training-data pipeline
+    * runs next to its embedding ANN. The query is doc 42's distinct
+    * token set (self-contained; swap in any term list).
+    *
+    * All-integer scoring so the per-doc SUM is exact across engines
+    * (float accumulation order is engine-private — the q77 lesson):
+    * k1 = 6/5 and b = 3/4 exactly, the log-free RSJ idf (2N−2df+1)/(2df+1)
+    * (each +0.5 doubled into integers), and per-term score in millionths
+    * via floor division — Spark `div` ≡ DuckDB `//` on non-negative
+    * longs:
+    *   score = (10⁶·44·tf·(2N−2df+1)) div ((2df+1)·(20·tf + 6 + (18·dl·N) div T))
+    * where dl = doc length, T = total corpus tokens (avgdl = T/N). The
+    * inner (18·dl·N) div T folds the length norm into a bounded int
+    * first, keeping every product under 2⁶³ even at 100× this corpus.
+    *
+    * Scale shape: tf/df/dl are map-side-combined aggregations (df derived
+    * from tf — one token-stream shuffle total, the q75 trick); the query
+    * term set and the 1-row corpus totals broadcast, so scoring touches
+    * only tf rows that hit a query term; top-10 is TakeOrderedAndProject
+    * (never a 1-partition window) with the rank stamped on the collected
+    * 10 rows.
+    */
+  val q129Bm25 = Q.checked(
+    "q129_bm25",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |tot AS (SELECT (SELECT count(*) FROM dl) AS nd, (SELECT count(*) FROM toks) AS tt),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |qt AS (SELECT DISTINCT term FROM toks WHERE doc_id = 42),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    (1000000 * 44 * tf.tf * (2 * tot.nd - 2 * df.df + 1)) //
+      |    ((2 * df.df + 1) * (20 * tf.tf + 6 + (18 * dl.dl * tot.nd) // tot.tt)) AS sc
+      |  FROM tf JOIN qt USING (term) JOIN df USING (term)
+      |  JOIN dl USING (doc_id) CROSS JOIN tot),
+      |agg AS (SELECT doc_id, CAST(sum(sc) AS BIGINT) AS score FROM sc GROUP BY doc_id),
+      |r AS (SELECT doc_id, score,
+      |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM agg)
+      |SELECT doc_id, score, rank FROM r WHERE rank <= 10""") { (s, dir) =>
+    import graft.operators.Dedup
+    import org.apache.spark.sql.expressions.Window
+    val toks = table(s, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tot = broadcast(toks.agg(
+      count_distinct(col("doc_id")).as("nd"), count(lit(1)).as("tt")))
+    val qt = broadcast(toks.filter(col("doc_id") === 42)
+      .select(col("term")).distinct())
+    // df restricted to the query's terms BEFORE the big join: at corpus
+    // scale the full vocabulary outgrows a broadcast, the ~|query| rows
+    // that matter never do
+    val dfq = broadcast(df.join(qt, "term"))
+    val top = tf.join(qt, "term")
+      .join(dfq, "term")
+      .join(dl, "doc_id")
+      .crossJoin(tot)
+      .select(col("doc_id"),
+        expr("""(1000000 * 44 * tf * (2 * nd - 2 * df + 1)) div
+               ((2 * df + 1) * (20 * tf + 6 + (18 * dl * nd) div tt))""").as("sc"))
+      .groupBy(col("doc_id")).agg(sum(col("sc")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
@@ -1145,5 +1219,5 @@ object TextQueries {
       q96Decontaminate, q98PiiRedact, q100DupSpans, q101SeqPack,
       q102SourceCap, q105BpeTrainStep, q108MixtureResample,
       q109CurationFunnel, q114TokenBudget, q118ChunkWindows, q121C4Filters,
-      q123BigramLm)
+      q123BigramLm, q129Bm25)
 }
