@@ -381,6 +381,16 @@ object Dedup {
     // pair can't qualify through this match; a qualifying pair always
     // survives via its first common prefix token, so the prune is
     // lossless while cutting the candidate set before the distinct.
+    // Note on PPJoin's ACCUMULATED bound (Xiao 2008 Alg. 1 — count the
+    // pair's prefix matches c and bound overlap by c + min suffix
+    // remainders after the LAST match): implemented and measured in
+    // round 12, it pruned ZERO extra candidates on this corpus at both
+    // t=0.80 and t=0.95 (identical 6,098,241 / 1,807,310 candidate
+    // counts) while costing 26% more wall — the groupBy must carry
+    // (c, positions, sizes) through the shuffle where `distinct` carries
+    // bare (a, b). High thresholds make prefixes 1–3 tokens (c ≈ 1 ⇒
+    // same bound); at t=0.80 the first-match bound already rejects the
+    // same pairs. Kept: first-match per-row bound + narrow distinct.
     val cand = pref.select(col("id").as("a"), col("n").as("_na"),
         col("p").as("_pa"), col("w"))
       .join(pref.select(col("id").as("b"), col("n").as("_nb"),

@@ -415,10 +415,15 @@ class SoakTest extends AnyFunSuite {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak100c"
     val n = 100
     val reps = broadcast(spark.range(n).select(col("id").as("rep")))
+    // user_id: compact per-replica blocks (0..150k). event_id: replicas
+    // INTERLEAVED across the whole 0..10M range (id·100 + rep), NOT
+    // blocked — blocked replication correlates the two dims (each replica
+    // owns one block in each), which lets a single-column sort bound both
+    // dims and voids the layout comparison.
     val ev = spark.read.parquet(s"$base/events.parquet")
     ev.crossJoin(reps)
       .select((col("user_id") + col("rep") * lit(1500L)).as("user_id"),
-        (col("event_id") + col("rep") * lit(100000L)).as("event_id"),
+        (col("event_id") * lit(100L) + col("rep")).as("event_id"),
         col("event_type"), col("ts"))
       .repartition(64)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -453,11 +458,15 @@ class SoakTest extends AnyFunSuite {
     time("q126_zorder_10M") {
       graft.queries.SortQueries.q126Zorder.run(spark, dir).count()
     }
+    // z-dims must be NORMALIZED to equal bit width: user spans 18 bits
+    // (150k) but event spans 24 (10M), and interleaving them raw puts the
+    // top 6 z bits all on the event dim — the layout degenerates to a
+    // linear sort by event. event_id div 64 brings both dims to 18 bits.
     import graft.operators.ZOrder
     val ev10 = spark.read.parquet(s"$dir/events.parquet")
     var laid: org.apache.spark.sql.DataFrame = null
     time("q126_layout_job") {
-      laid = ZOrder.layout(ev10, col("user_id"), col("event_id"), 25, 64)
+      laid = ZOrder.layout(ev10, col("user_id"), expr("event_id div 64"), 18, 64)
         .persist()
       laid.count()
     }
@@ -472,6 +481,8 @@ class SoakTest extends AnyFunSuite {
     println(s"SOAK100C q126 pruning: 2-D box z=" +
       s"${ZOrder.touchedPartitions(envZ, box._1, box._2, box._3, box._4)}/${envZ.length} " +
       s"linear=${ZOrder.touchedPartitions(envL, box._1, box._2, box._3, box._4)}/${envL.length}; " +
+      s"x-only z=${ZOrder.touchedPartitions(envZ, box._1, box._2, 0, eMax)}/${envZ.length} " +
+      s"linear=${ZOrder.touchedPartitions(envL, box._1, box._2, 0, eMax)}/${envL.length}; " +
       s"y-only z=${ZOrder.touchedPartitions(envZ, 0, uMax, eMax / 2, eMax / 2 + eMax / 8)}/${envZ.length} " +
       s"linear=${ZOrder.touchedPartitions(envL, 0, uMax, eMax / 2, eMax / 2 + eMax / 8)}/${envL.length}")
 
@@ -529,6 +540,26 @@ class SoakTest extends AnyFunSuite {
       }
       println(s"SOAK100C q128 $label: rawJoinRows=$raw candidates=$candN")
     }
+  }
+}
+
+/** Dev tool: phase volumes of the set-similarity join at a given
+  * threshold — `graft.SetSimProbe <dir> <tPct>` prints raw prefix-join
+  * rows, candidates after the PPJoin filters, and verified answers.
+  */
+object SetSimProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${args(0)}/documents.parquet")
+      .select(col("doc_id").as("id"),
+        array_distinct(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("toks"))
+    val t = args(1).toInt
+    val (_, pref, cand) = graft.operators.Dedup.setSimParts(docs, t)
+    val raw = pref.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))).head().getLong(0)
+    println(s"SETSIM t=$t raw=$raw cand=${cand.count()} " +
+      s"answers=${graft.operators.Dedup.setSimJoin(docs, t).count()}")
   }
 }
 
