@@ -160,4 +160,23 @@ object JdbcSplitters {
     parts(0) = s"(${parts(0)} OR $column IS NULL)"
     parts.toArray
   }
+
+  /** Oracle pre-12c row-window pagination (`OracleDBRecordReader.java:
+    * 85-96`): Oracle has no LIMIT/OFFSET, so a positional split wraps the
+    * inner query twice — the inner ROWNUM alias freezes row numbers
+    * before the outer range predicate (a bare `ROWNUM >= k` can never be
+    * true for k > 1, since ROWNUM is assigned AS rows qualify).
+    * Reproduced verbatim, including two reference quirks, both cited:
+    * `start = 0 or length = 0` leaves the query unwrapped (the reader's
+    * own row-count stop bounds split 0), and the window admits row
+    * `start` itself where the LIMIT/OFFSET path starts at `start + 1` —
+    * a one-row overlap between adjacent splits that the reader's stop
+    * masks. Spark's JDBC source takes these fragments via predicate
+    * pushdown exactly like the value splitters above.
+    */
+  def oracleRownumQuery(inner: String, start: Long, length: Long): String =
+    if (length > 0 && start > 0)
+      s"SELECT * FROM (SELECT a.*,ROWNUM dbif_rno FROM ( $inner ) a " +
+        s"WHERE rownum <= $start + $length ) WHERE dbif_rno >= $start"
+    else inner
 }

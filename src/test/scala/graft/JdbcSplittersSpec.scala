@@ -111,4 +111,25 @@ class JdbcSplittersSpec extends AnyFunSuite {
     assert(JdbcSplitters.booleanPredicates("b", min = false, max = false).toSeq ==
       Seq("(b = FALSE OR b IS NULL)"))
   }
+
+  test("oracleRownumQuery: ROWNUM wrapper shape and emulated row window") {
+    val inner = "SELECT id, v FROM t ORDER BY id"
+    // split 0 and zero-length splits stay unwrapped (reference guard)
+    assert(JdbcSplitters.oracleRownumQuery(inner, 0, 10) == inner)
+    assert(JdbcSplitters.oracleRownumQuery(inner, 10, 0) == inner)
+    val q = JdbcSplitters.oracleRownumQuery(inner, 20, 10)
+    assert(q == "SELECT * FROM (SELECT a.*,ROWNUM dbif_rno FROM ( " + inner +
+      " ) a WHERE rownum <= 20 + 10 ) WHERE dbif_rno >= 20")
+    // emulate Oracle's ROWNUM (1-based, assigned before the outer
+    // predicate) over 100 rows: the window admits rows [start,
+    // start+length] inclusive — length+1 rows, whose first row overlaps
+    // the previous split's LIMIT/OFFSET-equivalent range; the reader's
+    // length-bounded stop is what masks it (see the Scaladoc citation)
+    val rows = (1 to 100)
+    val kept = rows.zipWithIndex
+      .map { case (v, i) => (v, i + 1L) } // (value, rownum)
+      .filter(_._2 <= 20 + 10)
+      .filter(_._2 >= 20)
+    assert(kept.map(_._1) == (20 to 30))
+  }
 }
