@@ -330,8 +330,109 @@ object AggQueries {
       .agg(pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
   }
 
+  /** Deterministic count-min heavy hitters
+    * ([[graft.operators.Sketches.countMinDeterministic]]): the 4×1024
+    * md5-hashed sketch over the full token frequency table, probed at the
+    * exact top-20 tokens — output carries the true count AND the sketch
+    * estimate side by side (estimate ≥ truth always; equality means no
+    * bucket collision among heavier tokens). Unlike the opaque
+    * `df.stat.countMinSketch` (spec-checked only), every cell here is
+    * reproducible in any engine — the whole point of the oracle row.
+    *
+    * Scale shape: one map-side-combined token count (the q71b shape),
+    * then a 4096-cell fold; the probe side is 20×4 rows joined against
+    * the broadcast cell table. Nothing driver-side, nothing
+    * cardinality-sized after the first aggregation.
+    */
+  val q130CmsHeavyHitters = Q.checked(
+    "q130_cms_heavy_hitters",
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |cnt AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+      |cells AS (
+      |  SELECT i, ('0x'||substr(md5(term || '#' || CAST(i AS VARCHAR)),1,8))::BIGINT % 1024 AS bucket,
+      |    CAST(sum(cnt) AS BIGINT) AS cell
+      |  FROM cnt CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) GROUP BY 1, 2),
+      |top AS (
+      |  SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank
+      |  FROM cnt QUALIFY rank <= 20),
+      |probe AS (
+      |  SELECT t.term, t.cnt, t.rank, min(c.cell) AS cms_cnt
+      |  FROM top t CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) q
+      |  JOIN cells c ON c.i = q.i
+      |    AND c.bucket = ('0x'||substr(md5(t.term || '#' || CAST(q.i AS VARCHAR)),1,8))::BIGINT % 1024
+      |  GROUP BY 1, 2, 3)
+      |SELECT term, cnt, cms_cnt, rank FROM probe""") { (s, dir) =>
+    import graft.operators.{Dedup, Sketches}
+    import org.apache.spark.sql.expressions.Window
+    val cnt = table(s, dir, "documents")
+      .select(explode(Dedup.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds the sketch build AND the top-20 probe
+    val cells = broadcast(Sketches.countMinDeterministic(cnt, "term", "cnt"))
+    val top = cnt.orderBy(col("cnt").desc, col("term")).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+    top
+      .select(col("term"), col("cnt"), col("rank"),
+        explode(array((0 until 4).map(lit): _*)).as("i"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("term"), lit("#"), col("i"))), 1, 8), 16, 10)
+          .cast("long") % 1024)
+      .join(cells, Seq("i", "bucket"))
+      .groupBy(col("term"), col("cnt"), col("rank"))
+      .agg(min(col("cell")).as("cms_cnt"))
+      .select(col("term"), col("cnt"), col("cms_cnt"), col("rank"))
+  }
+
+  /** Deterministic HyperLogLog cardinality
+    * ([[graft.operators.Sketches.hllCountDistinct]]): per event type, the
+    * 256-register integer-exact HLL estimate of distinct users next to
+    * the exact count — the fixed-memory cardinality answer whose result
+    * a second engine can replay register for register (Spark's own
+    * `approx_count_distinct` cannot be oracle-checked). At m = 256 the
+    * standard error is 1.04/√m ≈ 6.5%; the green hash row proves the
+    * ESTIMATOR, the spec proves the accuracy envelope.
+    */
+  val q131HllUsers = Q.checked(
+    "q131_hll_users",
+    s"""WITH h AS (
+      |  SELECT event_type,
+      |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, h % 256 AS bucket,
+      |    CASE WHEN (h // 256) % 1099511627776 = 0 THEN 41
+      |         ELSE 41 - length(bin((h // 256) % 1099511627776)) END AS rank
+      |  FROM h),
+      |reg AS (SELECT event_type, bucket, max(rank) AS mrank FROM r GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, CAST(sum(1::BIGINT << (41 - mrank)) AS BIGINT) AS sp,
+      |    count(*) AS nb
+      |  FROM reg GROUP BY 1),
+      |e AS (
+      |  SELECT event_type,
+      |    103513989865891026 // (sp + (256 - nb) * (1::BIGINT << 41)) AS raw,
+      |    256 - nb AS v
+      |  FROM s),
+      |x AS (SELECT event_type, count(DISTINCT user_id) AS exact_users FROM events GROUP BY 1)
+      |SELECT e.event_type, x.exact_users,
+      |  CASE WHEN e.raw <= 640 AND e.v > 0
+      |       THEN (${graft.operators.Sketches.lcTableSql})[e.v]
+      |       ELSE e.raw END AS hll_users
+      |FROM e JOIN x USING (event_type)""") { (s, dir) =>
+    import graft.operators.Sketches
+    val ev = table(s, dir, "events")
+    val est = Sketches.hllCountDistinct(ev, col("event_type"), col("user_id"))
+      .select(col("g").as("event_type"), col("hll_est").as("hll_users"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    exact.join(est, "event_type")
+      .select(col("event_type"), col("exact_users"), col("hll_users"))
+  }
+
   val all: Vector[Q] =
     Vector(q20AggDescriptor, q21UniqCapped, q22Histogram, q23MaxMin,
       q24Distinct, q25UniqTyped, q78ZscoreOutliers, q82Pivot, q83Unpivot,
-      q84Cube, q88Corr, q89Percentiles)
+      q84Cube, q88Corr, q89Percentiles, q130CmsHeavyHitters, q131HllUsers)
 }

@@ -53,4 +53,41 @@ class SketchesSpec extends AnyFunSuite {
     assert(exact.subsetOf(kept), "prefilter dropped true matches")
     assert(exactAfter == exact, "prefilter + exact join must equal exact join")
   }
+
+  test("deterministic HLL stays inside the accuracy envelope across regimes") {
+    // cardinalities spanning the linear-counting branch (n << m=256),
+    // the crossover, and the raw-HLL branch; 3σ at m=256 is ~19.5%,
+    // linear counting is far tighter at small n
+    for (n <- Seq(10, 100, 500, 2000, 20000)) {
+      val df = spark.range(n.toLong).select(
+        lit("g").as("grp"), (col("id") * 2654435761L + 12345L).as("k"))
+      val est = Sketches.hllCountDistinct(df, col("grp"), col("k"))
+        .select(col("hll_est")).as[Long].head()
+      val err = math.abs(est - n).toDouble / n
+      assert(err < 0.20, s"n=$n est=$est err=$err exceeds the 3-sigma envelope")
+    }
+  }
+
+  test("deterministic CMS cells sum to N per row and never undercount") {
+    val cnt = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(explode(graft.operators.Dedup.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = cnt.agg(sum("cnt")).as[Long].head()
+    val cells = Sketches.countMinDeterministic(cnt, "term", "cnt")
+    // every hash row partitions the full stream: cells of each i sum to N
+    val rowSums = cells.groupBy(col("i")).agg(sum(col("cell")).as("s"))
+      .select(col("s")).as[Long].collect()
+    assert(rowSums.length == 4 && rowSums.forall(_ == total))
+    // point estimates: min over rows >= true count, for every key
+    val probes = cnt
+      .select(col("term"), col("cnt"),
+        explode(array((0 until 4).map(lit): _*)).as("i"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("term"), lit("#"), col("i"))), 1, 8), 16, 10)
+          .cast("long") % 1024)
+      .join(cells, Seq("i", "bucket"))
+      .groupBy(col("term"), col("cnt"))
+      .agg(min(col("cell")).as("est"))
+    assert(probes.filter(col("est") < col("cnt")).count() == 0)
+  }
 }
