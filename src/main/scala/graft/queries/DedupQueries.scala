@@ -750,9 +750,61 @@ object DedupQueries {
         col("clean_text"))
   }
 
+  /** CDC merge/upsert — `MERGE INTO` semantics (the lakehouse apply step
+    * that pairs with q103's snapshot DIFF): a change feed of
+    * delete/update/insert ops applied to the current snapshot. Changes
+    * are synthesized deterministically on doc_id residues (0→delete,
+    * 1→update with new content, 2→insert under a fresh key) so the
+    * oracle replays them from the same formula.
+    *
+    * Scale shape — the part that matters at 100 TB: NOT a full-outer
+    * join (which could never broadcast the small change feed and would
+    * shuffle the whole snapshot). Upsert-style CDC (the change row
+    * carries the full new image, so no old-row values are needed)
+    * decomposes into three narrow branches: snapshot LEFT ANTI the
+    * touched keys (broadcast — the snapshot never shuffles), plus the
+    * update images, plus the inserts. One wide scan, zero wide
+    * shuffles.
+    */
+  val q133MergeUpsert = Q.checked(
+    "q133_merge_upsert",
+    """WITH snap AS (SELECT doc_id, md5(text) AS content FROM documents),
+      |ch AS (
+      |  SELECT CASE WHEN doc_id % 10 = 2 THEN doc_id + 1000000 ELSE doc_id END AS key,
+      |    CASE doc_id % 10 WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS op,
+      |    CASE doc_id % 10 WHEN 1 THEN md5(text || ':v2')
+      |         WHEN 2 THEN md5(text || ':new') END AS newc
+      |  FROM documents WHERE doc_id % 10 <= 2)
+      |SELECT s.doc_id, s.content, 'kept' AS src FROM snap s
+      |WHERE s.doc_id NOT IN (SELECT key FROM ch WHERE op IN ('D', 'U'))
+      |UNION ALL
+      |SELECT key, newc, 'updated' FROM ch WHERE op = 'U'
+      |UNION ALL
+      |SELECT key, newc, 'inserted' FROM ch WHERE op = 'I'""") { (s, dir) =>
+    val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val snap = docs.select(col("doc_id"), md5(col("text")).as("content"))
+    val r = col("doc_id") % 10
+    val changes = docs.filter(r <= 2).select(
+      when(r === 2, col("doc_id") + 1000000L).otherwise(col("doc_id")).as("key"),
+      when(r === 0, lit("D")).when(r === 1, lit("U")).otherwise(lit("I")).as("op"),
+      when(r === 1, md5(concat(col("text"), lit(":v2"))))
+        .when(r === 2, md5(concat(col("text"), lit(":new")))).as("newc"))
+      .localCheckpoint(true) // the change feed: three consumers, one pass
+    val touched = changes.filter(col("op").isin("D", "U")).select(col("key"))
+    val kept = snap.join(broadcast(touched), col("doc_id") === col("key"), "left_anti")
+      .select(col("doc_id"), col("content"), lit("kept").as("src"))
+    val updated = changes.filter(col("op") === "U")
+      .select(col("key").as("doc_id"), col("newc").as("content"),
+        lit("updated").as("src"))
+    val inserted = changes.filter(col("op") === "I")
+      .select(col("key").as("doc_id"), col("newc").as("content"),
+        lit("inserted").as("src"))
+    kept.unionByName(updated).unionByName(inserted)
+  }
+
   val all: Vector[Q] =
     Vector(q50DedupExact, q51MinhashLsh, q52Simhash, q53Jaccard,
       q57EmbedDedup, q58DedupGroups, q59DedupApply, q87Triangles,
       q97BinaryDedup, q103SnapshotDiff, q106UrlDedup, q110IncrementalDedup,
-      q115ParagraphDedup, q127Pagerank, q128SetsimJoin)
+      q115ParagraphDedup, q127Pagerank, q128SetsimJoin, q133MergeUpsert)
 }

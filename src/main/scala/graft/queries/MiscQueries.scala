@@ -832,11 +832,59 @@ object MiscQueries {
       .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("n_users"))
   }
 
+  /** Single-pass column profiler — the `ANALYZE TABLE`-shaped statistics
+    * job every 100 TB lakehouse runs before planning anything else: per
+    * column, row count, null count, exact distinct count, and min/max
+    * (stringified: bigint and varchar columns only, so both engines
+    * stringify identically). ONE scan computes all five columns' stats:
+    * the multiple exact count-distincts compile to Catalyst's Expand
+    * strategy (k+1 stream copies through one shuffle — the documented
+    * cost of exactness; swap in approx_count_distinct or
+    * [[graft.operators.Sketches.hllCountDistinct]] at 100 TB when ±1%
+    * is acceptable), and the single result row explodes into the
+    * per-column long form at the end, so nothing data-sized ever leaves
+    * the aggregation.
+    */
+  val q132Profile = Q.checked(
+    "q132_profile", {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_linestatus")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS nulls,
+           |  count(DISTINCT $c) AS ndv,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    }) { (s, dir) =>
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_returnflag", "l_linestatus")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      count_distinct(col(c)).as(s"ndv_$c"),
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c")))
+    val allAggs = count(lit(1)).as("n_rows") +: aggs
+    val one = table(s, dir, "lineitem")
+      .select(cols.map(col): _*)
+      .agg(allAggs.head, allAggs.tail: _*)
+    one.select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("n_rows"),
+        (col("n_rows") - col(s"nn_$c")).as("nulls"),
+        col(s"ndv_$c").as("ndv"),
+        col(s"min_$c").as("min_s"),
+        col(s"max_$c").as("max_s"))): _*)).as("st"))
+      .select(col("st.*"))
+  }
+
   val all: Vector[Q] =
     Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q47bUrlParse, q48Pi, q49TeraGen,
       q54Jdbc, q54bJdbcTextSplit, q54cJdbcDateSplit, q54dJdbcFloatSplit,
       q54eJdbcBoolSplit, q55Multimodal,
       q55bWavDecode, q55cBmpResize, q55dPngDecode, q55eJpegDecode,
       q63ReferenceSelect, q64IndirectRead,
-      q65TeraSort, q85Json, q86TimeRollup, q90Pipe, q91Xml, q91bXmlFile)
+      q65TeraSort, q85Json, q86TimeRollup, q90Pipe, q91Xml, q91bXmlFile,
+      q132Profile)
 }
