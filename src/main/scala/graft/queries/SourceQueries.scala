@@ -308,8 +308,36 @@ object SourceQueries {
       .agg(count(lit(1)).as("n"), min(col("n_name")).as("min_name"))
   }
 
+  /** Splittable bzip2 text — the codec-semantics COMPLEMENT of q111:
+    * hadoop-1's BZip2Codec is the era's one splittable compression
+    * (HADOOP-4012; reference src/core/org/apache/hadoop/io/compress/
+    * BZip2Codec.java implements SplittableCompressionCodec), so a single
+    * large .bz2 file fans out across tasks at compression-block
+    * boundaries where a .gz file pins to one split. The oracle proves
+    * the lossless round trip; MiscSpec("bzip2 text splits...") proves
+    * the MULTI-SPLIT property on a file big enough to span blocks —
+    * at 100 TB this is the difference between a parallel scan and one
+    * straggler task per log file.
+    */
+  val q111bBzip2Text = Q.checked(
+    "q111b_bzip2_text",
+    """SELECT doc_id % 10 AS bucket, count(*) AS n,
+      |  CAST(sum(length(text)) AS BIGINT) AS chars
+      |FROM documents GROUP BY 1""") { (s, dir) =>
+    val base = tmp("bz2text")
+    table(s, dir, "documents")
+      .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+      .write.mode("overwrite").option("compression", "bzip2").text(base)
+    s.read.text(base)
+      .select(
+        substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
+        expr("substring(value, instr(value, '\t') + 1)").as("text"))
+      .groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
+  }
+
   val all: Vector[Q] =
     Vector(q40KvText, q41MultiOutput, q41bNamedOutputs, q42SeqFile, q42bSeqFileBinary,
       q42cSeqFileAsText, q43ScanFilters, q44MultiInputs, q45SetOps,
-      q94RecordDdl, q111GzipText)
+      q94RecordDdl, q111GzipText, q111bBzip2Text)
 }
