@@ -660,22 +660,53 @@ object Similarity {
     require(dims % subspaces == 0,
       s"pqTrainCodebook: $dims dims not divisible into $subspaces subspaces")
     val w = dims / subspaces
-    val trained = (0 until subspaces).map { m =>
-      val sub = corpus.select(col("xid"),
-        expr(s"slice(xvec, ${m * w + 1}, $w)").as("xvec"))
-      var cents = seed.select(col("cid"),
-        expr(s"slice(cvec, ${m * w + 1}, $w)").as("cvec"))
-      for (_ <- 1 to iters) {
-        val next = centroidsFromStep(kmeansStep(sub, cents))
-        // Lloyd starvation fallback: carry forward any codeword that
-        // captured no members, so codes stay dense in [0, kSub)
-        cents = next
-          .union(cents.join(next.select(col("cid")), Seq("cid"), "left_anti"))
-          .localCheckpoint(true)
-      }
-      cents.select(col("cid"), lit(m).as("m"), col("cvec"))
+    // ALL subspaces train in one frame keyed by m — each Lloyd iteration
+    // is ONE job over (m, xid) sub-vectors instead of `subspaces`
+    // separate jobs (the round-12 restructure: 3 jobs, not 24, for the
+    // standard 8×3 config; per-slice math is expression-identical to
+    // kmeansStep/centroidsFromStep, so the q120b oracle pins the change)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val sub = corpus
+      .select(col("xid"), col("xvec"),
+        explode(expr(s"sequence(0, ${subspaces - 1})")).as("m"))
+      .select(col("m"), col("xid"),
+        scaled(expr(s"slice(xvec, m * $w + 1, $w)")).as("xs"))
+      .localCheckpoint(true) // scaled sub-vectors reused every iteration
+    var cents = seed
+      .select(col("cid"), col("cvec"),
+        explode(expr(s"sequence(0, ${subspaces - 1})")).as("m"))
+      .select(col("m"), col("cid"),
+        expr(s"slice(cvec, m * $w + 1, $w)").as("cvec"))
+    for (_ <- 1 to iters) {
+      val next = sub
+        .join(broadcast(cents.select(col("m"), col("cid"),
+          scaled(col("cvec")).as("cs"))), "m")
+        .select(col("m"), col("xid"), col("xs"), col("cid"),
+          (dotScaled(col("xs"), col("xs")) -
+            lit(2L) * dotScaled(col("xs"), col("cs")) +
+            dotScaled(col("cs"), col("cs"))).as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("m"), col("xid")).orderBy(col("d2"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("m"), col("cid"), posexplode(col("xs")).as(Seq("dim0", "v")))
+        .groupBy(col("m"), col("cid"), (col("dim0") + 1).cast("long").as("dim"))
+        .agg(round(sum(col("v")).cast(DecimalType(38, 6)) / count(lit(1)), 2)
+          .cast("double").as("mean_scaled"))
+        .groupBy(col("m"), col("cid"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("mean_scaled"))))
+          .as("dims"))
+        .select(col("m"), col("cid"),
+          expr("transform(dims, d -> cast(d.mean_scaled / 1e6 as float))")
+            .as("cvec"))
+      // Lloyd starvation fallback: carry forward any codeword that
+      // captured no members, so codes stay dense in [0, kSub)
+      cents = next
+        .union(cents.join(next.select(col("m"), col("cid")),
+          Seq("m", "cid"), "left_anti"))
+        .localCheckpoint(true)
     }
-    trained.reduce(_ union _)
+    cents
       .groupBy(col("cid"))
       .agg(sort_array(collect_list(struct(col("m"), col("cvec")))).as("blocks"))
       .select(col("cid"), flatten(expr("transform(blocks, b -> b.cvec)")).as("cvec"))
