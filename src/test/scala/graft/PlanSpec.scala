@@ -171,6 +171,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q133 merge/upsert never shuffles the snapshot: broadcast left-anti") {
+    val p = plan(graft.queries.DedupQueries.q133MergeUpsert)
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      "upsert must anti-join against a broadcast of the touched keys:\n" + p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("FullOuter"),
+      "snapshot-wide shuffle or full-outer crept into the merge:\n" + p.take(3000))
+  }
+
+  test("q129 bm25 top-10 is TakeOrderedAndProject; scoring rides broadcasts") {
+    val p = plan(graft.queries.TextQueries.q129Bm25)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must be a distributed bounded sort, not a global window:\n" + p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "query-term/df/dl sides must broadcast at this scale:\n" + p.take(3000))
+  }
+
+  test("q132 profiler is one scan: a single FileScan feeds the Expand") {
+    val p = plan(graft.queries.MiscQueries.q132Profile)
+    assert(p.contains("Expand"), "multi-distinct should compile to Expand:\n" + p.take(2000))
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "profiler must scan lineitem exactly once:\n" + p.take(3000))
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
