@@ -21,6 +21,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (de)serialize on every batch of every key through the state store.
   */
 final case class TemporalRow(key: Long, tsUs: Long, isRef: Boolean, payload: String)
+final case class HllEstimate(key: String, hllEst: Long)
 final case class AsOfMatch(key: Long, tsUs: Long, payload: String,
                            refTsUs: Option[Long], refPayload: Option[String])
 final case class AsOfState(refs: List[(Long, String)], maxTsUs: Long)
@@ -76,6 +77,57 @@ object EventStream {
             next
           }
       }
+  }
+
+  /** Streaming twin of [[graft.operators.Sketches.hllCountDistinct]]:
+    * per-key 256-register HLL maintained incrementally in
+    * `mapGroupsWithState` — each micro-batch folds its values into the
+    * registers (max of ranks, the HLL merge), and the emitted estimate
+    * after any prefix of batches equals the batch operator over the same
+    * prefix, register for register (StreamingSpec proves the equality).
+    * Hashing and the two-branch estimator are the SAME math as batch:
+    * md5-prefix 60-bit hash, rank = leading zeros + 1 in the 40-bit
+    * window, K div S with the shared linear-counting table — only the
+    * md5 runs through MessageDigest here instead of the Catalyst
+    * expression.
+    *
+    * Scale posture: state is one fixed 256-int array per key — the whole
+    * point of a sketch under unbounded input; no watermark needed because
+    * state never grows with the stream.
+    */
+  def streamingHll(pairs: Dataset[(String, String)]): Dataset[HllEstimate] = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Int], HllEstimate](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)], state: GroupState[Array[Int]]) =>
+          val reg = state.getOption.getOrElse(Array.fill(256)(0))
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.foreach { case (_, v) =>
+            md.reset()
+            val hex = md.digest(v.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString.substring(0, 15)
+            val h = java.lang.Long.parseLong(hex, 16)
+            val b = (h % 256).toInt
+            val v40 = (h / 256) % (1L << 40)
+            val r = if (v40 == 0) 41 else 41 - (64 - java.lang.Long.numberOfLeadingZeros(v40))
+            if (r > reg(b)) reg(b) = r
+          }
+          state.update(reg)
+          HllEstimate(key, hllEstimateOf(reg))
+      }
+  }
+
+  /** The shared integer estimator over a 256-register array (0 = empty):
+    * identical constants to the batch expression in Sketches.
+    */
+  private[graft] def hllEstimateOf(reg: Array[Int]): Long = {
+    val K = 103513989865891026L
+    var sp = 0L; var nb = 0L
+    reg.foreach { r => if (r > 0) { sp += 1L << (41 - r); nb += 1 } }
+    val raw = K / (sp + (256 - nb) * (1L << 41))
+    val v = (256 - nb).toInt
+    if (raw <= 640 && v > 0) graft.operators.Sketches.lcTable(v - 1) else raw
   }
 
   /** The aggregate-descriptor DSL (SURVEY §2.4) over an unbounded stream:

@@ -369,4 +369,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(last == Set(("a", 2L, 3.0), ("b", 1L, 7.0)))
     } finally q.stop()
   }
+
+  test("streaming HLL equals the batch sketch after every batch prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[(String, String)]
+    val q = EventStream.streamingHll(in.toDS())
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode(OutputMode.Update()).start()
+    def batchEst(pairs: Seq[(String, String)]): Map[String, Long] =
+      graft.operators.Sketches
+        .hllCountDistinct(pairs.toDF("k", "v"), col("k"), col("v"))
+        .as[(String, Long)].collect().toMap
+    val b1 = (1 to 400).map(i => ("t1", s"u$i")) ++ (1 to 50).map(i => ("t2", s"u$i"))
+    val b2 = (200 to 900).map(i => ("t1", s"u$i")) // 200..400 are replays
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      val after1 = spark.sql(
+        "SELECT key, max(hllEst) FROM hll_out GROUP BY key") // single update per key
+        .as[(String, Long)].collect().toMap
+      assert(after1 == batchEst(b1), s"prefix-1 mismatch: $after1 vs ${batchEst(b1)}")
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      // registers only grow, so the estimate is non-decreasing: the max
+      // emission per key IS the latest state
+      val after2 = spark.sql(
+        "SELECT key, max(hllEst) FROM hll_out GROUP BY key")
+        .as[(String, Long)].collect().toMap
+      // the update stream's LAST emission per key must equal batch over
+      // the full union — incremental maintenance == one-shot sketch
+      val full = batchEst(b1 ++ b2)
+      assert(after2("t1") == full("t1") && after2("t2") == full("t2"),
+        s"prefix-2 mismatch: $after2 vs $full")
+      // and the estimates are ACCURATE: t1 saw 900 distinct, t2 50
+      assert(math.abs(after2("t1") - 900) < 180 && math.abs(after2("t2") - 50) < 10)
+    } finally q.stop()
+  }
 }
