@@ -99,8 +99,13 @@ object Sketches {
   /** The same table as a SQL array literal, 1-indexed by V. */
   def lcTableSql: String = lcTable.mkString("[", ",", "]")
 
-  def hllCountDistinct(df: DataFrame, group: Column, key: Column): DataFrame = {
-    val K = 103513989865891026L
+  /** The per-group register table (g, bucket, mrank) — the MERGEABLE form:
+    * registers from any partition of the data (days, sources, shards)
+    * roll up by `max(mrank)` per (g, bucket) into exactly the registers
+    * of the whole, so per-slice sketches reaggregate without rescanning
+    * (q134 pins two-level merge == one-level build through the oracle).
+    */
+  def hllRegisters(df: DataFrame, group: Column, key: Column): DataFrame = {
     val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
     df.select(group.as("g"), h.as("h"))
       .select(col("g"), (col("h") % 256).as("bucket"),
@@ -110,6 +115,12 @@ object Sketches {
           .otherwise(lit(41) - length(conv(col("v40"), 10, 2))).as("rank"))
       .groupBy(col("g"), col("bucket"))
       .agg(max(col("rank")).as("mrank"))
+  }
+
+  /** Fold a register table (g, bucket, mrank) to (g, hll_est). */
+  def hllEstimate(regs: DataFrame): DataFrame = {
+    val K = 103513989865891026L
+    regs
       .groupBy(col("g"))
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 41 - mrank)")).as("sp"),
         count(lit(1)).as("nb"))
@@ -121,6 +132,9 @@ object Sketches {
           element_at(array(lcTable.map(lit): _*), col("v").cast("int")))
           .otherwise(col("raw")).as("hll_est"))
   }
+
+  def hllCountDistinct(df: DataFrame, group: Column, key: Column): DataFrame =
+    hllEstimate(hllRegisters(df, group, key))
 
   /** Deterministic count-min sketch (Cormode & Muthukrishnan 2005) with
     * md5-derived row hashes — like [[hllCountDistinct]], the reproducible

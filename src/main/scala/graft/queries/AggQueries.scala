@@ -431,8 +431,70 @@ object AggQueries {
       .select(col("event_type"), col("exact_users"), col("hll_users"))
   }
 
+  /** HLL register MERGE ([[graft.operators.Sketches.hllRegisters]] +
+    * two-level max): per-(type, day) register tables rolled up across
+    * days by `max(mrank)` per (type, bucket), then estimated — the
+    * REAGGREGATABILITY property that makes sketches the 100 TB answer:
+    * daily jobs persist 256-row register tables, and any cube cell
+    * (week, month, all-time) folds them without rescanning an event.
+    * The estimate after the merge is definitionally equal to q131's
+    * one-shot build (max is associative); the green hash row pins the
+    * two-level plumbing — day keys, register join identity, the shared
+    * estimator — across engines.
+    */
+  val q134HllMerge = Q.checked(
+    "q134_hll_merge",
+    s"""WITH h AS (
+      |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, day, h % 256 AS bucket,
+      |    CASE WHEN (h // 256) % 1099511627776 = 0 THEN 41
+      |         ELSE 41 - length(bin((h // 256) % 1099511627776)) END AS rank
+      |  FROM h),
+      |daily AS (SELECT event_type, day, bucket, max(rank) AS mrank
+      |  FROM r GROUP BY 1, 2, 3),
+      |merged AS (SELECT event_type, bucket, max(mrank) AS mrank
+      |  FROM daily GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, CAST(sum(1::BIGINT << (41 - mrank)) AS BIGINT) AS sp,
+      |    count(*) AS nb
+      |  FROM merged GROUP BY 1),
+      |e AS (
+      |  SELECT event_type,
+      |    103513989865891026 // (sp + (256 - nb) * (1::BIGINT << 41)) AS raw,
+      |    256 - nb AS v
+      |  FROM s),
+      |d AS (SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_days
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_type, d.n_days,
+      |  CASE WHEN e.raw <= 640 AND e.v > 0
+      |       THEN (${graft.operators.Sketches.lcTableSql})[e.v]
+      |       ELSE e.raw END AS hll_users
+      |FROM e JOIN d USING (event_type)""") { (s, dir) =>
+    import graft.operators.Sketches
+    val ev = table(s, dir, "events")
+    val daily = Sketches.hllRegisters(ev,
+      concat(col("event_type"), lit("|"), col("ts").cast("date").cast("string")),
+      col("user_id"))
+    val merged = daily
+      .select(substring_index(col("g"), "|", 1).as("event_type"),
+        col("bucket"), col("mrank"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("mrank")).as("mrank"))
+    val est = Sketches.hllEstimate(
+        merged.select(col("event_type").as("g"), col("bucket"), col("mrank")))
+      .select(col("g").as("event_type"), col("hll_est").as("hll_users"))
+    val days = ev.groupBy(col("event_type"))
+      .agg(count_distinct(col("ts").cast("date")).as("n_days"))
+    days.join(est, "event_type")
+      .select(col("event_type"), col("n_days"), col("hll_users"))
+  }
+
   val all: Vector[Q] =
     Vector(q20AggDescriptor, q21UniqCapped, q22Histogram, q23MaxMin,
       q24Distinct, q25UniqTyped, q78ZscoreOutliers, q82Pivot, q83Unpivot,
-      q84Cube, q88Corr, q89Percentiles, q130CmsHeavyHitters, q131HllUsers)
+      q84Cube, q88Corr, q89Percentiles, q130CmsHeavyHitters, q131HllUsers,
+      q134HllMerge)
 }
