@@ -576,8 +576,83 @@ object SimilarityQueries {
       Similarity.ivfProbesFor(cells), K)
   }
 
+  /** Hybrid retrieval capstone — BM25 lexical top-20 fused with exact
+    * cosine top-20 by reciprocal-rank fusion (Cormack et al. 2009):
+    * `rrf = Σ 10⁶ div (60 + rank)`, integer-exact, missing-from-a-list
+    * contributes 0. This is the production RAG retrieval shape — the
+    * lexical scorer catches exact-term matches embeddings smear, the
+    * dense scorer catches paraphrases lexical misses — composed entirely
+    * from oracle-pinned parts (q129's scorer, q60's cosine) plus a
+    * bounded 20∪20-row fusion join, so the oracle pins the END-TO-END
+    * pipeline, not just each retriever.
+    *
+    * Scale shape: each retriever is its own proven plan (broadcast
+    * scoring / brute cosine — swap [[Similarity.ivfSq8TopK]] in for the
+    * dense side at corpus scale); the fusion join touches 40 rows.
+    */
+  val q135HybridRetrieval = Q.checked(
+    "q135_hybrid_retrieval",
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |tot AS (SELECT (SELECT count(*) FROM dl) AS nd, (SELECT count(*) FROM toks) AS tt),
+       |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |qt AS (SELECT DISTINCT term FROM toks WHERE doc_id = 42),
+       |bsc AS (
+       |  SELECT tf.doc_id,
+       |    (1000000 * 44 * tf.tf * (2 * tot.nd - 2 * dfr.df + 1)) //
+       |    ((2 * dfr.df + 1) * (20 * tf.tf + 6 + (18 * dl.dl * tot.nd) // tot.tt)) AS sc
+       |  FROM tf JOIN qt USING (term) JOIN dfr USING (term)
+       |  JOIN dl USING (doc_id) CROSS JOIN tot),
+       |bagg AS (SELECT doc_id, CAST(sum(sc) AS BIGINT) AS score FROM bsc GROUP BY doc_id),
+       |bmr AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+       |  FROM bagg QUALIFY bm25_rank <= 20),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id = 42),
+       |el AS (
+       |  SELECT qid, x.vec_id AS xid, unnest(qv) AS qa, unnest(x.embedding) AS xa
+       |  FROM q, embeddings x),
+       |dots AS (
+       |  SELECT qid, xid, $dotSql AS dqx,
+       |    CAST(sum(${sc("qa")} * ${sc("qa")}) AS DOUBLE) AS dqq,
+       |    CAST(sum(${sc("xa")} * ${sc("xa")}) AS DOUBLE) AS dxx
+       |  FROM el GROUP BY qid, xid),
+       |annr AS (
+       |  SELECT xid AS doc_id,
+       |    row_number() OVER (ORDER BY dqx / (sqrt(dqq) * sqrt(dxx)) DESC, xid) AS cos_rank
+       |  FROM dots QUALIFY cos_rank <= 20),
+       |fused AS (
+       |  SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id, b.bm25_rank, a.cos_rank,
+       |    COALESCE(1000000 // (60 + b.bm25_rank), 0) +
+       |    COALESCE(1000000 // (60 + a.cos_rank), 0) AS rrf
+       |  FROM bmr b FULL OUTER JOIN annr a ON a.doc_id = b.doc_id)
+       |SELECT doc_id, bm25_rank, cos_rank, rrf,
+       |  row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+       |FROM fused QUALIFY rank <= 10""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val bm = graft.queries.TextQueries.bm25Scores(s, dir, 42L)
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .withColumn("bm25_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("bm25_rank"))
+    val emb = table(s, dir, "embeddings")
+    val ann = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") === 42)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        emb.select(col("vec_id").as("xid"), col("embedding").as("xvec")), 20)
+      .select(col("xid").as("doc_id"), col("rank").as("cos_rank"))
+    bm.join(ann, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),
+        (coalesce(expr("1000000 div (60 + bm25_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + cos_rank)"), lit(0L))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+  }
+
   val all: Vector[Q] =
     Vector(q60AnnCosine, q61AnnLsh, q62AnnIvf, q104KmeansStep,
       q116SemanticDedup, q119Sq8Ann, q120PqAnn, q120bPqTrained,
-      q124IvfSq8Ann, q125IvfPqAnn)
+      q124IvfSq8Ann, q125IvfPqAnn, q135HybridRetrieval)
 }

@@ -1163,6 +1163,37 @@ object TextQueries {
     * (never a 1-partition window) with the rank stamped on the collected
     * 10 rows.
     */
+  /** Per-doc integer BM25 score against `queryDoc`'s distinct term set —
+    * the scoring core shared by q129 (top-10) and q135's hybrid fusion
+    * (top-20 list). See q129's Scaladoc for the exact-arithmetic form.
+    */
+  private[queries] def bm25Scores(s: org.apache.spark.sql.SparkSession,
+                                  dir: String, queryDoc: Long): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Dedup
+    val toks = table(s, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tot = broadcast(toks.agg(
+      count_distinct(col("doc_id")).as("nd"), count(lit(1)).as("tt")))
+    val qt = broadcast(toks.filter(col("doc_id") === queryDoc)
+      .select(col("term")).distinct())
+    // df restricted to the query's terms BEFORE the big join: at corpus
+    // scale the full vocabulary outgrows a broadcast, the ~|query| rows
+    // that matter never do
+    val dfq = broadcast(df.join(qt, "term"))
+    tf.join(qt, "term")
+      .join(dfq, "term")
+      .join(dl, "doc_id")
+      .crossJoin(tot)
+      .select(col("doc_id"),
+        expr("""(1000000 * 44 * tf * (2 * nd - 2 * df + 1)) div
+               ((2 * df + 1) * (20 * tf + 6 + (18 * dl * nd) div tt))""").as("sc"))
+      .groupBy(col("doc_id")).agg(sum(col("sc")).as("score"))
+  }
+
   val q129Bm25 = Q.checked(
     "q129_bm25",
     """WITH toks AS (
@@ -1182,34 +1213,12 @@ object TextQueries {
       |r AS (SELECT doc_id, score,
       |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM agg)
       |SELECT doc_id, score, rank FROM r WHERE rank <= 10""") { (s, dir) =>
-    import graft.operators.Dedup
     import org.apache.spark.sql.expressions.Window
-    val toks = table(s, dir, "documents")
-      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val tot = broadcast(toks.agg(
-      count_distinct(col("doc_id")).as("nd"), count(lit(1)).as("tt")))
-    val qt = broadcast(toks.filter(col("doc_id") === 42)
-      .select(col("term")).distinct())
-    // df restricted to the query's terms BEFORE the big join: at corpus
-    // scale the full vocabulary outgrows a broadcast, the ~|query| rows
-    // that matter never do
-    val dfq = broadcast(df.join(qt, "term"))
-    val top = tf.join(qt, "term")
-      .join(dfq, "term")
-      .join(dl, "doc_id")
-      .crossJoin(tot)
-      .select(col("doc_id"),
-        expr("""(1000000 * 44 * tf * (2 * nd - 2 * df + 1)) div
-               ((2 * df + 1) * (20 * tf + 6 + (18 * dl * nd) div tt))""").as("sc"))
-      .groupBy(col("doc_id")).agg(sum(col("sc")).as("score"))
+    bm25Scores(s, dir, 42L)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(10)
-    top.withColumn("rank",
-      row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
   }
 
   val all: Vector[Q] =
