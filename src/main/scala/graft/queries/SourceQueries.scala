@@ -336,8 +336,43 @@ object SourceQueries {
       .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
   }
 
+  /** Parquet schema evolution (`mergeSchema`): two generations of the
+    * same table written with DIFFERENT schemas — an old batch lacking a
+    * later-added column, a new batch lacking a retired one — read back as
+    * ONE table whose unified schema nulls the absent columns per file.
+    * The lakehouse reality at 100 TB: a table's files span years of
+    * schema versions and a scan must reconcile them without a rewrite.
+    * The aggregate proves per-generation null semantics, not just the
+    * union of names.
+    */
+  val q137SchemaMerge = Q.checked(
+    "q137_schema_merge",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(CASE WHEN o_orderkey % 2 = 0 THEN o_custkey END) AS BIGINT) AS n_cust,
+      |  CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_custkey END) AS BIGINT) AS sum_cust,
+      |  CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN o_custkey END) AS BIGINT) AS n_cust2,
+      |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 2 * o_custkey END) AS BIGINT) AS sum_cust2
+      |FROM orders""") { (s, dir) =>
+    val out = tmp("schemamerge")
+    val orders = table(s, dir, "orders")
+    // generation 1: (o_orderkey, o_custkey)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    // generation 2: o_custkey retired, o_custkey2 added
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), (col("o_custkey") * 2).as("o_custkey2"))
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/gen=1", s"$out/gen=2")
+      .agg(count(lit(1)).as("n"),
+        count(col("o_custkey")).as("n_cust"),
+        sum(col("o_custkey")).as("sum_cust"),
+        count(col("o_custkey2")).as("n_cust2"),
+        sum(col("o_custkey2")).as("sum_cust2"))
+  }
+
   val all: Vector[Q] =
     Vector(q40KvText, q41MultiOutput, q41bNamedOutputs, q42SeqFile, q42bSeqFileBinary,
       q42cSeqFileAsText, q43ScanFilters, q44MultiInputs, q45SetOps,
-      q94RecordDdl, q111GzipText, q111bBzip2Text)
+      q94RecordDdl, q111GzipText, q111bBzip2Text, q137SchemaMerge)
 }

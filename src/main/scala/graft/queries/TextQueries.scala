@@ -1221,6 +1221,65 @@ object TextQueries {
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
   }
 
+  /** Per-source term drift — the distribution-monitoring query a mixture
+    * pipeline runs between batches (is source X's vocabulary shifting
+    * against the corpus?): each source's token share vs the corpus share,
+    * in exact integer ppm (floor division on both sides — no float
+    * distribution math), top 5 most-divergent terms per source by
+    * |source_ppm − corpus_ppm| with (deviation desc, term) tiebreak.
+    * Rare terms are floored out by a min corpus count (≥ 20 occurrences)
+    * so the report surfaces real shifts, not one-off tokens.
+    *
+    * Scale shape: one token-stream aggregation to (source, term) counts,
+    * source and corpus totals derived by re-aggregation (never a second
+    * scan), corpus shares joined back on term — all map-side-combined
+    * groupBys; the per-source top-5 is a WindowGroupLimit-prunable rank
+    * over the filtered deviation table.
+    */
+  val q136TermDrift = Q.checked(
+    "q136_term_drift",
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+      |st AS (SELECT source, term, count(*) AS o FROM toks GROUP BY source, term),
+      |stot AS (SELECT source, CAST(sum(o) AS BIGINT) AS s FROM st GROUP BY source),
+      |ct AS (SELECT term, CAST(sum(o) AS BIGINT) AS c FROM st GROUP BY term),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM st),
+      |dev AS (
+      |  SELECT st.source, st.term,
+      |    (1000000 * st.o) // stot.s AS source_ppm,
+      |    (1000000 * ct.c) // tot.t AS corpus_ppm,
+      |    abs((1000000 * st.o) // stot.s - (1000000 * ct.c) // tot.t) AS dev_ppm
+      |  FROM st JOIN stot USING (source) JOIN ct USING (term) CROSS JOIN tot
+      |  WHERE ct.c >= 20),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source
+      |    ORDER BY dev_ppm DESC, term) AS rk
+      |  FROM dev)
+      |SELECT source, term, source_ppm, corpus_ppm, dev_ppm, rk
+      |FROM r WHERE rk <= 5""") { (s, dir) =>
+    import graft.operators.Dedup
+    import org.apache.spark.sql.expressions.Window
+    val st = table(s, dir, "documents")
+      .select(col("source"), explode(Dedup.tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("o"))
+      .localCheckpoint(true) // three re-aggregations below
+    val stot = st.groupBy(col("source")).agg(sum(col("o")).as("s"))
+    val ct = st.groupBy(col("term")).agg(sum(col("o")).as("c"))
+      .filter(col("c") >= 20)
+    val tot = broadcast(st.agg(sum(col("o")).as("t")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("dev_ppm").desc, col("term"))
+    st.join(broadcast(stot), "source")
+      .join(ct, "term")
+      .crossJoin(tot)
+      .select(col("source"), col("term"),
+        expr("(1000000 * o) div s").as("source_ppm"),
+        expr("(1000000 * c) div t").as("corpus_ppm"),
+        abs(expr("(1000000 * o) div s") - expr("(1000000 * c) div t")).as("dev_ppm"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
@@ -1228,5 +1287,5 @@ object TextQueries {
       q96Decontaminate, q98PiiRedact, q100DupSpans, q101SeqPack,
       q102SourceCap, q105BpeTrainStep, q108MixtureResample,
       q109CurationFunnel, q114TokenBudget, q118ChunkWindows, q121C4Filters,
-      q123BigramLm, q129Bm25)
+      q123BigramLm, q129Bm25, q136TermDrift)
 }
