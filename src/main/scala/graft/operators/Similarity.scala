@@ -320,10 +320,29 @@ object Similarity {
       .select(col("cid"), posexplode(col("xs")).as(Seq("dim0", "v")))
       .select(col("cid"), (col("dim0") + 1).cast("long").as("dim"), col("v"))
       .groupBy(col("cid"), col("dim"))
-      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_scaled"),
-        round(sum(col("v")).cast(DecimalType(38, 6)) / count(lit(1)), 2)
-          .cast("double").as("mean_scaled"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_scaled"))
+      .select(col("cid"), col("dim"), col("n"), col("sum_scaled"),
+        meanScaled.as("mean_scaled"))
   }
+
+  /** Round-half-AWAY-FROM-ZERO mean of `sum_scaled / n` at 2 decimals, in
+    * pure integer arithmetic over (sum_scaled, n) columns: the former
+    * `round(DECIMAL(38,6) / n, 2)` is NOT portable — DuckDB's wide
+    * decimal division silently degrades to DOUBLE, so an exact tie like
+    * 9040.675 rounds .67 there and .68 in Spark's decimal HALF_UP (found
+    * live at sf0.1 in q71b, round 12). Sign-split because `div` truncates
+    * while `//` floors on negatives; both agree on non-negatives.
+    */
+  private[graft] def meanScaled: Column =
+    (expr("""CASE WHEN sum_scaled >= 0
+             THEN (200 * sum_scaled + n) div (2 * n)
+             ELSE -((200 * -sum_scaled + n) div (2 * n)) END""").cast("double")
+      / 100)
+
+  /** The same formula as oracle SQL text over (s, n) expressions. */
+  private[graft] def meanScaledSql(s: String, n: String): String =
+    s"CAST(CASE WHEN $s >= 0 THEN (200 * $s + $n) // (2 * $n) " +
+      s"ELSE -((200 * -($s) + $n) // (2 * $n)) END AS DOUBLE) / 100"
 
   /** Cluster count for SEMANTIC DEDUP — the BALANCED sizing: assignment
     * costs N·k vector dots (every vector against every centroid), pair
@@ -691,8 +710,8 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("m"), col("cid"), posexplode(col("xs")).as(Seq("dim0", "v")))
         .groupBy(col("m"), col("cid"), (col("dim0") + 1).cast("long").as("dim"))
-        .agg(round(sum(col("v")).cast(DecimalType(38, 6)) / count(lit(1)), 2)
-          .cast("double").as("mean_scaled"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_scaled"))
+        .select(col("m"), col("cid"), col("dim"), meanScaled.as("mean_scaled"))
         .groupBy(col("m"), col("cid"))
         .agg(sort_array(collect_list(struct(col("dim"), col("mean_scaled"))))
           .as("dims"))

@@ -190,7 +190,7 @@ object SimilarityQueries {
        |  FROM assign a JOIN embeddings x ON x.vec_id = a.xid
        |)
        |SELECT cid, dim, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_scaled,
-       |  CAST(round(CAST(sum(v) AS DECIMAL(38,6)) / count(*), 2) AS DOUBLE) AS mean_scaled
+       |  ${Similarity.meanScaledSql("CAST(sum(v) AS BIGINT)", "count(*)")} AS mean_scaled
        |FROM sv GROUP BY cid, dim""") { (s, dir) =>
     val emb = table(s, dir, "embeddings")
     val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
@@ -419,8 +419,10 @@ object SimilarityQueries {
     * the global dim keys the (m, cid) pair implicitly). Replays
     * [[Similarity.kmeansStep]] + [[Similarity.centroidsFromStep]] + the
     * starvation fallback EXACTLY, including the centroid's numeric
-    * round-trip: exact integer sums → DECIMAL(38,6)/n → round(.,2) →
-    * /1e6 → float32 (centroidsFromStep stores `cast(... as float)`) →
+    * round-trip: exact integer sums → integer half-away-from-zero mean
+    * at 2 decimals (meanScaledSql — portable where decimal division is
+    * not) → /1e6 → float32 (centroidsFromStep stores `cast(... as
+    * float)`) →
     * re-scaled `round(x*1e6)` long for the next iteration's distances.
     * The CAST(... AS REAL) is load-bearing: it reproduces the float32
     * quantization the Spark side pays when the trained centroids are fed
@@ -438,7 +440,7 @@ object SimilarityQueries {
        |    FROM d2_$i) WHERE rn = 1
        |), n_$i AS (
        |  SELECT a.m, a.cid, x.dim,
-       |    CAST(round(CAST(CAST(CAST(round(CAST(sum(x.v) AS DECIMAL(38,6)) / count(*), 2) AS DOUBLE) / 1e6 AS REAL) AS DOUBLE) * 1000000) AS BIGINT) AS v
+       |    CAST(round(CAST(CAST((${Similarity.meanScaledSql("CAST(sum(x.v) AS BIGINT)", "count(*)")}) / 1e6 AS REAL) AS DOUBLE) * 1000000) AS BIGINT) AS v
        |  FROM a_$i a JOIN sub x ON x.vec_id = a.xid AND x.m = a.m
        |  GROUP BY a.m, a.cid, x.dim
        |), cb_$i AS (

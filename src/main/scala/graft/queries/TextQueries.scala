@@ -117,19 +117,23 @@ object TextQueries {
       |)
       |SELECT t.doc_id, count(*) AS n_tokens,
       |  CAST(sum(v.f) AS BIGINT) AS sum_f, min(v.f) AS min_f,
-      |  CAST(round(CAST(sum(v.f) AS DECIMAL(38,6)) / count(*), 2) AS DOUBLE) AS mean_f
+      |  CAST((200 * CAST(sum(v.f) AS BIGINT) + count(*)) // (2 * count(*)) AS DOUBLE) / 100 AS mean_f
       |FROM toks t JOIN vocab v ON v.tok = t.tok
       |GROUP BY t.doc_id""") { (s, dir) =>
-    import org.apache.spark.sql.types.DecimalType
+    // mean in INTEGER half-up form, not round(DECIMAL/n): DuckDB's wide
+    // decimal division degrades to DOUBLE and rounds the tie 9040.675
+    // down where Spark's decimal HALF_UP rounds up — hit live at sf0.1
+    // (round 12); sums here are counts, so no sign split needed
     val toks = table(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
     toks.join(vocab, "tok")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        sum(col("f")).as("sum_f"), min(col("f")).as("min_f"),
-        round(sum(col("f")).cast(DecimalType(38, 6)) / count(lit(1)), 2)
-          .cast("double").as("mean_f"))
+        sum(col("f")).as("sum_f"), min(col("f")).as("min_f"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_f"), col("min_f"),
+        (expr("(200 * sum_f + n_tokens) div (2 * n_tokens)").cast("double") / 100)
+          .as("mean_f"))
   }
 
   /** Portable hashes of a text's word n-grams (the decontamination join
