@@ -832,6 +832,94 @@ object MiscQueries {
       .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("n_users"))
   }
 
+  /** Sequential event funnel — the classic product-analytics ordered
+    * conversion: users who signed up, then clicked AFTER their first
+    * signup, then purchased AFTER that first qualifying click
+    * (first-occurrence semantics at every step, so a user converts at
+    * most once per stage). Timestamps compare in epoch micros on both
+    * engines ([[graft.core.Graft.tsUs]] / `epoch_us`).
+    *
+    * Scale shape: stage 1 is one map-side-combined conditional min per
+    * user; each later stage joins the event stream back on user_id —
+    * the SAME key every time, so at 100 TB these are co-partitioned
+    * shuffle joins that reuse one partitioning (no broadcast needed and
+    * none assumed: user cardinality is data-scale).
+    */
+  val q138EventFunnel = Q.checked(
+    "q138_event_funnel",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |u1 AS (
+      |  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN us END) AS t1
+      |  FROM ev GROUP BY user_id),
+      |u2 AS (
+      |  SELECT e.user_id, min(e.us) AS t2
+      |  FROM ev e JOIN u1 ON u1.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND u1.t1 IS NOT NULL AND e.us > u1.t1
+      |  GROUP BY e.user_id),
+      |u3 AS (
+      |  SELECT e.user_id, min(e.us) AS t3
+      |  FROM ev e JOIN u2 ON u2.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.us > u2.t2
+      |  GROUP BY e.user_id)
+      |SELECT 1 AS stage, 'signup' AS step, CAST(count(t1) AS BIGINT) AS users FROM u1
+      |UNION ALL
+      |SELECT 2, 'click_after_signup', CAST(count(*) AS BIGINT) FROM u2
+      |UNION ALL
+      |SELECT 3, 'purchase_after_click', CAST(count(*) AS BIGINT) FROM u3""") { (s, dir) =>
+    val evt = table(s, dir, "events")
+    val ev = evt.select(col("user_id"), col("event_type"),
+      graft.core.Graft.tsUs(evt).as("us"))
+    val u1 = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("us"))).as("t1"))
+    val u2 = ev.filter(col("event_type") === "click")
+      .join(u1.filter(col("t1").isNotNull), "user_id")
+      .filter(col("us") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+    val u3 = ev.filter(col("event_type") === "purchase")
+      .join(u2, "user_id")
+      .filter(col("us") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    u1.agg(lit(1).as("stage"), lit("signup").as("step"),
+        count(col("t1")).as("users"))
+      .unionByName(u2.agg(lit(2).as("stage"),
+        lit("click_after_signup").as("step"), count(lit(1)).as("users")))
+      .unionByName(u3.agg(lit(3).as("stage"),
+        lit("purchase_after_click").as("step"), count(lit(1)).as("users")))
+  }
+
+  /** Cohort retention — users grouped by first-active day, counted on
+    * each subsequent day offset (the activation/retention matrix every
+    * growth dashboard draws). Distinct (user, day) activity first, so
+    * within-day replays never inflate a cell; day arithmetic in DATE on
+    * both engines.
+    *
+    * Scale shape: the distinct user-day table is the one real shuffle
+    * (map-side combined); cohorts derive from it by re-aggregation on
+    * the same user key, and the matrix is a (cohort_day × offset)
+    * aggregation — output-bounded, never event-scale.
+    */
+  val q139CohortRetention = Q.checked(
+    "q139_cohort_retention",
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |cohort AS (SELECT user_id, min(d) AS c FROM days GROUP BY user_id)
+      |SELECT CAST(cohort.c AS VARCHAR) AS cohort_day,
+      |  CAST(days.d - cohort.c AS BIGINT) AS day_offset,
+      |  CAST(count(*) AS BIGINT) AS users
+      |FROM days JOIN cohort USING (user_id)
+      |WHERE days.d - cohort.c <= 6
+      |GROUP BY 1, 2""") { (s, dir) =>
+    val days = table(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+    val cohort = days.groupBy(col("user_id")).agg(min(col("d")).as("c"))
+    days.join(cohort, "user_id")
+      .filter(datediff(col("d"), col("c")) <= 6)
+      .groupBy(col("c").cast("string").as("cohort_day"),
+        datediff(col("d"), col("c")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+
   /** Single-pass column profiler — the `ANALYZE TABLE`-shaped statistics
     * job every 100 TB lakehouse runs before planning anything else: per
     * column, row count, null count, exact distinct count, and min/max
@@ -886,5 +974,5 @@ object MiscQueries {
       q55bWavDecode, q55cBmpResize, q55dPngDecode, q55eJpegDecode,
       q63ReferenceSelect, q64IndirectRead,
       q65TeraSort, q85Json, q86TimeRollup, q90Pipe, q91Xml, q91bXmlFile,
-      q132Profile)
+      q132Profile, q138EventFunnel, q139CohortRetention)
 }
