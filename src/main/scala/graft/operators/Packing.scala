@@ -109,6 +109,76 @@ object Packing {
     out
   }
 
+  /** [[tokenOffsets]] generalized to an arbitrary LONG size column:
+    * `(id, size, start_off)` where `start_off` is the exact sum of the
+    * sizes of all rows before this one in `idCol` order — the same
+    * two-pass distributed prefix sum, sizes supplied instead of counted
+    * from text. The id order must be unique or the offsets are not
+    * reproducible.
+    */
+  def sizeOffsets(df: DataFrame, idCol: String, sizeCol: String,
+                  parts: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(col(idCol).cast("long"), col(sizeCol).cast("long"))
+      .repartitionByRange(parts, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .as[(Long, Long)]
+      .rdd
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val partSums = sorted
+      .mapPartitionsWithIndex { case (i, it) =>
+        Iterator.single(i -> it.map(_._2).sum)
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val out = sorted
+      .mapPartitionsWithIndex { case (i, it) =>
+        var acc = offsets(i)
+        it.map { case (id, n) => val s = acc; acc += n; (id, n, s) }
+      }
+      .toDF(idCol, sizeCol, "start_off")
+      .localCheckpoint(true)
+    sorted.unpersist(false)
+    out
+  }
+
+  /** Global 0-based rank in `(orderCols…)` order, appended as a `rank`
+    * column — `RDD.zipWithIndex` semantics but over an EXPLICIT total
+    * order: the same two-pass distributed prefix sum as [[tokenOffsets]],
+    * counting rows instead of tokens (range-partition by the order key,
+    * sort within partitions, one row-count per partition to the driver,
+    * stream offsets back). The order must be total (include a unique
+    * tiebreak column) or the rank is not reproducible.
+    */
+  def globalRank(df: DataFrame, orderCols: Seq[String], parts: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val keys = orderCols.map(col)
+    val sorted = df
+      .repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .rdd
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted
+      .mapPartitionsWithIndex { case (i, it) => Iterator.single(i -> it.size.toLong) }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val ranked = sorted.mapPartitionsWithIndex { case (i, it) =>
+      var acc = offsets(i)
+      it.map { row =>
+        val r = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ acc)
+        acc += 1
+        r
+      }
+    }
+    val out = spark.createDataFrame(ranked,
+        df.schema.add("rank", org.apache.spark.sql.types.LongType, nullable = false))
+      .localCheckpoint(true)
+    sorted.unpersist(false)
+    out
+  }
+
   /** [[tokenOffsets]] plus the sequence assignment at `seqLen` tokens:
     * first/last sequence index per doc and whether the doc straddles a
     * sequence boundary (the span a loader must reassemble).

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Exact grouped percentiles at scale — the nearest-rank method computed
+  * WITHOUT a per-group raw-row window.
+  *
+  * q89 computes exact percentiles the textbook way (row_number over every
+  * raw row of a group); correct, but at 100 TB a single group's rows all
+  * sort inside one window partition — the one-group-one-task cliff. This
+  * operator is the scale path with the SAME exact answer:
+  *
+  *  1. collapse rows to a per-(group, value) HISTOGRAM — one map-side
+  *     combined aggregation; the sort domain drops from row count to
+  *     value-NDV per group;
+  *  2. a two-pass distributed prefix sum over the histogram (the
+  *     [[Packing]] / SortValidate pattern): range-partition by
+  *     (group, value), per-partition per-group subtotals to the driver —
+  *     #partitions × #groups longs, never data — then one streaming pass
+  *     adds offsets, yielding each value's cumulative count;
+  *  3. the p-th percentile (nearest-rank: smallest v with
+  *     cum ≥ ⌈p·n/100⌉, all-integer target arithmetic) falls out of one
+  *     bounded join + min aggregation.
+  *
+  * No window anywhere; the heaviest phase is the histogram aggregation,
+  * which a combiner absorbs wherever values repeat. Ties need no
+  * tiebreak: equal values share one histogram row by construction.
+  */
+object Percentiles {
+
+  /** Exact nearest-rank percentiles of `valueCol` (LONG, e.g. pre-scaled
+    * micros) per `groupCol` (STRING): one row per (group, p) with the
+    * percentile value and the group's row count. `ps` are integer
+    * percents in (0, 100].
+    */
+  def exact(df: DataFrame, groupCol: String, valueCol: String,
+            ps: Seq[Int], parts: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df
+      .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    // pass 1+2: cumulative counts over the (g, v)-ordered histogram;
+    // persisted so both passes see identical partition contents
+    val sorted = hist
+      .repartitionByRange(parts, col("g"), col("v"))
+      .sortWithinPartitions(col("g"), col("v"))
+      .as[(String, Long, Long)]
+      .rdd
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val partGroupSums: Array[Map[String, Long]] = {
+      val raw = sorted
+        .mapPartitionsWithIndex { case (i, it) =>
+          val m = scala.collection.mutable.Map.empty[String, Long]
+          it.foreach { case (g, _, c) => m.update(g, m.getOrElse(g, 0L) + c) }
+          Iterator.single(i -> m.toMap)
+        }
+        .collect()
+      val byIdx = raw.toMap
+      Array.tabulate(sorted.getNumPartitions)(i => byIdx.getOrElse(i, Map.empty))
+    }
+    // offsets(i)(g) = rows of group g in partitions before i
+    val offsets: Array[Map[String, Long]] =
+      partGroupSums.scanLeft(Map.empty[String, Long]) { (acc, m) =>
+        (acc.keySet ++ m.keySet).iterator
+          .map(g => g -> (acc.getOrElse(g, 0L) + m.getOrElse(g, 0L))).toMap
+      }.init
+    val totals: Map[String, Long] = partGroupSums.foldLeft(Map.empty[String, Long]) {
+      (acc, m) =>
+        (acc.keySet ++ m.keySet).iterator
+          .map(g => g -> (acc.getOrElse(g, 0L) + m.getOrElse(g, 0L))).toMap
+    }
+    val cum = sorted
+      .mapPartitionsWithIndex { case (i, it) =>
+        val acc = scala.collection.mutable.Map[String, Long](offsets(i).toSeq: _*)
+        it.map { case (g, v, c) =>
+          val next = acc.getOrElse(g, 0L) + c
+          acc.update(g, next)
+          (g, v, next)
+        }
+      }
+      .toDF("g", "v", "cum")
+      .localCheckpoint(true)
+    sorted.unpersist(false)
+    val n = totals.toSeq.toDF("g", "n")
+    val pdf = ps.map(_.toLong).toDF("p")
+    // target rank ⌈p·n/100⌉ in pure integers: (p·n + 99) div 100
+    cum
+      .join(broadcast(n), "g")
+      .crossJoin(broadcast(pdf))
+      .filter(col("cum") >= expr("(p * n + 99) div 100"))
+      .groupBy(col("g"), col("p"))
+      .agg(min(col("v")).as("pct"), max(col("n")).as("n"))
+  }
+}

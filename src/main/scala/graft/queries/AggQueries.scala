@@ -492,9 +492,47 @@ object AggQueries {
       .select(col("event_type"), col("n_days"), col("hll_users"))
   }
 
+  /** Exact grouped percentiles, the SCALE path
+    * ([[graft.operators.Percentiles.exact]]): q89 proves nearest-rank
+    * percentiles with a per-group raw-row window — correct, but at 100 TB
+    * one group's rows all sort inside one window task. This is the same
+    * exact answer with no window at all: collapse to a per-(group, value)
+    * histogram (map-side combined), run the two-pass distributed prefix
+    * sum over it (the Packing/SortValidate pattern — the driver sees
+    * #partitions × #groups longs, never data), and read each percentile
+    * off the cumulative counts with all-integer rank targets
+    * ⌈p·n/100⌉ = (p·n + 99) div 100. The oracle is the WINDOW algorithm
+    * over the same scaled values — two algorithms, one answer, so a green
+    * row proves the prefix-sum path exactly reproduces the textbook
+    * definition. Values ride the scaled-long domain (micros), so there is
+    * no float compare anywhere.
+    */
+  val q141ExactPctHist = Q.checked(
+    "q141_exact_pct_hist",
+    """WITH v AS (
+      |  SELECT event_type, CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v
+      |  FROM events),
+      |n AS (SELECT event_type, count(*) AS n FROM v GROUP BY event_type),
+      |r AS (
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+      |  FROM v),
+      |p AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS p)
+      |SELECT r.event_type, p.p, min(r.v) AS pct, CAST(max(n.n) AS BIGINT) AS n
+      |FROM r JOIN n USING (event_type) CROSS JOIN p
+      |WHERE rn >= (p.p * n.n + 99) // 100
+      |GROUP BY r.event_type, p.p""") { (s, dir) =>
+    import graft.operators.Percentiles
+    val ev = table(s, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 1000000).cast("long").as("v"))
+    Percentiles.exact(ev, "event_type", "v", Seq(50, 90, 99))
+      .select(col("g").as("event_type"), col("p"), col("pct"), col("n"))
+  }
+
   val all: Vector[Q] =
     Vector(q20AggDescriptor, q21UniqCapped, q22Histogram, q23MaxMin,
       q24Distinct, q25UniqTyped, q78ZscoreOutliers, q82Pivot, q83Unpivot,
       q84Cube, q88Corr, q89Percentiles, q130CmsHeavyHitters, q131HllUsers,
-      q134HllMerge)
+      q134HllMerge, q141ExactPctHist)
 }

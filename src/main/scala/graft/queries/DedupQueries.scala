@@ -802,9 +802,122 @@ object DedupQueries {
     kept.unionByName(updated).unionByName(inserted)
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) over the q127
+    * bipartite user ↔ event-type graph — the community-detection member
+    * of the graph family (q58 = pointer-jumping CC, q87 = triangle
+    * closure, q127 = random-walk importance): every node starts labeled
+    * with itself, and each round adopts the MOST FREQUENT label among its
+    * neighbors (count DESC, then lowest label — fully deterministic, no
+    * random tiebreak). Three synchronous rounds, unrolled in the oracle
+    * as three CTEs; the oracle picks the argmax with a window while the
+    * engine uses `min(struct(-count, label))` — a pure aggregation, no
+    * per-neighbor-label window anywhere, so a hub node's update is one
+    * combiner-friendly groupBy even at 10⁶ degree. Per-round
+    * localCheckpoint keeps the lineage flat (the q127 Pregel posture).
+    */
+  val q142LabelProp = Q.checked(
+    "q142_label_prop",
+    """WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events),
+      |edges AS (
+      |  SELECT 'u:' || CAST(user_id AS VARCHAR) AS src, 't:' || event_type AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT 't:' || event_type, 'u:' || CAST(user_id AS VARCHAR) FROM pairs
+      |), l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+      |c1 AS (
+      |  SELECT e.dst, r.lbl, count(*) AS c
+      |  FROM edges e JOIN l0 r ON r.node = e.src GROUP BY e.dst, r.lbl),
+      |l1 AS (
+      |  SELECT dst AS node, lbl FROM (
+      |    SELECT dst, lbl, row_number() OVER (PARTITION BY dst ORDER BY c DESC, lbl) AS rn
+      |    FROM c1) WHERE rn = 1),
+      |c2 AS (
+      |  SELECT e.dst, r.lbl, count(*) AS c
+      |  FROM edges e JOIN l1 r ON r.node = e.src GROUP BY e.dst, r.lbl),
+      |l2 AS (
+      |  SELECT dst AS node, lbl FROM (
+      |    SELECT dst, lbl, row_number() OVER (PARTITION BY dst ORDER BY c DESC, lbl) AS rn
+      |    FROM c2) WHERE rn = 1),
+      |c3 AS (
+      |  SELECT e.dst, r.lbl, count(*) AS c
+      |  FROM edges e JOIN l2 r ON r.node = e.src GROUP BY e.dst, r.lbl),
+      |l3 AS (
+      |  SELECT dst AS node, lbl FROM (
+      |    SELECT dst, lbl, row_number() OVER (PARTITION BY dst ORDER BY c DESC, lbl) AS rn
+      |    FROM c3) WHERE rn = 1)
+      |SELECT node, lbl FROM l3""") { (s, dir) =>
+    val pairs = table(s, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val edges = pairs
+      .select(concat(lit("u:"), col("user_id")).as("src"),
+        concat(lit("t:"), col("event_type")).as("dst"))
+      .unionByName(pairs
+        .select(concat(lit("t:"), col("event_type")).as("src"),
+          concat(lit("u:"), col("user_id")).as("dst")))
+      .localCheckpoint(true) // reused by init + every round
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to 3) {
+      labels = edges
+        .join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        // argmax by (count DESC, label ASC) as a pure aggregation:
+        // struct ordering compares -c first, then lbl
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("top"))
+        .select(col("dst").as("node"), col("top.lbl").as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Cross-source content-overlap matrix — the corpus-contamination
+    * report a mixture designer reads before weighting sources (how much
+    * of source A is already inside source B): per source, the DISTINCT
+    * word-2-shingle set; per source pair (a < b), the shingle
+    * intersection and the integer-ppm Jaccard. The reporting granularity
+    * is shingles (q51's near-dup currency), so shared boilerplate counts
+    * even when no two documents are byte-identical.
+    *
+    * Scale shape: the shingle→source table is DISTINCT per (shingle,
+    * source), so each join key carries at most |sources| rows per side —
+    * per-key fanout is bounded by sources² regardless of how hot a
+    * shingle is (the 'the the' problem cannot skew this join), and the
+    * output is the sources² matrix, tiny. One map-side-combined distinct,
+    * one bounded self-join, two bounded count joins.
+    */
+  val q144SourceOverlap = Q.checked(
+    "q144_source_overlap",
+    """WITH sh AS (
+      |  SELECT DISTINCT source,
+      |    unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS s
+      |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+      |), n AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+      |ov AS (
+      |  SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+      |  FROM sh a JOIN sh b ON b.s = a.s AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT ov.sa, ov.sb, ov.inter, na.n AS na, nb.n AS nb,
+      |  (1000000 * ov.inter) // (na.n + nb.n - ov.inter) AS jac_ppm
+      |FROM ov JOIN n na ON na.source = ov.sa JOIN n nb ON nb.source = ov.sb""") { (s, dir) =>
+    val sh = table(s, dir, "documents")
+      .select(col("source"), explode(Dedup.bigrams(col("text"))).as("s"))
+      .distinct()
+      .localCheckpoint(true) // feeds the self-join and the per-source sizes
+    val n = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val right = sh.select(col("source").as("sb"), col("s").as("s2"))
+    sh.join(right, col("s") === col("s2") && col("source") < col("sb"))
+      .groupBy(col("source").as("sa"), col("sb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(n.select(col("source").as("sa"), col("n").as("na"))), "sa")
+      .join(broadcast(n.select(col("source").as("sb"), col("n").as("nb"))), "sb")
+      .select(col("sa"), col("sb"), col("inter"), col("na"), col("nb"),
+        expr("(1000000 * inter) div (na + nb - inter)").as("jac_ppm"))
+  }
+
   val all: Vector[Q] =
     Vector(q50DedupExact, q51MinhashLsh, q52Simhash, q53Jaccard,
       q57EmbedDedup, q58DedupGroups, q59DedupApply, q87Triangles,
       q97BinaryDedup, q103SnapshotDiff, q106UrlDedup, q110IncrementalDedup,
-      q115ParagraphDedup, q127Pagerank, q128SetsimJoin, q133MergeUpsert)
+      q115ParagraphDedup, q127Pagerank, q128SetsimJoin, q133MergeUpsert,
+      q142LabelProp, q144SourceOverlap)
 }

@@ -271,7 +271,45 @@ object StoreQueries {
           .cast("double").as("sum_qty"))
   }
 
+  /** Compaction planning — the table-maintenance step every small-file
+    * store eventually needs (Delta/Iceberg OPTIMIZE, HDFS har-ing, the
+    * q35 combine-scan's WRITE-side twin): given a file manifest (id,
+    * size), assign files in manifest order to target-size output bins by
+    * exact cumulative offset — bin = start_off div target, the same
+    * streaming-concat rule Spark's own file coalescing uses — and emit
+    * the per-bin plan (file count, bytes, id range). Contiguous
+    * assignment preserves whatever clustering the manifest order encodes
+    * (a sorted table stays sorted after compaction), which is why real
+    * compactors do NOT first-fit-decreasing across the whole table.
+    *
+    * The cumulative offsets are [[graft.operators.Packing.sizeOffsets]] —
+    * the two-pass distributed prefix sum, no single-partition window; the
+    * oracle computes the same offsets with a window cumsum. Two
+    * algorithms, one answer. The manifest here is the documents table
+    * (doc_id, n_chars) standing in for (file, bytes).
+    */
+  val q145CompactionPlan = Q.checked(
+    "q145_compaction_plan",
+    """WITH f AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      |  FROM documents)
+      |SELECT CAST(start_off // 4000 AS BIGINT) AS bin, count(*) AS n_files,
+      |  CAST(sum(n_chars) AS BIGINT) AS bin_chars,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM f GROUP BY 1""") { (s, dir) =>
+    import graft.operators.Packing
+    Packing.sizeOffsets(
+        table(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars")
+      .groupBy(expr("start_off div 4000").as("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bin_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
   val all: Vector[Q] =
     Vector(q34MapFile, q34bBloomFile, q34cSetFile, q34dArrayFile, q34eTFile,
-      q35MultiFileWordCount, q56RandomText, q99Har, q117OrcInterchange)
+      q35MultiFileWordCount, q56RandomText, q99Har, q117OrcInterchange,
+      q145CompactionPlan)
 }

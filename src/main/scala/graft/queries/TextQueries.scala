@@ -1284,6 +1284,120 @@ object TextQueries {
       .filter(col("rk") <= 5)
   }
 
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — the linear-odds
+    * variant): estimate a TARGET unigram distribution from the in-domain
+    * slice (lang = 'en', the high-resource reference corpus), weight
+    * every term by its integer ppm excess over the raw corpus
+    * (`target_ppm − raw_ppm`), score each document by the tf-weighted sum
+    * of its terms' weights, and keep the per-source top quarter
+    * (score DESC, doc_id) — importance selection under the same
+    * per-shard quota discipline as q102's source cap. All integer: ppm
+    * floor-divisions on non-negative counts, a product-sum score (no
+    * division of signed values anywhere), and an exact ⌈n/4⌉ quota.
+    *
+    * Scale shape: token-level aggregations with map-side combine, the
+    * weight table joined on term (vocabulary-sized, shuffle not
+    * broadcast), per-doc score one combined aggregation, and the quota
+    * window runs per SOURCE — bounded partitions, the q136 posture. The
+    * log-odds of the paper needs cross-engine-identical `ln`, which libms
+    * do not give; the linear odds keep the ranking signal and the
+    * bit-exact oracle.
+    */
+  val q140DsirSelect = Q.checked(
+    "q140_dsir_select",
+    """WITH toks AS (
+      |  SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, source, term, count(*) AS tf
+      |       FROM toks GROUP BY doc_id, source, term),
+      |rv AS (SELECT term, count(*) AS rc FROM toks GROUP BY term),
+      |tv AS (SELECT term, count(*) AS tc FROM toks WHERE lang = 'en' GROUP BY term),
+      |tot AS (SELECT (SELECT CAST(sum(rc) AS BIGINT) FROM rv) AS rtot,
+      |               (SELECT CAST(sum(tc) AS BIGINT) FROM tv) AS ttot),
+      |wt AS (
+      |  SELECT rv.term,
+      |    (1000000 * COALESCE(tv.tc, 0)) // tot.ttot - (1000000 * rv.rc) // tot.rtot AS w
+      |  FROM rv LEFT JOIN tv USING (term) CROSS JOIN tot),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.source, CAST(sum(tf.tf * wt.w) AS BIGINT) AS score
+      |  FROM tf JOIN wt USING (term) GROUP BY tf.doc_id, tf.source),
+      |cnt AS (SELECT source, count(*) AS n FROM sc GROUP BY source),
+      |r AS (
+      |  SELECT sc.*, cnt.n,
+      |    row_number() OVER (PARTITION BY sc.source
+      |      ORDER BY sc.score DESC, sc.doc_id) AS rk
+      |  FROM sc JOIN cnt USING (source))
+      |SELECT doc_id, source, score, rk, rk <= (n + 3) // 4 AS selected
+      |FROM r""") { (s, dir) =>
+    import graft.operators.Dedup
+    import org.apache.spark.sql.expressions.Window
+    val toks = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(Dedup.tokens(col("text"))).as("term"))
+      .localCheckpoint(true) // feeds tf, raw and target vocab counts
+    val tf = toks.groupBy(col("doc_id"), col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val rv = toks.groupBy(col("term")).agg(count(lit(1)).as("rc"))
+    val tv = toks.filter(col("lang") === "en")
+      .groupBy(col("term")).agg(count(lit(1)).as("tc"))
+    val tot = broadcast(
+      rv.agg(sum(col("rc")).as("rtot"))
+        .crossJoin(tv.agg(sum(col("tc")).as("ttot"))))
+    val wt = rv.join(tv, Seq("term"), "left")
+      .crossJoin(tot)
+      .select(col("term"),
+        (expr("(1000000 * coalesce(tc, 0L)) div ttot") -
+          expr("(1000000 * rc) div rtot")).as("w"))
+    val sc = tf.join(wt, "term")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("tf") * col("w")).as("score"))
+    val cnt = sc.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    sc.join(broadcast(cnt), "source")
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("source"), col("score"), col("rk"),
+        (col("rk") <= expr("(n + 3) div 4")).as("selected"))
+  }
+
+  /** Training-order shuffle + sharding — the last materialization step of
+    * a data pipeline: give every surviving document a deterministic
+    * pseudo-random position (hash of its id — reproducible across runs,
+    * uncorrelated with ingest order, the standard seed-hash shuffle), and
+    * lay the permuted corpus out as fixed-size shards with an exact
+    * in-shard position: shard = rank div S, pos = rank mod S.
+    *
+    * The global rank is the [[graft.operators.Packing]] two-pass
+    * distributed prefix sum over COUNTS (range-partition by the shuffle
+    * key, one subtotal per partition to the driver, stream offsets back)
+    * — no single-partition window, no driver data. The oracle computes
+    * the same permutation with row_number — two algorithms, one answer,
+    * proving the distributed rank exactly reproduces the total order.
+    */
+  val q143TrainShuffle = Q.checked(
+    "q143_train_shuffle",
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    ('0x'||substring(md5('ord:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS key
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, key,
+      |    row_number() OVER (ORDER BY key, doc_id) - 1 AS rank
+      |  FROM k)
+      |SELECT doc_id, key, rank, rank // 100 AS shard, rank % 100 AS pos
+      |FROM r""") { (s, dir) =>
+    import graft.functions.Hashing
+    import graft.operators.Packing
+    val keyed = table(s, dir, "documents")
+      .select(col("doc_id"),
+        Hashing.hash32(concat(lit("ord:"), col("doc_id").cast("string")))
+          .as("key"))
+    Packing.globalRank(keyed, Seq("key", "doc_id"))
+      .select(col("doc_id"), col("key"), col("rank"),
+        expr("rank div 100").as("shard"), expr("rank % 100").as("pos"))
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
@@ -1291,5 +1405,5 @@ object TextQueries {
       q96Decontaminate, q98PiiRedact, q100DupSpans, q101SeqPack,
       q102SourceCap, q105BpeTrainStep, q108MixtureResample,
       q109CurationFunnel, q114TokenBudget, q118ChunkWindows, q121C4Filters,
-      q123BigramLm, q129Bm25, q136TermDrift)
+      q123BigramLm, q129Bm25, q136TermDrift, q140DsirSelect, q143TrainShuffle)
 }

@@ -47,6 +47,19 @@ class PackingSpec extends AnyFunSuite {
       (27L, 2L, 5L, true)))
   }
 
+  test("sizeOffsets equals the single-threaded prefix sum at any partition count") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(31)
+    val sizes = Seq.tabulate(400)(i => (i.toLong, rnd.nextInt(5000).toLong))
+    val df = sizes.toDF("doc_id", "n_chars").repartition(7)
+    val expected = sizes.map(_._2).scanLeft(0L)(_ + _).init
+    for (parts <- Seq(1, 5, 32)) {
+      val got = Packing.sizeOffsets(df, "doc_id", "n_chars", parts)
+        .orderBy(col("doc_id")).collect().map(_.getLong(2)).toSeq
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
   test("more partitions than rows still works") {
     val got = Packing.tokenOffsets(docs(Seq("x y", "z")), parts = 32)
       .orderBy("doc_id").collect().map(_.getLong(2))
