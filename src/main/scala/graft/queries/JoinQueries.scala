@@ -283,8 +283,54 @@ object JoinQueries {
         round(sum(col("l_quantity").cast(D)), 2).cast("double").as("sum_qty"))
   }
 
+  /** Six-table star-join analytics (the TPC-H Q5 "local supplier volume"
+    * shape): region → nation → customer → orders → lineitem → supplier,
+    * with the supplier join requiring s_nationkey = c_nationkey (revenue
+    * only counts when the supplier sits in the customer's nation — the
+    * composite-key join that makes Q5 the classic join-order benchmark),
+    * finished orders only, revenue = Σ extprice·(1−discount) in EXACT
+    * decimal, rounded once at the end (the q20 discipline).
+    *
+    * Scale shape: region/nation/supplier ride broadcasts (Catalyst picks
+    * them under the threshold; at 100 TB supplier may graduate to a
+    * shuffle join on (suppkey, nationkey) — the plan degrades safely
+    * because the join is declarative), customer⋈orders and
+    * orders⋈lineitem shuffle on their natural keys, and AQE handles the
+    * orderkey skew. One aggregation at (region, nation) granularity —
+    * 25-row output from a lineitem-scale probe.
+    */
+  val q149StarJoin = Q.checked(
+    "q149_star_join",
+    """SELECT r_name, n_name, count(*) AS n_items,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |                 (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY r_name, n_name""") { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    table(s, dir, "region")
+      .join(table(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+      .join(table(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+      .join(table(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("o_custkey") === col("c_custkey"))
+      .join(table(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(table(s, dir, "supplier"),
+        col("s_suppkey") === col("l_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+          (lit(1) - col("l_discount").cast(DecimalType(18, 4)))), 2)
+          .cast("double").as("revenue"))
+  }
+
   val all: Vector[Q] =
     Vector(q10JoinInner, q11JoinOuter, q12JoinOverride, q13JoinTagged,
       q14SemiAnti, q63cBloomSemi, q67BucketedJoin, q69AsofJoin, q80RangeJoin,
-      q107SaltedJoin)
+      q107SaltedJoin, q149StarJoin)
 }

@@ -272,8 +272,59 @@ object StreamQueries {
         col("day_bucket"), col("ts_us"))
   }
 
+  /** Conversation assembly — the SFT-data shaping step that turns an
+    * event log into ordered interaction transcripts: q68's gap-based
+    * sessions (the same `session_window(ts, '8 hours')` expression, so
+    * the boundary semantics are already oracle-pinned) with each
+    * session's events REASSEMBLED in (event time, event id) order into a
+    * `|`-joined turn string — the per-conversation payload a chat
+    * trainer consumes, where q68 only counted.
+    *
+    * Determinism: the turn order ties on timestamp are broken by
+    * event_id on both sides; the engine sorts INSIDE the aggregation
+    * buffer (`array_sort(collect_list(struct(ts, id, type)))` — struct
+    * ordering is field-lexicographic), never with a window, so a
+    * session's turns cost one combiner buffer bounded by session length.
+    * Oracle: `string_agg(... ORDER BY ts, event_id)` over the unrolled
+    * lag/cumsum session numbering.
+    */
+  val q148Conversations = Q.checked(
+    "q148_conversations",
+    """WITH us AS (
+      |  SELECT user_id, ts, epoch_us(ts) AS ts_us, event_id, event_type
+      |  FROM events),
+      |marks AS (
+      |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+      |      OR ts_us - lag(ts_us) OVER w > 28800000000
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM us WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marks)
+      |SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_turns,
+      |  string_agg(event_type, '|' ORDER BY ts_us, event_id) AS turns
+      |FROM sess GROUP BY user_id, sid""") { (s, dir) =>
+    val ev = table(s, dir, "events")
+    val us = graft.core.Graft.tsUs(ev)
+    ev
+      .withColumn("ts_us", us)
+      .withColumn("tsx", timestamp_micros(col("ts_us")))
+      .groupBy(session_window(col("tsx"), "8 hours"), col("user_id"))
+      .agg(min(col("ts_us")).as("session_start_us"),
+        count(lit(1)).as("n_turns"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("ts_us"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          "|").as("turns"))
+      .select(col("user_id"), col("session_start_us"), col("n_turns"),
+        col("turns"))
+  }
+
   val all: Vector[Q] =
     Vector(q66StreamApiSort, q68Sessionize, q92StreamCli, q93StreamPipeline,
       q95StreamHistogram, q112StreamSeqfile, q113StreamSeqfileOut,
-      q122IngestDedup)
+      q122IngestDedup, q148Conversations)
 }

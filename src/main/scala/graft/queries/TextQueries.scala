@@ -1398,6 +1398,237 @@ object TextQueries {
         expr("rank div 100").as("shard"), expr("rank % 100").as("pos"))
   }
 
+  /** HTML → text extraction — the step every web-crawl pipeline (C4,
+    * CCNet, RefinedWeb) runs before any quality filter: strip script and
+    * style blocks, strip comments, strip tags (tag → space so adjacent
+    * words don't fuse), decode the five core entities (`&amp;` decoded
+    * LAST so literal ampersand text can't double-decode), collapse
+    * whitespace. The HTML is synthesized deterministically around each
+    * document (head with style+script carrying `<`/`&&` traps, a nav
+    * div, an entity-bearing footer paragraph, a comment), so the oracle
+    * can rebuild the page from the raw text without seeing the engine's
+    * bytes — green means every strip/decode rule fired identically, and
+    * `content_md5` pins the result span-exact (the q98 PII discipline).
+    * Patterns live in the Java∩RE2 regex subset with inline `(?s)`;
+    * production extensions (link-density line filters, main-content
+    * detection) compose as further map-side passes.
+    *
+    * Scale shape: pure map-side codegen'd builtins, zero shuffles before
+    * the final projection — the ideal 100 TB operator.
+    */
+  val q146HtmlExtract = Q.checked(
+    "q146_html_extract",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><style>body{font:10px}</style>' ||
+      |    '<script>if(1<2){var x=1&&2;}</script></head><body><p>' || text ||
+      |    '</p><div class="nav">Home | About</div>' ||
+      |    '<p>x &amp; y &lt;z&gt; &quot;q&#39;s&quot;</p>' ||
+      |    '<!-- footer --></body></html>' AS html
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(html, '(?s)<script[^>]*>.*?</script>', '', 'g'),
+      |              '(?s)<style[^>]*>.*?</style>', '', 'g'),
+      |            '(?s)<!--.*?-->', '', 'g'),
+      |          '<[^>]+>', ' ', 'g'),
+      |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+      |        '&amp;', '&'),
+      |      '\s+', ' ', 'g')) AS clean
+      |  FROM h)
+      |SELECT doc_id, md5(clean) AS content_md5,
+      |  CAST(len(regexp_extract_all(clean, '\S+')) AS BIGINT) AS n_tokens,
+      |  CAST(length(clean) AS BIGINT) AS n_chars_clean
+      |FROM s""") { (s, dir) =>
+    val html = concat(
+      lit("<html><head><style>body{font:10px}</style>" +
+        "<script>if(1<2){var x=1&&2;}</script></head><body><p>"),
+      col("text"),
+      lit("</p><div class=\"nav\">Home | About</div>" +
+        "<p>x &amp; y &lt;z&gt; &quot;q&#39;s&quot;</p>" +
+        "<!-- footer --></body></html>"))
+    var c: org.apache.spark.sql.Column = html
+    // strip order matters: blocks, comments, tags, entities (&amp; last),
+    // whitespace — identical sequence in the oracle
+    for ((pat, rep) <- Seq(
+        ("(?s)<script[^>]*>.*?</script>", ""),
+        ("(?s)<style[^>]*>.*?</style>", ""),
+        ("(?s)<!--.*?-->", ""),
+        ("<[^>]+>", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", "\""),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+        ("\\s+", " ")))
+      c = regexp_replace(c, pat, rep)
+    val clean = trim(c)
+    table(s, dir, "documents")
+      .select(col("doc_id"), clean.as("clean"))
+      .select(col("doc_id"), md5(col("clean")).as("content_md5"),
+        size(regexp_extract_all(col("clean"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"),
+        length(col("clean")).cast("long").as("n_chars_clean"))
+  }
+
+  /** Distributed quality-classifier TRAINING — two synchronous batch
+    * perceptron epochs (Rosenblatt 1958) over hashed-unigram features,
+    * the integer-exact stand-in for the fastText-style linear quality
+    * classifiers real pipelines train (GPT-3's WebText-vs-CommonCrawl
+    * filter, CCNet's LM gate): features are term counts folded into 32
+    * hash buckets (the hashing trick — vocabulary-independent dimension,
+    * the q75/q96 digest family), labels y = ±1 from the lang column
+    * (en = target class), and each epoch adds Σ y·x over the currently
+    * misclassified docs (y·(w·x) ≤ 0) to the weight vector. Everything
+    * is BIGINT arithmetic — counts, dots, updates — so the oracle can
+    * unroll both epochs in CTEs (the q127 technique) and match
+    * bit-for-bit; no learning-rate float, no sigmoid, no ln.
+    *
+    * Scale shape: one token-stream aggregation to (doc, dim, count)
+    * (map-side combined), then per epoch ONE broadcast of the 32-row
+    * weight vector, one per-doc margin aggregation, and one dim-keyed
+    * update sum — the classic data-parallel batch-gradient shape where
+    * the model rides a broadcast and only sufficient statistics shuffle.
+    */
+  val q147PerceptronTrain = Q.checked(
+    "q147_perceptron_train",
+    """WITH toks AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+      |    unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tfb AS (
+      |  SELECT doc_id, y, ('0x'||substring(md5(term),1,8))::BIGINT % 32 AS dim,
+      |    count(*) AS c
+      |  FROM toks GROUP BY doc_id, y, dim),
+      |w1 AS (SELECT dim, CAST(sum(y * c) AS BIGINT) AS w FROM tfb GROUP BY dim),
+      |m2 AS (
+      |  SELECT t.doc_id, t.y, CAST(sum(t.c * w1.w) AS BIGINT) AS m
+      |  FROM tfb t JOIN w1 USING (dim) GROUP BY t.doc_id, t.y),
+      |mis AS (SELECT doc_id FROM m2 WHERE y * m <= 0),
+      |u2 AS (
+      |  SELECT dim, CAST(sum(y * c) AS BIGINT) AS u
+      |  FROM tfb JOIN mis USING (doc_id) GROUP BY dim)
+      |SELECT w1.dim, w1.w AS w_epoch1, w1.w + COALESCE(u2.u, 0) AS w_epoch2
+      |FROM w1 LEFT JOIN u2 USING (dim)""") { (s, dir) =>
+    import graft.operators.Dedup
+    val toks = table(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        explode(Dedup.tokens(col("text"))).as("term"))
+    val tfb = toks
+      .groupBy(col("doc_id"), col("y"),
+        (Hashing.hash32(col("term")) % 32).as("dim"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds epoch 1, the margin pass, and epoch 2
+    // epoch 1: w0 = 0 gives every doc margin 0 => all misclassified
+    val w1 = tfb.groupBy(col("dim")).agg(sum(col("y") * col("c")).as("w"))
+    val m2 = tfb.join(broadcast(w1), "dim")
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("c") * col("w")).as("m"))
+    val mis = m2.filter(col("y") * col("m") <= 0).select(col("doc_id"))
+    val u2 = tfb.join(mis, "doc_id")
+      .groupBy(col("dim")).agg(sum(col("y") * col("c")).as("u"))
+    w1.join(u2, Seq("dim"), "left")
+      .select(col("dim"), col("w").as("w_epoch1"),
+        (col("w") + coalesce(col("u"), lit(0L))).as("w_epoch2"))
+  }
+
+  /** RAG indexing capstone — retrieval over a DERIVED corpus: documents
+    * are chunked into q118's sliding 64-token/48-stride windows, then the
+    * chunk table becomes the BM25 collection (q129's all-integer scorer,
+    * chunk-level tf/df/length stats) probed with doc 42's terms, top-10
+    * chunks by (score desc, doc_id, chunk_id). This is the production
+    * RAG index shape — retrieval quality lives at chunk granularity, not
+    * document granularity — and the composition is the point: both
+    * stages are oracle-pinned alone (q118, q129), this green row pins
+    * the HANDOFF (chunk identity, the re-derived collection statistics
+    * nd/tt/df over chunks, and the final ranking) end to end.
+    *
+    * Scale shape: chunking is map-side; the scorer re-derives its stats
+    * from one chunk-token aggregation; query terms and query-restricted
+    * df ride broadcasts (the q129 posture); top-10 is
+    * TakeOrderedAndProject. Swap q135's fusion on top for hybrid
+    * retrieval over chunks.
+    */
+  val q150RagPipeline = Q.checked(
+    "q150_rag_pipeline",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |idx AS (
+       |  SELECT doc_id, w, len(w) AS n,
+       |    unnest(generate_series(0, CAST(ceil(greatest(len(w) - $ChunkW, 0) / $ChunkS.0) AS INT))) AS k
+       |  FROM words),
+       |chunks AS (
+       |  SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       |    array_to_string(w[(k*$ChunkS+1):(k*$ChunkS+$ChunkW)], ' ') AS chunk_text
+       |  FROM idx),
+       |ctoks AS (
+       |  SELECT doc_id, chunk_id, unnest(string_split(chunk_text, ' ')) AS term
+       |  FROM chunks),
+       |tf AS (SELECT doc_id, chunk_id, term, count(*) AS tf
+       |       FROM ctoks GROUP BY doc_id, chunk_id, term),
+       |cl AS (SELECT doc_id, chunk_id, count(*) AS dl
+       |       FROM ctoks GROUP BY doc_id, chunk_id),
+       |tot AS (SELECT (SELECT count(*) FROM cl) AS nd,
+       |               (SELECT count(*) FROM ctoks) AS tt),
+       |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |qt AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+       |       FROM documents WHERE doc_id = 42),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.chunk_id,
+       |    (1000000 * 44 * tf.tf * (2 * tot.nd - 2 * dfr.df + 1)) //
+       |    ((2 * dfr.df + 1) * (20 * tf.tf + 6 + (18 * cl.dl * tot.nd) // tot.tt)) AS sc
+       |  FROM tf JOIN qt USING (term) JOIN dfr USING (term)
+       |  JOIN cl USING (doc_id, chunk_id) CROSS JOIN tot),
+       |agg AS (SELECT doc_id, chunk_id, CAST(sum(sc) AS BIGINT) AS score
+       |        FROM sc GROUP BY doc_id, chunk_id),
+       |r AS (SELECT doc_id, chunk_id, score,
+       |  row_number() OVER (ORDER BY score DESC, doc_id, chunk_id) AS rank FROM agg)
+       |SELECT doc_id, chunk_id, score, rank FROM r WHERE rank <= 10""") { (s, dir) =>
+    import graft.operators.Dedup
+    import org.apache.spark.sql.expressions.Window
+    val chunks = table(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .select(col("doc_id"), col("w"), explode(expr(
+        s"sequence(0, cast(ceil(greatest(n - $ChunkW, 0) / $ChunkS.0) as int))"))
+        .as("k"))
+      .select(col("doc_id"), col("k").cast("long").as("chunk_id"),
+        expr(s"array_join(slice(w, k * $ChunkS + 1, $ChunkW), ' ')").as("chunk_text"))
+    val ctoks = chunks
+      .select(col("doc_id"), col("chunk_id"),
+        explode(Dedup.tokens(col("chunk_text"))).as("term"))
+      .localCheckpoint(true) // feeds tf, lengths, totals
+    val tf = ctoks.groupBy(col("doc_id"), col("chunk_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cl = ctoks.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("dl"))
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tot = broadcast(ctoks.agg(
+      count_distinct(col("doc_id"), col("chunk_id")).as("nd"),
+      count(lit(1)).as("tt")))
+    val qt = broadcast(table(s, dir, "documents")
+      .filter(col("doc_id") === 42)
+      .select(explode(Dedup.tokens(col("text"))).as("term")).distinct())
+    val dfq = broadcast(dfr.join(qt, "term"))
+    tf.join(qt, "term")
+      .join(dfq, "term")
+      .join(cl, Seq("doc_id", "chunk_id"))
+      .crossJoin(tot)
+      .select(col("doc_id"), col("chunk_id"),
+        expr("""(1000000 * 44 * tf * (2 * nd - 2 * df + 1)) div
+               ((2 * df + 1) * (20 * tf + 6 + (18 * dl * nd) div tt))""").as("sc"))
+      .groupBy(col("doc_id"), col("chunk_id")).agg(sum(col("sc")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_id"))
+      .limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"), col("chunk_id"))))
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
@@ -1405,5 +1636,6 @@ object TextQueries {
       q96Decontaminate, q98PiiRedact, q100DupSpans, q101SeqPack,
       q102SourceCap, q105BpeTrainStep, q108MixtureResample,
       q109CurationFunnel, q114TokenBudget, q118ChunkWindows, q121C4Filters,
-      q123BigramLm, q129Bm25, q136TermDrift, q140DsirSelect, q143TrainShuffle)
+      q123BigramLm, q129Bm25, q136TermDrift, q140DsirSelect, q143TrainShuffle,
+      q146HtmlExtract, q147PerceptronTrain, q150RagPipeline)
 }

@@ -171,6 +171,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q149 star join broadcasts its dims and pushes the status filter; no cartesian") {
+    val p = plan(graft.queries.JoinQueries.q149StarJoin)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    // the o_orderstatus = 'F' predicate must reach the orders scan
+    assert(p.contains("EqualTo(o_orderstatus,F)"), p.take(3000))
+  }
+
   test("q133 merge/upsert never shuffles the snapshot: broadcast left-anti") {
     val p = plan(graft.queries.DedupQueries.q133MergeUpsert)
     assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,

@@ -541,6 +541,67 @@ class SoakTest extends AnyFunSuite {
       println(s"SOAK100C q128 $label: rawJoinRows=$raw candidates=$candN")
     }
   }
+
+  /** 100× soak of the round-12 families — 500k docs / 10M events at the
+    * shapes that stress each operator's scale claim:
+    *  - documents: doc_id shifted per replica AND every token marked
+    *    `r{rep}~w`, so the shingle/vocab domain really grows ×100
+    *    (plain replication would leave q140's weight table and q144's
+    *    per-source shingle sets at base size); lang/source/n_chars
+    *    preserved.
+    *  - events: event_id/user_id shifted per replica (150k users — LPA
+    *    hub degree at production shape) and `value + rep` so the scaled
+    *    value domain is ~10M DISTINCT values — q141's worst case, where
+    *    the histogram compresses nothing and the prefix sum runs over
+    *    row-count-sized input.
+    * Queries run through their REGISTERED bodies. Results in COVERAGE.md
+    * §"100× soak record".
+    */
+  soakGated("100x soak: round-12 families (selection, percentiles, labelprop, shuffle, overlap, compaction)") {
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak100d"
+    val n = 100
+    val reps = broadcast(spark.range(n).select(col("id").as("rep")))
+    spark.read.parquet(s"$base/documents.parquet").crossJoin(reps)
+      .select((col("doc_id") + col("rep") * lit(1000000L)).as("doc_id"),
+        array_join(expr("transform(split(text, ' '), w -> concat('r', rep, '~', w))"),
+          " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.read.parquet(s"$base/events.parquet").crossJoin(reps)
+      .select((col("event_id") + col("rep") * lit(100000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep") * lit(1500L)).as("user_id"),
+        col("event_type"),
+        (col("value") + col("rep")).as("value"),
+        col("props"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"SOAK100D $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$rows")
+    }
+    time("q140_dsir_select") {
+      graft.queries.TextQueries.q140DsirSelect.run(spark, dir).count()
+    }
+    time("q141_exact_pct_hist") {
+      graft.queries.AggQueries.q141ExactPctHist.run(spark, dir).count()
+    }
+    time("q142_label_prop") {
+      graft.queries.DedupQueries.q142LabelProp.run(spark, dir).count()
+    }
+    time("q143_train_shuffle") {
+      graft.queries.TextQueries.q143TrainShuffle.run(spark, dir).count()
+    }
+    time("q144_source_overlap") {
+      graft.queries.DedupQueries.q144SourceOverlap.run(spark, dir).count()
+    }
+    time("q145_compaction_plan") {
+      graft.queries.StoreQueries.q145CompactionPlan.run(spark, dir).count()
+    }
+  }
 }
 
 /** Dev tool: phase volumes of the set-similarity join at a given
