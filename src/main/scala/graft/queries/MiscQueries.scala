@@ -967,6 +967,121 @@ object MiscQueries {
       .select(col("st.*"))
   }
 
+  /** EWMA-baseline anomaly detection over daily event volumes — the
+    * monitoring query every ingest pipeline runs (did today's volume
+    * spike against its smoothed history?). The baseline is a dyadic
+    * exponentially-weighted average of the previous 8 days (weights
+    * 2⁷…2⁰, halving with age — powers of two so EVERYTHING stays exact
+    * integer: numerator Σ cₖ·2^(8−k), denominator Σ 2^(8−k) over the
+    * days actually present, and the 1.5× spike test cross-multiplied as
+    * 2·c·den ≥ 3·num — no float EWMA recurrence, no division at all).
+    * Missing days carry no weight (observation gaps are no-data, not
+    * zero); a day with no history flags false by the den > 0 guard.
+    *
+    * Scale shape: one map-side-combined daily rollup, then each row
+    * probes its 8 predecessor days by EXPLODING k = 1…8 and equi-joining
+    * on (type, day − k) — linear in days × 8, never the quadratic
+    * per-type self-join a BETWEEN range join would plan.
+    */
+  val q151EwmaAnomaly = Q.checked(
+    "q151_ewma_anomaly",
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+      |daily AS (SELECT event_type, day, count(*) AS c FROM ev GROUP BY 1, 2),
+      |ks AS (SELECT unnest(generate_series(1, 8)) AS k),
+      |w AS (
+      |  SELECT cur.event_type, cur.day, cur.c,
+      |    CAST(COALESCE(sum(b.c * (1 << (8 - ks.k))), 0) AS BIGINT) AS num,
+      |    CAST(COALESCE(sum(CASE WHEN b.c IS NOT NULL
+      |      THEN 1 << (8 - ks.k) END), 0) AS BIGINT) AS den
+      |  FROM daily cur CROSS JOIN ks
+      |  LEFT JOIN daily b ON b.event_type = cur.event_type
+      |    AND b.day = cur.day - ks.k
+      |  GROUP BY 1, 2, 3)
+      |SELECT event_type, day, c, num, den,
+      |  den > 0 AND 2 * c * den >= 3 * num AS anomaly
+      |FROM w""") { (s, dir) =>
+    val evt = table(s, dir, "events")
+    val daily = evt
+      .select(col("event_type"),
+        (graft.core.Graft.tsUs(evt).cast("long")).as("us"))
+      .select(col("event_type"), expr("us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // probed by its own 8-day history
+    val probes = daily
+      .select(col("event_type"), col("day"), col("c"),
+        explode(expr("sequence(1, 8)")).as("k"))
+      .withColumn("pday", col("day") - col("k"))
+      .withColumn("wt", expr("cast(shiftleft(1, cast(8 - k as int)) as long)"))
+    probes
+      .join(daily.select(col("event_type"), col("day").as("pday"),
+        col("c").as("pc")), Seq("event_type", "pday"), "left")
+      .groupBy(col("event_type"), col("day"), col("c"))
+      .agg(coalesce(sum(col("pc") * col("wt")), lit(0L)).as("num"),
+        coalesce(sum(when(col("pc").isNotNull, col("wt"))), lit(0L)).as("den"))
+      .select(col("event_type"), col("day"), col("c"), col("num"), col("den"),
+        (col("den") > 0 && lit(2) * col("c") * col("den") >= lit(3) * col("num"))
+          .as("anomaly"))
+  }
+
+  /** Equal-frequency decile binning — the feature-engineering step that
+    * turns a raw metric into a rank feature (which decile of its
+    * type's distribution does this event sit in?): the 10/20/…/90
+    * nearest-rank thresholds come from [[graft.operators.Percentiles
+    * .exact]] (q141's no-window scale path), ride a 45-row broadcast,
+    * and every event buckets MAP-SIDE by counting thresholds strictly
+    * below its value — bucket = |{t : v > t}| ∈ 0…9, the definition
+    * both engines replay literally (never `ntile`, whose equal-COUNT
+    * remainder semantics differ from threshold binning on ties).
+    * Output is the per-(type, bucket) histogram with value ranges —
+    * ties land whole in one bucket, so bins are only approximately
+    * equal-sized, exactly as threshold binning defines.
+    *
+    * Scale shape: the threshold table is groups × 9 rows (broadcast);
+    * binning is one map-side conditional count per event (9-row fanout
+    * before a combiner-friendly re-aggregation); nothing event-scale
+    * ever sorts.
+    */
+  val q152DecileBinning = Q.checked(
+    "q152_decile_binning",
+    """WITH v AS (
+      |  SELECT event_id, event_type,
+      |    CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v
+      |  FROM events),
+      |n AS (SELECT event_type, count(*) AS n FROM v GROUP BY event_type),
+      |r AS (
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+      |  FROM v),
+      |p AS (SELECT CAST(unnest([10,20,30,40,50,60,70,80,90]) AS BIGINT) AS p),
+      |thr AS (
+      |  SELECT r.event_type, p.p, min(r.v) AS pct
+      |  FROM r JOIN n USING (event_type) CROSS JOIN p
+      |  WHERE rn >= (p.p * n.n + 99) // 100
+      |  GROUP BY r.event_type, p.p),
+      |b AS (
+      |  SELECT v.event_id, v.event_type, v.v,
+      |    CAST(count(CASE WHEN v.v > thr.pct THEN 1 END) AS BIGINT) AS bucket
+      |  FROM v JOIN thr USING (event_type)
+      |  GROUP BY v.event_id, v.event_type, v.v)
+      |SELECT event_type, bucket, count(*) AS n_events,
+      |  min(v) AS min_v, max(v) AS max_v
+      |FROM b GROUP BY event_type, bucket""") { (s, dir) =>
+    import graft.operators.Percentiles
+    val ev = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value").cast("double") * 1000000d).cast("long").as("v"))
+    val thr = Percentiles.exact(ev, "event_type", "v",
+        Seq(10, 20, 30, 40, 50, 60, 70, 80, 90))
+      .select(col("g").as("event_type"), col("pct"))
+    ev.join(broadcast(thr), "event_type")
+      .groupBy(col("event_id"), col("event_type"), col("v"))
+      .agg(sum(when(col("v") > col("pct"), 1L).otherwise(0L)).as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+  }
+
   val all: Vector[Q] =
     Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q47bUrlParse, q48Pi, q49TeraGen,
       q54Jdbc, q54bJdbcTextSplit, q54cJdbcDateSplit, q54dJdbcFloatSplit,
@@ -974,5 +1089,6 @@ object MiscQueries {
       q55bWavDecode, q55cBmpResize, q55dPngDecode, q55eJpegDecode,
       q63ReferenceSelect, q64IndirectRead,
       q65TeraSort, q85Json, q86TimeRollup, q90Pipe, q91Xml, q91bXmlFile,
-      q132Profile, q138EventFunnel, q139CohortRetention)
+      q132Profile, q138EventFunnel, q139CohortRetention, q151EwmaAnomaly,
+      q152DecileBinning)
 }
