@@ -22,6 +22,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 final case class TemporalRow(key: Long, tsUs: Long, isRef: Boolean, payload: String)
 final case class HllEstimate(key: String, hllEst: Long)
+final case class DayObs(eventType: String, day: Long)
+final case class EwmaState(counts: Map[Long, Long], emitted: Long)
+final case class EwmaRow(eventType: String, day: Long, c: Long,
+                         num: Long, den: Long, anomaly: Boolean)
 final case class AsOfMatch(key: Long, tsUs: Long, payload: String,
                            refTsUs: Option[Long], refPayload: Option[String])
 final case class AsOfState(refs: List[(Long, String)], maxTsUs: Long)
@@ -310,6 +314,52 @@ object EventStream {
         .partitionBy("batch_id")
         .parquet(path)
     }
+
+  /** Streaming twin of the q151 batch EWMA anomaly detector: per
+    * event-type daily volumes accumulate in `flatMapGroupsWithState`,
+    * and a day's verdict EMITS once a strictly later day arrives for
+    * that type (a day is only judgeable when it is complete — the same
+    * reason the batch query runs on closed days). The state is one
+    * bounded map per type — the trailing 9 days of counts plus the
+    * emission frontier — so state never grows with the stream; the
+    * emitted row (c, num, den, anomaly) is the IDENTICAL integer
+    * arithmetic to the batch query: dyadic weights 2⁷…2⁰ over the days
+    * actually present, spike test 2·c·den ≥ 3·num (StreamingSpec proves
+    * row-for-row equality against q151 on an ordered replay, with a
+    * sentinel day flushing each type's final verdict).
+    *
+    * Contract: the feed is event-time ordered per type (the
+    * firstArrivalDedup parity contract); production fronts this with a
+    * watermarked pre-aggregation so late days are dropped, not
+    * double-judged.
+    */
+  def ewmaAnomaly(days: Dataset[DayObs]): Dataset[EwmaRow] = {
+    import days.sparkSession.implicits._
+    days
+      .groupByKey(_.eventType)
+      .flatMapGroupsWithState[EwmaState, EwmaRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[DayObs], state: GroupState[EwmaState]) =>
+          val prev = state.getOption.getOrElse(EwmaState(Map.empty, Long.MinValue))
+          var m = prev.counts
+          rows.foreach { r => m += r.day -> (m.getOrElse(r.day, 0L) + 1L) }
+          val maxDay = m.keys.max
+          val closed = m.keys.filter(d => d < maxDay && d > prev.emitted).toSeq.sorted
+          val out = closed.map { d =>
+            var num = 0L; var den = 0L
+            for (k <- 1 to 8) m.get(d - k).foreach { c =>
+              num += c * (1L << (8 - k)); den += (1L << (8 - k))
+            }
+            val c = m(d)
+            EwmaRow(key, d, c, num, den, den > 0 && 2 * c * den >= 3 * num)
+          }
+          val frontier = if (closed.nonEmpty) closed.max else prev.emitted
+          // emission first, THEN prune: judged days stay around as the
+          // history of the still-open days (≥ maxDay − 8)
+          state.update(EwmaState(m.filter(_._1 >= maxDay - 8), frontier))
+          out.iterator
+      }
+  }
 
   /** Output mode each sink should use. */
   val windowedMode: OutputMode = OutputMode.Append()

@@ -602,6 +602,34 @@ class SoakTest extends AnyFunSuite {
       graft.queries.StoreQueries.q145CompactionPlan.run(spark, dir).count()
     }
   }
+
+  /** 100× soak of the q149 star join — 60M lineitem / 15M orders against
+    * the unreplicated dims (orderkey-shifted replicas keep o_custkey, so
+    * every replica joins the same 1,500 customers / 100 suppliers: the
+    * fact tables grow, the dimensional model doesn't — exactly how a
+    * real warehouse scales). Measures the broadcast-dims + natural-key
+    * shuffle-join plan at fact scale.
+    */
+  soakGated("100x soak: star join at 60M lineitem") {
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak100e"
+    val n = 100
+    val reps = broadcast(spark.range(n).select(col("id").as("rep")))
+    spark.read.parquet(s"$base/orders.parquet").crossJoin(reps)
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * lit(1000000000L))
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    spark.read.parquet(s"$base/lineitem.parquet").crossJoin(reps)
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * lit(1000000000L))
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    for (t <- Seq("region", "nation", "customer", "supplier"))
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    val t0 = System.nanoTime()
+    val rows = graft.queries.JoinQueries.q149StarJoin.run(spark, dir).count()
+    println(f"SOAK100E q149_star_join ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$rows")
+  }
 }
 
 /** Dev tool: phase volumes of the set-similarity join at a given

@@ -150,6 +150,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming EWMA anomaly matches q151 batch rows on ordered replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{DayObs, EwmaRow}
+    implicit val sqlCtx = spark.sqlContext
+    val evFix = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+    val obs = evFix
+      .select(col("event_type"),
+        (graft.core.Graft.tsUs(evFix).cast("long") / lit(86400000000L))
+          .cast("long").as("day"))
+      .as[(String, Long)].collect()
+      .map { case (t, d) => DayObs(t, d) }
+      .sortBy(_.day)
+    val byDay = obs.groupBy(_.day).toSeq.sortBy(_._1)
+    val sentinelDay = obs.map(_.day).max + 100
+    val in = MemoryStream[DayObs]
+    val q = EventStream.ewmaAnomaly(in.toDS())
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one micro-batch per closed day (the ordered-feed contract), then
+      // a sentinel day per type to flush each type's final verdict
+      byDay.foreach { case (_, rows) => in.addData(rows.toSeq); q.processAllAvailable() }
+      in.addData(obs.map(_.eventType).distinct.toSeq.map(DayObs(_, sentinelDay)))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM ewma_out").as[EwmaRow]
+        .collect().map(r => (r.eventType, r.day, r.c, r.num, r.den, r.anomaly))
+        .toSet
+      val batch = graft.queries.MiscQueries.q151EwmaAnomaly
+        .run(spark, TestSpark.sf0001)
+        .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+      assert(streamed === batch,
+        s"streamed ${streamed.size} rows != batch ${batch.size}")
+      assert(batch.exists(_._6), "fixture must contain at least one anomaly")
+    } finally q.stop()
+  }
+
   test("session_window sessionizes a stream with the q68 batch semantics") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
