@@ -530,9 +530,73 @@ object AggQueries {
       .select(col("g").as("event_type"), col("p"), col("pct"), col("n"))
   }
 
+  /** Robust outlier detection by median absolute deviation — the
+    * heavy-tail-safe complement to q78's z-score (one wild day drags a
+    * mean and explodes a stddev; the median and MAD shrug): per event
+    * type, median of the scaled values, MAD = median of |v − median|,
+    * and the count of values beyond 3 MADs — the standard robust fence,
+    * integer cross-multiplied (|v − med| > 3·mad), no float moment
+    * anywhere. The operator COMPOSES [[graft.operators.Percentiles
+    * .exact]] twice (p=50 over values, then p=50 over deviations), so
+    * the scale posture is inherited: two histogram prefix sums, never a
+    * per-group raw-row sort. Oracle = the q89 window algorithm unrolled
+    * twice over the same integers.
+    */
+  val q153MadOutliers = Q.checked(
+    "q153_mad_outliers",
+    """WITH v AS (
+      |  SELECT event_id, event_type,
+      |    CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v
+      |  FROM events),
+      |n AS (SELECT event_type, count(*) AS n FROM v GROUP BY event_type),
+      |r AS (
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+      |  FROM v),
+      |med AS (
+      |  SELECT r.event_type, min(r.v) AS med
+      |  FROM r JOIN n USING (event_type)
+      |  WHERE rn >= (50 * n.n + 99) // 100 GROUP BY r.event_type),
+      |d AS (
+      |  SELECT v.event_type, abs(v.v - med.med) AS dev
+      |  FROM v JOIN med USING (event_type)),
+      |r2 AS (
+      |  SELECT event_type, dev,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn
+      |  FROM d),
+      |mad AS (
+      |  SELECT r2.event_type, min(r2.dev) AS mad
+      |  FROM r2 JOIN n USING (event_type)
+      |  WHERE rn >= (50 * n.n + 99) // 100 GROUP BY r2.event_type)
+      |SELECT v.event_type, max(med.med) AS med, max(mad.mad) AS mad,
+      |  count(*) AS n,
+      |  CAST(count(CASE WHEN abs(v.v - med.med) > 3 * mad.mad THEN 1 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM v JOIN med USING (event_type) JOIN mad USING (event_type)
+      |GROUP BY v.event_type""") { (s, dir) =>
+    import graft.operators.Percentiles
+    val ev = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value").cast("double") * 1000000d).cast("long").as("v"))
+      .localCheckpoint(true) // scanned by both percentile passes + the fence
+    val med = Percentiles.exact(ev, "event_type", "v", Seq(50))
+      .select(col("g").as("event_type"), col("pct").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("v") - col("med")).as("dev"))
+    val mad = Percentiles.exact(dev, "event_type", "dev", Seq(50))
+      .select(col("g").as("event_type"), col("pct").as("mad"))
+    ev.join(broadcast(med), "event_type")
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(abs(col("v") - col("med")) > lit(3) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   val all: Vector[Q] =
     Vector(q20AggDescriptor, q21UniqCapped, q22Histogram, q23MaxMin,
       q24Distinct, q25UniqTyped, q78ZscoreOutliers, q82Pivot, q83Unpivot,
       q84Cube, q88Corr, q89Percentiles, q130CmsHeavyHitters, q131HllUsers,
-      q134HllMerge, q141ExactPctHist)
+      q134HllMerge, q141ExactPctHist, q153MadOutliers)
 }

@@ -1082,6 +1082,47 @@ object MiscQueries {
         min(col("v")).as("min_v"), max(col("v")).as("max_v"))
   }
 
+  /** Rolling 7-day active users (DAU/WAU + the stickiness ratio) — the
+    * engagement dashboard's sliding-window DISTINCT, computed EXACTLY
+    * without any sliding-window state: each distinct (user, day)
+    * activity row is EXPLODED into the 7 future days it keeps the user
+    * "weekly active" for (day+0 … day+6), and WAU(d) is a plain distinct
+    * count over the exploded stream — the standard shuffle-once trick
+    * that turns a sliding distinct into a group-by (7× linear expansion,
+    * never a per-day rescan and never an ordered window over user sets).
+    * Stickiness = DAU/WAU in integer ppm. Only days with activity
+    * report (the dau join bounds the overhang the explode creates past
+    * the last real day).
+    */
+  val q154RollingActives = Q.checked(
+    "q154_rolling_actives",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+      |expd AS (
+      |  SELECT user_id, day + k.k AS day
+      |  FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k) k),
+      |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM expd GROUP BY day)
+      |SELECT d.day, d.dau, w.wau,
+      |  (1000000 * d.dau) // w.wau AS stickiness_ppm
+      |FROM dau d JOIN wau w USING (day)""") { (s, dir) =>
+    val evt = table(s, dir, "events")
+    val ud2 = evt
+      .select(col("user_id"), graft.core.Graft.tsUs(evt).cast("long").as("us"))
+      .select(col("user_id"), expr("us div 86400000000").as("day"))
+      .distinct()
+      .localCheckpoint(true) // feeds dau and the 7-way explode
+    val dau = ud2.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud2
+      .select(col("user_id"), explode(expr("sequence(0, 6)")).as("k"),
+        col("day"))
+      .select(col("user_id"), (col("day") + col("k")).as("day"))
+      .groupBy(col("day")).agg(count_distinct(col("user_id")).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("(1000000 * dau) div wau").as("stickiness_ppm"))
+  }
+
   val all: Vector[Q] =
     Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q47bUrlParse, q48Pi, q49TeraGen,
       q54Jdbc, q54bJdbcTextSplit, q54cJdbcDateSplit, q54dJdbcFloatSplit,
@@ -1090,5 +1131,5 @@ object MiscQueries {
       q63ReferenceSelect, q64IndirectRead,
       q65TeraSort, q85Json, q86TimeRollup, q90Pipe, q91Xml, q91bXmlFile,
       q132Profile, q138EventFunnel, q139CohortRetention, q151EwmaAnomaly,
-      q152DecileBinning)
+      q152DecileBinning, q154RollingActives)
 }
