@@ -187,6 +187,72 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful EWMA survives a checkpointed restart (file source, parquet sink)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{DayObs, EwmaRow}
+    // the production durability shape: file source -> stateful operator ->
+    // parquet sink, all riding one checkpoint. The query is STOPPED midway
+    // and a NEW query restarts from the checkpoint: state (each type's
+    // trailing day counts + emission frontier) must survive, and the final
+    // output must equal the batch query row for row — a dropped or doubled
+    // day would break the EWMA arithmetic, not just a count.
+    val evFix = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+    val obs = evFix
+      .select(col("event_type"),
+        (graft.core.Graft.tsUs(evFix).cast("long") / lit(86400000000L))
+          .cast("long").as("day"))
+      .as[(String, Long)].collect()
+      .map { case (t, d) => DayObs(t, d) }
+      .sortBy(_.day)
+    val days = obs.groupBy(_.day).toSeq.sortBy(_._1)
+    val types = obs.map(_.eventType).distinct.toSeq
+    val sentinel = obs.map(_.day).max + 100
+    val root = java.nio.file.Files.createTempDirectory("graft-ewma-ck").toString
+    val (srcDir, outDir, ckDir) = (s"$root/src", s"$root/out", s"$root/ck")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    var fileNo = 0
+    def addDayFile(rows: Seq[DayObs]): Unit = {
+      // one FILE per day, lexicographically ordered, so maxFilesPerTrigger=1
+      // replays the ordered-feed contract across restarts
+      val stage = s"$root/stage$fileNo"
+      rows.toDS().repartition(1).write.parquet(stage)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(f"$srcDir/day-$fileNo%03d.parquet"))
+      fileNo += 1
+    }
+    def startQuery() = {
+      val src = spark.readStream
+        .schema("eventType STRING, day BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .as[DayObs]
+      EventStream.ewmaAnomaly(src)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .outputMode(OutputMode.Append()).start()
+    }
+    val (firstHalf, secondHalf) = days.splitAt(days.size / 2)
+    firstHalf.foreach { case (_, rows) => addDayFile(rows.toSeq) }
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    secondHalf.foreach { case (_, rows) => addDayFile(rows.toSeq) }
+    addDayFile(types.map(DayObs(_, sentinel)))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = spark.read.parquet(outDir).as[EwmaRow]
+      .collect().map(r => (r.eventType, r.day, r.c, r.num, r.den, r.anomaly))
+      .toSet
+    val batch = graft.queries.MiscQueries.q151EwmaAnomaly
+      .run(spark, TestSpark.sf0001)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(streamed === batch,
+      s"restarted stream ${streamed.size} rows != batch ${batch.size}")
+  }
+
   test("session_window sessionizes a stream with the q68 batch semantics") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
