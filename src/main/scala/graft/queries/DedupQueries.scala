@@ -914,10 +914,66 @@ object DedupQueries {
         expr("(1000000 * inter) div (na + nb - inter)").as("jac_ppm"))
   }
 
+  /** Incremental view maintenance — the q133 CDC family applied to an
+    * AGGREGATE: a materialized per-(type, day) rollup (count + exact
+    * scaled-long sum) is maintained from insert and retract deltas by
+    * merging SUFFICIENT STATISTICS — n' = n + n_ins − n_del, sum
+    * likewise, groups whose count hits zero vanish — without ever
+    * rescanning the base events. At 100 TB this is the difference
+    * between touching yesterday's 100-row rollup + today's delta and
+    * re-aggregating the corpus; count and sum are the self-maintainable
+    * aggregates (min/max need the q74b merge-with-log shape instead).
+    *
+    * The fixture splits events arithmetically: base = id % 10 ≠ 0,
+    * inserts = id % 10 = 0, retracts = base rows with id % 7 = 3. The
+    * ORACLE never sees the increments — it aggregates the final logical
+    * table `(base \ retracts) ∪ inserts` from scratch — so a green row
+    * proves incremental maintenance equals full recomputation exactly:
+    * two algorithms, one answer.
+    */
+  val q155IvmAgg = Q.checked(
+    "q155_ivm_agg",
+    """WITH fin AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v
+      |  FROM events
+      |  WHERE (event_id % 10 <> 0 AND event_id % 7 <> 3) OR event_id % 10 = 0)
+      |SELECT event_type, day, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_scaled
+      |FROM fin GROUP BY event_type, day""") { (s, dir) =>
+    val evt = table(s, dir, "events")
+    val ev = evt.select(col("event_id"), col("event_type"),
+        graft.core.Graft.tsUs(evt).cast("long").as("us"),
+        round(col("value").cast("double") * 1000000d).cast("long").as("v"))
+      .select(col("event_id"), col("event_type"),
+        expr("us div 86400000000").as("day"), col("v"))
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    // yesterday's materialized rollup + today's deltas — the engine path
+    // touches ONLY these aggregates, never the base events again
+    val baseAgg = agg(ev.filter(col("event_id") % 10 =!= 0))
+      .select(col("event_type"), col("day"), col("n"), col("s"))
+    val insAgg = agg(ev.filter(col("event_id") % 10 === 0))
+      .select(col("event_type"), col("day"),
+        col("n").as("n_ins"), col("s").as("s_ins"))
+    val delAgg = agg(ev.filter(col("event_id") % 10 =!= 0 && col("event_id") % 7 === 3))
+      .select(col("event_type"), col("day"),
+        col("n").as("n_del"), col("s").as("s_del"))
+    baseAgg
+      .join(insAgg, Seq("event_type", "day"), "full_outer")
+      .join(delAgg, Seq("event_type", "day"), "full_outer")
+      .select(col("event_type"), col("day"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("n_ins"), lit(0L)) -
+          coalesce(col("n_del"), lit(0L))).as("n"),
+        (coalesce(col("s"), lit(0L)) + coalesce(col("s_ins"), lit(0L)) -
+          coalesce(col("s_del"), lit(0L))).as("sum_scaled"))
+      .filter(col("n") > 0)
+  }
+
   val all: Vector[Q] =
     Vector(q50DedupExact, q51MinhashLsh, q52Simhash, q53Jaccard,
       q57EmbedDedup, q58DedupGroups, q59DedupApply, q87Triangles,
       q97BinaryDedup, q103SnapshotDiff, q106UrlDedup, q110IncrementalDedup,
       q115ParagraphDedup, q127Pagerank, q128SetsimJoin, q133MergeUpsert,
-      q142LabelProp, q144SourceOverlap)
+      q142LabelProp, q144SourceOverlap, q155IvmAgg)
 }
