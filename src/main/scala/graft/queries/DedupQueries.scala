@@ -216,6 +216,54 @@ object DedupQueries {
         (col("id") === col("lbl")).as("keep"))
   }
 
+  /** Quality-aware dedup keeper — the production refinement of q58's
+    * min-id rule: within each near-dup component keep the LONGEST
+    * member (n_chars DESC, doc_id tiebreak — the CCNet/C4 "keep the
+    * best copy, not the first" policy; swap any integer quality signal
+    * into the same argmax). The argmax is a pure
+    * `min(struct(-n_chars, doc_id))` aggregation per component (the
+    * q142 pattern — combiner-friendly at any clique size, no
+    * per-component window); the oracle extends q58's recursive-closure
+    * CTE with a ranked keeper join. Semantics follow q58: only docs
+    * with at least one candidate edge appear (singletons have nothing
+    * to dedup against).
+    */
+  val q158BestKeeper = Q.checked(
+    "q158_best_keeper",
+    s"""WITH RECURSIVE ${duckCandCtesWith(capped = false)}, edges AS (
+       |  SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand
+       |), reach AS (
+       |  SELECT DISTINCT a AS id, a AS lbl FROM edges
+       |  UNION
+       |  SELECT e.a AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+       |), comp AS (
+       |  SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+       |), q AS (
+       |  SELECT c.doc_id, c.component, d.n_chars
+       |  FROM comp c JOIN documents d USING (doc_id)
+       |), k AS (
+       |  SELECT component, doc_id AS keeper FROM (
+       |    SELECT component, doc_id,
+       |      row_number() OVER (PARTITION BY component
+       |        ORDER BY n_chars DESC, doc_id) AS rn
+       |    FROM q) WHERE rn = 1)
+       |SELECT q.doc_id, q.component, q.n_chars,
+       |  CAST(q.doc_id = k.keeper AS BOOLEAN) AS keep
+       |FROM q JOIN k USING (component)""") { (s, dir) =>
+    val docs = table(s, dir, "documents")
+    val comp = Dedup.connectedComponents(Dedup.bucketStarEdges(autoBands(docs)))
+      .select(col("id").as("doc_id"), col("lbl").as("component"))
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .localCheckpoint(true) // feeds the argmax and the final join
+    val keeper = comp
+      .groupBy(col("component"))
+      .agg(min(struct((-col("n_chars")).as("negq"), col("doc_id"))).as("top"))
+      .select(col("component"), col("top.doc_id").as("keeper"))
+    comp.join(keeper, "component")
+      .select(col("doc_id"), col("component"), col("n_chars"),
+        (col("doc_id") === col("keeper")).as("keep"))
+  }
+
   /** The APPLY step of dedup — what the pipeline actually ships: keepers
     * (min doc_id per exact-hash group over the simulated re-crawl) are
     * semi-joined back onto the corpus and the surviving set is summarized
@@ -975,5 +1023,5 @@ object DedupQueries {
       q57EmbedDedup, q58DedupGroups, q59DedupApply, q87Triangles,
       q97BinaryDedup, q103SnapshotDiff, q106UrlDedup, q110IncrementalDedup,
       q115ParagraphDedup, q127Pagerank, q128SetsimJoin, q133MergeUpsert,
-      q142LabelProp, q144SourceOverlap, q155IvmAgg)
+      q142LabelProp, q144SourceOverlap, q155IvmAgg, q158BestKeeper)
 }

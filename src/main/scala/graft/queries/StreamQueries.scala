@@ -323,8 +323,67 @@ object StreamQueries {
         col("turns"))
   }
 
+  /** Session path mining — the "what do users actually do" product
+    * query: within each q148 session (same gap semantics, same
+    * (time, id) turn order), every consecutive 3-step path `a>b>c` is
+    * counted corpus-wide and the top-10 paths reported. The engine
+    * builds trigrams INSIDE the session aggregation buffer (the q123
+    * map-side transform trick over the sorted turn array — no
+    * per-session window, no self-join), then one count shuffle and a
+    * TakeOrderedAndProject top-k; the oracle derives the same paths by
+    * rank self-joins over the unrolled session numbering — two
+    * algorithms, one answer.
+    */
+  val q157EventPaths = Q.checked(
+    "q157_event_paths",
+    """WITH us AS (
+      |  SELECT user_id, ts, epoch_us(ts) AS ts_us, event_id, event_type
+      |  FROM events),
+      |marks AS (
+      |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+      |      OR ts_us - lag(ts_us) OVER w > 28800000000
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM us WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marks),
+      |g AS (
+      |  SELECT user_id, sid, event_type,
+      |    row_number() OVER (PARTITION BY user_id, sid
+      |      ORDER BY ts_us, event_id) AS rn
+      |  FROM sess),
+      |tri AS (
+      |  SELECT a.event_type || '>' || b.event_type || '>' || c.event_type AS path
+      |  FROM g a
+      |  JOIN g b ON b.user_id = a.user_id AND b.sid = a.sid AND b.rn = a.rn + 1
+      |  JOIN g c ON c.user_id = a.user_id AND c.sid = a.sid AND c.rn = a.rn + 2),
+      |agg AS (SELECT path, count(*) AS n FROM tri GROUP BY path)
+      |SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rank
+      |FROM agg QUALIFY rank <= 10""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = table(s, dir, "events")
+    val us = graft.core.Graft.tsUs(ev)
+    ev
+      .withColumn("ts_us", us)
+      .withColumn("tsx", timestamp_micros(col("ts_us")))
+      .groupBy(session_window(col("tsx"), "8 hours"), col("user_id"))
+      .agg(expr(
+        """transform(
+          |  array_sort(collect_list(struct(ts_us, event_id, event_type))),
+          |  x -> x.event_type)""".stripMargin).as("t"))
+      .select(explode(expr(
+        """transform(slice(t, 1, greatest(size(t) - 2, 0)),
+          |  (x, i) -> concat(x, '>', t[i + 1], '>', t[i + 2]))""".stripMargin))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(10)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("path"))))
+  }
+
   val all: Vector[Q] =
     Vector(q66StreamApiSort, q68Sessionize, q92StreamCli, q93StreamPipeline,
       q95StreamHistogram, q112StreamSeqfile, q113StreamSeqfileOut,
-      q122IngestDedup, q148Conversations)
+      q122IngestDedup, q148Conversations, q157EventPaths)
 }

@@ -1123,6 +1123,15 @@ object TextQueries {
       |SELECT doc_id, count(*) AS n_bigrams,
       |  CAST((2 * sum(ppm) + count(*)) // (2 * count(*)) AS BIGINT) AS fluency_ppm
       |FROM scored GROUP BY doc_id""") { (s, dir) =>
+    fluencyScores(s, dir)
+  }
+
+  /** Per-doc bigram-LM fluency (q123's scorer, shared with q156):
+    * `(doc_id, n_bigrams, fluency_ppm)` — mean corpus-conditional bigram
+    * probability in half-up-rounded integer ppm.
+    */
+  private[queries] def fluencyScores(s: org.apache.spark.sql.SparkSession,
+                                     dir: String): org.apache.spark.sql.DataFrame = {
     val docs = table(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
     // map-side bigram extraction: pair w[i] with w[i+1] in one transform
@@ -1629,6 +1638,55 @@ object TextQueries {
         Window.orderBy(col("score").desc, col("doc_id"), col("chunk_id"))))
   }
 
+  /** Quality-first budget selection — the composition a budgeted
+    * pretraining run actually executes: rank the corpus by the bigram-LM
+    * fluency signal (q123's scorer, [[fluencyScores]] — the CCNet
+    * "LM-filtered" ordering) and keep the maximal (fluency DESC, doc_id)
+    * prefix whose running token total fits a 20k-token budget
+    * ([[graft.operators.Packing.selectUnderBudget]], the q114 two-pass
+    * prefix sum — partitions past the budget are never iterated).
+    * Bigram-less docs score 0 (lowest priority, selected only if budget
+    * remains). Both stages are oracle-pinned alone (q123, q114); this
+    * green row pins the composition — the score handoff and the exact
+    * cut point under the quality ordering.
+    */
+  val q156QualityBudget = Q.checked(
+    "q156_quality_budget",
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |el AS (
+      |  SELECT doc_id, CAST(generate_subscripts(w, 1) AS BIGINT) AS i, unnest(w) AS tok
+      |  FROM words
+      |), big AS (
+      |  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+      |  FROM el a JOIN el b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      |), uni AS (SELECT tok, count(*) AS u FROM el GROUP BY tok),
+      |bc AS (SELECT w1, w2, count(*) AS b FROM big GROUP BY w1, w2),
+      |scored AS (
+      |  SELECT g.doc_id, (1000000 * bc.b) // uni.u AS ppm
+      |  FROM big g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+      |  JOIN uni ON uni.tok = g.w1
+      |), fl AS (
+      |  SELECT doc_id,
+      |    CAST((2 * sum(ppm) + count(*)) // (2 * count(*)) AS BIGINT) AS fl
+      |  FROM scored GROUP BY doc_id
+      |), t AS (
+      |  SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |    COALESCE(fl.fl, 0) AS fl
+      |  FROM documents d LEFT JOIN fl USING (doc_id)
+      |), r AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(sum(n_tokens) OVER (ORDER BY fl DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |  FROM t)
+      |SELECT doc_id, n_tokens, cum_tokens FROM r WHERE cum_tokens <= 20000""") { (s, dir) =>
+    import graft.operators.Packing
+    val fl = fluencyScores(s, dir).select(col("doc_id"), col("fluency_ppm"))
+    val docsFl = table(s, dir, "documents")
+      .join(fl, Seq("doc_id"), "left")
+    Packing.selectUnderBudget(docsFl,
+      coalesce(col("fluency_ppm"), lit(0L)), budget = 20000L)
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
@@ -1637,5 +1695,6 @@ object TextQueries {
       q102SourceCap, q105BpeTrainStep, q108MixtureResample,
       q109CurationFunnel, q114TokenBudget, q118ChunkWindows, q121C4Filters,
       q123BigramLm, q129Bm25, q136TermDrift, q140DsirSelect, q143TrainShuffle,
-      q146HtmlExtract, q147PerceptronTrain, q150RagPipeline)
+      q146HtmlExtract, q147PerceptronTrain, q150RagPipeline,
+      q156QualityBudget)
 }
