@@ -1018,10 +1018,69 @@ object DedupQueries {
       .filter(col("n") > 0)
   }
 
+  /** BFS shortest distance (min-plus propagation) from a source node
+    * over the q127 bipartite graph — the remaining named member of the
+    * Pregel family (q58 pointer-jumping CC, q127 random-walk, q142
+    * mode-propagation): dist(v) relaxes to min(dist(v),
+    * min_{u→v} dist(u)+1) each synchronous round, three rounds unrolled
+    * in the oracle. Unreached nodes stay absent (no ∞ sentinel to
+    * disagree about). Each round is one equi-join + one min aggregation
+    * with map-side partial mins; per-round localCheckpoint keeps the
+    * lineage flat (the q127 posture).
+    */
+  val q160BfsDist = Q.checked(
+    "q160_bfs_dist",
+    """WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events),
+      |edges AS (
+      |  SELECT 'u:' || CAST(user_id AS VARCHAR) AS src, 't:' || event_type AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT 't:' || event_type, 'u:' || CAST(user_id AS VARCHAR) FROM pairs
+      |), d0 AS (SELECT 't:click' AS node, CAST(0 AS BIGINT) AS dist),
+      |d1 AS (
+      |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+      |    SELECT node, dist FROM d0
+      |    UNION ALL
+      |    SELECT e.dst AS node, r.dist + 1 AS dist
+      |    FROM edges e JOIN d0 r ON r.node = e.src) GROUP BY node),
+      |d2 AS (
+      |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+      |    SELECT node, dist FROM d1
+      |    UNION ALL
+      |    SELECT e.dst AS node, r.dist + 1 AS dist
+      |    FROM edges e JOIN d1 r ON r.node = e.src) GROUP BY node),
+      |d3 AS (
+      |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+      |    SELECT node, dist FROM d2
+      |    UNION ALL
+      |    SELECT e.dst AS node, r.dist + 1 AS dist
+      |    FROM edges e JOIN d2 r ON r.node = e.src) GROUP BY node)
+      |SELECT node, dist FROM d3""") { (s, dir) =>
+    val pairs = table(s, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val edges = pairs
+      .select(concat(lit("u:"), col("user_id")).as("src"),
+        concat(lit("t:"), col("event_type")).as("dst"))
+      .unionByName(pairs
+        .select(concat(lit("t:"), col("event_type")).as("src"),
+          concat(lit("u:"), col("user_id")).as("dst")))
+      .localCheckpoint(true) // reused every round
+    var dist = s.range(1).select(lit("t:click").as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to 3) {
+      dist = dist
+        .unionByName(edges
+          .join(dist, col("src") === col("node"))
+          .select(col("dst").as("node"), (col("dist") + 1L).as("dist")))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   val all: Vector[Q] =
     Vector(q50DedupExact, q51MinhashLsh, q52Simhash, q53Jaccard,
       q57EmbedDedup, q58DedupGroups, q59DedupApply, q87Triangles,
       q97BinaryDedup, q103SnapshotDiff, q106UrlDedup, q110IncrementalDedup,
       q115ParagraphDedup, q127Pagerank, q128SetsimJoin, q133MergeUpsert,
-      q142LabelProp, q144SourceOverlap, q155IvmAgg, q158BestKeeper)
+      q142LabelProp, q144SourceOverlap, q155IvmAgg, q158BestKeeper,
+      q160BfsDist)
 }

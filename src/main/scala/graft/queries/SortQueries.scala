@@ -218,8 +218,41 @@ object SortQueries {
         min(col("zv")).as("min_z"), max(col("zv")).as("max_z"))
   }
 
+  /** Time-RANGE window frame — the member of the window family q81's
+    * ROWS frames can't express: each event's trailing-1-hour activity
+    * (count + exact scaled-long value sum) over the SAME user, where the
+    * frame boundary is an event-TIME interval, not a row count — burst
+    * detection at the event grain (the q151 daily EWMA's intra-day
+    * sibling). Tied timestamps fall inside each other's frames by RANGE
+    * semantics, so the result is deterministic without a tiebreak; one
+    * partitioned WindowExec, one shuffle on user_id, per-group linear
+    * state (never a global window).
+    */
+  val q159RangeFrame = Q.checked(
+    "q159_range_frame",
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us,
+      |    CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v
+      |  FROM events)
+      |SELECT event_id, user_id, us,
+      |  count(*) OVER w AS n_1h,
+      |  CAST(sum(v) OVER w AS BIGINT) AS sum_1h
+      |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""") { (s, dir) =>
+    val ev = table(s, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    ev
+      .select(col("event_id"), col("user_id"),
+        graft.core.Graft.tsUs(ev).as("us"),
+        round(col("value").cast("double") * 1000000d).cast("long").as("v"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("v")).over(w).as("sum_1h"))
+  }
+
   val all: Vector[Q] =
     Vector(q30SortValidate, q31SecondarySort, q32KeyFieldSort, q33FieldSel,
       q36WindowRunning, q37Rollup, q38KeyFieldPartition, q81WindowFamily,
-      q126Zorder)
+      q126Zorder, q159RangeFrame)
 }
