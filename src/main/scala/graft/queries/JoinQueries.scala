@@ -329,8 +329,60 @@ object JoinQueries {
           .cast("double").as("revenue"))
   }
 
+  /** Last-touch attribution — q69's as-of join doing its production job:
+    * every purchase is attributed to the user's most recent click/view
+    * at-or-before it ([[graft.operators.TemporalJoins.asOf]] — one
+    * tagged union + one per-user running-last window, never an
+    * inequality join), then the match is discarded if it is older than
+    * the 1-day attribution window (post-filtering the LAST touch is
+    * equivalent to a bounded match: if the most recent touch is outside
+    * the window, every touch is). Same-instant touches attribute
+    * (refs order before probes); touch-vs-touch timestamp ties resolve
+    * to the highest event_id on both engines. Output: purchases and
+    * exact scaled revenue per attributed touch type, plus the
+    * `unattributed` bucket.
+    */
+  val q161Attribution = Q.checked(
+    "q161_attribution",
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+      |    CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v
+      |  FROM events),
+      |p AS (SELECT event_id, user_id, us, v FROM e WHERE event_type = 'purchase'),
+      |t AS (SELECT event_id, user_id, us, event_type FROM e
+      |      WHERE event_type IN ('click', 'view')),
+      |m AS (
+      |  SELECT p.event_id, p.v,
+      |    (SELECT t.event_type FROM t
+      |     WHERE t.user_id = p.user_id AND t.us <= p.us
+      |       AND p.us - t.us <= 86400000000
+      |     ORDER BY t.us DESC, t.event_id DESC LIMIT 1) AS src
+      |  FROM p)
+      |SELECT COALESCE(src, 'unattributed') AS touch,
+      |  count(*) AS purchases, CAST(sum(v) AS BIGINT) AS revenue_scaled
+      |FROM m GROUP BY 1""") { (s, dir) =>
+    import graft.operators.TemporalJoins
+    val evt = table(s, dir, "events")
+    val e = evt.select(col("event_id"), col("user_id"),
+      graft.core.Graft.tsUs(evt).as("us"), col("event_type"),
+      round(col("value").cast("double") * 1000000d).cast("long").as("v"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"), col("v"))
+    val t = e.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), col("us"), col("event_type"))
+    TemporalJoins.asOf(p, col("user_id"), col("us"),
+        t, col("user_id"), col("us"))
+      .select(
+        when(col("matched").isNotNull &&
+            col("us") - col("matched.us") <= 86400000000L,
+          col("matched.event_type")).otherwise("unattributed").as("touch"),
+        col("v"))
+      .groupBy(col("touch"))
+      .agg(count(lit(1)).as("purchases"), sum(col("v")).as("revenue_scaled"))
+  }
+
   val all: Vector[Q] =
     Vector(q10JoinInner, q11JoinOuter, q12JoinOverride, q13JoinTagged,
       q14SemiAnti, q63cBloomSemi, q67BucketedJoin, q69AsofJoin, q80RangeJoin,
-      q107SaltedJoin, q149StarJoin)
+      q107SaltedJoin, q149StarJoin, q161Attribution)
 }

@@ -1687,6 +1687,51 @@ object TextQueries {
       coalesce(col("fluency_ppm"), lit(0L)), budget = 20000L)
   }
 
+  /** Weighted corpus sampling without replacement — the deterministic
+    * integer analog of Efraimidis–Spirakis priority sampling: each doc
+    * holds one lottery TICKET per token (weight = token count), every
+    * ticket hashes to a seeded 32-bit value, the doc's priority is its
+    * MINIMUM ticket hash, and the sample is the 50 lowest-priority docs.
+    * P(min of w uniform hashes is corpus-minimal) ∝ w, so heavier docs
+    * are proportionally likelier to lead the order — weighted sampling
+    * with zero floating-point (the float E-S key u^(1/w) can never be
+    * cross-engine exact; min-of-tickets can). Reproducible by seed
+    * construction, the property training-data subsampling actually
+    * needs.
+    *
+    * Scale shape: the ticket explosion is one row per TOKEN — the same
+    * volume every tokenizing query already pays — folded immediately by
+    * a map-side-combined min; top-50 is TakeOrderedAndProject.
+    */
+  val q162WeightedSample = Q.checked(
+    "q162_weighted_sample",
+    """WITH w AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS weight
+      |  FROM documents),
+      |tk AS (SELECT doc_id, weight, unnest(generate_series(1, weight)) AS i FROM w),
+      |pr AS (
+      |  SELECT doc_id, weight,
+      |    min(('0x'||substring(md5('wrs:'||CAST(doc_id AS VARCHAR)||':'||CAST(i AS VARCHAR)),1,8))::BIGINT) AS priority
+      |  FROM tk GROUP BY doc_id, weight),
+      |r AS (SELECT doc_id, weight, priority,
+      |  row_number() OVER (ORDER BY priority, doc_id) AS rank FROM pr)
+      |SELECT doc_id, weight, priority, rank FROM r WHERE rank <= 50""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("weight"))
+      .select(col("doc_id"), col("weight"),
+        explode(expr("sequence(1L, weight)")).as("i"))
+      .select(col("doc_id"), col("weight"),
+        Hashing.hash32(concat(lit("wrs:"), col("doc_id").cast("string"),
+          lit(":"), col("i").cast("string"))).as("h"))
+      .groupBy(col("doc_id"), col("weight"))
+      .agg(min(col("h")).as("priority"))
+      .orderBy(col("priority"), col("doc_id")).limit(50)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("priority"), col("doc_id"))))
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
@@ -1696,5 +1741,5 @@ object TextQueries {
       q109CurationFunnel, q114TokenBudget, q118ChunkWindows, q121C4Filters,
       q123BigramLm, q129Bm25, q136TermDrift, q140DsirSelect, q143TrainShuffle,
       q146HtmlExtract, q147PerceptronTrain, q150RagPipeline,
-      q156QualityBudget)
+      q156QualityBudget, q162WeightedSample)
 }
