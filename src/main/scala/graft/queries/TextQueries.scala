@@ -1361,7 +1361,11 @@ object TextQueries {
     val sc = tf.join(wt, "term")
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("tf") * col("w")).as("score"))
-    val cnt = sc.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // per-source doc counts from the raw table (every doc scores — its
+    // terms are all in the raw vocabulary), NOT from sc: re-aggregating
+    // sc would replay the whole scoring subtree a second time
+    val cnt = table(s, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("score").desc, col("doc_id"))
     sc.join(broadcast(cnt), "source")
