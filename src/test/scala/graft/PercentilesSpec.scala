@@ -50,6 +50,12 @@ class PercentilesSpec extends AnyFunSuite {
     assert(out === Set(("a", 2L, 3L), ("b", 9L, 1L)))
   }
 
+  test("empty input yields an empty result, not a crash") {
+    val df = Seq.empty[(String, Long)].toDF("g", "v")
+    assert(Percentiles.exact(df, "g", "v", Seq(50), parts = 4).count() === 0)
+    assert(Packing.globalRank(df, Seq("v", "g"), parts = 4).count() === 0)
+  }
+
   test("globalRank equals row_number over the same total order") {
     val rnd = new scala.util.Random(11)
     val df = Seq.tabulate(777)(i => (i.toLong, rnd.nextInt(50).toLong))
