@@ -109,9 +109,15 @@ object SimilarityQueries {
   }
 
   // IVF geometry is derived like the SRP geometry above: √N cells and
-  // √cells probes (Similarity.ivfCellsFor/ivfProbesFor), generated into
-  // the oracle at the verify-corpus size (500 → 23 cells, 5 probes) and
-  // re-derived from the runtime count in the bodies.
+  // √cells probes (Similarity.ivfCellsFor/ivfProbesFor). Unlike the SRP
+  // sign matrix (a literal sized by the plane count — static by
+  // necessity), these are plain arithmetic, so the oracles derive them
+  // IN SQL from count(*): ceil(√N) cells, ceil(√cells) probes — the
+  // clamps (cells ≥ 4, probes ≥ 2, caps) are no-ops for any corpus ≥ 16
+  // vectors, so SQL and Scala agree at EVERY fixture scale, not just the
+  // verify corpus (checked: the q62/q104/q116/q124/q125 family is green
+  // at sf0.001, sf0.01 AND sf0.1, where the derived geometry differs —
+  // 23 cells/5 probes at 500 vectors, 45/7 at 2000).
   private val Cells = Similarity.ivfCellsFor(VerifyCorpus)
   private val NProbe = Similarity.ivfProbesFor(Cells)
 
@@ -127,7 +133,7 @@ object SimilarityQueries {
     */
   val q62AnnIvf = Q.checked(
     "q62_ann_ivf",
-    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $Cells),
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
        |el AS (
        |  SELECT x.vec_id AS xid, c.cid, unnest(x.embedding) AS xa, unnest(c.cv) AS ca
        |  FROM embeddings x, cent c
@@ -138,7 +144,7 @@ object SimilarityQueries {
        |  SELECT xid, cid, row_number() OVER (PARTITION BY xid ORDER BY dxx - 2*dxc + dcc, cid) AS rn
        |  FROM dots
        |), assign AS (SELECT xid, cid FROM ranked WHERE rn = 1),
-       |probes AS (SELECT xid AS qid, cid FROM ranked WHERE rn <= $NProbe AND xid < $NQueries),
+       |probes AS (SELECT xid AS qid, cid FROM ranked WHERE rn <= (SELECT CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS BIGINT) FROM embeddings) AND xid < $NQueries),
        |cand AS (SELECT p.qid, a.xid FROM probes p JOIN assign a ON a.cid = p.cid),
        |el2 AS (
        |  SELECT c.qid, c.xid, unnest(q.embedding) AS qa, unnest(x.embedding) AS xa
@@ -173,7 +179,7 @@ object SimilarityQueries {
     */
   val q104KmeansStep = Q.checked(
     "q104_kmeans_step",
-    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $Cells),
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
        |el AS (
        |  SELECT x.vec_id AS xid, c.cid, unnest(x.embedding) AS xa, unnest(c.cv) AS ca
        |  FROM embeddings x, cent c
@@ -219,7 +225,7 @@ object SimilarityQueries {
     */
   val q116SemanticDedup = Q.checked(
     "q116_semantic_dedup",
-    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $DedupCells),
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT) FROM embeddings)),
        |el AS (
        |  SELECT x.vec_id AS xid, c.cid, unnest(x.embedding) AS xa, unnest(c.cv) AS ca
        |  FROM embeddings x, cent c
@@ -364,7 +370,7 @@ object SimilarityQueries {
     */
   val q124IvfSq8Ann = Q.checked(
     "q124_ivf_sq8_ann",
-    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $Cells),
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
        |cel AS (
        |  SELECT x.vec_id AS xid, c.cid, unnest(x.embedding) AS xa, unnest(c.cv) AS ca
        |  FROM embeddings x, cent c
@@ -375,7 +381,7 @@ object SimilarityQueries {
        |  SELECT xid, cid, row_number() OVER (PARTITION BY xid ORDER BY dxx - 2*dxc + dcc, cid) AS rn
        |  FROM cdots
        |), assign AS (SELECT xid, cid FROM ranked WHERE rn = 1),
-       |probes AS (SELECT xid AS qid, cid FROM ranked WHERE rn <= $NProbe AND xid < $NQueries),
+       |probes AS (SELECT xid AS qid, cid FROM ranked WHERE rn <= (SELECT CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS BIGINT) FROM embeddings) AND xid < $NQueries),
        |cand AS (SELECT p.qid, a.xid FROM probes p JOIN assign a ON a.cid = p.cid),
        |el AS (
        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
@@ -518,7 +524,7 @@ object SimilarityQueries {
     */
   val q125IvfPqAnn = Q.checked(
     "q125_ivfpq_ann",
-    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $Cells),
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
        |cel AS (
        |  SELECT x.vec_id AS xid, c.cid, unnest(x.embedding) AS xa, unnest(c.cv) AS ca
        |  FROM embeddings x, cent c
@@ -529,7 +535,7 @@ object SimilarityQueries {
        |  SELECT xid, cid, row_number() OVER (PARTITION BY xid ORDER BY dxx - 2*dxc + dcc, cid) AS rn
        |  FROM cdots
        |), assign AS (SELECT xid, cid FROM ranked WHERE rn = 1),
-       |probes AS (SELECT xid AS qid, cid FROM ranked WHERE rn <= $NProbe AND xid < $NQueries),
+       |probes AS (SELECT xid AS qid, cid FROM ranked WHERE rn <= (SELECT CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS BIGINT) FROM embeddings) AND xid < $NQueries),
        |cand AS (SELECT p.qid, a.xid FROM probes p JOIN assign a ON a.cid = p.cid),
        |el AS (
        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
