@@ -251,8 +251,28 @@ object SortQueries {
         sum(col("v")).over(w).as("sum_1h"))
   }
 
+  /** Group top-k WITH ties — dense_rank ≤ k, the leaderboard semantics
+    * q102's row_number cap deliberately lacks: every document tied at a
+    * qualifying length ranks, so the per-source result can exceed k rows
+    * and no tied doc is arbitrarily dropped. Spark's WindowGroupLimit
+    * prunes dense_rank limits map-side exactly like row_number ones, so
+    * the shuffle still carries ≈ k-ish rows per source at any scale.
+    */
+  val q163TopTies = Q.checked(
+    "q163_top_ties",
+    """SELECT doc_id, source, n_chars, CAST(dr AS BIGINT) AS dr FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    dense_rank() OVER (PARTITION BY source ORDER BY n_chars DESC) AS dr
+      |  FROM documents) WHERE dr <= 3""") { (s, dir) =>
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars").desc)
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("dr", dense_rank().over(w).cast("long"))
+      .filter(col("dr") <= 3)
+  }
+
   val all: Vector[Q] =
     Vector(q30SortValidate, q31SecondarySort, q32KeyFieldSort, q33FieldSel,
       q36WindowRunning, q37Rollup, q38KeyFieldPartition, q81WindowFamily,
-      q126Zorder, q159RangeFrame)
+      q126Zorder, q159RangeFrame, q163TopTies)
 }

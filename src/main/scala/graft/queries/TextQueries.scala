@@ -1736,6 +1736,55 @@ object TextQueries {
         row_number().over(Window.orderBy(col("priority"), col("doc_id"))))
   }
 
+  /** New-vocabulary detection — the incremental twin of the corpus
+    * vocabulary: terms appearing in today's delta batch (doc_id % 10 = 0,
+    * the q155 CDC convention) that the base corpus has never seen, with
+    * their delta document and occurrence counts. This is the signal an
+    * incremental BPE/vocab pipeline watches (new terms above a floor
+    * trigger retraining) and a drift tripwire q136's share-deviation
+    * can't give (a term with zero base share has no share to deviate).
+    *
+    * Scale shape: two map-side-combined vocabulary aggregations and one
+    * vocab-keyed LEFT ANTI join (the q96 decontamination shape applied
+    * to the vocabulary itself) — never a broadcast of an unbounded
+    * vocab.
+    */
+  val q164NewTerms = Q.checked(
+    "q164_new_terms",
+    """WITH base AS (
+      |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(w)-2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS term
+      |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+      |        WHERE doc_id % 10 <> 0)),
+      |dt AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS term
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |        WHERE doc_id % 10 = 0)),
+      |nt AS (
+      |  SELECT d.term FROM (SELECT DISTINCT term FROM dt) d
+      |  LEFT JOIN base b ON b.term = d.term WHERE b.term IS NULL)
+      |SELECT dt.term, count(DISTINCT dt.doc_id) AS n_docs, count(*) AS n_occ
+      |FROM dt JOIN nt USING (term) GROUP BY dt.term""") { (s, dir) =>
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    def tri(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), explode(expr(
+        """transform(slice(w, 1, greatest(size(w) - 2, 0)),
+          |  (x, i) -> concat(x, ' ', w[i + 1], ' ', w[i + 2]))""".stripMargin))
+        .as("term"))
+    val base = tri(docs.filter(col("doc_id") % 10 =!= 0))
+      .select(col("term")).distinct()
+    val dt = tri(docs.filter(col("doc_id") % 10 === 0))
+      .localCheckpoint(true) // feeds the new-term anti join and the counts
+    val nt = dt.select(col("term")).distinct()
+      .join(base, Seq("term"), "left_anti")
+    dt.join(nt, "term")
+      .groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
@@ -1745,5 +1794,5 @@ object TextQueries {
       q109CurationFunnel, q114TokenBudget, q118ChunkWindows, q121C4Filters,
       q123BigramLm, q129Bm25, q136TermDrift, q140DsirSelect, q143TrainShuffle,
       q146HtmlExtract, q147PerceptronTrain, q150RagPipeline,
-      q156QualityBudget, q162WeightedSample)
+      q156QualityBudget, q162WeightedSample, q164NewTerms)
 }
