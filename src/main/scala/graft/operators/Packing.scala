@@ -161,7 +161,11 @@ object Packing {
       .rdd
       .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = sorted
-      .mapPartitionsWithIndex { case (i, it) => Iterator.single(i -> it.size.toLong) }
+      // accumulate in Long: Iterator.size returns Int and a range
+      // partition past 2^31 rows would silently overflow the offsets
+      .mapPartitionsWithIndex { case (i, it) =>
+        Iterator.single(i -> it.foldLeft(0L)((n, _) => n + 1))
+      }
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val ranked = sorted.mapPartitionsWithIndex { case (i, it) =>

@@ -34,7 +34,18 @@ object Percentiles {
     * micros) per `groupCol` (STRING): one row per (group, p) with the
     * percentile value and the group's row count. `ps` are integer
     * percents in (0, 100].
+    *
+    * CONTRACT: the driver holds `parts` × #groups subtotal longs (plus
+    * the per-group totals), so `groupCol` must be LOW-cardinality — a
+    * dimension like event type or language, not a key. The guard below
+    * refuses past [[MaxDriverGroups]]; for high-NDV group columns compute
+    * the per-group offsets distributively instead (aggregate per-
+    * (partition, group) subtotals, prefix-sum per group with a window
+    * over the ≤ parts rows each group owns, and join back) — same
+    * answer, no driver state.
     */
+  val MaxDriverGroups = 100000
+
   def exact(df: DataFrame, groupCol: String, valueCol: String,
             ps: Seq[Int], parts: Int = 32): DataFrame = {
     val spark = df.sparkSession
@@ -59,6 +70,11 @@ object Percentiles {
         }
         .collect()
       val byIdx = raw.toMap
+      val nGroups = raw.iterator.flatMap(_._2.keysIterator).toSet.size
+      require(nGroups <= MaxDriverGroups,
+        s"Percentiles.exact: $nGroups groups exceed the driver-offset bound " +
+          s"($MaxDriverGroups); use a distributed per-group offset join " +
+          "for high-NDV group columns (see scaladoc)")
       Array.tabulate(sorted.getNumPartitions)(i => byIdx.getOrElse(i, Map.empty))
     }
     // offsets(i)(g) = rows of group g in partitions before i

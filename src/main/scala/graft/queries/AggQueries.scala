@@ -525,7 +525,7 @@ object AggQueries {
     import graft.operators.Percentiles
     val ev = table(s, dir, "events")
       .select(col("event_type"),
-        round(col("value") * 1000000).cast("long").as("v"))
+        round(col("value").cast("double") * 1000000d).cast("long").as("v"))
     Percentiles.exact(ev, "event_type", "v", Seq(50, 90, 99))
       .select(col("g").as("event_type"), col("p"), col("pct"), col("n"))
   }

@@ -1361,11 +1361,13 @@ object TextQueries {
     val sc = tf.join(wt, "term")
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("tf") * col("w")).as("score"))
-    // per-source doc counts from the raw table (every doc scores — its
-    // terms are all in the raw vocabulary), NOT from sc: re-aggregating
-    // sc would replay the whole scoring subtree a second time
-    val cnt = table(s, dir, "documents")
-      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // per-source doc counts from the checkpointed token stream, NOT from
+    // sc (re-aggregating sc would replay the scoring subtree) and NOT
+    // from the raw table (a zero-token doc would inflate the quota): a
+    // doc appears in sc iff it has ≥ 1 token — its terms are all in the
+    // raw vocabulary — which is exactly distinct doc_id over toks
+    val cnt = toks.groupBy(col("source"))
+      .agg(count_distinct(col("doc_id")).as("n"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("score").desc, col("doc_id"))
     sc.join(broadcast(cnt), "source")
