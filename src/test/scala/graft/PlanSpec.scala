@@ -203,6 +203,52 @@ class PlanSpec extends AnyFunSuite {
       "profiler must scan lineitem exactly once:\n" + p.take(3000))
   }
 
+  // "Window [" matches only plain WindowExec nodes (WindowGroupLimit
+  // prints without the space-bracket)
+  private def windowCount(p: String): Int = "Window \\[".r.findAllIn(p).size
+
+  test("q159 range frame is exactly one partitioned window, no group-limit fallback") {
+    val p = plan(graft.queries.SortQueries.q159RangeFrame)
+    assert(windowCount(p) == 1,
+      s"expected exactly one WindowExec, got ${windowCount(p)}:\n" + p.take(3000))
+    assert("Window \\[.*\\], \\[user_id".r.findFirstIn(p).isDefined,
+      "the window must partition by user_id (a global RANGE frame would serialize):\n" + p.take(3000))
+    assert(!p.contains("WindowGroupLimit"), "no rank limit exists to push:\n" + p.take(2000))
+  }
+
+  test("q163 dense_rank top-k plans WindowGroupLimit (map-side prune)") {
+    val p = plan(graft.queries.SortQueries.q163TopTies)
+    assert(p.contains("WindowGroupLimit"),
+      "dense_rank <= k must prune below the window exactly like row_number:\n" + p.take(3000))
+  }
+
+  test("q161 as-of attribution is one window and zero joins") {
+    val p = plan(graft.queries.JoinQueries.q161Attribution)
+    assert(windowCount(p) == 1,
+      s"asOf must be ONE running-last window, got ${windowCount(p)}:\n" + p.take(3000))
+    assert(!p.contains("Join"),
+      "asOf must be a tagged union + window, never an inequality join:\n" + p.take(3000))
+  }
+
+  test("q164 new-term anti join degrades to a shuffle join, never a nested loop") {
+    // at test scale the distinct vocab fits under the broadcast threshold
+    // and Catalyst rightly broadcasts it; disable the shortcut to assert
+    // the 100 TB strategy — the vocab anti join is EQUI-keyed on term, so
+    // with an unbounded build side it must shuffle, not broadcast a
+    // corpus-sized vocabulary or fall to a nested loop
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(graft.queries.TextQueries.q164NewTerms)
+      assert(("SortMergeJoin .*LeftAnti".r.findFirstIn(p).isDefined ||
+        "ShuffledHashJoin .*LeftAnti".r.findFirstIn(p).isDefined),
+        "the anti join must key-match on term:\n" + p.take(3000))
+      assert(!p.contains("BroadcastExchange") &&
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        "no broadcast of the unbounded vocab, no nested loop:\n" + p.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
