@@ -49,6 +49,20 @@ object BpeTrain {
       .groupBy(col("a"), col("b")).agg(sum(col("c")).as("cnt"))
   }
 
+  /** One greedy learning step: the adjacent pair with the highest weighted
+    * count under the current table (ties (a, b) ascending so reruns are
+    * bit-deterministic) and its count, or None when no adjacent pair
+    * remains. The argmax is a distributed top-1 (TakeOrderedAndProject);
+    * only the single winning row reaches the driver.
+    */
+  def learnStep(words: DataFrame,
+      merges: Vector[(String, String)]): Option[(String, String, Long)] = {
+    val top = pairCounts(words, merges.zipWithIndex.toMap)
+      .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+      .limit(1).collect()
+    top.headOption.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+  }
+
   /** Learn `n` merges greedily on top of `init`: each round adopts the pair
     * with the highest weighted count, ties broken (a, b) ascending so
     * reruns are bit-deterministic. Stops early if no adjacent pair remains.
@@ -61,11 +75,10 @@ object BpeTrain {
     var merges = init
     var exhausted = false
     while (merges.size < init.size + n && !exhausted) {
-      val top = pairCounts(words, merges.zipWithIndex.toMap)
-        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else merges :+= ((top(0).getString(0), top(0).getString(1)))
+      learnStep(words, merges) match {
+        case Some((a, b, _)) => merges :+= ((a, b))
+        case None => exhausted = true
+      }
     }
     merges
   }

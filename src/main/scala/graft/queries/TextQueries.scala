@@ -771,6 +771,87 @@ object TextQueries {
       .select(col("a"), col("b"), col("cnt"), col("rk").cast("long").as("rk"))
   }
 
+  /** Weighted adjacent-pair counts over the symbol strings of `t$n`
+    * (columns c, tok) — one BPE frontier CTE, chained by [[q105bBpeTrainLoop]].
+    */
+  private def bpeFrontierCte(n: Int): String =
+    s"""i$n AS (
+       |  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+       |  FROM (SELECT c, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+       |        FROM (SELECT c, regexp_extract_all(tok, '<([^>]*)>', 1) AS syms
+       |              FROM t$n))
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Adopt the argmax of `i$n` and re-tokenize: for a well-formed table a
+    * NEW merge applied after full replay of the earlier ones is exactly
+    * rank-order replay (the [[graft.functions.Bpe]] equivalence), so one
+    * literal replace-all advances the state.
+    */
+  private def bpeAdoptCte(n: Int): String =
+    s"""m$n AS (SELECT a, b, cnt FROM i$n ORDER BY cnt DESC, a, b LIMIT 1),
+       |t${n + 1} AS (
+       |  SELECT c, replace(t$n.tok, '<'||m$n.a||'><'||m$n.b||'>',
+       |                    '<'||m$n.a||m$n.b||'>') AS tok
+       |  FROM t$n, m$n)""".stripMargin
+
+  /** TWO chained BPE learning iterations — the training LOOP itself
+    * cross-engine-pinned, not just one frontier (q105): step 1's argmax
+    * is adopted, the vocab re-tokenizes under the grown table, step 2's
+    * argmax is adopted from the NEW frontier, and the post-loop frontier
+    * is ranked. Rows: (step 1, the first learned merge), (step 2, the
+    * second — counted over tokenizations that already contain merge 1),
+    * (step 3, the next-10 candidates). A wrong count anywhere in the
+    * chain cascades: merge 2 is only correct if merge 1 was adopted AND
+    * applied exactly.
+    *
+    * The oracle unrolls both iterations as CTEs (the q127/q147 unrolled-
+    * loop standard): each adoption is an ORDER BY ... LIMIT 1 CTE and
+    * one literal replace-all — equivalent to the engine's real
+    * [[graft.functions.Bpe.tokenize]] loop for well-formed tables, the
+    * invariant BpeSpec property-checks. Scale shape: identical to q105
+    * per iteration — nothing corpus-sized after the vocab collapse, the
+    * argmax is a distributed top-1, the driver holds two merge pairs.
+    */
+  val q105bBpeTrainLoop = Q.checked(
+    "q105b_bpe_train_loop",
+    s"""WITH runs AS (
+       |  SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS w FROM documents),
+       |wc AS (SELECT w, count(*) AS c FROM runs GROUP BY w),
+       |t0 AS (SELECT c, ${graft.functions.Bpe.oracleReplayExpr("w")} AS tok FROM wc),
+       |${bpeFrontierCte(0)},
+       |${bpeAdoptCte(0)},
+       |${bpeFrontierCte(1)},
+       |${bpeAdoptCte(1)},
+       |${bpeFrontierCte(2)}
+       |SELECT CAST(1 AS BIGINT) AS step, a, b, cnt, CAST(1 AS BIGINT) AS rk FROM m0
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), a, b, cnt, CAST(1 AS BIGINT) FROM m1
+       |UNION ALL
+       |SELECT CAST(3 AS BIGINT), a, b, cnt, rk FROM (
+       |  SELECT a, b, cnt,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS BIGINT) AS rk
+       |  FROM i2) WHERE rk <= 10""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.BpeTrain
+    import graft.functions.Bpe
+    // the vocab feeds three frontier passes — checkpoint it once
+    val words = BpeTrain.vocab(table(s, dir, "documents")).localCheckpoint(true)
+    val (a1, b1, c1) = BpeTrain.learnStep(words, Bpe.fixtureMerges).get
+    val merges1 = Bpe.fixtureMerges :+ ((a1, b1))
+    val (a2, b2, c2) = BpeTrain.learnStep(words, merges1).get
+    val merges2 = merges1 :+ ((a2, b2))
+    val win = Window.orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+    val frontier = BpeTrain.pairCounts(words, merges2.zipWithIndex.toMap)
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 10)
+      .select(lit(3L).as("step"), col("a"), col("b"), col("cnt"),
+        col("rk").cast("long").as("rk"))
+    import s.implicits._
+    Seq((1L, a1, b1, c1, 1L), (2L, a2, b2, c2, 1L))
+      .toDF("step", "a", "b", "cnt", "rk")
+      .union(frontier)
+  }
+
   /** Mixture resampling to target domain weights — the corpus-mixing step
     * (Pile/DoReMi-style) that runs after per-source caps: compute each
     * domain's share, derive a deterministic acceptance rate toward a
@@ -1792,7 +1873,7 @@ object TextQueries {
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
       q75Tfidf, q76StratifiedSplit, q77Collocations, q79Repetition,
       q96Decontaminate, q98PiiRedact, q100DupSpans, q101SeqPack,
-      q102SourceCap, q105BpeTrainStep, q108MixtureResample,
+      q102SourceCap, q105BpeTrainStep, q105bBpeTrainLoop, q108MixtureResample,
       q109CurationFunnel, q114TokenBudget, q118ChunkWindows, q121C4Filters,
       q123BigramLm, q129Bm25, q136TermDrift, q140DsirSelect, q143TrainShuffle,
       q146HtmlExtract, q147PerceptronTrain, q150RagPipeline,
