@@ -181,9 +181,16 @@ object Similarity {
   def srpPlanesFor(corpusEst: Long, targetBucket: Long = 8L): Int = {
     require(corpusEst > 0 && targetBucket > 0,
       s"srpPlanesFor: positive sizes required, got ($corpusEst, $targetBucket)")
-    val p = math.ceil(math.log(
-      math.max(corpusEst.toDouble / targetBucket, 2.0)) / math.log(2)).toInt
-    math.max(4, math.min(28, p))
+    // smallest p with 2^p >= corpus/targetBucket, found by EXACT double
+    // comparison (2^p and n/8 are exact doubles) instead of
+    // ceil(log(x)/log(2)), whose last-ulp noise at power-of-two corpus
+    // sizes could disagree with the SQL oracle's identical min-p scan —
+    // the two derivations are equal for every n (checked exhaustively to
+    // 200k and at all power-of-two boundaries)
+    val x = math.max(corpusEst.toDouble / targetBucket, 2.0)
+    var p = 1
+    while (p < 28 && math.pow(2, p) < x) p += 1
+    math.max(4, p)
   }
 
   /** Multi-probe radius matched to a plane count: the smallest h such
@@ -201,14 +208,33 @@ object Similarity {
     require(planes > 0 && capture > 0 && capture <= 1 &&
       targetCos > -1 && targetCos < 1,
       s"probeRadiusFor: bad args ($planes, $targetCos, $capture)")
-    val p = math.acos(targetCos) / math.Pi
-    def c(n: Int, k: Int): Double =
-      (0 until k).map(i => (n - i).toDouble / (i + 1)).product
-    var cum = 0.0
-    (0 to planes).find { k =>
-      cum += c(planes, k) * math.pow(1 - p, planes - k) * math.pow(p, k)
-      cum >= capture
-    }.getOrElse(planes)
+    if (targetCos == 0.5 && capture == 0.5 && planes <= 28) {
+      // the default path in EXACT integers, so the SQL oracle can
+      // re-derive it bit-identically at any corpus: acos(0.5)/π is
+      // exactly 1/3 (the SRP collision identity at cos 1/2), so
+      // P(Binom(n, 1/3) <= h) >= 1/2  <=>  2·Σ_{k<=h} C(n,k)·2^(n-k) >= 3^n
+      // — all BIGINT-safe for n <= 28 (3^28 < 2^45). Equal to the float
+      // path below for every n in 1..28 (checked exhaustively).
+      val tot = math.BigInt(3).pow(planes).toLong
+      var c = 1L // C(planes, k)
+      var cum = 1L << planes // Σ terms; k = 0 term is 2^planes
+      var k = 0
+      while (2 * cum < tot && k < planes) {
+        c = c * (planes - k) / (k + 1)
+        k += 1
+        cum += c * (1L << (planes - k))
+      }
+      k
+    } else {
+      val p = math.acos(targetCos) / math.Pi
+      def c(n: Int, k: Int): Double =
+        (0 until k).map(i => (n - i).toDouble / (i + 1)).product
+      var cum = 0.0
+      (0 to planes).find { k =>
+        cum += c(planes, k) * math.pow(1 - p, planes - k) * math.pow(p, k)
+        cum >= capture
+      }.getOrElse(planes)
+    }
   }
 
   /** Corpus-adaptive IVF coarse-quantizer size: `cells = clamp(ceil(√n),
@@ -231,6 +257,57 @@ object Similarity {
     require(cells > 0, s"ivfProbesFor: cells must be positive, got $cells")
     math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
   }
+
+  /** DuckDB oracle CTE chain re-deriving every vector's SRP bucket from
+    * `count(*)` — the same geometry [[srpPlanesFor]] + [[srpSigns]]
+    * compute, expressed IN SQL so the oracle stays correct at any corpus
+    * scale (the IVF-family convention): `planes` is the identical min-p
+    * scan (2^p and n/8 are exact doubles on both engines), and each sign
+    * is the identical MD5 parity bit — Scala reads `digest(15) & 1`, SQL
+    * the low bit of the 32nd hex char, the same bit. Yields CTEs
+    * `geo(planes)`, `sgn(j, d, sgn)`, `el(vec_id, d, v)` (scaled longs,
+    * d 0-based) and `b(vec_id, bucket)` over table `embeddings`.
+    */
+  def srpOracleBucketCtes(dims: Int = 64): String = {
+    val sc = "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)"
+    s"""geo AS (SELECT greatest(4, coalesce((SELECT min(j)
+       |  FROM (SELECT unnest(range(1, 29)) AS j)
+       |  WHERE pow(2, j) >= greatest(CAST((SELECT count(*) FROM embeddings) AS DOUBLE) / 8, 2.0)), 28)) AS planes),
+       |sgn AS (
+       |  SELECT j, d,
+       |    CASE WHEN ('0x'||substring(md5(CAST(j AS VARCHAR)||':'||CAST(d AS VARCHAR)), 32, 1))::INT % 2 = 1
+       |         THEN 1 ELSE -1 END AS sgn
+       |  FROM (SELECT unnest(range(0, (SELECT planes FROM geo))) AS j),
+       |       (SELECT unnest(range(0, $dims)) AS d)),
+       |el AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d, $sc AS v
+       |  FROM embeddings),
+       |pd AS (SELECT el.vec_id, sgn.j, sum(el.v * sgn.sgn) AS dot
+       |       FROM el JOIN sgn USING (d) GROUP BY 1, 2),
+       |b AS (SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS bucket
+       |      FROM pd GROUP BY vec_id)""".stripMargin
+  }
+
+  /** Multi-probe oracle CTEs on top of [[srpOracleBucketCtes]]: `bin` is
+    * the binomial cumulative of the EXACT default [[probeRadiusFor]]
+    * (p = 1/3, capture 1/2 — the 2·Σ C(n,k)·2^(n−k) ≥ 3^n integer form,
+    * via the C(n,k) = C(n,k−1)·(n−k+1)/k recurrence, exact in BIGINT),
+    * `rad(h)` its first crossing, `masks(m)` every bucket-flip mask with
+    * popcount ≤ h. The caller's WITH must be RECURSIVE. The masks scan is
+    * range(2^planes) filtered by bit_count — fine for an oracle replay
+    * (planes ≤ 8 at every generated fixture scale).
+    */
+  def srpOracleProbeCtes: String =
+    s"""bin(k, c, cum) AS (
+       |  SELECT 0, CAST(1 AS BIGINT), CAST(1 AS BIGINT) << (SELECT planes FROM geo)
+       |  UNION ALL
+       |  SELECT k + 1, (c * ((SELECT planes FROM geo) - k)) // (k + 1),
+       |    cum + ((c * ((SELECT planes FROM geo) - k)) // (k + 1)) * (CAST(1 AS BIGINT) << ((SELECT planes FROM geo) - k - 1))
+       |  FROM bin WHERE k < (SELECT planes FROM geo)),
+       |rad AS (SELECT min(k) AS h FROM bin
+       |        WHERE 2 * cum >= CAST(pow(3, (SELECT planes FROM geo)) AS BIGINT)),
+       |masks AS (SELECT m FROM (SELECT unnest(range(0, CAST(1 AS BIGINT) << (SELECT planes FROM geo))) AS m)
+       |          WHERE bit_count(m) <= (SELECT h FROM rad))""".stripMargin
 
   /** All bucket-flip masks of Hamming weight ≤ h over `planes` bits —
     * the multi-probe sequence (mask 0 = the home bucket), enumerated in

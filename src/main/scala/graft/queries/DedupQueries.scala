@@ -296,34 +296,26 @@ object DedupQueries {
     */
   val q57EmbedDedup: Q = {
     import graft.operators.Similarity
-    // oracle geometry from the verify corpus (500 embeddings → 6 planes);
-    // the Spark body re-derives from the runtime count. Dedup stays
-    // single-bucket (no probing): a missed near-dup pair costs recall,
-    // not correctness, and the group step (q58 pattern) is transitive.
-    val Planes = Similarity.srpPlanesFor(VerifyCorpus)
-    val signs = Similarity.srpSigns(Planes, 64)
-    def planeSql(j: Int) = signs(j).mkString("[", ",", "]")
-    def sc(x: String) = s"CAST(round(CAST($x AS DOUBLE) * 1000000) AS BIGINT)"
-    def dd(a: String, b: String) =
-      s"CAST(sum(${sc(a)} * ${sc(b)}) AS DOUBLE)"
+    // the oracle re-derives the SRP geometry in SQL from count(*)
+    // (Similarity.srpOracleBucketCtes — the same min-p plane scan and
+    // md5-parity signs as the Spark body's srpPlanesFor/srpSigns), so
+    // both engines agree at EVERY corpus scale. Dedup stays single-
+    // bucket (no probing): a missed near-dup pair costs recall, not
+    // correctness, and the group step (q58 pattern) is transitive.
     Q.checked(
       "q57_embed_dedup",
-      s"""WITH el AS (
-         |  SELECT vec_id, unnest(embedding) AS e${(0 until Planes).map(j => s", unnest(${planeSql(j)}) AS p$j").mkString}
-         |  FROM embeddings
-         |), b AS (
-         |  SELECT vec_id,
-         |    ${(0 until Planes).map(j => s"(CASE WHEN sum(${sc("e")} * p$j) > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS bucket
-         |  FROM el GROUP BY vec_id
-         |), cand AS (
+      s"""WITH ${Similarity.srpOracleBucketCtes(64)},
+         |cand AS (
          |  SELECT l.vec_id AS a, r.vec_id AS b
          |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-         |), el2 AS (
-         |  SELECT c.a, c.b, unnest(x.embedding) AS qa, unnest(y.embedding) AS xa
-         |  FROM cand c JOIN embeddings x ON x.vec_id = c.a JOIN embeddings y ON y.vec_id = c.b
          |), dots AS (
-         |  SELECT a, b, ${dd("qa", "xa")} AS dqx, ${dd("qa", "qa")} AS dqq, ${dd("xa", "xa")} AS dxx
-         |  FROM el2 GROUP BY a, b
+         |  SELECT c.a, c.b,
+         |    CAST(sum(ea.v * eb.v) AS DOUBLE) AS dqx,
+         |    CAST(sum(ea.v * ea.v) AS DOUBLE) AS dqq,
+         |    CAST(sum(eb.v * eb.v) AS DOUBLE) AS dxx
+         |  FROM cand c JOIN el ea ON ea.vec_id = c.a
+         |  JOIN el eb ON eb.vec_id = c.b AND eb.d = ea.d
+         |  GROUP BY c.a, c.b
          |)
          |SELECT a, b, dqx / (sqrt(dqq) * sqrt(dxx)) AS cos
          |FROM dots WHERE dqx / (sqrt(dqq) * sqrt(dxx)) >= 0.4""") { (s, dir) =>

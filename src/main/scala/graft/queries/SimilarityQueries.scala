@@ -15,13 +15,11 @@ object SimilarityQueries {
   private val NQueries = 5
   // SRP geometry is DERIVED from the corpus size (Similarity.srpPlanesFor:
   // planes ∝ log₂ corpus; probeRadiusFor: smallest Hamming radius that
-  // keeps a cos≥0.5 neighbor's capture probability ≥ 0.5). The oracle SQL
-  // is generated for the verify corpus (500 embeddings at sf0.01 → 6
-  // planes, probe radius 2); the Spark bodies re-derive from the runtime
-  // count, so the two agree at verify scale by construction.
+  // keeps a cos≥0.5 neighbor's capture probability ≥ 0.5). The oracles
+  // re-derive the SAME geometry in SQL from count(*) (srpOracleBucketCtes
+  // / srpOracleProbeCtes), so both engines agree at every corpus scale —
+  // the IVF-family convention below, now covering the SRP family too.
   private val VerifyCorpus = 500L
-  private val Planes = Similarity.srpPlanesFor(VerifyCorpus)
-  private val ProbeH = Similarity.probeRadiusFor(Planes)
   private val Dims = 64
 
   // scaled-long dot product: round(x*1e6)::BIGINT per element, integer
@@ -57,42 +55,34 @@ object SimilarityQueries {
     Similarity.bruteForceTopK(queries, corpus, K)
   }
 
-  private lazy val signs = Similarity.srpSigns(Planes, Dims)
-
-  private def planeSql(j: Int): String = signs(j).mkString("[", ",", "]")
-
   /** LSH-bucketed ANN with multi-probe and corpus-adaptive geometry: the
     * plane count and probe radius come from [[Similarity.srpPlanesFor]] /
     * [[Similarity.probeRadiusFor]] (6 planes → 64 buckets, Hamming ≤ 2 at
     * verify scale — single-bucket SRP recalls almost nothing on a
     * near-orthogonal corpus, see RecallSpec) before exact cosine. The
-    * hyperplane matrix and the probe-mask set are shared with the oracle
-    * as literals generated from the same helpers.
+    * oracle RE-DERIVES the whole geometry in SQL from count(*)
+    * ([[Similarity.srpOracleBucketCtes]] / [[Similarity.srpOracleProbeCtes]]
+    * — min-p plane scan, md5-parity signs, exact-integer binomial probe
+    * radius), so both engines agree at EVERY corpus scale, the IVF-family
+    * standard — no literal matrix pinned to one fixture.
     */
   val q61AnnLsh = Q.checked(
     "q61_ann_lsh",
-    s"""WITH el AS (
-       |  SELECT vec_id, unnest(embedding) AS e${(0 until Planes).map(j => s", unnest(${planeSql(j)}) AS p$j").mkString}
-       |  FROM embeddings
-       |), b AS (
-       |  SELECT vec_id,
-       |    ${(0 until Planes).map(j => s"(CASE WHEN sum(${sc("e")} * p$j) > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS bucket
-       |  FROM el GROUP BY vec_id
-       |), q AS (
-       |  SELECT x.vec_id AS qid, x.embedding AS qv, b.bucket
-       |  FROM embeddings x JOIN b ON b.vec_id = x.vec_id WHERE x.vec_id < $NQueries
-       |), cand AS (
-       |  SELECT q.qid, x.vec_id AS xid, q.qv, x.embedding AS xv
-       |  FROM q JOIN b xb ON xb.bucket IN (${Similarity.probeMasks(Planes, ProbeH).map(m => if (m == 0L) "q.bucket" else s"xor(q.bucket, $m)").mkString(", ")})
-       |  JOIN embeddings x ON x.vec_id = xb.vec_id
-       |), el2 AS (
-       |  SELECT qid, xid, unnest(qv) AS qa, unnest(xv) AS xa FROM cand
-       |), dots AS (
-       |  SELECT qid, xid,
-       |    $dotSql AS dqx,
-       |    CAST(sum(${sc("qa")} * ${sc("qa")}) AS DOUBLE) AS dqq,
-       |    CAST(sum(${sc("xa")} * ${sc("xa")}) AS DOUBLE) AS dxx
-       |  FROM el2 GROUP BY qid, xid
+    s"""WITH RECURSIVE
+       |${Similarity.srpOracleBucketCtes(Dims)},
+       |${Similarity.srpOracleProbeCtes},
+       |q AS (SELECT vec_id AS qid, bucket FROM b WHERE vec_id < $NQueries),
+       |cand AS (
+       |  SELECT q.qid, xb.vec_id AS xid
+       |  FROM q CROSS JOIN masks m JOIN b xb ON xb.bucket = xor(q.bucket, m.m)),
+       |dots AS (
+       |  SELECT c.qid, c.xid,
+       |    CAST(sum(qe.v * xe.v) AS DOUBLE) AS dqx,
+       |    CAST(sum(qe.v * qe.v) AS DOUBLE) AS dqq,
+       |    CAST(sum(xe.v * xe.v) AS DOUBLE) AS dxx
+       |  FROM cand c JOIN el qe ON qe.vec_id = c.qid
+       |  JOIN el xe ON xe.vec_id = c.xid AND xe.d = qe.d
+       |  GROUP BY c.qid, c.xid
        |)
        |SELECT qid, xid, cos, rank FROM (
        |  SELECT qid, xid, dqx / (sqrt(dqq) * sqrt(dxx)) AS cos,
@@ -109,9 +99,8 @@ object SimilarityQueries {
   }
 
   // IVF geometry is derived like the SRP geometry above: √N cells and
-  // √cells probes (Similarity.ivfCellsFor/ivfProbesFor). Unlike the SRP
-  // sign matrix (a literal sized by the plane count — static by
-  // necessity), these are plain arithmetic, so the oracles derive them
+  // √cells probes (Similarity.ivfCellsFor/ivfProbesFor). These are plain
+  // arithmetic, so the oracles derive them
   // IN SQL from count(*): ceil(√N) cells, ceil(√cells) probes — the
   // clamps (cells ≥ 4, probes ≥ 2, caps) are no-ops for any corpus ≥ 16
   // vectors, so SQL and Scala agree at EVERY fixture scale, not just the
