@@ -1725,6 +1725,242 @@ object TextQueries {
         Window.orderBy(col("score").desc, col("doc_id"), col("chunk_id"))))
   }
 
+  /** q150's sliding chunks with a single packed key
+    * `xid = doc_id·10⁶ + chunk_id` (chunk counts are bounded by
+    * n_tokens/48, so 10⁶ holds any plausible document) — the chunk
+    * corpus both q150b retrieval sides share.
+    */
+  private def ragChunks(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .select(col("doc_id"), col("w"), explode(expr(
+        s"sequence(0, cast(ceil(greatest(n - $ChunkW, 0) / $ChunkS.0) as int))"))
+        .as("k"))
+      .select((col("doc_id") * 1000000L + col("k")).as("xid"),
+        expr(s"array_join(slice(w, k * $ChunkS + 1, $ChunkW), ' ')").as("chunk_text"))
+
+  /** Chunk-token stream (xid, term) for q150b — checkpointed once; feeds
+    * the BM25 stats AND the hashed feature vectors.
+    */
+  private[graft] def ragChunkToks(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Dedup
+    ragChunks(s, dir)
+      .select(col("xid"), explode(Dedup.tokens(col("chunk_text"))).as("term"))
+      .localCheckpoint(true)
+  }
+
+  /** 64-dim hashed-unigram tf vectors (the feature-hashing trick, the
+    * q147 dimensioning) over the chunk corpus: dim = md5-hash(term) mod
+    * 64, value = count/len — length-normalized so every coordinate sits
+    * in [0, 1], inside [[graft.operators.Similarity.sq8Budget]]'s scaled
+    * domain. Returns (xid, xvec).
+    */
+  private[graft] def ragChunkVectors(
+      ctoks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cl = ctoks.groupBy(col("xid")).agg(count(lit(1)).as("dl"))
+    ctoks
+      .groupBy(col("xid"), (Hashing.hash32(col("term")) % 64).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .join(cl, "xid")
+      .groupBy(col("xid"), col("dl"))
+      .agg(map_from_entries(collect_list(struct(col("d"), col("c")))).as("m"))
+      .select(col("xid"), expr(
+        "transform(sequence(0L, 63L), d -> cast(coalesce(m[d], 0L) as double) / cast(dl as double))")
+        .as("xvec"))
+  }
+
+  /** Doc 42's whole text featurized the same way — the dense query
+    * vector (qid, qvec).
+    */
+  private[graft] def ragQueryVector(s: org.apache.spark.sql.SparkSession,
+                                    dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Dedup
+    table(s, dir, "documents").filter(col("doc_id") === 42)
+      .select(explode(Dedup.tokens(col("text"))).as("term"))
+      .groupBy((Hashing.hash32(col("term")) % 64).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .agg(map_from_entries(collect_list(struct(col("d"), col("c")))).as("m"),
+        sum(col("c")).as("qdl"))
+      .select(lit(42L).as("qid"), expr(
+        "transform(sequence(0L, 63L), d -> cast(coalesce(m[d], 0L) as double) / cast(qdl as double))")
+        .as("qvec"))
+  }
+
+  /** BM25 top-k chunks for doc 42's terms (the q150 scorer keyed on the
+    * packed xid) — (xid, bm25_rank).
+    */
+  private[graft] def ragBm25Top(s: org.apache.spark.sql.SparkSession,
+      dir: String, ctoks: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.expressions.Window
+    val tf = ctoks.groupBy(col("xid"), col("term")).agg(count(lit(1)).as("tf"))
+    val cl = ctoks.groupBy(col("xid")).agg(count(lit(1)).as("dl"))
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tot = broadcast(ctoks.agg(
+      count_distinct(col("xid")).as("nd"), count(lit(1)).as("tt")))
+    val qt = broadcast(table(s, dir, "documents")
+      .filter(col("doc_id") === 42)
+      .select(explode(Dedup.tokens(col("text"))).as("term")).distinct())
+    val dfq = broadcast(dfr.join(qt, "term"))
+    tf.join(qt, "term")
+      .join(dfq, "term")
+      .join(cl, "xid")
+      .crossJoin(tot)
+      .select(col("xid"),
+        expr("""(1000000 * 44 * tf * (2 * nd - 2 * df + 1)) div
+               ((2 * df + 1) * (20 * tf + 6 + (18 * dl * nd) div tt))""").as("sc"))
+      .groupBy(col("xid")).agg(sum(col("sc")).as("score"))
+      .orderBy(col("score").desc, col("xid")).limit(k)
+      .withColumn("bm25_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("xid"))))
+      .select(col("xid"), col("bm25_rank"))
+  }
+
+  /** RRF fusion of the two chunk lists + unpacked ids — shared by q150b
+    * and RecallSpec's exact-fusion reference.
+    */
+  private[graft] def ragFuse(bm: org.apache.spark.sql.DataFrame,
+      dense: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bm.join(dense, Seq("xid"), "full_outer")
+      .select(col("xid"), col("bm25_rank"), col("cos_rank"),
+        (coalesce(expr("1000000 div (60 + bm25_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + cos_rank)"), lit(0L))).as("rrf"))
+      .orderBy(col("rrf").desc, col("xid")).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("xid"))))
+      .select(expr("xid div 1000000").as("doc_id"),
+        expr("xid % 1000000").as("chunk_id"),
+        col("bm25_rank"), col("cos_rank"), col("rrf"), col("rank"))
+  }
+
+  /** Hybrid RAG serving over the chunk index — q150's corpus with the
+    * dense side q135's capstone only STATED: BM25 top-20 chunks fused
+    * (integer RRF) with the top-20 of [[graft.operators.Similarity
+    * .ivfSq8Serve]] over 64-dim hashed-unigram chunk vectors — the
+    * IVF×SQ8 index, the actual 100 TB serving path (cells bound compute,
+    * SQ8 codes bound memory), probing √N cells √cells deep with doc 42's
+    * featurized text as the query. RecallSpec floors the fused top-10
+    * against the exact fusion (brute-force dense side) — the index
+    * approximation is MEASURED, not assumed.
+    *
+    * Exactness: vectors are length-normalized hashed term counts — the
+    * one division is the same IEEE c/dl in both engines, then the shared
+    * round(x·10⁶) quantization; everything after (cell d², SQ8 encode,
+    * 255×-scale reconstructions, dots) is the proven q124 integer path,
+    * re-derived here per CTE over the DERIVED corpus. Geometry
+    * (cells = ⌈√N⌉, probes = ⌈√cells⌉) comes from count(*) in both
+    * engines, so the oracle is scale-true like the rest of the board.
+    *
+    * Scale shape: BM25 rides the q150 broadcasts; the dense side is one
+    * cells-broadcast assignment pass over the chunk corpus + a probe-
+    * pruned scoring join; fusion touches 40 rows. At 100 TB the index is
+    * ivfSq8Build persisted partitioned by cell (the q124 amortization),
+    * and only ivfSq8Serve runs per query batch.
+    */
+  val q150bRagHybrid = Q.checked(
+    "q150b_rag_hybrid",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |idx AS (
+       |  SELECT doc_id, w,
+       |    unnest(generate_series(0, CAST(ceil(greatest(len(w) - $ChunkW, 0) / $ChunkS.0) AS INT))) AS k
+       |  FROM words),
+       |chunks AS (
+       |  SELECT doc_id * 1000000 + k AS xid,
+       |    array_to_string(w[(k*$ChunkS+1):(k*$ChunkS+$ChunkW)], ' ') AS chunk_text
+       |  FROM idx),
+       |ctoks AS (SELECT xid, unnest(string_split(chunk_text, ' ')) AS term FROM chunks),
+       |tf AS (SELECT xid, term, count(*) AS tf FROM ctoks GROUP BY 1, 2),
+       |cl AS (SELECT xid, count(*) AS dl FROM ctoks GROUP BY 1),
+       |tot AS (SELECT (SELECT count(*) FROM cl) AS nd,
+       |               (SELECT count(*) FROM ctoks) AS tt),
+       |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |qt AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+       |       FROM documents WHERE doc_id = 42),
+       |bsc AS (
+       |  SELECT tf.xid,
+       |    (1000000 * 44 * tf.tf * (2 * tot.nd - 2 * dfr.df + 1)) //
+       |    ((2 * dfr.df + 1) * (20 * tf.tf + 6 + (18 * cl.dl * tot.nd) // tot.tt)) AS sc
+       |  FROM tf JOIN qt USING (term) JOIN dfr USING (term)
+       |  JOIN cl USING (xid) CROSS JOIN tot),
+       |bagg AS (SELECT xid, CAST(sum(sc) AS BIGINT) AS score FROM bsc GROUP BY xid),
+       |bmr AS (SELECT xid, row_number() OVER (ORDER BY score DESC, xid) AS bm25_rank
+       |        FROM bagg QUALIFY bm25_rank <= 20),
+       |tfb AS (SELECT xid, ('0x'||substring(md5(term),1,8))::BIGINT % 64 AS d, count(*) AS c
+       |        FROM ctoks GROUP BY 1, 2),
+       |xel AS (
+       |  SELECT g.xid, g.d,
+       |    CAST(round((CAST(coalesce(tfb.c, 0) AS DOUBLE) / CAST(g.dl AS DOUBLE)) * 1000000) AS BIGINT) AS v
+       |  FROM (SELECT cl.xid, cl.dl, dd.d FROM cl, (SELECT unnest(range(0, 64)) AS d) dd) g
+       |  LEFT JOIN tfb ON tfb.xid = g.xid AND tfb.d = g.d),
+       |geo2 AS (SELECT greatest(4, least(65536, CAST(ceil(sqrt(count(*))) AS BIGINT))) AS cells FROM cl),
+       |np AS (SELECT greatest(2, CAST(ceil(sqrt(cells)) AS BIGINT)) AS np FROM geo2),
+       |cids AS (SELECT xid AS cid, row_number() OVER (ORDER BY xid) AS rn FROM cl),
+       |cent AS (SELECT c.cid, x.d, x.v FROM cids c JOIN xel x ON x.xid = c.cid
+       |         WHERE c.rn <= (SELECT cells FROM geo2)),
+       |d2 AS (SELECT x.xid, ct.cid, sum((x.v - ct.v) * (x.v - ct.v)) AS d
+       |       FROM xel x JOIN cent ct ON ct.d = x.d GROUP BY 1, 2),
+       |assign AS (SELECT xid, cid FROM (
+       |  SELECT xid, cid, row_number() OVER (PARTITION BY xid ORDER BY d, cid) AS rn
+       |  FROM d2) WHERE rn = 1),
+       |qtf AS (SELECT ('0x'||substring(md5(term),1,8))::BIGINT % 64 AS d, count(*) AS c
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS term
+       |              FROM documents WHERE doc_id = 42) GROUP BY 1),
+       |qel AS (
+       |  SELECT dd.d,
+       |    CAST(round((CAST(coalesce(qtf.c, 0) AS DOUBLE) / CAST((SELECT sum(c) FROM qtf) AS DOUBLE)) * 1000000) AS BIGINT) AS v
+       |  FROM (SELECT unnest(range(0, 64)) AS d) dd LEFT JOIN qtf USING (d)),
+       |qd2 AS (SELECT ct.cid, sum((q.v - ct.v) * (q.v - ct.v)) AS d
+       |        FROM qel q JOIN cent ct ON ct.d = q.d GROUP BY 1),
+       |probes AS (SELECT cid FROM (
+       |  SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM qd2)
+       |  WHERE rn <= (SELECT np FROM np)),
+       |stats AS (SELECT d, min(v) AS mn, max(v) AS mx FROM xel GROUP BY d),
+       |recon AS (
+       |  SELECT e.xid, e.d,
+       |    255 * s.mn + (CASE WHEN s.mx = s.mn THEN 0
+       |                       ELSE ((e.v - s.mn) * 255) // (s.mx - s.mn) END) * (s.mx - s.mn) AS r
+       |  FROM xel e JOIN stats s USING (d)),
+       |cand AS (SELECT a.xid FROM assign a JOIN probes p ON p.cid = a.cid),
+       |dots AS (
+       |  SELECT r.xid,
+       |    CAST(sum(q.v * r.r) AS DOUBLE) AS dqx,
+       |    CAST(sum(q.v * q.v) AS DOUBLE) AS dqq,
+       |    CAST(sum(r.r * r.r) AS DOUBLE) AS dxx
+       |  FROM recon r JOIN cand c ON c.xid = r.xid JOIN qel q ON q.d = r.d
+       |  GROUP BY r.xid),
+       |annr AS (SELECT xid, row_number() OVER (
+       |    ORDER BY dqx / (sqrt(dqq) * sqrt(dxx)) DESC, xid) AS cos_rank
+       |  FROM dots QUALIFY cos_rank <= 20),
+       |fused AS (
+       |  SELECT COALESCE(b.xid, a.xid) AS xid, b.bm25_rank, a.cos_rank,
+       |    COALESCE(1000000 // (60 + b.bm25_rank), 0) +
+       |    COALESCE(1000000 // (60 + a.cos_rank), 0) AS rrf
+       |  FROM bmr b FULL OUTER JOIN annr a ON a.xid = b.xid)
+       |SELECT xid // 1000000 AS doc_id, xid % 1000000 AS chunk_id,
+       |  bm25_rank, cos_rank, rrf,
+       |  row_number() OVER (ORDER BY rrf DESC, xid) AS rank
+       |FROM fused QUALIFY rank <= 10""") { (s, dir) =>
+    import graft.operators.Similarity
+    val ctoks = ragChunkToks(s, dir)
+    // the corpus feeds count, centroid sampling, build, and stats —
+    // checkpoint once (the q124 persisted-index contract)
+    val corpus = ragChunkVectors(ctoks).localCheckpoint(true)
+    val cells = Similarity.ivfCellsFor(corpus.count())
+    val centroids = corpus.orderBy(col("xid")).limit(cells)
+      .select(col("xid").as("cid"), col("xvec").as("cvec"))
+    val dense = Similarity.ivfSq8Serve(
+        Similarity.ivfSq8Build(corpus, centroids),
+        ragQueryVector(s, dir), centroids,
+        Similarity.ivfProbesFor(cells), 20)
+      .select(col("xid"), col("rank").as("cos_rank"))
+    ragFuse(ragBm25Top(s, dir, ctoks, 20), dense)
+  }
+
   /** Quality-first budget selection — the composition a budgeted
     * pretraining run actually executes: rank the corpus by the bigram-LM
     * fluency signal (q123's scorer, [[fluencyScores]] — the CCNet
@@ -1876,6 +2112,6 @@ object TextQueries {
       q102SourceCap, q105BpeTrainStep, q105bBpeTrainLoop, q108MixtureResample,
       q109CurationFunnel, q114TokenBudget, q118ChunkWindows, q121C4Filters,
       q123BigramLm, q129Bm25, q136TermDrift, q140DsirSelect, q143TrainShuffle,
-      q146HtmlExtract, q147PerceptronTrain, q150RagPipeline,
+      q146HtmlExtract, q147PerceptronTrain, q150RagPipeline, q150bRagHybrid,
       q156QualityBudget, q162WeightedSample, q164NewTerms)
 }

@@ -273,6 +273,43 @@ class RecallSpec extends AnyFunSuite {
     assert(served == oneShot, "split-batch serving diverged from the one-shot answer")
   }
 
+  test("q150b hybrid fusion holds recall against the exact fusion") {
+    // the RAG capstone's APPROXIMATION is measured, not assumed: fuse the
+    // same BM25 top-20 with (a) the exact brute-force dense top-20 and
+    // (b) the IVF x SQ8 served top-20 q150b actually runs, and require
+    // the fused top-10 lists to overlap. BM25 anchors half the fusion
+    // mass, so even a mediocre dense recall holds the fused floor.
+    import graft.queries.TextQueries
+    val sf = TestSpark.sf0001
+    val ctoks = TextQueries.ragChunkToks(spark, sf)
+    val corpus = TextQueries.ragChunkVectors(ctoks).localCheckpoint()
+    val cells = Similarity.ivfCellsFor(corpus.count())
+    val centroids = corpus.orderBy(col("xid")).limit(cells)
+      .select(col("xid").as("cid"), col("xvec").as("cvec"))
+    val qv = TextQueries.ragQueryVector(spark, sf)
+    val bm = TextQueries.ragBm25Top(spark, sf, ctoks, 20).localCheckpoint()
+    def fusedTop(dense: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      TextQueries.ragFuse(bm, dense.select(col("xid"), col("rank").as("cos_rank")))
+        .select(col("doc_id"), col("chunk_id")).as[(Long, Long)].collect().toSeq
+    val exact = fusedTop(Similarity.bruteForceTopK(qv, corpus, 20))
+    val served = fusedTop(Similarity.ivfSq8Serve(
+      Similarity.ivfSq8Build(corpus, centroids), qv, centroids,
+      Similarity.ivfProbesFor(cells), 20))
+    val denseRecall = {
+      val t = Similarity.bruteForceTopK(qv, corpus, 20)
+        .select(col("xid")).as[Long].collect().toSet
+      val g = Similarity.ivfSq8Serve(Similarity.ivfSq8Build(corpus, centroids),
+          qv, centroids, Similarity.ivfProbesFor(cells), 20)
+        .select(col("xid")).as[Long].collect().toSet
+      (t intersect g).size.toDouble / t.size
+    }
+    val fusedRecall = (exact.toSet intersect served.toSet).size.toDouble / exact.size
+    info(f"q150b fused top-10 recall vs exact fusion: $fusedRecall%.3f " +
+      f"(dense side recall@20: $denseRecall%.3f at $cells cells)")
+    assert(fusedRecall >= 0.6, f"fused recall collapsed: $fusedRecall%.3f")
+    assert(denseRecall >= 0.3, f"served dense recall collapsed: $denseRecall%.3f")
+  }
+
   test("sq8 overflow guard fires on coordinates that would wrap the long norm") {
     import spark.implicits._
     // budget at 64 dims is ~1.489e6 scaled (|x| ≈ 1.489): 2.0 is legal
