@@ -267,6 +267,31 @@ class SoakTest extends AnyFunSuite {
   private def soakGated(name: String)(body: => Unit): Unit =
     if (sys.env.contains("GRAFT_SOAK")) test(name)(body) else ignore(name)(body)
 
+  soakGated("100x soak: round-13 families (BPE train loop, hybrid RAG serving)") {
+    // ~500k docs — the BPE loop's vocab collapse and the chunk index's
+    // √N geometry both grow past the verify config (cells(~700k chunks)
+    // ≈ 830 vs 27): the production shape, not a replay
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak100-r13"
+    val n = 100
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    (0 until n).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"SOAK100 $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$rows")
+    }
+    time("q105b_bpe_train_loop") {
+      graft.queries.TextQueries.q105bBpeTrainLoop.run(spark, dir).count()
+    }
+    time("q150b_rag_hybrid") {
+      graft.queries.TextQueries.q150bRagHybrid.run(spark, dir).count()
+    }
+  }
+
   soakGated("100x soak: dedup family at ~500k docs (auto-geometry at scale)") {
     val base = "/root/testdata/sf0.1"
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak100"
