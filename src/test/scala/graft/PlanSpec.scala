@@ -159,6 +159,24 @@ class PlanSpec extends AnyFunSuite {
     assert(crosses <= 2, s"unexpected extra cross join ($crosses):\n" + p.take(3000))
   }
 
+  test("q150b hybrid RAG: chunk corpus never reshuffles for the dense side") {
+    val p = plan(graft.queries.TextQueries.q150bRagHybrid)
+    // probes, queries, BM25's qt/df/tot sides all broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the ONLY sort-merge allowed is the bounded 20 ∪ 20 fusion
+    // full-outer; a sort-merge anywhere else means the chunk corpus
+    // (the codes table at scale) reshuffled for a bounded side
+    val smj = "SortMergeJoin".r.findAllIn(p).size
+    val smjFullOuter = "SortMergeJoin .*FullOuter".r.findAllIn(p).size
+    assert(smj == smjFullOuter,
+      s"non-fusion sort-merge join ($smj vs $smjFullOuter):\n" + p.take(3000))
+    // every cross join must broadcast its bounded side (assignment /
+    // probe / stats sites); a non-broadcast cartesian means two
+    // corpus-sized sides met
+    assert(!p.contains("CartesianProduct"),
+      "corpus-sized cartesian:\n" + p.take(3000))
+  }
+
   test("q127 pagerank and q128 set-sim join never plan a cartesian") {
     // both are equi-join families: pagerank's per-iteration (src) joins
     // and set-sim's prefix-token + verify joins must all key-match — a
