@@ -30,22 +30,27 @@ import org.apache.spark.storage.StorageLevel
   */
 object Percentiles {
 
+  /** Most (partition, group) subtotal entries [[exact]] will materialize
+    * on the driver before refusing — see the CONTRACT note on the method.
+    */
+  val MaxDriverGroups = 100000
+
   /** Exact nearest-rank percentiles of `valueCol` (LONG, e.g. pre-scaled
     * micros) per `groupCol` (STRING): one row per (group, p) with the
     * percentile value and the group's row count. `ps` are integer
     * percents in (0, 100].
     *
-    * CONTRACT: the driver holds `parts` × #groups subtotal longs (plus
-    * the per-group totals), so `groupCol` must be LOW-cardinality — a
-    * dimension like event type or language, not a key. The guard below
-    * refuses past [[MaxDriverGroups]]; for high-NDV group columns compute
-    * the per-group offsets distributively instead (aggregate per-
-    * (partition, group) subtotals, prefix-sum per group with a window
-    * over the ≤ parts rows each group owns, and join back) — same
-    * answer, no driver state.
+    * CONTRACT: the driver holds Σ per-partition distinct groups subtotal
+    * longs (≤ `parts` × #groups), so `groupCol` must be LOW-cardinality —
+    * a dimension like event type or language, not a key. The guard
+    * refuses past [[MaxDriverGroups]] BEFORE collecting the subtotal maps
+    * (a `parts`-long size probe over the persisted histogram, so the
+    * blow-up it refuses never reaches the driver); for high-NDV group
+    * columns compute the per-group offsets distributively instead
+    * (aggregate per-(partition, group) subtotals, prefix-sum per group
+    * with a window over the ≤ parts rows each group owns, and join
+    * back) — same answer, no driver state.
     */
-  val MaxDriverGroups = 100000
-
   def exact(df: DataFrame, groupCol: String, valueCol: String,
             ps: Seq[Int], parts: Int = 32): DataFrame = {
     val spark = df.sparkSession
@@ -61,6 +66,21 @@ object Percentiles {
       .as[(String, Long, Long)]
       .rdd
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // size probe BEFORE the map collect: the driver will hold exactly
+    // Σ per-partition distinct groups entries, so measure that sum with
+    // a parts-long collect and refuse while the blow-up is still remote
+    val driverEntries = sorted
+      .mapPartitions { it =>
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        it.foreach { case (g, _, _) => seen += g }
+        Iterator.single(seen.size.toLong)
+      }
+      .collect().sum
+    require(driverEntries <= MaxDriverGroups,
+      s"Percentiles.exact: $driverEntries (partition, group) subtotal " +
+        s"entries exceed the driver bound ($MaxDriverGroups); use a " +
+        "distributed per-group offset join for high-NDV group columns " +
+        "(see scaladoc)")
     val partGroupSums: Array[Map[String, Long]] = {
       val raw = sorted
         .mapPartitionsWithIndex { case (i, it) =>
@@ -70,11 +90,6 @@ object Percentiles {
         }
         .collect()
       val byIdx = raw.toMap
-      val nGroups = raw.iterator.flatMap(_._2.keysIterator).toSet.size
-      require(nGroups <= MaxDriverGroups,
-        s"Percentiles.exact: $nGroups groups exceed the driver-offset bound " +
-          s"($MaxDriverGroups); use a distributed per-group offset join " +
-          "for high-NDV group columns (see scaladoc)")
       Array.tabulate(sorted.getNumPartitions)(i => byIdx.getOrElse(i, Map.empty))
     }
     // offsets(i)(g) = rows of group g in partitions before i

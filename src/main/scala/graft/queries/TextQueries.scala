@@ -834,22 +834,34 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.BpeTrain
     import graft.functions.Bpe
+    import s.implicits._
     // the vocab feeds three frontier passes — checkpoint it once
     val words = BpeTrain.vocab(table(s, dir, "documents")).localCheckpoint(true)
-    val (a1, b1, c1) = BpeTrain.learnStep(words, Bpe.fixtureMerges).get
-    val merges1 = Bpe.fixtureMerges :+ ((a1, b1))
-    val (a2, b2, c2) = BpeTrain.learnStep(words, merges1).get
-    val merges2 = merges1 :+ ((a2, b2))
-    val win = Window.orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-    val frontier = BpeTrain.pairCounts(words, merges2.zipWithIndex.toMap)
-      .withColumn("rk", row_number().over(win))
-      .filter(col("rk") <= 10)
-      .select(lit(3L).as("step"), col("a"), col("b"), col("cnt"),
-        col("rk").cast("long").as("rk"))
-    import s.implicits._
-    Seq((1L, a1, b1, c1, 1L), (2L, a2, b2, c2, 1L))
+    def emptyResult = Seq.empty[(Long, String, String, Long, Long)]
       .toDF("step", "a", "b", "cnt", "rk")
-      .union(frontier)
+    // a corpus with no adjacent pair left yields an EMPTY oracle (the m0
+    // CTE has no row), so the engine mirrors empty instead of crashing;
+    // likewise a loop exhausted after one merge yields just the step-1 row
+    BpeTrain.learnStep(words, Bpe.fixtureMerges) match {
+      case None => emptyResult
+      case Some((a1, b1, c1)) =>
+        val merges1 = Bpe.fixtureMerges :+ ((a1, b1))
+        val step2 = BpeTrain.learnStep(words, merges1)
+        val adopted = (Seq((1L, a1, b1, c1, 1L)) ++
+          step2.map { case (a2, b2, c2) => (2L, a2, b2, c2, 1L) })
+          .toDF("step", "a", "b", "cnt", "rk")
+        val frontier = step2 match {
+          case None => emptyResult
+          case Some((a2, b2, _)) =>
+            val win = Window.orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+            BpeTrain.pairCounts(words, (merges1 :+ ((a2, b2))).zipWithIndex.toMap)
+              .withColumn("rk", row_number().over(win))
+              .filter(col("rk") <= 10)
+              .select(lit(3L).as("step"), col("a"), col("b"), col("cnt"),
+                col("rk").cast("long").as("rk"))
+        }
+        adopted.union(frontier)
+    }
   }
 
   /** Mixture resampling to target domain weights — the corpus-mixing step

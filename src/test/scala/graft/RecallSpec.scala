@@ -288,19 +288,21 @@ class RecallSpec extends AnyFunSuite {
       .select(col("xid").as("cid"), col("xvec").as("cvec"))
     val qv = TextQueries.ragQueryVector(spark, sf)
     val bm = TextQueries.ragBm25Top(spark, sf, ctoks, 20).localCheckpoint()
+    // materialize each dense top-20 ONCE (the build localCheckpoints a
+    // fresh SQ8 encode per call) and derive both the fused lists and the
+    // recall sets from the same result
+    val exactDense = Similarity.bruteForceTopK(qv, corpus, 20).localCheckpoint()
+    val servedDense = Similarity.ivfSq8Serve(
+      Similarity.ivfSq8Build(corpus, centroids), qv, centroids,
+      Similarity.ivfProbesFor(cells), 20).localCheckpoint()
     def fusedTop(dense: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
       TextQueries.ragFuse(bm, dense.select(col("xid"), col("rank").as("cos_rank")))
         .select(col("doc_id"), col("chunk_id")).as[(Long, Long)].collect().toSeq
-    val exact = fusedTop(Similarity.bruteForceTopK(qv, corpus, 20))
-    val served = fusedTop(Similarity.ivfSq8Serve(
-      Similarity.ivfSq8Build(corpus, centroids), qv, centroids,
-      Similarity.ivfProbesFor(cells), 20))
+    val exact = fusedTop(exactDense)
+    val served = fusedTop(servedDense)
     val denseRecall = {
-      val t = Similarity.bruteForceTopK(qv, corpus, 20)
-        .select(col("xid")).as[Long].collect().toSet
-      val g = Similarity.ivfSq8Serve(Similarity.ivfSq8Build(corpus, centroids),
-          qv, centroids, Similarity.ivfProbesFor(cells), 20)
-        .select(col("xid")).as[Long].collect().toSet
+      val t = exactDense.select(col("xid")).as[Long].collect().toSet
+      val g = servedDense.select(col("xid")).as[Long].collect().toSet
       (t intersect g).size.toDouble / t.size
     }
     val fusedRecall = (exact.toSet intersect served.toSet).size.toDouble / exact.size
