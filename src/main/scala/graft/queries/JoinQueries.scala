@@ -381,8 +381,56 @@ object JoinQueries {
       .agg(count(lit(1)).as("purchases"), sum(col("v")).as("revenue_scaled"))
   }
 
+  /** Dynamic partition pruning over a date-partitioned fact — THE scan
+    * reducer for the 100 TB lakehouse layout (orders laid out
+    * `.../mon=YYYYMM/` exactly like a production date-partitioned fact):
+    * monthly order volume restricted to the months that saw a heavy
+    * returned shipment. The month dim is derived at runtime from a
+    * selective lineitem filter, so static partition pruning is
+    * impossible — Spark's DPP instead builds the qualifying-month set
+    * from the broadcast dim at execution time and skips every other
+    * partition's files entirely (the fact scan shows
+    * `dynamicpruningexpression` in PartitionFilters; PlanSpec asserts
+    * it). The dim is explicitly broadcast: months are bounded by the
+    * calendar, and `reuseBroadcastOnly` DPP then costs zero extra jobs —
+    * the pruning subquery reuses the join's own broadcast exchange.
+    *
+    * The oracle replays the same join over the unpartitioned table —
+    * green proves layout + pruning change nothing but the files read.
+    */
+  val q165DppPrune = Q.checked(
+    "q165_dpp_prune",
+    """WITH hot AS (
+      |  SELECT DISTINCT year(l_shipdate)*100 + month(l_shipdate) AS mon
+      |  FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 49),
+      |f AS (
+      |  SELECT year(o_orderdate)*100 + month(o_orderdate) AS mon, o_totalprice
+      |  FROM orders)
+      |SELECT f.mon, count(*) AS n_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+      |FROM f JOIN hot ON f.mon = hot.mon
+      |GROUP BY f.mon""") { (s, dir) =>
+    val lake = graft.core.Graft.scratch("dpp-orders")
+    table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("mon"))
+      .repartition(col("mon")) // one file per month partition
+      .write.mode("overwrite").partitionBy("mon").parquet(lake)
+    val fact = s.read.parquet(lake)
+    val hot = table(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R" && col("l_quantity") >= 49)
+      .select((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("mon"))
+      .distinct()
+    fact.join(broadcast(hot), Seq("mon"))
+      .groupBy(col("mon").cast("long").as("mon"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast(D)), 2).cast("double").as("total"))
+  }
+
   val all: Vector[Q] =
     Vector(q10JoinInner, q11JoinOuter, q12JoinOverride, q13JoinTagged,
       q14SemiAnti, q63cBloomSemi, q67BucketedJoin, q69AsofJoin, q80RangeJoin,
-      q107SaltedJoin, q149StarJoin, q161Attribution)
+      q107SaltedJoin, q149StarJoin, q161Attribution, q165DppPrune)
 }

@@ -267,6 +267,17 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q165 fact scan carries a dynamic partition pruning filter") {
+    // the whole point of the partitioned layout: the month-partitioned
+    // fact scan must show dynamicpruningexpression in its PartitionFilters
+    // (runtime pruning from the broadcast dim), and the dim join must
+    // reuse that broadcast — not launch a separate pruning job
+    val p = plan(JoinQueries.q165DppPrune)
+    assert(p.contains("dynamicpruning"),
+      "no dynamic partition pruning on the fact scan:\n" + p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
