@@ -1068,11 +1068,94 @@ object DedupQueries {
     dist
   }
 
+  /** Entity resolution / record linkage over STRUCTURED records — the
+    * Fellegi–Sunter shape (blocking + per-field agreement weights +
+    * threshold) that dedups CRM/user tables the way MinHash dedups
+    * documents. Two "systems" are synthesized deterministically from
+    * customer (the q106 messy-URL trick, so every rule is load-bearing):
+    * system B keeps 2/3 of the entities and perturbs them per seeded
+    * hash — 1/10 get a corrupted id number (+1e6, which survives the
+    * block key `num mod 1000` but fails the id agreement), 1/5 a
+    * corrupted segment, balances drift ±10 cents (agreement window ±5).
+    *
+    * Linkage: candidate pairs ONLY within a block (equi-join on
+    * (nation, num mod 1000) — never all-pairs; at N records the join
+    * touches ~N²/(25·1000) pairs, and a structurally hot block is
+    * AQE/salting territory like any key join), then integer agreement
+    * weights id ±(40/−25), segment ±(15/−10), balance ±(20/−15), match
+    * at ≥ 40. Cross-entity block collisions (num vs num+1000) max out
+    * at 10 < 40, so the threshold is false-match-proof by construction;
+    * corrupted-id records top out at 10 — they surface as the misses a
+    * human review queue would see. Scoring is pure map-side codegen.
+    */
+  val q166EntityResolution = Q.checked(
+    "q166_entity_resolution",
+    """WITH base AS (
+      |  SELECT c_custkey AS num, c_nationkey AS nat, c_mktsegment AS seg,
+      |    CAST(round(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) AS bal
+      |  FROM customer),
+      |a AS (SELECT num * 2 AS a_id, num, nat, seg, bal FROM base),
+      |b0 AS (
+      |  SELECT num, nat, seg, bal,
+      |    ('0x'||substring(md5('er:'||CAST(num AS VARCHAR)),1,8))::BIGINT % 3 AS keep,
+      |    ('0x'||substring(md5('ernum:'||CAST(num AS VARCHAR)),1,8))::BIGINT % 10 AS hn,
+      |    ('0x'||substring(md5('erseg:'||CAST(num AS VARCHAR)),1,8))::BIGINT % 5 AS hs,
+      |    ('0x'||substring(md5('erbal:'||CAST(num AS VARCHAR)),1,8))::BIGINT % 21 AS hb
+      |  FROM base),
+      |b AS (
+      |  SELECT num * 2 + 1 AS b_id,
+      |    CASE WHEN hn = 0 THEN num + 1000000 ELSE num END AS bnum,
+      |    nat AS bnat,
+      |    CASE WHEN hs = 0 THEN 'x' || seg ELSE seg END AS bseg,
+      |    bal + hb - 10 AS bbal
+      |  FROM b0 WHERE keep <> 0),
+      |p AS (
+      |  SELECT a_id, b_id,
+      |    (CASE WHEN num = bnum THEN 40 ELSE -25 END) +
+      |    (CASE WHEN seg = bseg THEN 15 ELSE -10 END) +
+      |    (CASE WHEN abs(bal - bbal) <= 5 THEN 20 ELSE -15 END) AS score
+      |  FROM a JOIN b ON nat = bnat AND num % 1000 = bnum % 1000)
+      |SELECT a_id, b_id, CAST(score AS BIGINT) AS score,
+      |  CAST(CASE WHEN score >= 40 THEN 1 ELSE 0 END AS BIGINT) AS matched
+      |FROM p""") { (s, dir) =>
+    import graft.functions.Hashing
+    val base = table(s, dir, "customer").select(
+      col("c_custkey").as("num"), col("c_nationkey").as("nat"),
+      col("c_mktsegment").as("seg"),
+      round(col("c_acctbal").cast("double") * 100).cast("long").as("bal"))
+    def h(p: String) =
+      Hashing.hash32(concat(lit(p), col("num").cast("string")))
+    val a = base.select((col("num") * 2).as("a_id"), col("num"),
+      col("nat"), col("seg"), col("bal"))
+    val b = base
+      .withColumn("keep", h("er:") % 3)
+      .withColumn("hn", h("ernum:") % 10)
+      .withColumn("hs", h("erseg:") % 5)
+      .withColumn("hb", h("erbal:") % 21)
+      .filter(col("keep") =!= 0)
+      .select((col("num") * 2 + 1).as("b_id"),
+        when(col("hn") === 0, col("num") + 1000000L)
+          .otherwise(col("num")).as("bnum"),
+        col("nat").as("bnat"),
+        when(col("hs") === 0, concat(lit("x"), col("seg")))
+          .otherwise(col("seg")).as("bseg"),
+        (col("bal") + col("hb") - 10).as("bbal"))
+    val score =
+      when(col("num") === col("bnum"), 40).otherwise(-25) +
+        when(col("seg") === col("bseg"), 15).otherwise(-10) +
+        when(abs(col("bal") - col("bbal")) <= 5, 20).otherwise(-15)
+    a.join(b, col("nat") === col("bnat") &&
+        col("num") % 1000 === col("bnum") % 1000)
+      .select(col("a_id"), col("b_id"), score.cast("long").as("score"))
+      .withColumn("matched",
+        when(col("score") >= 40, 1L).otherwise(0L))
+  }
+
   val all: Vector[Q] =
     Vector(q50DedupExact, q51MinhashLsh, q52Simhash, q53Jaccard,
       q57EmbedDedup, q58DedupGroups, q59DedupApply, q87Triangles,
       q97BinaryDedup, q103SnapshotDiff, q106UrlDedup, q110IncrementalDedup,
       q115ParagraphDedup, q127Pagerank, q128SetsimJoin, q133MergeUpsert,
       q142LabelProp, q144SourceOverlap, q155IvmAgg, q158BestKeeper,
-      q160BfsDist)
+      q160BfsDist, q166EntityResolution)
 }
