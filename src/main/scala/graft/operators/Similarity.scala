@@ -157,6 +157,70 @@ object Similarity {
       .select(col("qid"), col("xid"), col("cos"), col("rank").cast("long").as("rank"))
   }
 
+  /** Mutual k-NN GRAPH over the whole corpus — the all-vectors variant of
+    * [[ivfTopK]] that curation pipelines build once and reuse (SemDeDup
+    * clustering, duplicate neighborhoods, diversity sampling): every
+    * vector finds its k nearest neighbors through the IVF cells, then
+    * only MUTUAL edges (a ∈ knn(b) ∧ b ∈ knn(a)) survive, emitted
+    * undirected as (a < b, cos).
+    *
+    * Scale shape: because queries == corpus, ONE corpus×centroid distance
+    * pass serves both cell assignment (rank 1) and probe ranking
+    * (rank ≤ nProbe) — ivfTopK would compute it twice. Per vector the
+    * candidate set is its nProbe cells' members, ≈ nProbe/cells of the
+    * corpus (cells^(−1/2) with the √-sizing), so total scoring work is
+    * N²·cells^(−1/2), never the N² brute-force graph; the per-vector
+    * top-k is a partitioned bounded rank, and the mutuality filter is an
+    * equi self-join on the directed edge set (k·N rows — output-scale,
+    * not corpus-scale). Candidates are exact: a neighbor in a probed
+    * cell is scored with the full-precision scaled dot product.
+    */
+  def knnGraph(corpus: DataFrame, centroids: DataFrame,
+               nProbe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
+      .crossJoin(broadcast(centroids.select(col("cid"), scaled(col("cvec")).as("cs"))))
+      .select(col("xid"), col("cid"),
+        (dotScaled(col("xs"), col("xs")) -
+          lit(2L) * dotScaled(col("xs"), col("cs")) +
+          dotScaled(col("cs"), col("cs"))).as("d2"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("xid")).orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") <= math.max(nProbe, 1))
+      .localCheckpoint(true) // one distance pass feeds assign AND probes
+    val assign = ranked.filter(col("rn") === 1)
+      .select(col("xid").as("nid"), col("cid"))
+    val probes = ranked.select(col("xid").as("qid"), col("cid"))
+    // (qid, nid) is unique: nid lives in exactly one cell and qid probes
+    // distinct cells, so no candidate dedup pass is needed
+    val cand = probes.join(assign, "cid")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+    val xn = corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
+      .select(col("xid"), col("xs"),
+        sqrt(dotScaled(col("xs"), col("xs")).cast("double")).as("norm"))
+      .localCheckpoint(true) // reused on both sides of the scoring join
+    val directed = cand
+      .join(xn.select(col("xid").as("qid"), col("xs").as("qs"),
+        col("norm").as("qnorm")), "qid")
+      .join(xn.select(col("xid").as("nid"), col("xs").as("ns"),
+        col("norm").as("nnorm")), "nid")
+      .select(col("qid"), col("nid"),
+        (dotScaled(col("qs"), col("ns")).cast("double") /
+          (col("qnorm") * col("nnorm"))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cos"))
+      .localCheckpoint(true) // both sides of the mutuality self-join
+    directed.alias("f")
+      .join(directed.alias("r"),
+        col("f.qid") === col("r.nid") && col("f.nid") === col("r.qid"))
+      .filter(col("f.qid") < col("f.nid"))
+      .select(col("f.qid").as("a"), col("f.nid").as("b"), col("f.cos").as("cos"))
+  }
+
   /** Deterministic ±1 hyperplane matrix: sign(j,d) from the parity of the
     * portable MD5-derived hash of "j:d" — reproducible anywhere.
     */

@@ -648,8 +648,57 @@ object SimilarityQueries {
         row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
   }
 
+  /** Mutual k-NN graph over the WHOLE corpus
+    * ([[Similarity.knnGraph]]) — where q62 answers 5 queries, this
+    * builds the all-vectors neighborhood structure curation reuses
+    * (SemDeDup clustering, duplicate neighborhoods, diversity
+    * sampling): each vector's k=3 nearest through its √cells probed
+    * IVF cells, kept only when MUTUAL, undirected (a < b). One
+    * corpus×centroid distance pass serves assignment and probe ranking;
+    * total scoring is N²·cells^(−1/2), never brute-force N². The oracle
+    * re-derives the identical geometry from count(*) (the IVF-family
+    * convention) and replays assignment, probing, per-vector bounded
+    * rank, and the mutuality join — scale-true at any corpus.
+    */
+  val q167KnnGraph = Q.checked(
+    "q167_knn_graph",
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+       |el AS (
+       |  SELECT x.vec_id AS xid, c.cid, unnest(x.embedding) AS xa, unnest(c.cv) AS ca
+       |  FROM embeddings x, cent c
+       |), dots AS (
+       |  SELECT xid, cid, ${dd("xa", "ca")} AS dxc, ${dd("xa", "xa")} AS dxx, ${dd("ca", "ca")} AS dcc
+       |  FROM el GROUP BY xid, cid
+       |), ranked AS (
+       |  SELECT xid, cid, row_number() OVER (PARTITION BY xid ORDER BY dxx - 2*dxc + dcc, cid) AS rn
+       |  FROM dots
+       |), assign AS (SELECT xid AS nid, cid FROM ranked WHERE rn = 1),
+       |probes AS (SELECT xid AS qid, cid FROM ranked WHERE rn <= (SELECT CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS BIGINT) FROM embeddings)),
+       |cand AS (SELECT p.qid, a.nid FROM probes p JOIN assign a ON a.cid = p.cid WHERE a.nid <> p.qid),
+       |el2 AS (
+       |  SELECT c.qid, c.nid, unnest(q.embedding) AS qa, unnest(x.embedding) AS xa
+       |  FROM cand c JOIN embeddings q ON q.vec_id = c.qid JOIN embeddings x ON x.vec_id = c.nid
+       |), dots2 AS (
+       |  SELECT qid, nid, ${dd("qa", "xa")} AS dqx, ${dd("qa", "qa")} AS dqq, ${dd("xa", "xa")} AS dxx
+       |  FROM el2 GROUP BY qid, nid
+       |), e AS (
+       |  SELECT qid, nid, dqx / (sqrt(dqq) * sqrt(dxx)) AS cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY dqx / (sqrt(dqq) * sqrt(dxx)) DESC, nid) AS rank
+       |  FROM dots2
+       |), d AS (SELECT qid, nid, cos FROM e WHERE rank <= $K)
+       |SELECT f.qid AS a, f.nid AS b, f.cos AS cos
+       |FROM d f JOIN d r ON f.qid = r.nid AND f.nid = r.qid
+       |WHERE f.qid < f.nid""") { (s, dir) =>
+    val emb = table(s, dir, "embeddings")
+    val cells = Similarity.ivfCellsFor(emb.count())
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val centroids = emb.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.knnGraph(corpus, centroids, Similarity.ivfProbesFor(cells), K)
+  }
+
   val all: Vector[Q] =
     Vector(q60AnnCosine, q61AnnLsh, q62AnnIvf, q104KmeansStep,
       q116SemanticDedup, q119Sq8Ann, q120PqAnn, q120bPqTrained,
-      q124IvfSq8Ann, q125IvfPqAnn, q135HybridRetrieval)
+      q124IvfSq8Ann, q125IvfPqAnn, q135HybridRetrieval, q167KnnGraph)
 }

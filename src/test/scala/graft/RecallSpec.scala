@@ -312,6 +312,32 @@ class RecallSpec extends AnyFunSuite {
     assert(denseRecall >= 0.3, f"served dense recall collapsed: $denseRecall%.3f")
   }
 
+  test("mutual k-NN graph through probed cells holds edge recall vs full probing") {
+    // ground truth is the SAME operator with every cell probed (full
+    // probing = exact candidates), so the only variable is the probe
+    // pruning the 100 TB path relies on
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val cells = Similarity.ivfCellsFor(corpus.count())
+    val centroids = emb.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def edges(probes: Int): Set[(Long, Long)] =
+      Similarity.knnGraph(corpus, centroids, probes, 3)
+        .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    val exact = edges(cells)
+    val approx = edges(Similarity.ivfProbesFor(cells))
+    assert(exact.nonEmpty, "degenerate fixture: full-probe graph is empty")
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    info(f"mutual-kNN edge recall at ${Similarity.ivfProbesFor(cells)}/$cells probes: $recall%.3f (${exact.size} exact edges)")
+    // a mutual edge needs BOTH endpoints to surface each other, so edge
+    // recall ≈ directed-recall², and this fixture is the near-orthogonal
+    // corpus that is deliberately hostile to bucketing (the q150b dense
+    // floor on it is 0.3 directed); measured 0.30 here — floor at 0.25.
+    // Real embedding spaces have cluster structure that IVF probing is
+    // built for; the oracle (q167) separately pins the computation exact.
+    assert(recall >= 0.25, f"edge recall collapsed: $recall%.3f")
+  }
+
   test("sq8 overflow guard fires on coordinates that would wrap the long norm") {
     import spark.implicits._
     // budget at 64 dims is ~1.489e6 scaled (|x| ≈ 1.489): 2.0 is legal
