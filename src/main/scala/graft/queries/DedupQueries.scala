@@ -1068,6 +1068,86 @@ object DedupQueries {
     dist
   }
 
+  /** Snapshot TIME TRAVEL — the Delta/Iceberg versioned-read shape built
+    * from q133's merge decomposition: a base snapshot plus an ordered
+    * CDC log (two deterministic batches, the doc_id-residue convention)
+    * reconstructs EVERY historical version, and the same query reads the
+    * table "as of" version 1 AND version 2 side by side, each row
+    * carrying the commit version its content arrived at. Batch 2
+    * deliberately chains onto batch 1 — it re-updates a batch-1 update
+    * AND updates a batch-1 INSERT — so a green row proves ordered
+    * replay, not just two independent merges.
+    *
+    * Scale shape: each replayed batch is the q133 posture — the
+    * snapshot is never shuffled, touched keys ride a broadcast
+    * left-anti, upserts append by union; version N costs N such merges
+    * over the delta sizes, not N table scans. v1 is checkpointed once
+    * and feeds both its own as-of read and the v2 derivation.
+    */
+  val q170TimeTravel = Q.checked(
+    "q170_time_travel",
+    """WITH v0 AS (SELECT doc_id, md5(text) AS content, CAST(0 AS BIGINT) AS version FROM documents),
+      |b1 AS (
+      |  SELECT CASE WHEN doc_id % 10 = 2 THEN doc_id + 1000000 ELSE doc_id END AS key,
+      |    CASE doc_id % 10 WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS op,
+      |    CASE doc_id % 10 WHEN 1 THEN md5(text || ':v1') WHEN 2 THEN md5(text || ':b1') END AS newc
+      |  FROM documents WHERE doc_id % 10 <= 2),
+      |v1 AS (
+      |  SELECT doc_id, content, version FROM v0
+      |  WHERE doc_id NOT IN (SELECT key FROM b1 WHERE op IN ('D', 'U'))
+      |  UNION ALL
+      |  SELECT key, newc, CAST(1 AS BIGINT) FROM b1 WHERE op IN ('U', 'I')),
+      |b2 AS (
+      |  SELECT CASE WHEN doc_id % 10 = 2 THEN doc_id + 1000000
+      |              WHEN doc_id % 10 = 5 THEN doc_id + 2000000 ELSE doc_id END AS key,
+      |    CASE doc_id % 10 WHEN 3 THEN 'D' WHEN 5 THEN 'I' ELSE 'U' END AS op,
+      |    CASE doc_id % 10 WHEN 1 THEN md5(text || ':v1b') WHEN 2 THEN md5(text || ':b1v2')
+      |         WHEN 4 THEN md5(text || ':v2') WHEN 5 THEN md5(text || ':b2') END AS newc
+      |  FROM documents WHERE doc_id % 10 IN (1, 2, 3, 4, 5)),
+      |v2 AS (
+      |  SELECT doc_id, content, version FROM v1
+      |  WHERE doc_id NOT IN (SELECT key FROM b2 WHERE op IN ('D', 'U'))
+      |  UNION ALL
+      |  SELECT key, newc, CAST(2 AS BIGINT) FROM b2 WHERE op IN ('U', 'I'))
+      |SELECT CAST(1 AS BIGINT) AS as_of, doc_id, content, version FROM v1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS as_of, doc_id, content, version FROM v2""") { (s, dir) =>
+    val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val r = col("doc_id") % 10
+    val v0 = docs.select(col("doc_id"), md5(col("text")).as("content"),
+      lit(0L).as("version"))
+    def applyBatch(snap: org.apache.spark.sql.DataFrame,
+                   ch: org.apache.spark.sql.DataFrame,
+                   ver: Long): org.apache.spark.sql.DataFrame = {
+      val touched = ch.filter(col("op").isin("D", "U")).select(col("key"))
+      val kept = snap.join(broadcast(touched),
+        col("doc_id") === col("key"), "left_anti")
+      val upserts = ch.filter(col("op").isin("U", "I"))
+        .select(col("key").as("doc_id"), col("newc").as("content"),
+          lit(ver).as("version"))
+      kept.unionByName(upserts)
+    }
+    val b1 = docs.filter(r <= 2).select(
+      when(r === 2, col("doc_id") + 1000000L).otherwise(col("doc_id")).as("key"),
+      when(r === 0, lit("D")).when(r === 1, lit("U")).otherwise(lit("I")).as("op"),
+      when(r === 1, md5(concat(col("text"), lit(":v1"))))
+        .when(r === 2, md5(concat(col("text"), lit(":b1")))).as("newc"))
+    val b2 = docs.filter(r.isin(1, 2, 3, 4, 5)).select(
+      when(r === 2, col("doc_id") + 1000000L)
+        .when(r === 5, col("doc_id") + 2000000L)
+        .otherwise(col("doc_id")).as("key"),
+      when(r === 3, lit("D")).when(r === 5, lit("I")).otherwise(lit("U")).as("op"),
+      when(r === 1, md5(concat(col("text"), lit(":v1b"))))
+        .when(r === 2, md5(concat(col("text"), lit(":b1v2"))))
+        .when(r === 4, md5(concat(col("text"), lit(":v2"))))
+        .when(r === 5, md5(concat(col("text"), lit(":b2")))).as("newc"))
+    val v1 = applyBatch(v0, b1, 1L).localCheckpoint(true)
+    val v2 = applyBatch(v1, b2, 2L)
+    v1.select(lit(1L).as("as_of"), col("doc_id"), col("content"), col("version"))
+      .unionByName(v2.select(lit(2L).as("as_of"), col("doc_id"),
+        col("content"), col("version")))
+  }
+
   /** Entity resolution / record linkage over STRUCTURED records — the
     * Fellegi–Sunter shape (blocking + per-field agreement weights +
     * threshold) that dedups CRM/user tables the way MinHash dedups
@@ -1157,5 +1237,5 @@ object DedupQueries {
       q97BinaryDedup, q103SnapshotDiff, q106UrlDedup, q110IncrementalDedup,
       q115ParagraphDedup, q127Pagerank, q128SetsimJoin, q133MergeUpsert,
       q142LabelProp, q144SourceOverlap, q155IvmAgg, q158BestKeeper,
-      q160BfsDist, q166EntityResolution)
+      q160BfsDist, q166EntityResolution, q170TimeTravel)
 }
