@@ -1068,6 +1068,53 @@ object DedupQueries {
     dist
   }
 
+  /** k-core decomposition (iterative peeling) over the near-dup candidate
+    * graph — the DENSITY member of the graph family: q58's components say
+    * what is connected, the k-core says what is densely connected (a
+    * clique-grade dup cluster survives, a chain of borderline pairs
+    * peels away — the same filter that isolates spam/boilerplate rings).
+    * Each round drops every node of degree < 3 and restricts edges to
+    * survivors; degree loss cascades, so peeling iterates. Three
+    * synchronous rounds, unrolled in the oracle (the q142/q160
+    * convention); at verify scale every round is load-bearing
+    * (441 → 306 → 275 → 258 nodes). Output: surviving doc_ids with
+    * their round-3 core degree.
+    *
+    * Scale shape: per round one degree aggregation (map-side partial)
+    * plus two semi joins restricting the edge list — all equi-keyed,
+    * node-scale build sides, never a window over a component and never
+    * a re-derivation of the LSH pipeline (e0 is checkpointed once).
+    * The candidate list itself is the capped q51 bucket join, so a
+    * pathological bucket cannot go quadratic on either engine.
+    */
+  val q168Kcore = Q.checked(
+    "q168_kcore",
+    s"""WITH $duckCandCtes, e0 AS (
+       |  SELECT a AS src, b AS dst FROM cand UNION SELECT b AS src, a AS dst FROM cand
+       |), k1 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 3),
+       |e1 AS (SELECT e.src, e.dst FROM e0 e JOIN k1 x ON x.src = e.src JOIN k1 y ON y.src = e.dst),
+       |k2 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 3),
+       |e2 AS (SELECT e.src, e.dst FROM e1 e JOIN k2 x ON x.src = e.src JOIN k2 y ON y.src = e.dst),
+       |k3 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 3),
+       |e3 AS (SELECT e.src, e.dst FROM e2 e JOIN k3 x ON x.src = e.src JOIN k3 y ON y.src = e.dst)
+       |SELECT src AS doc_id, count(*) AS deg FROM e3 GROUP BY src""") { (s, dir) =>
+    val docs = table(s, dir, "documents")
+    val cand = Dedup.candidatePairs(autoBands(docs))
+    var e = cand.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(cand.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 3).select(col("src").as("node"))
+        .localCheckpoint(true) // feeds both endpoint restrictions
+      e = e
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+    }
+    e.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Snapshot TIME TRAVEL — the Delta/Iceberg versioned-read shape built
     * from q133's merge decomposition: a base snapshot plus an ordered
     * CDC log (two deterministic batches, the doc_id-residue convention)
@@ -1237,5 +1284,5 @@ object DedupQueries {
       q97BinaryDedup, q103SnapshotDiff, q106UrlDedup, q110IncrementalDedup,
       q115ParagraphDedup, q127Pagerank, q128SetsimJoin, q133MergeUpsert,
       q142LabelProp, q144SourceOverlap, q155IvmAgg, q158BestKeeper,
-      q160BfsDist, q166EntityResolution, q170TimeTravel)
+      q160BfsDist, q166EntityResolution, q168Kcore, q170TimeTravel)
 }
