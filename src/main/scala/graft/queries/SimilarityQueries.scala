@@ -697,8 +697,65 @@ object SimilarityQueries {
     Similarity.knnGraph(corpus, centroids, Similarity.ivfProbesFor(cells), K)
   }
 
+  /** SEMANTIC decontamination — the embedding-side twin of q96's n-gram
+    * benchmark decontamination (the modern eval-leakage check: a
+    * paraphrased eval item shares no 8-gram but sits close in embedding
+    * space): every corpus vector scoring cosine ≥ 0.35 against ANY
+    * eval-slice vector is flagged, with its hit count and the top
+    * offending eval item (cos DESC, eid ASC — deterministic argmax via
+    * `max(struct(cos, −eid))`, no per-corpus-vector window engine-side).
+    *
+    * Scale shape: an eval set is SMALL by nature, so it rides a
+    * broadcast and scoring is pure map-side over the corpus scan — the
+    * only shuffle is the final per-vector aggregation, itself
+    * combiner-friendly. N·|eval| exact scaled dots, never corpus×corpus;
+    * at real scale the same query runs against the IVF/SQ8 index family
+    * to prune the candidate set first (q124's serving path).
+    */
+  val q171SemanticDecon = Q.checked(
+    "q171_semantic_decon",
+    s"""WITH ev AS (SELECT vec_id AS eid, embedding AS evec FROM embeddings WHERE vec_id % 20 = 7),
+       |cx AS (SELECT vec_id AS xid, embedding AS xvec FROM embeddings WHERE vec_id % 20 <> 7),
+       |el AS (SELECT xid, eid, unnest(xvec) AS xa, unnest(evec) AS qa FROM cx, ev),
+       |dots AS (
+       |  SELECT xid, eid, ${dd("xa", "qa")} AS dxq, ${dd("xa", "xa")} AS dxx, ${dd("qa", "qa")} AS dqq
+       |  FROM el GROUP BY xid, eid
+       |), hits AS (
+       |  SELECT xid, eid, dxq / (sqrt(dxx) * sqrt(dqq)) AS cos
+       |  FROM dots WHERE dxq / (sqrt(dxx) * sqrt(dqq)) >= 0.35
+       |), r AS (
+       |  SELECT xid, eid, cos,
+       |    row_number() OVER (PARTITION BY xid ORDER BY cos DESC, eid) AS rn,
+       |    count(*) OVER (PARTITION BY xid) AS n_hits
+       |  FROM hits)
+       |SELECT xid, CAST(n_hits AS BIGINT) AS n_hits, eid AS top_eid, cos AS top_cos
+       |FROM r WHERE rn = 1""") { (s, dir) =>
+    val emb = table(s, dir, "embeddings")
+    val ev = emb.filter(col("vec_id") % 20 === 7)
+      .select(col("vec_id").as("eid"),
+        Similarity.scaled(col("embedding")).as("es"))
+      .select(col("eid"), col("es"),
+        sqrt(Similarity.dotScaled(col("es"), col("es")).cast("double")).as("enorm"))
+    val cx = emb.filter(col("vec_id") % 20 =!= 7)
+      .select(col("vec_id").as("xid"),
+        Similarity.scaled(col("embedding")).as("xs"))
+      .select(col("xid"), col("xs"),
+        sqrt(Similarity.dotScaled(col("xs"), col("xs")).cast("double")).as("xnorm"))
+    cx.crossJoin(broadcast(ev))
+      .select(col("xid"), col("eid"),
+        (Similarity.dotScaled(col("xs"), col("es")).cast("double") /
+          (col("xnorm") * col("enorm"))).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .groupBy(col("xid"))
+      .agg(count(lit(1)).as("n_hits"),
+        max(struct(col("cos"), (-col("eid")).as("neid"))).as("m"))
+      .select(col("xid"), col("n_hits"),
+        (-col("m.neid")).as("top_eid"), col("m.cos").as("top_cos"))
+  }
+
   val all: Vector[Q] =
     Vector(q60AnnCosine, q61AnnLsh, q62AnnIvf, q104KmeansStep,
       q116SemanticDedup, q119Sq8Ann, q120PqAnn, q120bPqTrained,
-      q124IvfSq8Ann, q125IvfPqAnn, q135HybridRetrieval, q167KnnGraph)
+      q124IvfSq8Ann, q125IvfPqAnn, q135HybridRetrieval, q167KnnGraph,
+      q171SemanticDecon)
 }
