@@ -114,4 +114,52 @@ object TemporalJoins {
       .filter(col("_tb") > col("_ta") && col("_tb") - col("_ta") <= gap)
       .select(col("a"), col("b"), (col("_tb") - col("_ta")).as("gap_"))
   }
+
+  /** Interval OVERLAP join: every (left, right) pair of closed intervals
+    * with `leftStart <= rightEnd && rightStart <= leftEnd` — the
+    * ranges×ranges generalization of [[withinGap]]'s point-gap pairing
+    * (maintenance windows × sessions, incidents × activity spans).
+    * Returns `a`/`b` row structs plus `overlap_` = `min(ends) −
+    * max(starts)` (0 for touching endpoints).
+    *
+    * Shape: each interval explodes to the fixed-width time buckets it
+    * covers (`len/bucketUs + 1` rows — size `bucketUs` to the typical
+    * interval length so the blow-up stays ~2×), candidates meet by
+    * bucket equi-join, and the exact predicate filters. A pair of long
+    * intervals shares MANY buckets, so emission is restricted to the
+    * canonical bucket containing `max(starts)` — two overlapping
+    * intervals both cover the later start by definition, so every
+    * overlapping pair is emitted exactly once and there is NO distinct
+    * pass over the output. Never a cartesian, never a per-row
+    * inequality probe.
+    *
+    * Rows with a NULL endpoint or `end < start` never match (the
+    * bucket sequence is NULL/undefined for them — the inequality-join
+    * convention for malformed intervals).
+    */
+  def overlapJoin(left: DataFrame, leftStart: Column, leftEnd: Column,
+                  right: DataFrame, rightStart: Column, rightEnd: Column,
+                  bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"overlapJoin: bucketUs must be positive (got $bucketUs)")
+    requireNoReserved(left, "overlapJoin left", "_sa", "_ea", "_sb", "_eb", "_bkt", "a", "b", "overlap_")
+    requireNoReserved(right, "overlapJoin right", "_sa", "_ea", "_sb", "_eb", "_bkt", "a", "b", "overlap_")
+    val a = left.select(
+      leftStart.cast("long").as("_sa"), leftEnd.cast("long").as("_ea"),
+      struct(left.columns.map(col): _*).as("a"))
+      .filter(col("_ea") >= col("_sa"))
+      .withColumn("_bkt",
+        explode(expr(s"sequence(_sa div ${bucketUs}L, _ea div ${bucketUs}L)")))
+    val b = right.select(
+      rightStart.cast("long").as("_sb"), rightEnd.cast("long").as("_eb"),
+      struct(right.columns.map(col): _*).as("b"))
+      .filter(col("_eb") >= col("_sb"))
+      .withColumn("_bkt",
+        explode(expr(s"sequence(_sb div ${bucketUs}L, _eb div ${bucketUs}L)")))
+    a.join(b, Seq("_bkt"))
+      .filter(col("_sa") <= col("_eb") && col("_sb") <= col("_ea"))
+      .filter(col("_bkt") === expr(s"greatest(_sa, _sb) div ${bucketUs}L"))
+      .select(col("a"), col("b"),
+        (least(col("_ea"), col("_eb")) -
+          greatest(col("_sa"), col("_sb"))).as("overlap_"))
+  }
 }

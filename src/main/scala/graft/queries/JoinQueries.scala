@@ -429,8 +429,51 @@ object JoinQueries {
         round(sum(col("o_totalprice").cast(D)), 2).cast("double").as("total"))
   }
 
+  /** Interval OVERLAP join ([[graft.operators.TemporalJoins.overlapJoin]])
+    * — the ranges×ranges member of the temporal family (q69 point-in-time,
+    * q80 point-gap): which per-user daily activity spans [first event,
+    * last event] overlap a sampled error incident's ±30-minute window,
+    * with the exact overlap duration. Engine plan: both interval sets
+    * explode to their covered day-width buckets (spans ≤ 1, incident
+    * windows ≤ 2), candidates meet by bucket equi-join, and the
+    * canonical max(starts)-bucket rule emits each pair exactly once —
+    * no distinct pass, no cartesian, no per-row inequality probe. The
+    * oracle is DuckDB's native inequality (IEJoin) plan — an independent
+    * implementation of the semantics, the q80 convention.
+    */
+  val q172OverlapJoin = Q.checked(
+    "q172_overlap_join",
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+      |spans AS (
+      |  SELECT user_id, us // 86400000000 AS day, min(us) AS sa, max(us) AS ea
+      |  FROM e GROUP BY user_id, us // 86400000000),
+      |inc AS (
+      |  SELECT event_id AS incident_id, us - 1800000000 AS sb, us + 1800000000 AS eb
+      |  FROM e WHERE event_type = 'error' AND event_id % 50 = 0)
+      |SELECT sp.user_id, sp.day, i.incident_id,
+      |  least(sp.ea, i.eb) - greatest(sp.sa, i.sb) AS overlap_us
+      |FROM spans sp JOIN inc i ON sp.sa <= i.eb AND i.sb <= sp.ea""") { (s, dir) =>
+    import graft.operators.TemporalJoins
+    val evt = table(s, dir, "events")
+    val e = evt.select(col("event_id"), col("user_id"),
+      graft.core.Graft.tsUs(evt).as("us"), col("event_type"))
+    val spans = e
+      .groupBy(col("user_id"), expr("us div 86400000000").as("day"))
+      .agg(min(col("us")).as("sa"), max(col("us")).as("ea"))
+    val inc = e
+      .filter(col("event_type") === "error" && col("event_id") % 50 === 0)
+      .select(col("event_id").as("incident_id"),
+        (col("us") - 1800000000L).as("sb"), (col("us") + 1800000000L).as("eb"))
+    TemporalJoins.overlapJoin(spans, col("sa"), col("ea"),
+        inc, col("sb"), col("eb"), bucketUs = 86400000000L)
+      .select(col("a.user_id").as("user_id"), col("a.day").as("day"),
+        col("b.incident_id").as("incident_id"), col("overlap_").as("overlap_us"))
+  }
+
   val all: Vector[Q] =
     Vector(q10JoinInner, q11JoinOuter, q12JoinOverride, q13JoinTagged,
       q14SemiAnti, q63cBloomSemi, q67BucketedJoin, q69AsofJoin, q80RangeJoin,
-      q107SaltedJoin, q149StarJoin, q161Attribution, q165DppPrune)
+      q107SaltedJoin, q149StarJoin, q161Attribution, q165DppPrune,
+      q172OverlapJoin)
 }

@@ -101,6 +101,37 @@ class TemporalJoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("overlapJoin equals the naive inequality join, each pair exactly once") {
+    // edge cases on purpose: touching endpoints (overlap 0), containment,
+    // identical intervals, a LONG interval spanning many buckets (the
+    // canonical-bucket rule must not double-emit), malformed end < start
+    // dropped, zero-length points
+    val a = Seq(
+      ("a1", 0L, 10L), ("a2", 5L, 5L), ("a3", 10L, 20L),
+      ("a4", 0L, 95L),   // spans 10 buckets of width 10
+      ("a5", 50L, 40L)). // malformed: never matches
+      toDF("aid", "s", "e")
+    val b = Seq(
+      ("b1", 10L, 12L),  // touches a1/a3, inside a4
+      ("b2", 3L, 7L), ("b3", 0L, 95L), ("b4", 200L, 210L)).
+      toDF("bid", "s", "e")
+    val got = TemporalJoins.overlapJoin(a, col("s"), col("e"),
+        b, col("s"), col("e"), bucketUs = 10L)
+      .select(col("a.aid"), col("b.bid"), col("overlap_"))
+      .as[(String, String, Long)].collect().toSeq
+    val naive = a.filter(col("e") >= col("s")).select(col("aid"), col("s").as("sa"), col("e").as("ea"))
+      .crossJoin(b.select(col("bid"), col("s").as("sb"), col("e").as("eb")))
+      .filter(col("sa") <= col("eb") && col("sb") <= col("ea"))
+      .select(col("aid"), col("bid"),
+        (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb"))).as("ov"))
+      .as[(String, String, Long)].collect().toSeq
+    assert(got.sorted == naive.sorted, s"got $got vs naive $naive")
+    assert(got.size == got.distinct.size, "a pair was emitted twice")
+    assert(got.contains(("a1", "b1", 0L)), "touching endpoints must match with overlap 0")
+    assert(got.contains(("a4", "b3", 95L)), "long co-spanning intervals must match once")
+    assert(!got.exists(_._1 == "a5"), "malformed interval must never match")
+  }
+
   test("operators reject inputs whose columns collide with staging names") {
     val bad = Seq((1L, 2L, "x")).toDF("k", "t", "_m")
     val ok = Seq((1L, 2L)).toDF("k", "t")
