@@ -1123,6 +1123,48 @@ object MiscQueries {
         expr("(1000000 * dau) div wau").as("stickiness_ppm"))
   }
 
+  /** Join-key SKEW AUDIT — the planning pass a 100 TB join runs BEFORE
+    * shuffling (the q107/ScaleSpec salting decision, made data-driven):
+    * for a candidate join key (here the Zipf-shaped token stream that
+    * every vocab-keyed join in the q96/q164 family shuffles on), report
+    * the top-10 heaviest keys with exact count, integer-ppm share of
+    * the stream, and the per-key recommended salt fan-out
+    * `ceil(cnt · ndv / total)` — how many times this key's partition
+    * exceeds the average, i.e. the `n` to hand `Salt.saltedJoin`.
+    * A key with salt_rec ≈ 1 is safe; tens mean AQE territory;
+    * hundreds mean structural salting.
+    *
+    * Scale shape: one map-side-combined count aggregation over the
+    * stream, a 1-row summary that rides a broadcast, and a top-10 via
+    * TakeOrderedAndProject — the rank window runs over 10 rows, never
+    * the vocabulary. All integer arithmetic (cross-multiplied ppm and
+    * ceil-division), no floats to drift cross-engine.
+    */
+  val q173SkewAudit = Q.checked(
+    "q173_skew_audit",
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+      |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS ndv FROM c),
+      |r AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM c)
+      |SELECT rank, tok, cnt, cnt * 1000000 // total AS share_ppm,
+      |  (cnt * ndv + total - 1) // total AS salt_rec, total, ndv
+      |FROM r, s WHERE rank <= 10""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val cnts = table(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds the summary and the top-10
+    val summary = cnts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("ndv"))
+    cnts.orderBy(col("cnt").desc, col("tok")).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok"))).cast("long"))
+      .crossJoin(broadcast(summary))
+      .select(col("rank"), col("tok"), col("cnt"),
+        expr("cnt * 1000000 div total").as("share_ppm"),
+        expr("(cnt * ndv + total - 1) div total").as("salt_rec"),
+        col("total"), col("ndv"))
+  }
+
   val all: Vector[Q] =
     Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q47bUrlParse, q48Pi, q49TeraGen,
       q54Jdbc, q54bJdbcTextSplit, q54cJdbcDateSplit, q54dJdbcFloatSplit,
@@ -1131,5 +1173,5 @@ object MiscQueries {
       q63ReferenceSelect, q64IndirectRead,
       q65TeraSort, q85Json, q86TimeRollup, q90Pipe, q91Xml, q91bXmlFile,
       q132Profile, q138EventFunnel, q139CohortRetention, q151EwmaAnomaly,
-      q152DecileBinning, q154RollingActives)
+      q152DecileBinning, q154RollingActives, q173SkewAudit)
 }
