@@ -29,6 +29,7 @@ final case class EwmaRow(eventType: String, day: Long, c: Long,
 final case class AsOfMatch(key: Long, tsUs: Long, payload: String,
                            refTsUs: Option[Long], refPayload: Option[String])
 final case class AsOfState(refs: List[(Long, String)], maxTsUs: Long)
+final case class CmsSketch(key: String, seen: Long, cells: Array[Long])
 
 object EventStream {
 
@@ -119,6 +120,52 @@ object EventStream {
           }
           state.update(reg)
           HllEstimate(key, hllEstimateOf(reg))
+      }
+  }
+
+  /** Streaming twin of [[graft.operators.Sketches.countMinDeterministic]]:
+    * per-key 4×1024 count-min cells maintained incrementally in
+    * `mapGroupsWithState` — each micro-batch adds 1 to each of the
+    * value's four hashed cells, and because CMS cells are plain sums
+    * (the sketch is a linear merge), the state after any prefix of
+    * batches equals the batch sketch built from that prefix's exact
+    * count table, cell for cell (StreamingSpec proves the equality).
+    * Hashing is the SAME math as batch: first 8 hex chars of
+    * md5(value || '#' || row) mod 1024 — MessageDigest here instead of
+    * the Catalyst expression. `seen` counts folded values, so the
+    * latest emission per key is the one with max(seen).
+    *
+    * Scale posture: state is one fixed 4096-long array (32 KB) per key
+    * regardless of stream volume or value cardinality — the sketch
+    * trade; no watermark needed because state never grows with the
+    * stream. Heavy-hitter queries probe the emitted cells exactly like
+    * the batch q130 probe (min over the four cells).
+    */
+  def streamingCms(pairs: Dataset[(String, String)]): Dataset[CmsSketch] = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .groupByKey(_._1)
+      .mapGroupsWithState[CmsSketch, CmsSketch](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)], state: GroupState[CmsSketch]) =>
+          val prev = state.getOption.getOrElse(
+            CmsSketch(key, 0L, Array.fill(4 * 1024)(0L)))
+          val cells = prev.cells.clone()
+          var seen = prev.seen
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.foreach { case (_, v) =>
+            var i = 0
+            while (i < 4) {
+              md.reset()
+              val hex = md.digest((v + "#" + i).getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString.substring(0, 8)
+              cells(i * 1024 + (java.lang.Long.parseLong(hex, 16) % 1024).toInt) += 1L
+              i += 1
+            }
+            seen += 1L
+          }
+          val next = CmsSketch(key, seen, cells)
+          state.update(next)
+          next
       }
   }
 

@@ -510,4 +510,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(math.abs(after2("t1") - 900) < 180 && math.abs(after2("t2") - 50) < 10)
     } finally q.stop()
   }
+
+  test("streaming count-min cells equal the batch sketch after every batch prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[(String, String)]
+    val q = EventStream.streamingCms(in.toDS())
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode(OutputMode.Update()).start()
+    // batch reference: exact count table -> deterministic sketch cells
+    def batchCells(pairs: Seq[(String, String)]): Map[(Int, Long), Long] =
+      graft.operators.Sketches.countMinDeterministic(
+          pairs.map(_._2).groupBy(identity).toSeq
+            .map { case (t, xs) => (t, xs.size.toLong) }.toDF("term", "cnt"),
+          "term", "cnt")
+        .as[(Int, Long, Long)].collect()
+        .map { case (i, b, c) => (i, b) -> c }.toMap
+    // zipf-ish feed with replays across batches, one sketch key
+    val b1 = (1 to 300).map(i => ("k", s"w${i % 40}"))
+    val b2 = (1 to 500).map(i => ("k", s"w${i % 90}"))
+    def streamed(): Map[(Int, Long), Long] = {
+      // seen is cumulative, so max(seen) marks the latest emission
+      val row = spark.sql(
+        "SELECT cells FROM cms_out ORDER BY seen DESC LIMIT 1")
+        .as[Array[Long]].collect().head
+      row.zipWithIndex.collect {
+        case (c, idx) if c > 0 => (idx / 1024, (idx % 1024).toLong) -> c
+      }.toMap
+    }
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(streamed() == batchCells(b1), "prefix-1 cells diverge from batch sketch")
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      assert(streamed() == batchCells(b1 ++ b2), "prefix-2 cells diverge from batch sketch")
+    } finally q.stop()
+  }
 }
