@@ -177,6 +177,21 @@ object Similarity {
     */
   def knnGraph(corpus: DataFrame, centroids: DataFrame,
                nProbe: Int, k: Int): DataFrame = {
+    val directed = knnDirected(corpus, centroids, nProbe, k)
+      .localCheckpoint(true) // both sides of the mutuality self-join
+    directed.alias("f")
+      .join(directed.alias("r"),
+        col("f.qid") === col("r.nid") && col("f.nid") === col("r.qid"))
+      .filter(col("f.qid") < col("f.nid"))
+      .select(col("f.qid").as("a"), col("f.nid").as("b"), col("f.cos").as("cos"))
+  }
+
+  /** The directed per-vector top-k stage of [[knnGraph]], exposed
+    * pre-checkpoint so its plan (bounded rank, equi candidate join) is
+    * assertable — checkpointing in knnGraph makes it opaque there.
+    */
+  private[graft] def knnDirected(corpus: DataFrame, centroids: DataFrame,
+                                 nProbe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
       .crossJoin(broadcast(centroids.select(col("cid"), scaled(col("cvec")).as("cs"))))
@@ -201,7 +216,7 @@ object Similarity {
       .select(col("xid"), col("xs"),
         sqrt(dotScaled(col("xs"), col("xs")).cast("double")).as("norm"))
       .localCheckpoint(true) // reused on both sides of the scoring join
-    val directed = cand
+    cand
       .join(xn.select(col("xid").as("qid"), col("xs").as("qs"),
         col("norm").as("qnorm")), "qid")
       .join(xn.select(col("xid").as("nid"), col("xs").as("ns"),
@@ -213,12 +228,6 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("cos"))
-      .localCheckpoint(true) // both sides of the mutuality self-join
-    directed.alias("f")
-      .join(directed.alias("r"),
-        col("f.qid") === col("r.nid") && col("f.nid") === col("r.qid"))
-      .filter(col("f.qid") < col("f.nid"))
-      .select(col("f.qid").as("a"), col("f.nid").as("b"), col("f.cos").as("cos"))
   }
 
   /** Deterministic ±1 hyperplane matrix: sign(j,d) from the parity of the

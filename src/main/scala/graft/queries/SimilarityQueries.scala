@@ -662,30 +662,36 @@ object SimilarityQueries {
     */
   val q167KnnGraph = Q.checked(
     "q167_knn_graph",
-    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
-       |el AS (
-       |  SELECT x.vec_id AS xid, c.cid, unnest(x.embedding) AS xa, unnest(c.cv) AS ca
-       |  FROM embeddings x, cent c
-       |), dots AS (
-       |  SELECT xid, cid, ${dd("xa", "ca")} AS dxc, ${dd("xa", "xa")} AS dxx, ${dd("ca", "ca")} AS dcc
-       |  FROM el GROUP BY xid, cid
+    // the oracle dots ride list_zip/list_sum (exact INT128 per pair, one
+    // row per pair) instead of the dd() unnest-and-group form: this query
+    // scores EVERY vector's candidates, and 64× row explosion over the
+    // pair list made DuckDB spill tens of GB at sf0.1. Every partial is an
+    // exactly-representable integer < 2^53, so the DOUBLE cast is the
+    // same value dd() produces — only the plan shape changes.
+    s"""WITH sv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |sn AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, e -> e*e)) AS DOUBLE) AS n2 FROM sv),
+       |cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM sn WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+       |dots AS (
+       |  SELECT x.vec_id AS xid, c.cid,
+       |    x.n2 - 2 * CAST(list_sum(list_transform(list_zip(x.v, c.cv), p -> p[1]*p[2])) AS DOUBLE) + c.cn2 AS d2
+       |  FROM sn x, cent c
        |), ranked AS (
-       |  SELECT xid, cid, row_number() OVER (PARTITION BY xid ORDER BY dxx - 2*dxc + dcc, cid) AS rn
+       |  SELECT xid, cid, row_number() OVER (PARTITION BY xid ORDER BY d2, cid) AS rn
        |  FROM dots
        |), assign AS (SELECT xid AS nid, cid FROM ranked WHERE rn = 1),
        |probes AS (SELECT xid AS qid, cid FROM ranked WHERE rn <= (SELECT CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS BIGINT) FROM embeddings)),
        |cand AS (SELECT p.qid, a.nid FROM probes p JOIN assign a ON a.cid = p.cid WHERE a.nid <> p.qid),
-       |el2 AS (
-       |  SELECT c.qid, c.nid, unnest(q.embedding) AS qa, unnest(x.embedding) AS xa
-       |  FROM cand c JOIN embeddings q ON q.vec_id = c.qid JOIN embeddings x ON x.vec_id = c.nid
-       |), dots2 AS (
-       |  SELECT qid, nid, ${dd("qa", "xa")} AS dqx, ${dd("qa", "qa")} AS dqq, ${dd("xa", "xa")} AS dxx
-       |  FROM el2 GROUP BY qid, nid
-       |), e AS (
-       |  SELECT qid, nid, dqx / (sqrt(dqq) * sqrt(dxx)) AS cos,
-       |         row_number() OVER (PARTITION BY qid ORDER BY dqx / (sqrt(dqq) * sqrt(dxx)) DESC, nid) AS rank
-       |  FROM dots2
-       |), d AS (SELECT qid, nid, cos FROM e WHERE rank <= $K)
+       |e AS (
+       |  SELECT c.qid, c.nid,
+       |    CAST(list_sum(list_transform(list_zip(q.v, x.v), p -> p[1]*p[2])) AS DOUBLE) / (sqrt(q.n2) * sqrt(x.n2)) AS cos
+       |  FROM cand c JOIN sn q ON q.vec_id = c.qid JOIN sn x ON x.vec_id = c.nid
+       |), er AS (
+       |  SELECT qid, nid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM e
+       |), d AS (SELECT qid, nid, cos FROM er WHERE rank <= $K)
        |SELECT f.qid AS a, f.nid AS b, f.cos AS cos
        |FROM d f JOIN d r ON f.qid = r.nid AND f.nid = r.qid
        |WHERE f.qid < f.nid""") { (s, dir) =>

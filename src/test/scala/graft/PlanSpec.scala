@@ -278,6 +278,57 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
   }
 
+  test("q166 blocking join is equi-keyed: no cartesian, no nested loop") {
+    val p = plan(graft.queries.DedupQueries.q166EntityResolution)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate pairing must ride the block equi-join:\n" + p.take(3000))
+  }
+
+  test("q167 knn graph bounds the per-vector rank and never goes cartesian") {
+    // the bounded-rank window sits behind knnGraph's checkpoint, so
+    // assert it on the exposed directed stage; the full query plan is
+    // checked for the cartesian ban
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val cents = emb.filter(col("vec_id") < 23)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val pd = Similarity.knnDirected(corpus, cents, 5, 3)
+      .queryExecution.executedPlan.toString
+    assert(pd.contains("WindowGroupLimit"),
+      "per-vector top-k must prune map-side:\n" + pd.take(3000))
+    val p = plan(graft.queries.SimilarityQueries.q167KnnGraph)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q170 versioned replay never shuffles the snapshot: broadcast anti per batch") {
+    val p = plan(graft.queries.DedupQueries.q170TimeTravel)
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      "touched keys must ride a broadcast left-anti:\n" + p.take(3000))
+    assert(!p.contains("SortMergeJoin"), "snapshot side must not shuffle:\n" + p.take(3000))
+  }
+
+  test("q171 eval slice rides a broadcast; the corpus is never shuffled for scoring") {
+    val p = plan(graft.queries.SimilarityQueries.q171SemanticDecon)
+    // the deliberate broadcast cross product against the SMALL eval side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q172 overlap join meets on buckets: no cartesian, no nested loop") {
+    val p = plan(JoinQueries.q172OverlapJoin)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "interval candidates must meet on the bucket equi-key:\n" + p.take(3000))
+  }
+
+  test("q173 skew audit top-10 is TakeOrderedAndProject over the count agg") {
+    val p = plan(graft.queries.MiscQueries.q173SkewAudit)
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
