@@ -594,9 +594,72 @@ object AggQueries {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** Per-group winsorization — the APPLY member of the percentile family
+    * (q152 bins, q153 fences, this row clips): event values clamped to
+    * their type's [p05, p95] band, the heavy-tail-robust normalization a
+    * feature pipeline runs before aggregating skewed metrics. Composes
+    * [[graft.operators.Percentiles.exact]] (the no-window scale path —
+    * a 100 TB group never sorts inside one task), pivots the two
+    * thresholds to a groups-sized broadcast, and clamps map-side; output
+    * is the per-type audit: row count, clipped-low/high counts, the
+    * band, and exact scaled sums before/after (the winsorized mean's
+    * numerator, BIGINT end to end). The oracle re-derives the
+    * nearest-rank thresholds with the q141 window algorithm — two
+    * algorithms, one answer, on both the thresholds and the clamp.
+    */
+  val q174Winsorize = Q.checked(
+    "q174_winsorize",
+    """WITH v AS (
+      |  SELECT event_type,
+      |    CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v
+      |  FROM events),
+      |n AS (SELECT event_type, count(*) AS n FROM v GROUP BY event_type),
+      |r AS (
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+      |  FROM v),
+      |p AS (SELECT CAST(unnest([5, 95]) AS BIGINT) AS p),
+      |thr0 AS (
+      |  SELECT r.event_type, p.p, min(r.v) AS pct
+      |  FROM r JOIN n USING (event_type) CROSS JOIN p
+      |  WHERE rn >= (p.p * n.n + 99) // 100
+      |  GROUP BY r.event_type, p.p),
+      |thr AS (
+      |  SELECT event_type, min(CASE WHEN p = 5 THEN pct END) AS lo,
+      |         min(CASE WHEN p = 95 THEN pct END) AS hi
+      |  FROM thr0 GROUP BY event_type),
+      |w AS (
+      |  SELECT v.event_type, v.v, greatest(thr.lo, least(thr.hi, v.v)) AS w,
+      |         thr.lo, thr.hi
+      |  FROM v JOIN thr USING (event_type))
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+      |  CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+      |  min(lo) AS lo, min(hi) AS hi,
+      |  CAST(sum(v) AS BIGINT) AS sum_v, CAST(sum(w) AS BIGINT) AS sum_w
+      |FROM w GROUP BY event_type""") { (s, dir) =>
+    import graft.operators.Percentiles
+    val ev = table(s, dir, "events")
+      .select(col("event_type"),
+        round(col("value").cast("double") * 1000000d).cast("long").as("v"))
+    val thr = Percentiles.exact(ev, "event_type", "v", Seq(5, 95))
+      .groupBy(col("g").as("event_type"))
+      .agg(min(when(col("p") === 5, col("pct"))).as("lo"),
+        min(when(col("p") === 95, col("pct"))).as("hi"))
+    ev.join(broadcast(thr), "event_type")
+      .select(col("event_type"), col("v"), col("lo"), col("hi"),
+        greatest(col("lo"), least(col("hi"), col("v"))).as("w"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        sum(col("v")).as("sum_v"), sum(col("w")).as("sum_w"))
+  }
+
   val all: Vector[Q] =
     Vector(q20AggDescriptor, q21UniqCapped, q22Histogram, q23MaxMin,
       q24Distinct, q25UniqTyped, q78ZscoreOutliers, q82Pivot, q83Unpivot,
       q84Cube, q88Corr, q89Percentiles, q130CmsHeavyHitters, q131HllUsers,
-      q134HllMerge, q141ExactPctHist, q153MadOutliers)
+      q134HllMerge, q141ExactPctHist, q153MadOutliers, q174Winsorize)
 }

@@ -1215,9 +1215,14 @@ object DedupQueries {
     * corrupted-id records top out at 10 — they surface as the misses a
     * human review queue would see. Scoring is pure map-side codegen.
     */
-  val q166EntityResolution = Q.checked(
-    "q166_entity_resolution",
-    """WITH base AS (
+  /** ONE definition of the two synthesized CRM "systems" and the
+    * Fellegi–Sunter agreement score, shared by the match step (q166) and
+    * the golden-record apply step (q175) — the duckCandCtes convention
+    * applied to record linkage, so the pairing predicate can never
+    * desynchronize between the two queries or the two engines.
+    */
+  private val duckErCtes =
+    """base AS (
       |  SELECT c_custkey AS num, c_nationkey AS nat, c_mktsegment AS seg,
       |    CAST(round(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) AS bal
       |  FROM customer),
@@ -1237,14 +1242,14 @@ object DedupQueries {
       |    bal + hb - 10 AS bbal
       |  FROM b0 WHERE keep <> 0),
       |p AS (
-      |  SELECT a_id, b_id,
+      |  SELECT a_id, b_id, num, nat, seg, bal, bnum, bseg, bbal,
       |    (CASE WHEN num = bnum THEN 40 ELSE -25 END) +
       |    (CASE WHEN seg = bseg THEN 15 ELSE -10 END) +
       |    (CASE WHEN abs(bal - bbal) <= 5 THEN 20 ELSE -15 END) AS score
-      |  FROM a JOIN b ON nat = bnat AND num % 1000 = bnum % 1000)
-      |SELECT a_id, b_id, CAST(score AS BIGINT) AS score,
-      |  CAST(CASE WHEN score >= 40 THEN 1 ELSE 0 END AS BIGINT) AS matched
-      |FROM p""") { (s, dir) =>
+      |  FROM a JOIN b ON nat = bnat AND num % 1000 = bnum % 1000)""".stripMargin
+
+  /** The Spark form of [[duckErCtes]]: (system A, system B) frames. */
+  private def erSides(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import graft.functions.Hashing
     val base = table(s, dir, "customer").select(
       col("c_custkey").as("num"), col("c_nationkey").as("nat"),
@@ -1267,15 +1272,74 @@ object DedupQueries {
         when(col("hs") === 0, concat(lit("x"), col("seg")))
           .otherwise(col("seg")).as("bseg"),
         (col("bal") + col("hb") - 10).as("bbal"))
+    (a, b)
+  }
+
+  /** Blocked candidate pairs of both systems with the agreement score —
+    * the shared middle of q166/q175.
+    */
+  private def erPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val (a, b) = erSides(s, dir)
     val score =
       when(col("num") === col("bnum"), 40).otherwise(-25) +
         when(col("seg") === col("bseg"), 15).otherwise(-10) +
         when(abs(col("bal") - col("bbal")) <= 5, 20).otherwise(-15)
     a.join(b, col("nat") === col("bnat") &&
         col("num") % 1000 === col("bnum") % 1000)
-      .select(col("a_id"), col("b_id"), score.cast("long").as("score"))
+      .withColumn("score", score.cast("long"))
+  }
+
+  val q166EntityResolution = Q.checked(
+    "q166_entity_resolution",
+    s"""WITH $duckErCtes
+      |SELECT a_id, b_id, CAST(score AS BIGINT) AS score,
+      |  CAST(CASE WHEN score >= 40 THEN 1 ELSE 0 END AS BIGINT) AS matched
+      |FROM p""".stripMargin) { (s, dir) =>
+    erPairs(s, dir)
+      .select(col("a_id"), col("b_id"), col("score"))
       .withColumn("matched",
         when(col("score") >= 40, 1L).otherwise(0L))
+  }
+
+  /** Golden-record construction — the APPLY step of q166 (the q59-to-q58
+    * relationship, for record linkage): matched pairs merge into one
+    * survivor record per entity under deterministic survivorship rules
+    * (registry id and segment win — system A is the system of record;
+    * balance takes `greatest` of the two snapshots), unmatched A records
+    * pass through, and unmatched B records (including every
+    * corrupted-id miss) surface as `b_only` — the review queue. Match
+    * pairs are PROVABLY 1:1 here: every score ≥ 40 includes the +40 id
+    * agreement and both systems carry one record per id, so no group-by
+    * survivor arbitration is needed — the merge is a join plus two
+    * anti joins. Scale shape: the same blocked equi-join as q166 plus
+    * two key anti joins; survivorship is pure map-side expression.
+    */
+  val q175GoldenRecord = Q.checked(
+    "q175_golden_record",
+    s"""WITH $duckErCtes,
+      |m AS (SELECT * FROM p WHERE score >= 40)
+      |SELECT a_id AS gid, num, nat, seg, greatest(bal, bbal) AS bal,
+      |  CAST(2 AS BIGINT) AS n_sources, 'merged' AS src FROM m
+      |UNION ALL
+      |SELECT a_id, num, nat, seg, bal, 1, 'a_only' FROM a
+      |WHERE a_id NOT IN (SELECT a_id FROM m)
+      |UNION ALL
+      |SELECT b_id, bnum, bnat, bseg, bbal, 1, 'b_only' FROM b
+      |WHERE b_id NOT IN (SELECT b_id FROM m)""".stripMargin) { (s, dir) =>
+    val (a, b) = erSides(s, dir)
+    val m = erPairs(s, dir).filter(col("score") >= 40)
+      .localCheckpoint(true) // feeds the merge and both anti joins
+    val merged = m.select(col("a_id").as("gid"), col("num"), col("nat"),
+      col("seg"), greatest(col("bal"), col("bbal")).as("bal"),
+      lit(2L).as("n_sources"), lit("merged").as("src"))
+    val aOnly = a.join(m.select(col("a_id")), Seq("a_id"), "left_anti")
+      .select(col("a_id").as("gid"), col("num"), col("nat"), col("seg"),
+        col("bal"), lit(1L).as("n_sources"), lit("a_only").as("src"))
+    val bOnly = b.join(m.select(col("b_id")), Seq("b_id"), "left_anti")
+      .select(col("b_id").as("gid"), col("bnum").as("num"),
+        col("bnat").as("nat"), col("bseg").as("seg"), col("bbal").as("bal"),
+        lit(1L).as("n_sources"), lit("b_only").as("src"))
+    merged.unionByName(aOnly).unionByName(bOnly)
   }
 
   val all: Vector[Q] =
@@ -1284,5 +1348,6 @@ object DedupQueries {
       q97BinaryDedup, q103SnapshotDiff, q106UrlDedup, q110IncrementalDedup,
       q115ParagraphDedup, q127Pagerank, q128SetsimJoin, q133MergeUpsert,
       q142LabelProp, q144SourceOverlap, q155IvmAgg, q158BestKeeper,
-      q160BfsDist, q166EntityResolution, q168Kcore, q170TimeTravel)
+      q160BfsDist, q166EntityResolution, q168Kcore, q170TimeTravel,
+      q175GoldenRecord)
 }
