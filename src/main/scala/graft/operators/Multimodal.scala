@@ -332,6 +332,40 @@ object Multimodal {
       .toDF("id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
+  /** Feature EXTRACTION over decoded images — the builder brief's
+    * feature-extract verb made concrete: per image an 8-bin integer
+    * luminance histogram (BT.601 weights in exact integer arithmetic,
+    * `lum = (299r + 587g + 114b) div 1000`, `bin = lum div 32`) — the
+    * cheap content descriptor a curation pipeline hashes, embeds, or
+    * near-dups on. Same batched mapPartitions shape as the decode
+    * pipelines (the mapInPandas batch contract); one row per non-empty
+    * (id, bin) with the pixel count, so downstream treats the features
+    * as a sparse vector.
+    */
+  def lumHistBatched(df: DataFrame, decode: Array[Byte] => BmpImage,
+                     batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("bin"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            val img = decode(bytes)
+            val hist = new Array[Long](8)
+            img.pixels.foreach { p =>
+              val lum = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+                114 * (p & 0xff)) / 1000
+              hist(lum / 32) += 1L
+            }
+            (0 until 8).iterator.filter(hist(_) > 0)
+              .map(b => (id, b.toLong, hist(b)))
+          }
+        }
+      }
+      .toDF("id", "bin_idx", "n_px")
+  }
+
   /** JPEG sibling of the batched decode pipelines: baseline grayscale
     * JFIF payloads ([[graft.operators.Jpeg.decode]]) reduced to integral
     * luminance features (dimensions, sum, min, max) an oracle can replay

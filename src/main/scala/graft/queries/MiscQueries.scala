@@ -1123,6 +1123,55 @@ object MiscQueries {
         expr("(1000000 * dau) div wau").as("stickiness_ppm"))
   }
 
+  /** Image FEATURE extraction through the real decode path — the
+    * multimodal family's feature-extract verb (q55c decodes+resizes,
+    * q55d/e decode compressed codecs, this row reduces decoded pixels to
+    * the descriptor a curation pipeline consumes): q55c's deterministic
+    * BMP corpus decoded by the batched pipeline and reduced per image to
+    * an 8-bin BT.601 luminance histogram in exact integer arithmetic.
+    * The oracle never touches a byte — it replays the pixel generation
+    * formula and the same integer luminance/bin math over the full
+    * pixel grid, so green proves decode(encode(x)) == x THROUGH the
+    * feature reduction. Sparse rows (only non-empty bins), map-side
+    * everything, one count shuffle.
+    */
+  val q176ImageFeatures = Q.checked(
+    "q176_image_features",
+    """WITH g AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+      |px AS (
+      |  SELECT doc_id,
+      |    (doc_id + 3 * x + 7 * y) % 256 AS r,
+      |    (doc_id * 2 + 5 * x + y) % 256 AS gr,
+      |    (x * y + doc_id) % 256 AS b
+      |  FROM g, generate_series(0, 7) AS sx(x), generate_series(0, 5) AS sy(y)
+      |  WHERE x < w AND y < h),
+      |l AS (
+      |  SELECT doc_id,
+      |    ((299 * r + 587 * gr + 114 * b) // 1000) // 32 AS bin_idx
+      |  FROM px)
+      |SELECT doc_id, bin_idx, count(*) AS n_px FROM l GROUP BY doc_id, bin_idx""") { (s, dir) =>
+    import s.implicits._
+    import graft.operators.Multimodal
+    val gen = table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val px = Array.tabulate(w * h) { i =>
+          val x = i % w
+          val y = i / w
+          val r = ((id + 3 * x + 7 * y) % 256).toInt
+          val g = ((id * 2 + 5 * x + y) % 256).toInt
+          val b = ((x.toLong * y + id) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }
+        (id, Multimodal.bmpEncode(Multimodal.BmpImage(w, h, px)))
+      })
+      .toDF("id", "bin")
+    Multimodal.lumHistBatched(gen, Multimodal.bmpDecode)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Join-key SKEW AUDIT — the planning pass a 100 TB join runs BEFORE
     * shuffling (the q107/ScaleSpec salting decision, made data-driven):
     * for a candidate join key (here the Zipf-shaped token stream that
@@ -1173,5 +1222,5 @@ object MiscQueries {
       q63ReferenceSelect, q64IndirectRead,
       q65TeraSort, q85Json, q86TimeRollup, q90Pipe, q91Xml, q91bXmlFile,
       q132Profile, q138EventFunnel, q139CohortRetention, q151EwmaAnomaly,
-      q152DecileBinning, q154RollingActives, q173SkewAudit)
+      q152DecileBinning, q154RollingActives, q173SkewAudit, q176ImageFeatures)
 }

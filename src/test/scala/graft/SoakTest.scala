@@ -292,6 +292,44 @@ class SoakTest extends AnyFunSuite {
     }
   }
 
+  soakGated("soak: round-13 batch-1 graph family (k-core at 100x, knn graph at 10x)") {
+    // q168 rides the 100×-doc fixture: the peel's cost is 3 rounds of
+    // degree agg + semi joins over the clique-heavy candidate graph the
+    // q51/q58 soaks already price. q167 soaks at 10× vectors (50k)
+    // DELIBERATELY: an all-vectors exact-candidate graph costs
+    // N²·cells^(−1/2) = N^1.75 with √N cells — at 500k vectors that is
+    // ~9e9 exact 64-dim dots, the honest wall of the exact-scoring
+    // variant. Production at that size swaps the scoring side to SQ8
+    // codes (q124's serving path) or caps per-cell work; the 10× run
+    // prices the exact path where it is actually deployable.
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak-b1"
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    (0 until 100).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until 10).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    import graft.operators.Similarity
+    println(s"SOAKB1 geometry: cells(50k)=${Similarity.ivfCellsFor(50000L)} " +
+      s"probes=${Similarity.ivfProbesFor(Similarity.ivfCellsFor(50000L))}")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"SOAKB1 $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$rows")
+    }
+    time("q168_kcore") {
+      graft.queries.DedupQueries.q168Kcore.run(spark, dir).count()
+    }
+    time("q167_knn_graph") {
+      graft.queries.SimilarityQueries.q167KnnGraph.run(spark, dir).count()
+    }
+  }
+
   soakGated("100x soak: dedup family at ~500k docs (auto-geometry at scale)") {
     val base = "/root/testdata/sf0.1"
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak100"
