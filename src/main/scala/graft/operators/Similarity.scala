@@ -243,6 +243,22 @@ object Similarity {
     }
   }
 
+  /** Deterministic ±1 PROJECTION matrix for Johnson–Lindenstrauss
+    * dimensionality reduction (Achlioptas 2003's database-friendly
+    * ±1 entries): entry (j, d) from the parity of md5("p:j:d") — the
+    * [[srpSigns]] derivation under a distinct seed prefix, so the
+    * projection and the LSH hyperplanes stay independent families.
+    */
+  def projSigns(out: Int, dims: Int): Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until out).map { j =>
+      (0 until dims).map { d =>
+        val h = md.digest(s"p:$j:$d".getBytes("UTF-8"))
+        if ((h(15) & 1) == 1) 1 else -1
+      }
+    }
+  }
+
   /** Corpus-adaptive SRP plane count:
     * `planes = ceil(log₂(corpus / targetBucket))` clamped to [4, 28] —
     * the ∝ log₂ growth law (COVERAGE.md): buckets otherwise grow linearly

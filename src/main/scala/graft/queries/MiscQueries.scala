@@ -1172,6 +1172,116 @@ object MiscQueries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** A/B experiment analysis with deterministic hash diversion — the
+    * experimentation readout every event pipeline serves: users split
+    * into two arms by seeded hash (`hash32('exp1:' || user_id) % 2` — the
+    * industry-standard bucketing: stable across sessions, reproducible
+    * by any engine, no assignment table to join), exposure = saw a
+    * view, conversion = purchased after assignment is implicit (whole
+    * history counts here — the fixture has no experiment start date).
+    * Per arm: exposed users, converters, integer-ppm conversion rate,
+    * and exact scaled purchase revenue. All integer arithmetic; the
+    * user-grain rollup is one distinct-shuffle, the arm rollup is
+    * 2 rows.
+    */
+  val q179AbExperiment = Q.checked(
+    "q179_ab_experiment",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    ('0x'||substring(md5('exp1:'||CAST(user_id AS VARCHAR)),1,8))::BIGINT % 2 AS arm,
+      |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS exposed,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS rev
+      |  FROM events GROUP BY user_id,
+      |    ('0x'||substring(md5('exp1:'||CAST(user_id AS VARCHAR)),1,8))::BIGINT % 2)
+      |SELECT arm, count(*) AS n_users,
+      |  CAST(sum(converted) AS BIGINT) AS n_conv,
+      |  CAST(sum(converted) * 1000000 // count(*) AS BIGINT) AS conv_ppm,
+      |  CAST(sum(rev) AS BIGINT) AS revenue_scaled
+      |FROM u WHERE exposed = 1 GROUP BY arm""") { (s, dir) =>
+    import graft.functions.Hashing
+    val u = table(s, dir, "events")
+      .groupBy(col("user_id"),
+        (Hashing.hash32(concat(lit("exp1:"), col("user_id").cast("string"))) % 2)
+          .as("arm"))
+      .agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("exposed"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value").cast("double") * 1000000d).cast("long"))
+          .otherwise(0L)).as("rev"))
+    u.filter(col("exposed") === 1)
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).cast("long").as("n_conv"),
+        expr("sum(converted) * 1000000 div count(*)").cast("long").as("conv_ppm"),
+        sum(col("rev")).as("revenue_scaled"))
+  }
+
+  /** Referential-integrity AUDIT — the data-quality gate a training
+    * pipeline runs before trusting its joins: every FK edge of the
+    * TPC-H-ish star checked in one pass, reporting child volume, orphan
+    * count (children whose parent key is missing), and the smallest
+    * orphan key as the reproduction pointer. Each edge is a LEFT ANTI
+    * join on the key — the orphan set materializes at orphan volume,
+    * never child volume, and a clean edge costs one hash probe per row.
+    * Parent key sets (orders/customer/nation/part/supplier) broadcast at
+    * dim scale; the lineitem-side edges shuffle only if AQE decides the
+    * dim outgrew the threshold.
+    */
+  val q180FkAudit = Q.checked(
+    "q180_fk_audit",
+    """SELECT 'lineitem.l_orderkey->orders' AS edge,
+      |  (SELECT count(*) FROM lineitem) AS n_child,
+      |  count(*) AS n_orphans, min(l_orderkey) AS min_orphan
+      |FROM lineitem l WHERE NOT EXISTS
+      |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'lineitem.l_partkey->part',
+      |  (SELECT count(*) FROM lineitem), count(*), min(l_partkey)
+      |FROM lineitem l WHERE NOT EXISTS
+      |  (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+      |UNION ALL
+      |SELECT 'lineitem.l_suppkey->supplier',
+      |  (SELECT count(*) FROM lineitem), count(*), min(l_suppkey)
+      |FROM lineitem l WHERE NOT EXISTS
+      |  (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+      |UNION ALL
+      |SELECT 'orders.o_custkey->customer',
+      |  (SELECT count(*) FROM orders), count(*), min(o_custkey)
+      |FROM orders o WHERE NOT EXISTS
+      |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |UNION ALL
+      |SELECT 'customer.c_nationkey->nation',
+      |  (SELECT count(*) FROM customer), count(*), min(c_nationkey)
+      |FROM customer c WHERE NOT EXISTS
+      |  (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)""") { (s, dir) =>
+    def edge(name: String, child: org.apache.spark.sql.DataFrame,
+             childKey: String, parent: org.apache.spark.sql.DataFrame,
+             parentKey: String): org.apache.spark.sql.DataFrame = {
+      val total = child.count()
+      child.join(parent, child(childKey) === parent(parentKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"),
+          min(col(childKey).cast("long")).as("min_orphan"))
+        .select(lit(name).as("edge"), lit(total).as("n_child"),
+          col("n_orphans"), col("min_orphan"))
+    }
+    val li = table(s, dir, "lineitem")
+    val o = table(s, dir, "orders")
+    edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+      .unionByName(edge("lineitem.l_partkey->part", li, "l_partkey",
+        table(s, dir, "part"), "p_partkey"))
+      .unionByName(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        table(s, dir, "supplier"), "s_suppkey"))
+      .unionByName(edge("orders.o_custkey->customer", o, "o_custkey",
+        table(s, dir, "customer"), "c_custkey"))
+      .unionByName(edge("customer.c_nationkey->nation",
+        table(s, dir, "customer"), "c_nationkey",
+        table(s, dir, "nation"), "n_nationkey"))
+  }
+
   /** Join-key SKEW AUDIT — the planning pass a 100 TB join runs BEFORE
     * shuffling (the q107/ScaleSpec salting decision, made data-driven):
     * for a candidate join key (here the Zipf-shaped token stream that
@@ -1222,5 +1332,6 @@ object MiscQueries {
       q63ReferenceSelect, q64IndirectRead,
       q65TeraSort, q85Json, q86TimeRollup, q90Pipe, q91Xml, q91bXmlFile,
       q132Profile, q138EventFunnel, q139CohortRetention, q151EwmaAnomaly,
-      q152DecileBinning, q154RollingActives, q173SkewAudit, q176ImageFeatures)
+      q152DecileBinning, q154RollingActives, q173SkewAudit, q176ImageFeatures,
+      q179AbExperiment, q180FkAudit)
 }

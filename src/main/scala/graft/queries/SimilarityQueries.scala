@@ -759,9 +759,44 @@ object SimilarityQueries {
         (-col("m.neid")).as("top_eid"), col("m.cos").as("top_cos"))
   }
 
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss
+    * with Achlioptas-2003 ±1 entries, [[Similarity.projSigns]]) — the
+    * 64→16 embedding compressor that runs BEFORE indexing at corpus
+    * scale (4× smaller vectors for the ANN/dedup families, distances
+    * preserved to JL tolerance). The projection matrix is a deterministic
+    * md5-parity literal, so the matmul is a BROADCAST of 16 constant
+    * rows folded into whole-stage codegen — 16 [[Similarity.dotScaled]]
+    * kernels per vector, zero shuffle, output in exact scaled-long
+    * space. The oracle re-derives the same matrix in SQL (the SRP-sign
+    * convention under the "p:" seed) and replays the matmul — scale-true
+    * at any corpus.
+    */
+  val q177ProjectEmbed = Q.checked(
+    "q177_project_embed",
+    """WITH sgn AS (
+      |  SELECT j, d,
+      |    CASE WHEN ('0x'||substring(md5('p:'||CAST(j AS VARCHAR)||':'||CAST(d AS VARCHAR)), 32, 1))::INT % 2 = 1
+      |         THEN 1 ELSE -1 END AS sgn
+      |  FROM (SELECT unnest(range(0, 16)) AS j),
+      |       (SELECT unnest(range(0, 64)) AS d)),
+      |el AS (
+      |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v
+      |  FROM embeddings)
+      |SELECT el.vec_id, sgn.j, CAST(sum(el.v * sgn.sgn) AS BIGINT) AS y
+      |FROM el JOIN sgn USING (d) GROUP BY el.vec_id, sgn.j""") { (s, dir) =>
+    val W = Similarity.projSigns(16, Dims)
+    val sv = table(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.scaled(col("embedding")).as("v"))
+    val ys = W.map(row =>
+      Similarity.dotScaled(col("v"), array(row.map(x => lit(x.toLong)): _*)))
+    sv.select(col("vec_id"), posexplode(array(ys: _*)))
+      .select(col("vec_id"), col("pos").cast("long").as("j"), col("col").as("y"))
+  }
+
   val all: Vector[Q] =
     Vector(q60AnnCosine, q61AnnLsh, q62AnnIvf, q104KmeansStep,
       q116SemanticDedup, q119Sq8Ann, q120PqAnn, q120bPqTrained,
       q124IvfSq8Ann, q125IvfPqAnn, q135HybridRetrieval, q167KnnGraph,
-      q171SemanticDecon)
+      q171SemanticDecon, q177ProjectEmbed)
 }

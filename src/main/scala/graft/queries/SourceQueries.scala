@@ -371,8 +371,55 @@ object SourceQueries {
         sum(col("o_custkey2")).as("sum_cust2"))
   }
 
+  /** CSV source with corrupt-record ROUTING — the structured-text member
+    * of the bad-input family (q46 skips bad records in a pipe, this row
+    * quarantines them at the parser): a CSV lake is synthesized from
+    * events with a deterministic corruption (every event_id % 37 = 0 row
+    * carries a non-numeric value field), read back under PERMISSIVE mode
+    * with `columnNameOfCorruptRecord`, and every row is routed — parsed
+    * rows into the exact scaled aggregate, malformed rows into the
+    * quarantine count with an identity checksum (sum of their ids, so a
+    * mis-routed row moves two cells, not one). The oracle knows the
+    * corruption rule, so green proves the parser's routing matches the
+    * rule exactly — no silent drop, no silent null-fill. Scale: the CSV
+    * scan is splittable line-format, parsing is map-side, one 2-group
+    * aggregate.
+    */
+  val q178CsvSource = Q.checked(
+    "q178_csv_source",
+    """WITH e AS (
+      |  SELECT event_id,
+      |    CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v
+      |  FROM events)
+      |SELECT 'bad' AS kind, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS tot
+      |FROM e WHERE event_id % 37 = 0
+      |UNION ALL
+      |SELECT 'good', count(*), CAST(sum(v) AS BIGINT)
+      |FROM e WHERE event_id % 37 <> 0""") { (s, dir) =>
+    val lake = tmp("csv-events")
+    table(s, dir, "events")
+      .select(concat_ws(",", col("event_id"), col("user_id"),
+        when(col("event_id") % 37 === 0, lit("abc"))
+          .otherwise(col("value").cast("string"))).as("value"))
+      .write.mode("overwrite").text(lake)
+    val parsed = s.read
+      .schema("event_id LONG, user_id LONG, value DOUBLE, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(lake)
+    parsed
+      .select(when(col("_corrupt").isNull, "good").otherwise("bad").as("kind"),
+        col("event_id"),
+        round(col("value").cast("double") * 1000000d).cast("long").as("v"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("kind") === "good", col("v"))
+          .otherwise(col("event_id"))).as("tot"))
+  }
+
   val all: Vector[Q] =
     Vector(q40KvText, q41MultiOutput, q41bNamedOutputs, q42SeqFile, q42bSeqFileBinary,
       q42cSeqFileAsText, q43ScanFilters, q44MultiInputs, q45SetOps,
-      q94RecordDdl, q111GzipText, q111bBzip2Text, q137SchemaMerge)
+      q94RecordDdl, q111GzipText, q111bBzip2Text, q137SchemaMerge,
+      q178CsvSource)
 }
