@@ -1115,6 +1115,109 @@ object DedupQueries {
     e.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
   }
 
+  /** INCREMENTAL connected components — the daily-graph-update answer the
+    * CC family needs at 100 TB (q110 is the same claim for candidate
+    * PAIRS; this row maintains the COMPONENTS): base-corpus components
+    * are computed once and checkpointed, and when the delta batch
+    * (doc_id % 10 = 0, the CDC convention) arrives, only the
+    * delta-involving star edges are relabeled through the base labels
+    * and a CC runs over the CONTRACTED graph — component-ids plus delta
+    * nodes, a graph of delta-edge scale, never the full corpus. Mapping
+    * back composes the two label layers. Correct because base labels
+    * are component-min ids and contraction preserves minima, so the
+    * final label is the full-graph component min. The oracle is q58's
+    * full-graph recursive closure over the WHOLE corpus — green proves
+    * incremental ≡ full recompute, two algorithms one answer.
+    *
+    * Scale: the base CC never re-runs; the delta CC's edge list is the
+    * delta's bucket neighborhoods only. Base docs whose FIRST edge
+    * arrives with the delta (edge-less in the base graph) flow through
+    * the contracted graph under their own ids — the left-anti split
+    * below routes them correctly.
+    */
+  val q183IncrementalCc = Q.checked(
+    "q183_incremental_cc",
+    s"""WITH RECURSIVE ${duckCandCtesWith(capped = false)}, edges AS (
+       |  SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand
+       |), reach AS (
+       |  SELECT DISTINCT a AS id, a AS lbl FROM edges
+       |  UNION
+       |  SELECT e.a AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+       |)
+       |SELECT id AS doc_id, min(lbl) AS component,
+       |       CAST(id = min(lbl) AS BOOLEAN) AS keep
+       |FROM reach GROUP BY id""") { (s, dir) =>
+    val docs = table(s, dir, "documents")
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    // geometry is FIXED at base time (the q110 persisted-band-table
+    // convention: the incremental day reuses the stored signatures, it
+    // does not re-derive geometry from the grown corpus)
+    val (bnd, rpb) = Dedup.lshGeometry(base.count())
+    def bandsOf(d: org.apache.spark.sql.DataFrame) =
+      Dedup.lshBands(
+        Dedup.minhash(d, col("doc_id"), Dedup.bigrams(col("text")), bnd * rpb),
+        bnd, rpb)
+    // base-only components, computed "yesterday" and checkpointed
+    val baseLabels = Dedup.connectedComponents(
+        Dedup.bucketStarEdges(bandsOf(base)))
+      .localCheckpoint(true)
+    // today's full-bucket star edges, restricted to delta involvement
+    val deltaEdges = Dedup.bucketStarEdges(bandsOf(docs))
+      .filter(col("a") % 10 === 0 || col("b") % 10 === 0)
+    // contract: map every endpoint through its base component label
+    def contracted(end: String) = {
+      val lbls = baseLabels.select(col("id").as(end), col("lbl").as(s"${end}_l"))
+      (df: org.apache.spark.sql.DataFrame) => df.join(lbls, Seq(end), "left")
+    }
+    val ce = contracted("a")(contracted("b")(deltaEdges))
+      .select(coalesce(col("a_l"), col("a")).as("a"),
+        coalesce(col("b_l"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val deltaCC = Dedup.connectedComponents(ce).localCheckpoint(true)
+    // compose the layers: base nodes re-route through their component's
+    // new label; contracted-graph nodes that are NOT base component ids
+    // (delta docs, and base docs whose first edge came with the delta)
+    // emit directly
+    val reroute = deltaCC.select(col("id").as("lbl"), col("lbl").as("nl"))
+    val baseOut = baseLabels.join(reroute, Seq("lbl"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("nl"), col("lbl")).as("component"))
+    val extraOut = deltaCC
+      .join(baseLabels.select(col("lbl")).distinct()
+        .withColumnRenamed("lbl", "id"), Seq("id"), "left_anti")
+      .select(col("id").as("doc_id"), col("lbl").as("component"))
+    baseOut.unionByName(extraOut)
+      .withColumn("keep", col("doc_id") === col("component"))
+  }
+
+  /** k-anonymity audit — the privacy gate a training-data release runs
+    * over structured records: group sizes over the quasi-identifier
+    * tuple (nation, segment, $1000 balance band) with every group of
+    * size < k = 5 flagged re-identifiable. The balance band uses an
+    * OFFSET-then-divide ((bal + 1e6) div 1e5 − 10) so negative balances
+    * bucket identically on both engines (Spark `div` truncates toward
+    * zero, DuckDB `//` floors — adding the offset makes the dividend
+    * non-negative where they agree). One map-side-combined aggregation,
+    * output bounded by QI-space cardinality.
+    */
+  val q182KanonAudit = Q.checked(
+    "q182_kanon_audit",
+    """WITH q AS (
+      |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+      |    (CAST(round(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) + 1000000) // 100000 - 10 AS band
+      |  FROM customer)
+      |SELECT nat, seg, band, count(*) AS n,
+      |  CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+      |FROM q GROUP BY nat, seg, band""") { (s, dir) =>
+    table(s, dir, "customer")
+      .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        expr("(CAST(round(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) + 1000000) div 100000 - 10")
+          .as("band"))
+      .groupBy(col("nat"), col("seg"), col("band"))
+      .agg(count(lit(1)).as("n"),
+        when(count(lit(1)) < 5, 1L).otherwise(0L).as("at_risk"))
+  }
+
   /** Snapshot TIME TRAVEL — the Delta/Iceberg versioned-read shape built
     * from q133's merge decomposition: a base snapshot plus an ordered
     * CDC log (two deterministic batches, the doc_id-residue convention)
@@ -1349,5 +1452,5 @@ object DedupQueries {
       q115ParagraphDedup, q127Pagerank, q128SetsimJoin, q133MergeUpsert,
       q142LabelProp, q144SourceOverlap, q155IvmAgg, q158BestKeeper,
       q160BfsDist, q166EntityResolution, q168Kcore, q170TimeTravel,
-      q175GoldenRecord)
+      q175GoldenRecord, q182KanonAudit, q183IncrementalCc)
 }

@@ -471,9 +471,62 @@ object JoinQueries {
         col("b.incident_id").as("incident_id"), col("overlap_").as("overlap_us"))
   }
 
+  /** Slowly-changing-dimension TYPE 2 point-in-time join — the warehouse
+    * pattern q69's as-of machinery exists for: a versioned dimension
+    * (every 4th customer changes segment on 1998-01-01, synthesized by
+    * seeded hash so the oracle replays it) joined to facts at the
+    * version effective AT the order date — never the current version,
+    * never an interval explosion. Engine plan: the dim versions are the
+    * as-of reference stream keyed by (custkey, effective-from), orders
+    * are probes, one tagged-union window ([[TemporalJoins.asOf]]) —
+    * |facts| + |versions| rows, one shuffle. An order placed exactly at
+    * the effective instant takes the NEW version (the `<=` as-of
+    * convention, both engines). The oracle is DuckDB's native ASOF JOIN
+    * — an independent implementation, the q69 convention. Output: order
+    * volume and exact revenue per point-in-time segment.
+    */
+  val q181Scd2Join = Q.checked(
+    "q181_scd2_join",
+    """WITH dim AS (
+      |  SELECT c_custkey, c_mktsegment AS seg, CAST(0 AS BIGINT) AS eff_us FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 'x' || c_mktsegment, epoch_us(TIMESTAMP '1998-01-01')
+      |  FROM customer
+      |  WHERE ('0x'||substring(md5('scd:'||CAST(c_custkey AS VARCHAR)),1,8))::BIGINT % 4 = 0),
+      |o AS (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS us, o_totalprice FROM orders)
+      |SELECT d.seg, count(*) AS n_orders,
+      |  CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+      |FROM o ASOF JOIN dim d
+      |  ON o.o_custkey = d.c_custkey AND o.us >= d.eff_us
+      |GROUP BY d.seg""") { (s, dir) =>
+    import graft.operators.TemporalJoins
+    import graft.functions.Hashing
+    val cust = table(s, dir, "customer")
+    val dim = cust
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        lit(0L).as("eff_us"))
+      .unionByName(cust
+        .filter(Hashing.hash32(concat(lit("scd:"),
+          col("c_custkey").cast("string"))) % 4 === 0)
+        .select(col("c_custkey"),
+          concat(lit("x"), col("c_mktsegment")).as("seg"),
+          lit(java.time.LocalDate.of(1998, 1, 1).toEpochDay * 86400000000L)
+            .as("eff_us")))
+    val o = table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        col("o_totalprice"))
+    TemporalJoins.asOf(o, col("o_custkey"), col("us"),
+        dim, col("c_custkey"), col("eff_us"))
+      .select(col("matched.seg").as("seg"), col("o_totalprice"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast(D)), 2).cast("double").as("total"))
+  }
+
   val all: Vector[Q] =
     Vector(q10JoinInner, q11JoinOuter, q12JoinOverride, q13JoinTagged,
       q14SemiAnti, q63cBloomSemi, q67BucketedJoin, q69AsofJoin, q80RangeJoin,
       q107SaltedJoin, q149StarJoin, q161Attribution, q165DppPrune,
-      q172OverlapJoin)
+      q172OverlapJoin, q181Scd2Join)
 }

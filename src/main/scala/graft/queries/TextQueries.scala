@@ -2116,6 +2116,88 @@ object TextQueries {
         count(lit(1)).as("n_occ"))
   }
 
+  /** BPE train→APPLY capstone — the handoff q105b's training loop feeds:
+    * the two merges LEARNED from this corpus (adopted exactly as in
+    * q105b) are applied back to every document, reporting per-doc token
+    * count, tokenized char count, and the chars-per-token compression
+    * ratio in integer ppm — the metric a tokenizer-training pipeline
+    * actually optimizes. A wrong merge, a wrong adoption order, or a
+    * wrong application anywhere shifts some doc's token count and breaks
+    * the hash.
+    *
+    * Scale shape: tokenization happens ONCE PER VOCAB WORD (vocab-sized
+    * work, the q105 collapse), then fans back to documents by a
+    * vocab-keyed join (the q164 posture — never a corpus-sized broadcast
+    * side), with the per-doc rollup map-side combined. The oracle
+    * unrolls both adoptions as w-carrying CTEs and replays the
+    * application with the same replace-chain. A corpus whose training
+    * loop exhausts before two merges yields the oracle's EMPTY result;
+    * the engine mirrors it.
+    */
+  val q184BpeApply = Q.checked(
+    "q184_bpe_apply",
+    s"""WITH runs AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS w FROM documents),
+       |wc AS (SELECT w, count(*) AS c FROM runs GROUP BY w),
+       |t0 AS (SELECT w, c, ${graft.functions.Bpe.oracleReplayExpr("w")} AS tok FROM wc),
+       |i0 AS (
+       |  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+       |  FROM (SELECT c, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+       |        FROM (SELECT c, regexp_extract_all(tok, '<([^>]*)>', 1) AS syms FROM t0))
+       |  GROUP BY 1, 2),
+       |m0 AS (SELECT a, b FROM i0 ORDER BY cnt DESC, a, b LIMIT 1),
+       |t1 AS (SELECT w, c, replace(t0.tok, '<'||m0.a||'><'||m0.b||'>',
+       |                            '<'||m0.a||m0.b||'>') AS tok FROM t0, m0),
+       |i1 AS (
+       |  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+       |  FROM (SELECT c, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+       |        FROM (SELECT c, regexp_extract_all(tok, '<([^>]*)>', 1) AS syms FROM t1))
+       |  GROUP BY 1, 2),
+       |m1 AS (SELECT a, b FROM i1 ORDER BY cnt DESC, a, b LIMIT 1),
+       |t2 AS (SELECT w, c, replace(t1.tok, '<'||m1.a||'><'||m1.b||'>',
+       |                            '<'||m1.a||m1.b||'>') AS tok FROM t1, m1),
+       |app AS (
+       |  SELECT w, CAST(len(regexp_extract_all(tok, '<([^>]*)>', 1)) AS BIGINT) AS ntok,
+       |         CAST(length(w) AS BIGINT) AS nchr FROM t2),
+       |d AS (
+       |  SELECT r.doc_id, CAST(sum(a.ntok) AS BIGINT) AS n_tokens,
+       |         CAST(sum(a.nchr) AS BIGINT) AS n_chars
+       |  FROM runs r JOIN app a USING (w) GROUP BY r.doc_id)
+       |SELECT doc_id, n_tokens, n_chars,
+       |  n_chars * 1000000 // n_tokens AS chars_per_tok_ppm FROM d""") { (s, dir) =>
+    import graft.operators.BpeTrain
+    import graft.functions.Bpe
+    import s.implicits._
+    val docs = table(s, dir, "documents")
+    val words = BpeTrain.vocab(docs).localCheckpoint(true)
+    val trained: Option[Seq[(String, String)]] =
+      BpeTrain.learnStep(words, Bpe.fixtureMerges).flatMap { case (a1, b1, _) =>
+        val m1 = Bpe.fixtureMerges :+ ((a1, b1))
+        BpeTrain.learnStep(words, m1).map { case (a2, b2, _) => m1 :+ ((a2, b2)) }
+      }
+    trained match {
+      case None =>
+        // training exhausted before two merges — the oracle's t2 is the
+        // empty cross join, so mirror its empty result
+        Seq.empty[(Long, Long, Long, Long)]
+          .toDF("doc_id", "n_tokens", "n_chars", "chars_per_tok_ppm")
+      case Some(merges) =>
+        val ranks = merges.zipWithIndex.toMap
+        val app = words.select(col("w")).as[String]
+          .map(w => (w, Bpe.tokenize(w, ranks).length.toLong, w.length.toLong))
+          .toDF("w", "ntok", "nchr")
+        val dw = docs.select(col("doc_id"), col("text").cast("string"))
+          .as[(Long, String)]
+          .flatMap { case (id, t) => Bpe.letterRuns(t).map(w => (id, w)) }
+          .toDF("doc_id", "w")
+        dw.join(app, "w")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("ntok")).as("n_tokens"), sum(col("nchr")).as("n_chars"))
+          .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+            expr("n_chars * 1000000 div n_tokens").as("chars_per_tok_ppm"))
+    }
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
@@ -2125,5 +2207,5 @@ object TextQueries {
       q109CurationFunnel, q114TokenBudget, q118ChunkWindows, q121C4Filters,
       q123BigramLm, q129Bm25, q136TermDrift, q140DsirSelect, q143TrainShuffle,
       q146HtmlExtract, q147PerceptronTrain, q150RagPipeline, q150bRagHybrid,
-      q156QualityBudget, q162WeightedSample, q164NewTerms)
+      q156QualityBudget, q162WeightedSample, q164NewTerms, q184BpeApply)
 }
