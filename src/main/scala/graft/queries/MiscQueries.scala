@@ -1172,6 +1172,61 @@ object MiscQueries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Item-item collaborative filtering (market-basket similarity) — the
+    * recommendation family's batch core: parts that co-occur in orders,
+    * scored by integer-ppm Jaccard over basket sets, top-3 neighbors per
+    * part. The co-occurrence list comes from ONE equi self-join on the
+    * basket key (pairs per order = k(k−1)/2 at basket size k — output-
+    * scale, never a cartesian of the catalog), counts are map-side
+    * partial, and the per-part rank is WindowGroupLimit-prunable. A
+    * whale basket (one order containing half the catalog) is the skew
+    * case: its k² pairs are real output, and the basket-key join is
+    * AQE/salting territory like any hot key.
+    */
+  val q185ItemCf = Q.checked(
+    "q185_item_cf",
+    """WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |cnt AS (SELECT pk, count(*) AS c FROM bp GROUP BY pk),
+      |co AS (
+      |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS co
+      |  FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk GROUP BY a.pk, b.pk),
+      |sym AS (SELECT p1 AS part, p2 AS other, co FROM co
+      |        UNION ALL SELECT p2, p1, co FROM co),
+      |sc AS (
+      |  SELECT s.part, s.other, s.co,
+      |    s.co * 1000000 // (c1.c + c2.c - s.co) AS jac_ppm
+      |  FROM sym s JOIN cnt c1 ON c1.pk = s.part JOIN cnt c2 ON c2.pk = s.other),
+      |r AS (SELECT part, other, co, jac_ppm,
+      |  row_number() OVER (PARTITION BY part
+      |                     ORDER BY jac_ppm DESC, co DESC, other) AS rank
+      |  FROM sc)
+      |SELECT part, other, co, jac_ppm, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 3""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val bp = table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint(true) // basket table feeds counts and the self-join
+    val cnt = bp.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val co = bp.alias("a")
+      .join(bp.alias("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("co"))
+    val sym = co.select(col("p1").as("part"), col("p2").as("other"), col("co"))
+      .unionByName(co.select(col("p2").as("part"), col("p1").as("other"), col("co")))
+    val sc = sym
+      .join(cnt.select(col("pk").as("part"), col("c").as("c1")), "part")
+      .join(cnt.select(col("pk").as("other"), col("c").as("c2")), "other")
+      .select(col("part"), col("other"), col("co"),
+        expr("co * 1000000 div (c1 + c2 - co)").as("jac_ppm"))
+    sc.withColumn("rank", row_number().over(
+        Window.partitionBy(col("part"))
+          .orderBy(col("jac_ppm").desc, col("co").desc, col("other"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("part"), col("other"), col("co"), col("jac_ppm"), col("rank"))
+  }
+
   /** A/B experiment analysis with deterministic hash diversion — the
     * experimentation readout every event pipeline serves: users split
     * into two arms by seeded hash (`hash32('exp1:' || user_id) % 2` — the
@@ -1333,5 +1388,5 @@ object MiscQueries {
       q65TeraSort, q85Json, q86TimeRollup, q90Pipe, q91Xml, q91bXmlFile,
       q132Profile, q138EventFunnel, q139CohortRetention, q151EwmaAnomaly,
       q152DecileBinning, q154RollingActives, q173SkewAudit, q176ImageFeatures,
-      q179AbExperiment, q180FkAudit)
+      q179AbExperiment, q180FkAudit, q185ItemCf)
 }

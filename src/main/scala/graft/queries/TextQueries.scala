@@ -2116,6 +2116,71 @@ object TextQueries {
         count(lit(1)).as("n_occ"))
   }
 
+  /** Conjunctive (boolean-AND) retrieval with BM25 ranking — the postings
+    * INTERSECTION q74's index serves and q129's OR-scorer can't express:
+    * only documents containing EVERY query term qualify, then the
+    * survivors rank by the same all-integer BM25. The query is derived
+    * from the corpus (df-ranks 6–10, deterministic), so the oracle is
+    * scale-true. The AND is the distributed postings-merge: tf rows
+    * restricted to the 5 broadcast query terms, grouped by doc, HAVING
+    * count = |query| — each posting list is touched once, the intersection
+    * materializes at candidate volume, and scoring reuses the SAME
+    * restricted tf rows (one shuffle for membership + score together,
+    * never a second token-stream pass). Top-10 is TakeOrderedAndProject.
+    */
+  val q186BooleanBm25 = Q.checked(
+    "q186_boolean_bm25",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |tot AS (SELECT (SELECT count(*) FROM dl) AS nd, (SELECT count(*) FROM toks) AS tt),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |rt AS (SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rk FROM df),
+      |qt AS (SELECT term, df FROM rt WHERE rk BETWEEN 6 AND 10),
+      |qtf AS (SELECT tf.doc_id, tf.term, tf.tf, qt.df FROM tf JOIN qt USING (term)),
+      |hit AS (SELECT doc_id FROM qtf GROUP BY doc_id HAVING count(*) = 5),
+      |sc AS (
+      |  SELECT q.doc_id,
+      |    (1000000 * 44 * q.tf * (2 * tot.nd - 2 * q.df + 1)) //
+      |    ((2 * q.df + 1) * (20 * q.tf + 6 + (18 * dl.dl * tot.nd) // tot.tt)) AS sc
+      |  FROM qtf q JOIN hit USING (doc_id) JOIN dl USING (doc_id) CROSS JOIN tot),
+      |agg AS (SELECT doc_id, CAST(sum(sc) AS BIGINT) AS score FROM sc GROUP BY doc_id),
+      |r AS (SELECT doc_id, score,
+      |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM agg)
+      |SELECT doc_id, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Dedup
+    val toks = table(s, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
+      .localCheckpoint(true) // feeds tf, dl, and the totals
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qt = broadcast(df
+      .orderBy(col("df").desc, col("term")).limit(10) // bound BEFORE ranking
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .filter(col("rk").between(6, 10))
+      .select(col("term"), col("df")))
+    val tot = broadcast(toks.agg(
+      count_distinct(col("doc_id")).as("nd"), count(lit(1)).as("tt")))
+    val qtf = tf.join(qt, "term").localCheckpoint(true) // membership + scoring
+    val hit = qtf.groupBy(col("doc_id")).agg(count(lit(1)).as("nq"))
+      .filter(col("nq") === 5).select(col("doc_id"))
+    qtf.join(hit, "doc_id")
+      .join(dl, "doc_id")
+      .crossJoin(tot)
+      .select(col("doc_id"),
+        expr("""(1000000 * 44 * tf * (2 * nd - 2 * df + 1)) div
+               ((2 * df + 1) * (20 * tf + 6 + (18 * dl * nd) div tt))""").as("sc"))
+      .groupBy(col("doc_id")).agg(sum(col("sc")).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+  }
+
   /** BPE train→APPLY capstone — the handoff q105b's training loop feeds:
     * the two merges LEARNED from this corpus (adopted exactly as in
     * q105b) are applied back to every document, reporting per-doc token
@@ -2207,5 +2272,6 @@ object TextQueries {
       q109CurationFunnel, q114TokenBudget, q118ChunkWindows, q121C4Filters,
       q123BigramLm, q129Bm25, q136TermDrift, q140DsirSelect, q143TrainShuffle,
       q146HtmlExtract, q147PerceptronTrain, q150RagPipeline, q150bRagHybrid,
-      q156QualityBudget, q162WeightedSample, q164NewTerms, q184BpeApply)
+      q156QualityBudget, q162WeightedSample, q164NewTerms, q184BpeApply,
+      q186BooleanBm25)
 }
