@@ -794,9 +794,44 @@ object SimilarityQueries {
       .select(col("vec_id"), col("pos").cast("long").as("j"), col("col").as("y"))
   }
 
+  /** Embedding-health QA — the audit an embedding store runs BEFORE
+    * indexing 100 TB of vectors (a dead or collapsed dimension poisons
+    * every downstream distance): per-dimension count, scaled min/max,
+    * exact sum, zero-count, the shared half-up integer mean
+    * ([[Similarity.meanScaled]], the q104 convention), and a dead flag
+    * (min == max — the dimension carries no information). One
+    * posexplode + one map-side-combined aggregation; output is
+    * dims-sized regardless of corpus volume.
+    */
+  val q187EmbedQa = Q.checked(
+    "q187_embed_qa",
+    s"""WITH el AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v
+       |  FROM embeddings)
+       |SELECT d, count(*) AS n, min(v) AS min_s, max(v) AS max_s,
+       |  CAST(sum(v) AS BIGINT) AS sum_scaled,
+       |  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |  ${Similarity.meanScaledSql("CAST(sum(v) AS BIGINT)", "count(*)")} AS mean_s,
+       |  CAST(CASE WHEN min(v) = max(v) THEN 1 ELSE 0 END AS BIGINT) AS dead
+       |FROM el GROUP BY d""") { (s, dir) =>
+    table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(Similarity.scaled(col("embedding"))))
+      .select(col("pos").cast("long").as("d"), col("col").as("v"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("min_s"),
+        max(col("v")).as("max_s"), sum(col("v")).as("sum_scaled"),
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("d"), col("n"), col("min_s"), col("max_s"),
+        col("sum_scaled"), col("n_zero"),
+        Similarity.meanScaled.as("mean_s"),
+        when(col("min_s") === col("max_s"), 1L).otherwise(0L).as("dead"))
+  }
+
   val all: Vector[Q] =
     Vector(q60AnnCosine, q61AnnLsh, q62AnnIvf, q104KmeansStep,
       q116SemanticDedup, q119Sq8Ann, q120PqAnn, q120bPqTrained,
       q124IvfSq8Ann, q125IvfPqAnn, q135HybridRetrieval, q167KnnGraph,
-      q171SemanticDecon, q177ProjectEmbed)
+      q171SemanticDecon, q177ProjectEmbed, q187EmbedQa)
 }
