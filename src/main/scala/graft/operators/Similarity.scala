@@ -230,18 +230,26 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"))
   }
 
-  /** Deterministic ±1 hyperplane matrix: sign(j,d) from the parity of the
-    * portable MD5-derived hash of "j:d" — reproducible anywhere.
+  /** The ONE md5-parity ±1 matrix derivation behind [[srpSigns]] and
+    * [[projSigns]]: entry (j, d) = parity of the last digest byte of
+    * "prefix j:d". Keeping a single definition means the two oracle SQL
+    * renderings can never desynchronize from a one-sided tweak.
     */
-  def srpSigns(nPlanes: Int, dims: Int): Seq[Seq[Int]] = {
+  private def mdSigns(prefix: String, rows: Int, dims: Int): Seq[Seq[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until nPlanes).map { j =>
+    (0 until rows).map { j =>
       (0 until dims).map { d =>
-        val h = md.digest(s"$j:$d".getBytes("UTF-8"))
+        val h = md.digest(s"$prefix$j:$d".getBytes("UTF-8"))
         if ((h(15) & 1) == 1) 1 else -1
       }
     }
   }
+
+  /** Deterministic ±1 hyperplane matrix: sign(j,d) from the parity of the
+    * portable MD5-derived hash of "j:d" — reproducible anywhere.
+    */
+  def srpSigns(nPlanes: Int, dims: Int): Seq[Seq[Int]] =
+    mdSigns("", nPlanes, dims)
 
   /** Deterministic ±1 PROJECTION matrix for Johnson–Lindenstrauss
     * dimensionality reduction (Achlioptas 2003's database-friendly
@@ -249,15 +257,8 @@ object Similarity {
     * [[srpSigns]] derivation under a distinct seed prefix, so the
     * projection and the LSH hyperplanes stay independent families.
     */
-  def projSigns(out: Int, dims: Int): Seq[Seq[Int]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until out).map { j =>
-      (0 until dims).map { d =>
-        val h = md.digest(s"p:$j:$d".getBytes("UTF-8"))
-        if ((h(15) & 1) == 1) 1 else -1
-      }
-    }
-  }
+  def projSigns(out: Int, dims: Int): Seq[Seq[Int]] =
+    mdSigns("p:", out, dims)
 
   /** Corpus-adaptive SRP plane count:
     * `planes = ceil(log₂(corpus / targetBucket))` clamped to [4, 28] —

@@ -1304,8 +1304,10 @@ object DedupQueries {
     * documents. Two "systems" are synthesized deterministically from
     * customer (the q106 messy-URL trick, so every rule is load-bearing):
     * system B keeps 2/3 of the entities and perturbs them per seeded
-    * hash — 1/10 get a corrupted id number (+1e6, which survives the
-    * block key `num mod 1000` but fails the id agreement), 1/5 a
+    * hash — 1/10 get a corrupted id number (+1e12: out of any plausible
+    * custkey range so it can never alias a REAL entity, yet ≡ 0 mod
+    * 1000 so it survives the block key `num mod 1000` while failing
+    * the id agreement), 1/5 a
     * corrupted segment, balances drift ±10 cents (agreement window ±5).
     *
     * Linkage: candidate pairs ONLY within a block (equi-join on
@@ -1339,7 +1341,7 @@ object DedupQueries {
       |  FROM base),
       |b AS (
       |  SELECT num * 2 + 1 AS b_id,
-      |    CASE WHEN hn = 0 THEN num + 1000000 ELSE num END AS bnum,
+      |    CASE WHEN hn = 0 THEN num + 1000000000000 ELSE num END AS bnum,
       |    nat AS bnat,
       |    CASE WHEN hs = 0 THEN 'x' || seg ELSE seg END AS bseg,
       |    bal + hb - 10 AS bbal
@@ -1369,7 +1371,7 @@ object DedupQueries {
       .withColumn("hb", h("erbal:") % 21)
       .filter(col("keep") =!= 0)
       .select((col("num") * 2 + 1).as("b_id"),
-        when(col("hn") === 0, col("num") + 1000000L)
+        when(col("hn") === 0, col("num") + 1000000000000L)
           .otherwise(col("num")).as("bnum"),
         col("nat").as("bnat"),
         when(col("hs") === 0, concat(lit("x"), col("seg")))

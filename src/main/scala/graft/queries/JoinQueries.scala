@@ -518,6 +518,7 @@ object JoinQueries {
         col("o_totalprice"))
     TemporalJoins.asOf(o, col("o_custkey"), col("us"),
         dim, col("c_custkey"), col("eff_us"))
+      .filter(col("matched").isNotNull) // inner, like the oracle's ASOF JOIN
       .select(col("matched.seg").as("seg"), col("o_totalprice"))
       .groupBy(col("seg"))
       .agg(count(lit(1)).as("n_orders"),

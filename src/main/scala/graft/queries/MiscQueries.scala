@@ -1313,28 +1313,30 @@ object MiscQueries {
       |  (SELECT count(*) FROM customer), count(*), min(c_nationkey)
       |FROM customer c WHERE NOT EXISTS
       |  (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)""") { (s, dir) =>
+    // one count job per DISTINCT child table (lineitem backs three
+    // edges — counting inside edge() would scan it three times)
     def edge(name: String, child: org.apache.spark.sql.DataFrame,
-             childKey: String, parent: org.apache.spark.sql.DataFrame,
-             parentKey: String): org.apache.spark.sql.DataFrame = {
-      val total = child.count()
+             childTotal: Long, childKey: String,
+             parent: org.apache.spark.sql.DataFrame,
+             parentKey: String): org.apache.spark.sql.DataFrame =
       child.join(parent, child(childKey) === parent(parentKey), "left_anti")
         .agg(count(lit(1)).as("n_orphans"),
           min(col(childKey).cast("long")).as("min_orphan"))
-        .select(lit(name).as("edge"), lit(total).as("n_child"),
+        .select(lit(name).as("edge"), lit(childTotal).as("n_child"),
           col("n_orphans"), col("min_orphan"))
-    }
     val li = table(s, dir, "lineitem")
     val o = table(s, dir, "orders")
-    edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
-      .unionByName(edge("lineitem.l_partkey->part", li, "l_partkey",
+    val cust = table(s, dir, "customer")
+    val (liN, oN, cN) = (li.count(), o.count(), cust.count())
+    edge("lineitem.l_orderkey->orders", li, liN, "l_orderkey", o, "o_orderkey")
+      .unionByName(edge("lineitem.l_partkey->part", li, liN, "l_partkey",
         table(s, dir, "part"), "p_partkey"))
-      .unionByName(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+      .unionByName(edge("lineitem.l_suppkey->supplier", li, liN, "l_suppkey",
         table(s, dir, "supplier"), "s_suppkey"))
-      .unionByName(edge("orders.o_custkey->customer", o, "o_custkey",
-        table(s, dir, "customer"), "c_custkey"))
-      .unionByName(edge("customer.c_nationkey->nation",
-        table(s, dir, "customer"), "c_nationkey",
-        table(s, dir, "nation"), "n_nationkey"))
+      .unionByName(edge("orders.o_custkey->customer", o, oN, "o_custkey",
+        cust, "c_custkey"))
+      .unionByName(edge("customer.c_nationkey->nation", cust, cN,
+        "c_nationkey", table(s, dir, "nation"), "n_nationkey"))
   }
 
   /** Join-key SKEW AUDIT — the planning pass a 100 TB join runs BEFORE
@@ -1360,8 +1362,10 @@ object MiscQueries {
       |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
       |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS ndv FROM c),
       |r AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM c)
-      |SELECT rank, tok, cnt, cnt * 1000000 // total AS share_ppm,
-      |  (cnt * ndv + total - 1) // total AS salt_rec, total, ndv
+      |SELECT rank, tok, cnt,
+      |  CAST(CAST(cnt AS HUGEINT) * 1000000 // total AS BIGINT) AS share_ppm,
+      |  CAST((CAST(cnt AS HUGEINT) * ndv + total - 1) // total AS BIGINT) AS salt_rec,
+      |  total, ndv
       |FROM r, s WHERE rank <= 10""") { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val cnts = table(s, dir, "documents")
@@ -1373,9 +1377,14 @@ object MiscQueries {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cnt").desc, col("tok"))).cast("long"))
       .crossJoin(broadcast(summary))
+      // widen the multiplies to DECIMAL(38,0): at the audit's own 100 TB
+      // target (cnt ~1e12 tokens on a head key, web-scale ndv ≥ 1e7)
+      // cnt·ndv and cnt·1e6 overflow a Long — the quotients stay small
       .select(col("rank"), col("tok"), col("cnt"),
-        expr("cnt * 1000000 div total").as("share_ppm"),
-        expr("(cnt * ndv + total - 1) div total").as("salt_rec"),
+        expr("CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)")
+          .as("share_ppm"),
+        expr("CAST((CAST(cnt AS DECIMAL(38,0)) * ndv + total - 1) div total AS BIGINT)")
+          .as("salt_rec"),
         col("total"), col("ndv"))
   }
 
