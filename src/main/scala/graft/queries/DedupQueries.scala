@@ -1190,6 +1190,66 @@ object DedupQueries {
       .withColumn("keep", col("doc_id") === col("component"))
   }
 
+  /** WEIGHTED single-source shortest paths (Bellman–Ford relaxation) —
+    * the weighted complement of q160's unit-hop BFS, completing the
+    * graph family's distance tier: edge cost 1 + (pair activity count
+    * mod 7) over the bipartite user↔type graph (deterministic, varied,
+    * positive — cheaper paths through less-active links are genuinely
+    * preferred over fewer-hop ones, so weights are load-bearing), source
+    * = the lexicographically first type node, three synchronous
+    * relaxation rounds unrolled in the oracle (the q142/q160
+    * convention). Each round is one equi join frontier→edges plus a
+    * map-side-combined min — never a per-node window; unreached nodes
+    * stay absent, no ∞ sentinel; per-round checkpoint keeps lineage
+    * flat.
+    */
+  val q188WeightedSssp = Q.checked(
+    "q188_weighted_sssp",
+    """WITH pc AS (
+      |  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY user_id, event_type),
+      |ed AS (
+      |  SELECT 'u:'||CAST(user_id AS VARCHAR) AS src, 't:'||event_type AS dst,
+      |         1 + cnt % 7 AS w FROM pc
+      |  UNION ALL
+      |  SELECT 't:'||event_type, 'u:'||CAST(user_id AS VARCHAR), 1 + cnt % 7 FROM pc),
+      |d0 AS (SELECT 't:'||(SELECT min(event_type) FROM events) AS node,
+      |              CAST(0 AS BIGINT) AS dist),
+      |d1 AS (SELECT node, min(dist) AS dist FROM (
+      |  SELECT node, dist FROM d0
+      |  UNION ALL
+      |  SELECT e.dst, d.dist + e.w FROM d0 d JOIN ed e ON e.src = d.node) GROUP BY node),
+      |d2 AS (SELECT node, min(dist) AS dist FROM (
+      |  SELECT node, dist FROM d1
+      |  UNION ALL
+      |  SELECT e.dst, d.dist + e.w FROM d1 d JOIN ed e ON e.src = d.node) GROUP BY node),
+      |d3 AS (SELECT node, min(dist) AS dist FROM (
+      |  SELECT node, dist FROM d2
+      |  UNION ALL
+      |  SELECT e.dst, d.dist + e.w FROM d2 d JOIN ed e ON e.src = d.node) GROUP BY node)
+      |SELECT node, dist FROM d3""") { (s, dir) =>
+    import s.implicits._
+    val pc = table(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = (lit(1) + col("cnt") % 7).cast("long")
+    val ed = pc.select(concat(lit("u:"), col("user_id")).as("esrc"),
+        concat(lit("t:"), col("event_type")).as("edst"), w.as("w"))
+      .unionByName(pc.select(concat(lit("t:"), col("event_type")).as("esrc"),
+        concat(lit("u:"), col("user_id")).as("edst"), w.as("w")))
+      .localCheckpoint(true) // three relaxation rounds read it
+    val srcNode = "t:" + table(s, dir, "events")
+      .agg(min(col("event_type"))).first().getString(0)
+    var d = Seq((srcNode, 0L)).toDF("node", "dist")
+    for (_ <- 1 to 3) {
+      val relaxed = d.join(ed, d("node") === ed("esrc"))
+        .select(col("edst").as("node"), (col("dist") + col("w")).as("dist"))
+      d = d.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    d
+  }
+
   /** k-anonymity audit — the privacy gate a training-data release runs
     * over structured records: group sizes over the quasi-identifier
     * tuple (nation, segment, $1000 balance band) with every group of
@@ -1454,5 +1514,5 @@ object DedupQueries {
       q115ParagraphDedup, q127Pagerank, q128SetsimJoin, q133MergeUpsert,
       q142LabelProp, q144SourceOverlap, q155IvmAgg, q158BestKeeper,
       q160BfsDist, q166EntityResolution, q168Kcore, q170TimeTravel,
-      q175GoldenRecord, q182KanonAudit, q183IncrementalCc)
+      q175GoldenRecord, q182KanonAudit, q183IncrementalCc, q188WeightedSssp)
 }

@@ -382,8 +382,48 @@ object StreamQueries {
         row_number().over(Window.orderBy(col("n").desc, col("path"))))
   }
 
+  /** Event-transition matrix — the first-order Markov model behind
+    * next-event prediction and q157's path mining: per user the event
+    * stream in (time, event_id) order yields adjacent (cur → next)
+    * pairs via ONE per-user lead window (the q81 partitioned-window
+    * family — bounded by a user's own history, never global), then the
+    * transition counts and the row-normalized probability in integer
+    * ppm (cnt·10⁶ div out-degree of cur). Output is |types|² rows at
+    * most — model-sized, not event-sized.
+    */
+  val q189TransitionMatrix = Q.checked(
+    "q189_transition_matrix",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+      |p AS (
+      |  SELECT event_type AS cur,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+      |  FROM e),
+      |c AS (SELECT cur, nxt, count(*) AS n FROM p WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+      |t AS (SELECT cur, CAST(sum(n) AS BIGINT) AS outn FROM c GROUP BY cur)
+      |SELECT c.cur, c.nxt, c.n, c.n * 1000000 // t.outn AS p_ppm
+      |FROM c JOIN t USING (cur)""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val evt = table(s, dir, "events")
+    val e = evt.select(col("user_id"), col("event_id"),
+      graft.core.Graft.tsUs(evt).as("us"), col("event_type"))
+    val c = e
+      .select(col("event_type").as("cur"),
+        lead(col("event_type"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id")))
+          .as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds the out-degree rollup and the join
+    val t = c.groupBy(col("cur")).agg(sum(col("n")).as("outn"))
+    c.join(broadcast(t), "cur")
+      .select(col("cur"), col("nxt"), col("n"),
+        expr("n * 1000000 div outn").as("p_ppm"))
+  }
+
   val all: Vector[Q] =
     Vector(q66StreamApiSort, q68Sessionize, q92StreamCli, q93StreamPipeline,
       q95StreamHistogram, q112StreamSeqfile, q113StreamSeqfileOut,
-      q122IngestDedup, q148Conversations, q157EventPaths)
+      q122IngestDedup, q148Conversations, q157EventPaths,
+      q189TransitionMatrix)
 }
