@@ -1089,12 +1089,17 @@ object DedupQueries {
     */
   val q168Kcore = Q.checked(
     "q168_kcore",
-    s"""WITH $duckCandCtes, e0 AS (
+    // every e_i is referenced twice (its degree filter and the next
+    // round) — DuckDB inlines plain CTEs, so without MATERIALIZED the
+    // band self-join re-expands exponentially through the peel chain
+    // (observed: 78 GB of spill at sf0.1); materializing each round
+    // makes the oracle linear like the engine
+    s"""WITH $duckCandCtes, e0 AS MATERIALIZED (
        |  SELECT a AS src, b AS dst FROM cand UNION SELECT b AS src, a AS dst FROM cand
        |), k1 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 3),
-       |e1 AS (SELECT e.src, e.dst FROM e0 e JOIN k1 x ON x.src = e.src JOIN k1 y ON y.src = e.dst),
+       |e1 AS MATERIALIZED (SELECT e.src, e.dst FROM e0 e JOIN k1 x ON x.src = e.src JOIN k1 y ON y.src = e.dst),
        |k2 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 3),
-       |e2 AS (SELECT e.src, e.dst FROM e1 e JOIN k2 x ON x.src = e.src JOIN k2 y ON y.src = e.dst),
+       |e2 AS MATERIALIZED (SELECT e.src, e.dst FROM e1 e JOIN k2 x ON x.src = e.src JOIN k2 y ON y.src = e.dst),
        |k3 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 3),
        |e3 AS (SELECT e.src, e.dst FROM e2 e JOIN k3 x ON x.src = e.src JOIN k3 y ON y.src = e.dst)
        |SELECT src AS doc_id, count(*) AS deg FROM e3 GROUP BY src""") { (s, dir) =>
