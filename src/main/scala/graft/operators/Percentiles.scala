@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -52,12 +52,31 @@ object Percentiles {
     * back) — same answer, no driver state.
     */
   def exact(df: DataFrame, groupCol: String, valueCol: String,
-            ps: Seq[Int], parts: Int = 32): DataFrame = {
+            ps: Seq[Int], parts: Int = 32): DataFrame =
+    exactImpl(df, groupCol, valueCol, lit(1L), ps, parts)
+
+  /** WEIGHTED nearest-rank percentiles: each row counts `weightCol`
+    * units of mass instead of 1 (weighted median of price by quantity,
+    * of latency by request count, …). Same machinery, same output shape
+    * — `n` becomes the group's total WEIGHT and the target rank is
+    * ⌈p·W/100⌉ over cumulative weight. CONTRACT: weights must be
+    * non-negative integers (a negative weight breaks cumulative-rank
+    * monotonicity silently; zero-weight rows are harmless — they can
+    * never become the crossing value).
+    */
+  def exactWeighted(df: DataFrame, groupCol: String, valueCol: String,
+                    weightCol: Column, ps: Seq[Int],
+                    parts: Int = 32): DataFrame =
+    exactImpl(df, groupCol, valueCol, weightCol, ps, parts)
+
+  private def exactImpl(df: DataFrame, groupCol: String, valueCol: String,
+                        weight: Column, ps: Seq[Int],
+                        parts: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val hist = df
       .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(weight.cast("long")).as("c")) // integer-weight contract
     // pass 1+2: cumulative counts over the (g, v)-ordered histogram;
     // persisted so both passes see identical partition contents
     val sorted = hist

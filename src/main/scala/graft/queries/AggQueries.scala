@@ -657,9 +657,44 @@ object AggQueries {
         sum(col("v")).as("sum_v"), sum(col("w")).as("sum_w"))
   }
 
+  /** WEIGHTED grouped percentiles — the mass-weighted member of the
+    * percentile family ([[graft.operators.Percentiles.exactWeighted]]):
+    * quartiles of extended price per return flag where each lineitem
+    * counts its QUANTITY units of mass, the "median price per unit
+    * shipped" a pricing pipeline wants (a 50-unit line influences the
+    * distribution 50× a 1-unit line). Same no-window scale path as
+    * q141 — histogram + two-pass distributed prefix sum over cumulative
+    * WEIGHT, target rank ⌈p·W/100⌉, a 100 TB group never sorts inside
+    * one task. The oracle re-derives the thresholds with a cumulative-
+    * weight window (RANGE frame, so ties share their full mass) — two
+    * algorithms, one answer.
+    */
+  val q190WeightedPct = Q.checked(
+    "q190_weighted_pct",
+    """WITH v AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS v,
+      |    CAST(l_quantity AS BIGINT) AS w
+      |  FROM lineitem),
+      |n AS (SELECT g, CAST(sum(w) AS BIGINT) AS n FROM v GROUP BY g),
+      |r AS (SELECT g, v, sum(w) OVER (PARTITION BY g ORDER BY v) AS cw FROM v),
+      |p AS (SELECT CAST(unnest([25, 50, 75]) AS BIGINT) AS p)
+      |SELECT r.g, p.p, min(r.v) AS pct, CAST(max(n.n) AS BIGINT) AS n
+      |FROM r JOIN n USING (g) CROSS JOIN p
+      |WHERE cw >= (p.p * n.n + 99) // 100
+      |GROUP BY r.g, p.p""") { (s, dir) =>
+    import graft.operators.Percentiles
+    val v = table(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        round(col("l_extendedprice").cast("double") * 100).cast("long").as("v"),
+        col("l_quantity").cast("long").as("w"))
+    Percentiles.exactWeighted(v, "g", "v", col("w"), Seq(25, 50, 75))
+  }
+
   val all: Vector[Q] =
     Vector(q20AggDescriptor, q21UniqCapped, q22Histogram, q23MaxMin,
       q24Distinct, q25UniqTyped, q78ZscoreOutliers, q82Pivot, q83Unpivot,
       q84Cube, q88Corr, q89Percentiles, q130CmsHeavyHitters, q131HllUsers,
-      q134HllMerge, q141ExactPctHist, q153MadOutliers, q174Winsorize)
+      q134HllMerge, q141ExactPctHist, q153MadOutliers, q174Winsorize,
+      q190WeightedPct)
 }

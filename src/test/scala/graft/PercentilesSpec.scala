@@ -56,6 +56,27 @@ class PercentilesSpec extends AnyFunSuite {
     assert(Packing.globalRank(df, Seq("v", "g"), parts = 4).count() === 0)
   }
 
+  test("exactWeighted(w) equals exact over rows replicated w times") {
+    // the defining property of weighted percentiles: mass w at value v
+    // is indistinguishable from w unit rows at v — including zero-weight
+    // rows, which must contribute nothing
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(400) { i =>
+      (s"g${i % 3}", (rnd.nextInt(40) - 10).toLong, rnd.nextInt(5).toLong)
+    }
+    val df = rows.toDF("g", "v", "w")
+    val weighted = Percentiles.exactWeighted(df, "g", "v", col("w"),
+        Seq(10, 25, 50, 75, 90, 100), parts = 7)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val replicated = rows.flatMap { case (g, v, w) =>
+      Seq.fill(w.toInt)((g, v)) }.toDF("g", "v")
+    val unit = Percentiles.exact(replicated, "g", "v",
+        Seq(10, 25, 50, 75, 90, 100), parts = 5)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(weighted == unit,
+      s"weighted ${weighted.toSeq.sorted} vs replicated ${unit.toSeq.sorted}")
+  }
+
   test("globalRank equals row_number over the same total order") {
     val rnd = new scala.util.Random(11)
     val df = Seq.tabulate(777)(i => (i.toLong, rnd.nextInt(50).toLong))
