@@ -77,6 +77,11 @@ object Percentiles {
     val hist = df
       .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
       .agg(sum(weight.cast("long")).as("c")) // integer-weight contract
+      // zero-mass cells can never be a crossing value, and dropping them
+      // makes an ALL-zero-weight group vanish entirely — exactly what
+      // exact() over the w-times-replicated input (zero rows) returns;
+      // keeping them would emit spurious n=0 rows for such a group
+      .filter(col("c") > 0)
     // pass 1+2: cumulative counts over the (g, v)-ordered histogram;
     // persisted so both passes see identical partition contents
     val sorted = hist

@@ -1212,18 +1212,18 @@ object DedupQueries {
     "q188_weighted_sssp",
     """WITH pc AS (
       |  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY user_id, event_type),
-      |ed AS (
+      |ed AS MATERIALIZED (
       |  SELECT 'u:'||CAST(user_id AS VARCHAR) AS src, 't:'||event_type AS dst,
       |         1 + cnt % 7 AS w FROM pc
       |  UNION ALL
       |  SELECT 't:'||event_type, 'u:'||CAST(user_id AS VARCHAR), 1 + cnt % 7 FROM pc),
       |d0 AS (SELECT 't:'||(SELECT min(event_type) FROM events) AS node,
       |              CAST(0 AS BIGINT) AS dist),
-      |d1 AS (SELECT node, min(dist) AS dist FROM (
+      |d1 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
       |  SELECT node, dist FROM d0
       |  UNION ALL
       |  SELECT e.dst, d.dist + e.w FROM d0 d JOIN ed e ON e.src = d.node) GROUP BY node),
-      |d2 AS (SELECT node, min(dist) AS dist FROM (
+      |d2 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
       |  SELECT node, dist FROM d1
       |  UNION ALL
       |  SELECT e.dst, d.dist + e.w FROM d1 d JOIN ed e ON e.src = d.node) GROUP BY node),
@@ -1242,9 +1242,11 @@ object DedupQueries {
       .unionByName(pc.select(concat(lit("t:"), col("event_type")).as("esrc"),
         concat(lit("u:"), col("user_id")).as("edst"), w.as("w")))
       .localCheckpoint(true) // three relaxation rounds read it
-    val srcNode = "t:" + table(s, dir, "events")
-      .agg(min(col("event_type"))).first().getString(0)
-    var d = Seq((srcNode, 0L)).toDF("node", "dist")
+    // source derived IN the plan from pc (no second events scan), via
+    // NULL-propagating concat so an empty/all-null fixture yields the
+    // oracle's NULL-node row instead of the string "t:null"
+    var d = pc.agg(min(col("event_type")).as("t"))
+      .select(concat(lit("t:"), col("t")).as("node"), lit(0L).as("dist"))
     for (_ <- 1 to 3) {
       val relaxed = d.join(ed, d("node") === ed("esrc"))
         .select(col("edst").as("node"), (col("dist") + col("w")).as("dist"))

@@ -401,7 +401,8 @@ object StreamQueries {
       |  FROM e),
       |c AS (SELECT cur, nxt, count(*) AS n FROM p WHERE nxt IS NOT NULL GROUP BY cur, nxt),
       |t AS (SELECT cur, CAST(sum(n) AS BIGINT) AS outn FROM c GROUP BY cur)
-      |SELECT c.cur, c.nxt, c.n, c.n * 1000000 // t.outn AS p_ppm
+      |SELECT c.cur, c.nxt, c.n,
+      |  CAST(CAST(c.n AS HUGEINT) * 1000000 // t.outn AS BIGINT) AS p_ppm
       |FROM c JOIN t USING (cur)""") { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val evt = table(s, dir, "events")
@@ -417,8 +418,11 @@ object StreamQueries {
       .localCheckpoint(true) // feeds the out-degree rollup and the join
     val t = c.groupBy(col("cur")).agg(sum(col("n")).as("outn"))
     c.join(broadcast(t), "cur")
+      // widened multiply: a head transition's count at corpus scale can
+      // push n*1e6 past a Long (the q173 convention)
       .select(col("cur"), col("nxt"), col("n"),
-        expr("n * 1000000 div outn").as("p_ppm"))
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div outn AS BIGINT)")
+          .as("p_ppm"))
   }
 
   val all: Vector[Q] =

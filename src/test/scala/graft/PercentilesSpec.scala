@@ -63,7 +63,7 @@ class PercentilesSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(7)
     val rows = Seq.tabulate(400) { i =>
       (s"g${i % 3}", (rnd.nextInt(40) - 10).toLong, rnd.nextInt(5).toLong)
-    }
+    } ++ Seq.tabulate(10)(i => ("gz", i.toLong, 0L)) // ALL-zero-weight group
     val df = rows.toDF("g", "v", "w")
     val weighted = Percentiles.exactWeighted(df, "g", "v", col("w"),
         Seq(10, 25, 50, 75, 90, 100), parts = 7)
