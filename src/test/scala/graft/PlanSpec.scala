@@ -329,6 +329,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("q181 SCD2 point-in-time join is one window, never an interval join") {
+    val p = plan(JoinQueries.q181Scd2Join)
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the as-of must not degrade to an interval/nested-loop join:\n" + p.take(3000))
+  }
+
+  test("q185 item-CF bounds the per-part rank and joins only on equi keys") {
+    val p = plan(graft.queries.MiscQueries.q185ItemCf)
+    assert(p.contains("WindowGroupLimit"),
+      "top-3 neighbors must prune map-side:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q186 conjunctive BM25 top-10 is TakeOrderedAndProject; no nested loop") {
+    val p = plan(graft.queries.TextQueries.q186BooleanBm25)
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
