@@ -43,9 +43,11 @@ object Percentiles {
     * CONTRACT: the driver holds Σ per-partition distinct groups subtotal
     * longs (≤ `parts` × #groups), so `groupCol` must be LOW-cardinality —
     * a dimension like event type or language, not a key. The guard
-    * refuses past [[MaxDriverGroups]] BEFORE collecting the subtotal maps
-    * (a `parts`-long size probe over the persisted histogram, so the
-    * blow-up it refuses never reaches the driver); for high-NDV group
+    * refuses past [[MaxDriverGroups]] inside the ONE subtotal job: each
+    * partition caps the map it ships (counting group boundaries of its
+    * sorted stream beyond the cap), so the blow-up the guard refuses
+    * never reaches the driver and the hot path pays a single scan of
+    * the persisted histogram; for high-NDV group
     * columns compute the per-group offsets distributively instead
     * (aggregate per-(partition, group) subtotals, prefix-sum per group
     * with a window over the ≤ parts rows each group owns, and join
@@ -90,30 +92,39 @@ object Percentiles {
       .as[(String, Long, Long)]
       .rdd
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // size probe BEFORE the map collect: the driver will hold exactly
-    // Σ per-partition distinct groups entries, so measure that sum with
-    // a parts-long collect and refuse while the blow-up is still remote
-    val driverEntries = sorted
-      .mapPartitions { it =>
-        val seen = scala.collection.mutable.HashSet.empty[String]
-        it.foreach { case (g, _, _) => seen += g }
-        Iterator.single(seen.size.toLong)
-      }
-      .collect().sum
-    require(driverEntries <= MaxDriverGroups,
-      s"Percentiles.exact: $driverEntries (partition, group) subtotal " +
-        s"entries exceed the driver bound ($MaxDriverGroups); use a " +
-        "distributed per-group offset join for high-NDV group columns " +
-        "(see scaladoc)")
+    // guard + collect in ONE job (ADVICE r13 — the separate size-probe
+    // pass doubled scans of the persisted histogram on the hot path):
+    // each partition streams its (g, v)-sorted iterator, so distinct
+    // groups arrive contiguously — the subtotal map grows one entry per
+    // group BOUNDARY. A partition whose distinct count alone passes
+    // MaxDriverGroups stops STORING (drops its map, keeps counting), so
+    // the executor→driver payload stays bounded even in the refuse path;
+    // the driver then checks the Σ bound exactly as before. If the sum
+    // is within bound, every per-partition count is too, so every map
+    // survived — same guard semantics, one pass.
     val partGroupSums: Array[Map[String, Long]] = {
       val raw = sorted
         .mapPartitionsWithIndex { case (i, it) =>
-          val m = scala.collection.mutable.Map.empty[String, Long]
-          it.foreach { case (g, _, c) => m.update(g, m.getOrElse(g, 0L) + c) }
-          Iterator.single(i -> m.toMap)
+          var m = scala.collection.mutable.Map.empty[String, Long]
+          var distinct = 0L
+          var cur: String = null
+          it.foreach { case (g, _, c) =>
+            if (cur == null || g != cur) { distinct += 1; cur = g }
+            if (m != null) {
+              m.update(g, m.getOrElse(g, 0L) + c)
+              if (m.size > MaxDriverGroups) m = null // refuse path: count only
+            }
+          }
+          Iterator.single((i, distinct, Option(m).map(_.toMap)))
         }
         .collect()
-      val byIdx = raw.toMap
+      val driverEntries = raw.map(_._2).sum
+      require(driverEntries <= MaxDriverGroups,
+        s"Percentiles.exact: $driverEntries (partition, group) subtotal " +
+          s"entries exceed the driver bound ($MaxDriverGroups); use a " +
+          "distributed per-group offset join for high-NDV group columns " +
+          "(see scaladoc)")
+      val byIdx = raw.map { case (i, _, m) => i -> m.get }.toMap
       Array.tabulate(sorted.getNumPartitions)(i => byIdx.getOrElse(i, Map.empty))
     }
     // offsets(i)(g) = rows of group g in partitions before i

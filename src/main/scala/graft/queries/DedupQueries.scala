@@ -1139,6 +1139,21 @@ object DedupQueries {
     * arrives with the delta (edge-less in the base graph) flow through
     * the contracted graph under their own ids — the left-anti split
     * below routes them correctly.
+    *
+    * GEOMETRY STABILITY (ADVICE r13): the engine fixes LSH geometry at
+    * BASE time (lshGeometry(0.9N), the q110 stored-signature convention)
+    * while the full-recompute oracle's static CTEs carry the
+    * verify-corpus geometry (lshGeometry(500) = 8×2). The two coincide
+    * whenever 0.9N and the oracle corpus land on the same lshGeometry
+    * step — true across the whole registered range (lshGeometry is
+    * constant on [450, 5000], covering 0.9N and N at sf0.001/0.01/0.1).
+    * Near a step boundary (e.g. N just above a band-count jump) base
+    * and full geometries can straddle the step; the incremental answer
+    * is still a correct CC of the BASE-geometry candidate graph, but it
+    * is a different graph than a full re-derivation would build — the
+    * production posture is exactly q110's: geometry is versioned with
+    * the persisted signature/band table and re-derived only on an
+    * explicit full rebuild, never silently mid-increment.
     */
   val q183IncrementalCc = Q.checked(
     "q183_incremental_cc",

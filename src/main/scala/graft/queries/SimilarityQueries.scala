@@ -658,7 +658,10 @@ object SimilarityQueries {
     * total scoring is N²·cells^(−1/2), never brute-force N². The oracle
     * re-derives the identical geometry from count(*) (the IVF-family
     * convention) and replays assignment, probing, per-vector bounded
-    * rank, and the mutuality join — scale-true at any corpus.
+    * rank, and the mutuality join — scale-true at any corpus. The
+    * cent/probes CTEs carry ivfCellsFor/ivfProbesFor's clamps
+    * (cells ∈ [4, 65536], probes ≥ 2) so engine and oracle agree even
+    * on degenerate <16-vector corpora — the q150b convention.
     */
   val q167KnnGraph = Q.checked(
     "q167_knn_graph",
@@ -672,7 +675,7 @@ object SimilarityQueries {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
        |  FROM embeddings),
        |sn AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, e -> e*e)) AS DOUBLE) AS n2 FROM sv),
-       |cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM sn WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+       |cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM sn WHERE vec_id < (SELECT greatest(4, least(65536, CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM embeddings)),
        |dots AS (
        |  SELECT x.vec_id AS xid, c.cid,
        |    x.n2 - 2 * CAST(list_sum(list_transform(list_zip(x.v, c.cv), p -> p[1]*p[2])) AS DOUBLE) + c.cn2 AS d2
@@ -681,7 +684,7 @@ object SimilarityQueries {
        |  SELECT xid, cid, row_number() OVER (PARTITION BY xid ORDER BY d2, cid) AS rn
        |  FROM dots
        |), assign AS (SELECT xid AS nid, cid FROM ranked WHERE rn = 1),
-       |probes AS (SELECT xid AS qid, cid FROM ranked WHERE rn <= (SELECT CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS BIGINT) FROM embeddings)),
+       |probes AS (SELECT xid AS qid, cid FROM ranked WHERE rn <= (SELECT greatest(2, CAST(ceil(sqrt(greatest(4, least(65536, CAST(ceil(sqrt(count(*))) AS BIGINT))))) AS BIGINT)) FROM embeddings)),
        |cand AS (SELECT p.qid, a.nid FROM probes p JOIN assign a ON a.cid = p.cid WHERE a.nid <> p.qid),
        |e AS (
        |  SELECT c.qid, c.nid,

@@ -349,6 +349,108 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  // q183's interior (contraction joins, delta CC) sits behind
+  // localCheckpoints, so — the q58 convention — assert on the subtree
+  // where a cartesian could actually arise: the endpoint-label
+  // contraction join, plus the final composed plan.
+  test("q183 contraction joins are equi-keyed: no cartesian, no nested loop") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    import graft.operators.Dedup
+    val sig = Dedup.minhash(docs, col("doc_id"), Dedup.bigrams(col("text")), 16)
+    val edges = Dedup.bucketStarEdges(Dedup.lshBands(sig, 8, 2))
+      .filter(col("a") % 10 === 0 || col("b") % 10 === 0)
+    val labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    val contracted = edges
+      .join(labels.select(col("id").as("a"), col("lbl").as("a_l")), Seq("a"), "left")
+      .join(labels.select(col("id").as("b"), col("lbl").as("b_l")), Seq("b"), "left")
+      .select(coalesce(col("a_l"), col("a")).as("a"),
+        coalesce(col("b_l"), col("b")).as("b"))
+    val p1 = contracted.queryExecution.executedPlan.toString
+    assert(!p1.contains("CartesianProduct")
+      && !p1.contains("BroadcastNestedLoopJoin"), p1.take(3000))
+    val p = plan(graft.queries.DedupQueries.q183IncrementalCc)
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  // q188's rounds each end in a localCheckpoint, so build one relaxation
+  // round the way the query does and pin its shape: an equi join
+  // frontier→edges plus a map-side-combined min — never a window, never
+  // a nested loop.
+  test("q188 relaxation round is one equi join + partial-agg min, no window") {
+    import org.apache.spark.sql.functions._
+    val pc = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = (lit(1) + col("cnt") % 7).cast("long")
+    val ed = pc.select(concat(lit("u:"), col("user_id")).as("esrc"),
+        concat(lit("t:"), col("event_type")).as("edst"), w.as("w"))
+      .localCheckpoint(true)
+    val d = pc.agg(min(col("event_type")).as("t"))
+      .select(concat(lit("t:"), col("t")).as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    val round = d.unionByName(
+        d.join(ed, d("node") === ed("esrc"))
+          .select(col("edst").as("node"), (col("dist") + col("w")).as("dist")))
+      .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    val p = round.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "relaxation must not plan a window:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the min must partial-aggregate map-side: two HashAggregate levels
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-node min must map-side combine:\n" + p.take(3000))
+  }
+
+  test("q189 lead window is partitioned by user; final join broadcasts the out-degree side") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // the lead stage sits behind q189's checkpoint — build it as the
+    // query does and pin the partitioning (bounded by a user's history,
+    // never a global window)
+    val evt = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+    val lw = evt.select(col("event_type").as("cur"),
+      lead(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
+        .as("nxt"))
+    val pw = lw.queryExecution.executedPlan.toString
+    assert(pw.contains("windowspecdefinition(user_id"),
+      "lead must partition by user_id:\n" + pw.take(3000))
+    val p = plan(graft.queries.StreamQueries.q189TransitionMatrix)
+    assert(p.contains("BroadcastHashJoin"),
+      "|types|-sized out-degree side must broadcast:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q190 weighted percentile path plans no window anywhere") {
+    // the whole point of Percentiles' histogram + distributed-prefix-sum
+    // path: the pre-barrier phase is RDD mapPartitions by construction
+    // (no SQL window can exist there), and the post-barrier join/agg
+    // composition must not regress into one either
+    val p = plan(graft.queries.AggQueries.q190WeightedPct)
+    assert(!p.contains("Window"), "percentile path must stay window-free:\n" + p.take(3000))
+    // the p-values cross join is the deliberate bounded 3-row broadcast;
+    // a cartesian (both sides shuffled) must never appear
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q180 all five FK anti joins broadcast their parent side") {
+    // AQE's initial plan can be conservative — execute, read the final
+    val df = graft.queries.MiscQueries.q180FkAudit.run(spark, TestSpark.sf0001)
+    df.collect()
+    // AQE stringifies BOTH the final and the initial plan — count within
+    // the final section only, or every join double-counts
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==")(0)
+    val anti = "BroadcastHashJoin [^\\n]*LeftAnti".r.findAllIn(p).size
+    assert(anti == 5,
+      s"expected 5 broadcast anti joins, saw $anti:\n" + p.take(4000))
+    assert(!"SortMergeJoin [^\\n]*LeftAnti".r.findFirstIn(p).isDefined,
+      "no FK edge may shuffle its child for an anti probe:\n" + p.take(4000))
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
