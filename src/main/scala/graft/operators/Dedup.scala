@@ -271,6 +271,48 @@ object Dedup {
     labels
   }
 
+  /** SERVE half of incremental connected components (the q124-style
+    * build/serve split; the BUILD half is just [[connectedComponents]]
+    * over the base edges, persisted): given yesterday's base labels
+    * `(id, lbl)` (lbl = component-min id) and today's delta-involving
+    * star edges `(a, b)`, relabel every endpoint through its base
+    * component, run CC over the CONTRACTED graph — component ids plus
+    * delta nodes, a graph of delta-edge scale, never the corpus — and
+    * compose the label layers back. Output `(doc_id, component)` equals
+    * a full-graph recompute because base labels are component minima and
+    * contraction preserves minima (the q183 oracle proves it).
+    *
+    * Scale shape: two label joins (broadcast-able when the delta's
+    * touched components ≪ base; Catalyst/AQE decide from stats), a CC
+    * whose edge list is delta-sized, and a base-labels passthrough join
+    * keyed on the OLD component label — O(delta) compute plus one
+    * map-side relabel of the base table, the cost q110 pays for pairs.
+    */
+  def ccIncrementalServe(baseLabels: DataFrame, deltaEdges: DataFrame): DataFrame = {
+    def contracted(end: String) = {
+      val lbls = baseLabels.select(col("id").as(end), col("lbl").as(s"${end}_l"))
+      (df: DataFrame) => df.join(lbls, Seq(end), "left")
+    }
+    val ce = contracted("a")(contracted("b")(deltaEdges))
+      .select(coalesce(col("a_l"), col("a")).as("a"),
+        coalesce(col("b_l"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val deltaCC = connectedComponents(ce).localCheckpoint(true)
+    // compose the layers: base nodes re-route through their component's
+    // new label; contracted-graph nodes that are NOT base component ids
+    // (delta docs, and base docs whose first edge came with the delta)
+    // emit directly
+    val reroute = deltaCC.select(col("id").as("lbl"), col("lbl").as("nl"))
+    val baseOut = baseLabels.join(reroute, Seq("lbl"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("nl"), col("lbl")).as("component"))
+    val extraOut = deltaCC
+      .join(baseLabels.select(col("lbl")).distinct()
+        .withColumnRenamed("lbl", "id"), Seq("id"), "left_anti")
+      .select(col("id").as("doc_id"), col("lbl").as("component"))
+    baseOut.unionByName(extraOut)
+  }
+
   /** SimHash signature of `bits` bits over distinct tokens:
     * bit b = 1 iff Σ_tokens (2·((hash32(token) >> b) & 1) − 1) > 0.
     * One grouped aggregation with `bits` sums — no per-bit passes.

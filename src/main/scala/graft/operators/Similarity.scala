@@ -186,12 +186,14 @@ object Similarity {
       .select(col("f.qid").as("a"), col("f.nid").as("b"), col("f.cos").as("cos"))
   }
 
-  /** The directed per-vector top-k stage of [[knnGraph]], exposed
-    * pre-checkpoint so its plan (bounded rank, equi candidate join) is
-    * assertable — checkpointing in knnGraph makes it opaque there.
+  /** The shared candidate stage of [[knnDirected]] / [[knnDirectedSq8]]:
+    * ONE corpus×centroid distance pass feeds both cell assignment
+    * (rank 1) and probe ranking (rank ≤ nProbe), then candidates meet on
+    * the cell equi-key — (qid, nid), unique by construction (nid lives
+    * in exactly one cell and qid probes distinct cells).
     */
-  private[graft] def knnDirected(corpus: DataFrame, centroids: DataFrame,
-                                 nProbe: Int, k: Int): DataFrame = {
+  private def knnCandidates(corpus: DataFrame, centroids: DataFrame,
+                            nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
       .crossJoin(broadcast(centroids.select(col("cid"), scaled(col("cvec")).as("cs"))))
@@ -207,11 +209,19 @@ object Similarity {
     val assign = ranked.filter(col("rn") === 1)
       .select(col("xid").as("nid"), col("cid"))
     val probes = ranked.select(col("xid").as("qid"), col("cid"))
-    // (qid, nid) is unique: nid lives in exactly one cell and qid probes
-    // distinct cells, so no candidate dedup pass is needed
-    val cand = probes.join(assign, "cid")
+    probes.join(assign, "cid")
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"))
+  }
+
+  /** The directed per-vector top-k stage of [[knnGraph]], exposed
+    * pre-checkpoint so its plan (bounded rank, equi candidate join) is
+    * assertable — checkpointing in knnGraph makes it opaque there.
+    */
+  private[graft] def knnDirected(corpus: DataFrame, centroids: DataFrame,
+                                 nProbe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = knnCandidates(corpus, centroids, nProbe)
     val xn = corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
       .select(col("xid"), col("xs"),
         sqrt(dotScaled(col("xs"), col("xs")).cast("double")).as("norm"))
@@ -224,6 +234,53 @@ object Similarity {
       .select(col("qid"), col("nid"),
         (dotScaled(col("qs"), col("ns")).cast("double") /
           (col("qnorm") * col("nnorm"))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cos"))
+  }
+
+  /** [[knnGraph]] scored over SQ8 CODES — the production serving shape
+    * at corpus scale (COVERAGE's 500k-vector posture, made a registered
+    * variant): candidate structure identical to the exact graph (one
+    * corpus×centroid pass, probed-cell equi join), but the NEIGHBOR side
+    * of every candidate dot reads the one-byte-per-coordinate
+    * reconstruction ([[sq8EncodeScaled]] — the q124/[[ivfSq8Serve]]
+    * storage layer) instead of the raw vector: the resident store is 4×
+    * smaller and a scoring pass touches codes, never the float corpus.
+    * Scoring is asymmetric (exact query side against reconstructed
+    * neighbor side, the standard ADC trade), so cos(a→b) ≠ cos(b→a) by
+    * a quantization hair; the mutual edge keeps the a<b direction's
+    * value. Same N²·cells^(−1/2) candidate volume as [[knnGraph]] —
+    * SQ8 bounds MEMORY, the coarse cells bound COMPUTE.
+    */
+  def knnGraphSq8(corpus: DataFrame, centroids: DataFrame,
+                  nProbe: Int, k: Int): DataFrame = {
+    val directed = knnDirectedSq8(corpus, centroids, nProbe, k)
+      .localCheckpoint(true) // both sides of the mutuality self-join
+    directed.alias("f")
+      .join(directed.alias("r"),
+        col("f.qid") === col("r.nid") && col("f.nid") === col("r.qid"))
+      .filter(col("f.qid") < col("f.nid"))
+      .select(col("f.qid").as("a"), col("f.nid").as("b"), col("f.cos").as("cos"))
+  }
+
+  /** Directed SQ8-scored top-k stage of [[knnGraphSq8]], exposed like
+    * [[knnDirected]] for plan assertions and recall floors.
+    */
+  private[graft] def knnDirectedSq8(corpus: DataFrame, centroids: DataFrame,
+                                    nProbe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = knnCandidates(corpus, centroids, nProbe)
+    val enc = sq8EncodeScaled(corpus) // (xid, rx, xnorm), the code store
+    val qn = corpus.select(col("xid").as("qid"), scaled(col("xvec")).as("qs"))
+      .withColumn("qnorm", sqrt(dotScaled(col("qs"), col("qs")).cast("double")))
+    cand
+      .join(qn, "qid")
+      .join(enc.select(col("xid").as("nid"), col("rx"), col("xnorm")), "nid")
+      .select(col("qid"), col("nid"),
+        (dotScaled(col("qs"), col("rx")).cast("double") /
+          (col("qnorm") * col("xnorm"))).as("cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
       .filter(col("rank") <= k)

@@ -1177,36 +1177,18 @@ object DedupQueries {
       Dedup.lshBands(
         Dedup.minhash(d, col("doc_id"), Dedup.bigrams(col("text")), bnd * rpb),
         bnd, rpb)
-    // base-only components, computed "yesterday" and checkpointed
+    // BUILD: base-only components, computed "yesterday" and checkpointed —
+    // the artifact production persists (the fixture necessarily rebuilds
+    // it in-query; the SERVE half below is what a daily run pays)
     val baseLabels = Dedup.connectedComponents(
         Dedup.bucketStarEdges(bandsOf(base)))
       .localCheckpoint(true)
     // today's full-bucket star edges, restricted to delta involvement
     val deltaEdges = Dedup.bucketStarEdges(bandsOf(docs))
       .filter(col("a") % 10 === 0 || col("b") % 10 === 0)
-    // contract: map every endpoint through its base component label
-    def contracted(end: String) = {
-      val lbls = baseLabels.select(col("id").as(end), col("lbl").as(s"${end}_l"))
-      (df: org.apache.spark.sql.DataFrame) => df.join(lbls, Seq(end), "left")
-    }
-    val ce = contracted("a")(contracted("b")(deltaEdges))
-      .select(coalesce(col("a_l"), col("a")).as("a"),
-        coalesce(col("b_l"), col("b")).as("b"))
-      .filter(col("a") =!= col("b"))
-    val deltaCC = Dedup.connectedComponents(ce).localCheckpoint(true)
-    // compose the layers: base nodes re-route through their component's
-    // new label; contracted-graph nodes that are NOT base component ids
-    // (delta docs, and base docs whose first edge came with the delta)
-    // emit directly
-    val reroute = deltaCC.select(col("id").as("lbl"), col("lbl").as("nl"))
-    val baseOut = baseLabels.join(reroute, Seq("lbl"), "left")
-      .select(col("id").as("doc_id"),
-        coalesce(col("nl"), col("lbl")).as("component"))
-    val extraOut = deltaCC
-      .join(baseLabels.select(col("lbl")).distinct()
-        .withColumnRenamed("lbl", "id"), Seq("id"), "left_anti")
-      .select(col("id").as("doc_id"), col("lbl").as("component"))
-    baseOut.unionByName(extraOut)
+    // SERVE: contract through base labels, CC the delta-scale graph,
+    // compose the label layers back ([[Dedup.ccIncrementalServe]])
+    Dedup.ccIncrementalServe(baseLabels, deltaEdges)
       .withColumn("keep", col("doc_id") === col("component"))
   }
 

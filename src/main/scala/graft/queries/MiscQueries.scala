@@ -1180,8 +1180,11 @@ object MiscQueries {
     * scale, never a cartesian of the catalog), counts are map-side
     * partial, and the per-part rank is WindowGroupLimit-prunable. A
     * whale basket (one order containing half the catalog) is the skew
-    * case: its k² pairs are real output, and the basket-key join is
-    * AQE/salting territory like any hot key.
+    * case: its k² pairs are real output, and the basket-key join splits
+    * under AQE's skew handler or fans across Salt.saltedJoin lanes —
+    * MEASURED, not just named: ScaleSpec's "q185 whale basket" case
+    * drives a 1000-item whale through both remedies and asserts the
+    * identical pair multiset.
     */
   val q185ItemCf = Q.checked(
     "q185_item_cf",
@@ -1388,6 +1391,53 @@ object MiscQueries {
         col("total"), col("ndv"))
   }
 
+  /** Order-invariant TABLE FINGERPRINT — the anti-entropy check two
+    * clusters (or two replicas of a 100 TB lake) run to prove a dataset
+    * identical without moving it: per day, the row count and a
+    * commutative checksum (Σ of a 60-bit md5-derived row hash, mod the
+    * Mersenne prime 2⁶¹−1). Canonicalization is the cross-engine value
+    * convention — timestamps as epoch micros, doubles as scaled longs,
+    * NULL props as '' — so the SAME logical row hashes identically
+    * anywhere; the sum is order- and partition-invariant by
+    * construction, so a re-shuffled, re-compacted, or differently-
+    * partitioned copy still matches.
+    *
+    * Scale shape: one map-side-combined aggregation over the scan —
+    * byte-for-byte the cheapest possible full-table audit; a mismatch
+    * bisects by day (then by finer buckets) without ever diffing rows.
+    */
+  val q191TableFingerprint = Q.checked(
+    "q191_table_fingerprint",
+    """WITH r AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    ('0x' || substring(md5(
+      |      CAST(event_id AS VARCHAR) || '|' ||
+      |      CAST(epoch_us(ts) AS VARCHAR) || '|' ||
+      |      CAST(user_id AS VARCHAR) || '|' ||
+      |      event_type || '|' ||
+      |      CAST(CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR) || '|' ||
+      |      coalesce(props, '')), 1, 15))::BIGINT AS h
+      |  FROM events)
+      |SELECT day, count(*) AS n,
+      |  CAST(CAST(sum(h) AS HUGEINT) % 2305843009213693951 AS BIGINT) AS fp
+      |FROM r GROUP BY day""") { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val ev = table(s, dir, "events")
+    val us = graft.core.Graft.tsUs(ev)
+    ev.select((us.cast("long") / lit(86400000000L)).cast("long").as("day"),
+        conv(substring(md5(concat_ws("|",
+          col("event_id").cast("string"),
+          us.cast("long").cast("string"),
+          col("user_id").cast("string"),
+          col("event_type"),
+          round(col("value").cast("double") * 1000000d).cast("long").cast("string"),
+          coalesce(col("props"), lit("")))), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("h").cast(DecimalType(38, 0))) % lit(2305843009213693951L))
+          .cast("long").as("fp"))
+  }
+
   val all: Vector[Q] =
     Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q47bUrlParse, q48Pi, q49TeraGen,
       q54Jdbc, q54bJdbcTextSplit, q54cJdbcDateSplit, q54dJdbcFloatSplit,
@@ -1397,5 +1447,5 @@ object MiscQueries {
       q65TeraSort, q85Json, q86TimeRollup, q90Pipe, q91Xml, q91bXmlFile,
       q132Profile, q138EventFunnel, q139CohortRetention, q151EwmaAnomaly,
       q152DecileBinning, q154RollingActives, q173SkewAudit, q176ImageFeatures,
-      q179AbExperiment, q180FkAudit, q185ItemCf)
+      q179AbExperiment, q180FkAudit, q185ItemCf, q191TableFingerprint)
 }

@@ -27,6 +27,15 @@ object SimilarityQueries {
   private def sc(x: String) = s"CAST(round(CAST($x AS DOUBLE) * 1000000) AS BIGINT)"
   private val dotSql = s"CAST(sum(${sc("qa")} * ${sc("xa")}) AS DOUBLE)"
 
+  // IVF geometry in SQL, clamps included — the exact rendering of
+  // Similarity.ivfCellsFor / ivfProbesFor, shared by every IVF-family
+  // oracle that derives geometry from count(*) (q167/q167b; q150b spells
+  // the same clamps over its chunk corpus)
+  private val ivfCellsSql =
+    "(SELECT greatest(4, least(65536, CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM embeddings)"
+  private val ivfProbesSql =
+    "(SELECT greatest(2, CAST(ceil(sqrt(greatest(4, least(65536, CAST(ceil(sqrt(count(*))) AS BIGINT))))) AS BIGINT)) FROM embeddings)"
+
   /** Brute-force cosine top-k: 5 query vectors (vec_id < 5) against the
     * full corpus; exact decimal dot products, per-query bounded rank.
     */
@@ -675,7 +684,7 @@ object SimilarityQueries {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
        |  FROM embeddings),
        |sn AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, e -> e*e)) AS DOUBLE) AS n2 FROM sv),
-       |cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM sn WHERE vec_id < (SELECT greatest(4, least(65536, CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM embeddings)),
+       |cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM sn WHERE vec_id < $ivfCellsSql),
        |dots AS (
        |  SELECT x.vec_id AS xid, c.cid,
        |    x.n2 - 2 * CAST(list_sum(list_transform(list_zip(x.v, c.cv), p -> p[1]*p[2])) AS DOUBLE) + c.cn2 AS d2
@@ -684,7 +693,7 @@ object SimilarityQueries {
        |  SELECT xid, cid, row_number() OVER (PARTITION BY xid ORDER BY d2, cid) AS rn
        |  FROM dots
        |), assign AS (SELECT xid AS nid, cid FROM ranked WHERE rn = 1),
-       |probes AS (SELECT xid AS qid, cid FROM ranked WHERE rn <= (SELECT greatest(2, CAST(ceil(sqrt(greatest(4, least(65536, CAST(ceil(sqrt(count(*))) AS BIGINT))))) AS BIGINT)) FROM embeddings)),
+       |probes AS (SELECT xid AS qid, cid FROM ranked WHERE rn <= $ivfProbesSql),
        |cand AS (SELECT p.qid, a.nid FROM probes p JOIN assign a ON a.cid = p.cid WHERE a.nid <> p.qid),
        |e AS (
        |  SELECT c.qid, c.nid,
@@ -704,6 +713,71 @@ object SimilarityQueries {
     val centroids = emb.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     Similarity.knnGraph(corpus, centroids, Similarity.ivfProbesFor(cells), K)
+  }
+
+  /** q167 served over SQ8 CODES ([[Similarity.knnGraphSq8]]) — the
+    * production-scale variant COVERAGE's soak note promised at 500k
+    * vectors, now registered (the q150b treatment): identical probed-cell
+    * candidate structure, but every candidate dot reads the neighbor's
+    * one-byte-per-coordinate reconstruction (q119/q124's storage layer)
+    * instead of the raw vector — the resident store is 4× smaller and
+    * the scoring pass never touches the float corpus. Asymmetric ADC
+    * scoring (exact query side), so the mutual edge carries the a<b
+    * direction's cosine. The oracle composes q167's geometry/candidate
+    * CTEs (clamped, scale-true from count(*)) with q119's
+    * stats→encode→reconstruct chain — a green row pins the COMPOSED
+    * serving path, not just its halves.
+    */
+  val q167bKnnGraphSq8 = Q.checked(
+    "q167b_knn_graph_sq8",
+    s"""WITH sv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |sn AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, e -> e*e)) AS DOUBLE) AS n2 FROM sv),
+       |cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM sn WHERE vec_id < $ivfCellsSql),
+       |dots AS (
+       |  SELECT x.vec_id AS xid, c.cid,
+       |    x.n2 - 2 * CAST(list_sum(list_transform(list_zip(x.v, c.cv), p -> p[1]*p[2])) AS DOUBLE) + c.cn2 AS d2
+       |  FROM sn x, cent c
+       |), ranked AS (
+       |  SELECT xid, cid, row_number() OVER (PARTITION BY xid ORDER BY d2, cid) AS rn
+       |  FROM dots
+       |), assign AS (SELECT xid AS nid, cid FROM ranked WHERE rn = 1),
+       |probes AS (SELECT xid AS qid, cid FROM ranked WHERE rn <= $ivfProbesSql),
+       |cand AS (SELECT p.qid, a.nid FROM probes p JOIN assign a ON a.cid = p.cid WHERE a.nid <> p.qid),
+       |el AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+       |         ${sc("unnest(embedding)")} AS sval
+       |  FROM embeddings
+       |), stats AS (
+       |  SELECT dim, min(sval) AS mn, max(sval) AS mx FROM el GROUP BY dim
+       |), recon AS (
+       |  SELECT vec_id, e.dim,
+       |    255 * mn + (CASE WHEN mx = mn THEN 0
+       |                     ELSE ((sval - mn) * 255) // (mx - mn) END) * (mx - mn) AS r
+       |  FROM el e JOIN stats s ON s.dim = e.dim
+       |), rl AS (
+       |  SELECT vec_id, list(r ORDER BY dim) AS rv FROM recon GROUP BY vec_id
+       |), rn2 AS (
+       |  SELECT vec_id, rv, CAST(list_sum(list_transform(rv, e -> e*e)) AS DOUBLE) AS n2r FROM rl
+       |), e AS (
+       |  SELECT c.qid, c.nid,
+       |    CAST(list_sum(list_transform(list_zip(q.v, x.rv), p -> p[1]*p[2])) AS DOUBLE) / (sqrt(q.n2) * sqrt(x.n2r)) AS cos
+       |  FROM cand c JOIN sn q ON q.vec_id = c.qid JOIN rn2 x ON x.vec_id = c.nid
+       |), er AS (
+       |  SELECT qid, nid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM e
+       |), d AS (SELECT qid, nid, cos FROM er WHERE rank <= $K)
+       |SELECT f.qid AS a, f.nid AS b, f.cos AS cos
+       |FROM d f JOIN d r ON f.qid = r.nid AND f.nid = r.qid
+       |WHERE f.qid < f.nid""") { (s, dir) =>
+    val emb = table(s, dir, "embeddings")
+    val cells = Similarity.ivfCellsFor(emb.count())
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val centroids = emb.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.knnGraphSq8(corpus, centroids, Similarity.ivfProbesFor(cells), K)
   }
 
   /** SEMANTIC decontamination — the embedding-side twin of q96's n-gram
@@ -836,5 +910,6 @@ object SimilarityQueries {
     Vector(q60AnnCosine, q61AnnLsh, q62AnnIvf, q104KmeansStep,
       q116SemanticDedup, q119Sq8Ann, q120PqAnn, q120bPqTrained,
       q124IvfSq8Ann, q125IvfPqAnn, q135HybridRetrieval, q167KnnGraph,
+      q167bKnnGraphSq8,
       q171SemanticDecon, q177ProjectEmbed, q187EmbedQa)
 }

@@ -30,6 +30,9 @@ final case class AsOfMatch(key: Long, tsUs: Long, payload: String,
                            refTsUs: Option[Long], refPayload: Option[String])
 final case class AsOfState(refs: List[(Long, String)], maxTsUs: Long)
 final case class CmsSketch(key: String, seen: Long, cells: Array[Long])
+final case class TransEvent(userId: Long, us: Long, eventId: Long, eventType: String)
+final case class TransPair(userId: Long, cur: String, nxt: String)
+final case class LastEvent(us: Long, eventId: Long, eventType: String)
 
 object EventStream {
 
@@ -80,6 +83,44 @@ object EventStream {
             state.update(next)
             idleTimeout.foreach(state.setTimeoutDuration)
             next
+          }
+      }
+  }
+
+  /** Streaming twin of q189's transition-matrix FRONT HALF: per-user
+    * adjacent (cur → next) event pairs emitted incrementally via
+    * `flatMapGroupsWithState` — state is ONE LastEvent struct per user
+    * (the boundary event, so a transition spanning two micro-batches is
+    * emitted exactly once, by the batch that delivers its right edge).
+    * Within a batch a user's rows sort by (us, event_id) — q189's exact
+    * window order; across batches the ordered-feed contract applies
+    * (the q151/q122 convention: event time advances batch to batch).
+    *
+    * Production shape: this pair stream feeds a streaming count
+    * aggregation keyed (cur, nxt) — bounded |types|² state — giving a
+    * continuously-maintained transition matrix; StreamingSpec proves the
+    * pair stream aggregates to exactly q189's batch matrix on an
+    * ordered replay. State here is O(active users), evictable by the
+    * same idle-timeout dial as [[runningTotals]] once a user's session
+    * is over.
+    */
+  def transitionPairs(events: Dataset[TransEvent]): Dataset[TransPair] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[LastEvent, TransPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TransEvent], state: GroupState[LastEvent]) =>
+          val sorted = rows.toVector.sortBy(e => (e.us, e.eventId))
+          val seq = state.getOption
+            .map(s => TransEvent(uid, s.us, s.eventId, s.eventType))
+            .toVector ++ sorted
+          if (seq.nonEmpty) {
+            val last = seq.last
+            state.update(LastEvent(last.us, last.eventId, last.eventType))
+          }
+          seq.sliding(2).collect {
+            case Seq(a, b) => TransPair(uid, a.eventType, b.eventType)
           }
       }
   }

@@ -302,6 +302,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q167b SQ8-served knn graph bounds the rank and scores codes via equi joins") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val cents = emb.filter(col("vec_id") < 23)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val pd = Similarity.knnDirectedSq8(corpus, cents, 5, 3)
+      .queryExecution.executedPlan.toString
+    assert(pd.contains("WindowGroupLimit"),
+      "per-vector top-k must prune map-side:\n" + pd.take(3000))
+    // the code store joins on xid/nid equi keys — a cartesian anywhere
+    // means the reconstruction got re-inlined into the scoring join
+    assert(!pd.contains("CartesianProduct"), pd.take(3000))
+    val p = plan(graft.queries.SimilarityQueries.q167bKnnGraphSq8)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q170 versioned replay never shuffles the snapshot: broadcast anti per batch") {
     val p = plan(graft.queries.DedupQueries.q170TimeTravel)
     assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,

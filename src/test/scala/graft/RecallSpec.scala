@@ -338,6 +338,29 @@ class RecallSpec extends AnyFunSuite {
     assert(recall >= 0.25, f"edge recall collapsed: $recall%.3f")
   }
 
+  test("SQ8-served mutual k-NN graph holds edge recall vs the exact-scored graph") {
+    // q167b's promise: swapping the scoring side to one-byte codes must
+    // not change WHICH edges the graph keeps (quantization shifts
+    // cosines by a hair; only rank flips near the k boundary can lose
+    // an edge). Candidates are identical by construction — the ONLY
+    // variable under test is SQ8 reconstruction error.
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val cells = Similarity.ivfCellsFor(corpus.count())
+    val centroids = emb.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val probes = Similarity.ivfProbesFor(cells)
+    val exact = Similarity.knnGraph(corpus, centroids, probes, 3)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    val sq8 = Similarity.knnGraphSq8(corpus, centroids, probes, 3)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "degenerate fixture: exact graph is empty")
+    val recall = (sq8 intersect exact).size.toDouble / exact.size
+    info(f"SQ8-served mutual-kNN edge recall vs exact scoring: $recall%.3f " +
+      f"(${exact.size} exact edges, ${sq8.size} sq8 edges)")
+    assert(recall >= 0.85, f"SQ8 edge recall collapsed: $recall%.3f")
+  }
+
   test("sq8 overflow guard fires on coordinates that would wrap the long norm") {
     import spark.implicits._
     // budget at 64 dims is ~1.489e6 scaled (|x| ≈ 1.489): 2.0 is legal

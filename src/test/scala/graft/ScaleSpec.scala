@@ -140,6 +140,62 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q185 whale basket: AQE skew-splits the basket self-join; salting matches exactly") {
+    // the one skew shape q185's docstring names: a single order holding
+    // ~half the catalog makes the self-join's hot ok-partition carry
+    // k(k-1)/2 pair work. Drive it through BOTH remedies — AQE's
+    // reactive split and Salt.saltedJoin's proactive lanes — and assert
+    // the pair multiset is identical to the plain join's.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // whale order 0: 1000 of the 2000-part catalog; 2000 normal 3-item
+      // baskets. pad inflates the whale's shuffle partition past the
+      // threshold — max(pad1) in the agg keeps it from being pruned out
+      // of the join shuffle.
+      val whale = spark.range(0, 1000)
+        .select(lit(0L).as("ok"), col("id").as("pk"))
+      val normal = spark.range(0, 6000)
+        .select((col("id") / 3 + 1).cast("long").as("ok"),
+          (col("id") % 2000).as("pk"))
+      val bp = whale.unionByName(normal)
+        .withColumn("pad", lpad(col("pk").cast("string"), 100, "x"))
+      val a = bp.select(col("ok"), col("pk").as("p1"), col("pad").as("pad1"))
+      val b = bp.select(col("ok"), col("pk").as("p2"))
+      val joined = a.join(b, "ok").filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("co"), max(col("pad1")).as("pad"))
+      // collect THIS QueryExecution so AQE finalizes the asserted plan
+      def toSet(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val aqeRows = toSet(joined.collect())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "whale basket did not trigger AQE's skew split:\n" + plan.take(3000))
+      // proactive path: lanes from the within-key disambiguator (p1), the
+      // q107 pattern — same pair multiset, no single-task hot partition
+      val salted = toSet(graft.operators.Salt
+        .saltedJoin(a, b, Seq("ok"), 8, col("p1"))
+        .filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("co"), max(col("pad1")).as("pad"))
+        .collect())
+      assert(salted == aqeRows,
+        "salted basket self-join diverged from the AQE-split plain join")
+      // the whale's own pairs are all present exactly once
+      assert(aqeRows.count { case (p1, p2, _, _) => p1 < 1000 && p2 < 1000 } >= 1000 * 999 / 2)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("approx histogram matches exact on a high-cardinality key") {
     // one key with 20k distinct values: the exact variant buffers a
     // 20k-element array per key; the approx variant's state is a

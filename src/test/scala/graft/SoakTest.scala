@@ -267,6 +267,157 @@ class SoakTest extends AnyFunSuite {
   private def soakGated(name: String)(body: => Unit): Unit =
     if (sys.env.contains("GRAFT_SOAK")) test(name)(body) else ignore(name)(body)
 
+  soakGated("100x soak: q167b SQ8-served knn graph at 200k vectors (production shape)") {
+    // the scale where the exact-scored graph is NOT deployable (q167's
+    // 10x soak note): 200k vectors, cells=√N=448, probes=22 — candidate
+    // volume N²·cells^(−1/2), scored against one-byte codes
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak-q167b"
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until 100).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    import graft.operators.Similarity
+    val nVec = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    println(s"SOAK167B geometry: vectors=$nVec " +
+      s"cells=${Similarity.ivfCellsFor(nVec)} " +
+      s"probes=${Similarity.ivfProbesFor(Similarity.ivfCellsFor(nVec))}")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"SOAK167B $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$rows")
+    }
+    time("q167b_knn_graph_sq8") {
+      graft.queries.SimilarityQueries.q167bKnnGraphSq8.run(spark, dir).count()
+    }
+  }
+
+  soakGated("100x soak: q183 incremental-CC build/serve amortization at ~500k docs") {
+    // the O(delta) claim, measured: BUILD (base bands + base CC) runs
+    // once and persists; SERVE re-bands only the delta, pulls the
+    // touched buckets from the persisted band table, contracts through
+    // the persisted labels, and CCs the delta-scale graph. The full
+    // recompute prices what serve saves; parity is asserted, not assumed.
+    import graft.operators.Dedup
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak-q183"
+    val docs0 = spark.read.parquet(s"$base/documents.parquet")
+    (0 until 100).map(i => docs0.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val baseDocs = docs.filter(col("doc_id") % 10 =!= 0)
+    val deltaDocs = docs.filter(col("doc_id") % 10 === 0)
+    // geometry fixed at BASE time (the q110 stored-signature convention)
+    val (bnd, rpb) = Dedup.lshGeometry(baseDocs.count())
+    println(s"SOAK183 geometry: bands=$bnd rows=$rpb")
+    def bandsOf(d: org.apache.spark.sql.DataFrame) =
+      Dedup.lshBands(
+        Dedup.minhash(d, col("doc_id"), Dedup.bigrams(col("text")), bnd * rpb),
+        bnd, rpb)
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"SOAK183 $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$rows")
+    }
+    // BUILD: persisted band table + base component labels
+    time("build_bands+base_cc") {
+      bandsOf(baseDocs).write.mode("overwrite").parquet(s"$dir/bands.parquet")
+      Dedup.connectedComponents(
+          Dedup.bucketStarEdges(spark.read.parquet(s"$dir/bands.parquet")))
+        .write.mode("overwrite").parquet(s"$dir/base_labels.parquet")
+      spark.read.parquet(s"$dir/base_labels.parquet").count()
+    }
+    val baseBands = spark.read.parquet(s"$dir/bands.parquet")
+    val baseLabels = spark.read.parquet(s"$dir/base_labels.parquet")
+    var served: org.apache.spark.sql.DataFrame = null
+    time("serve_delta") {
+      // delta-only signatures; only the buckets the delta touches rejoin
+      val deltaBands = bandsOf(deltaDocs).localCheckpoint(true)
+      val touched = baseBands.join(
+        deltaBands.select(col("band"), col("key")).distinct(),
+        Seq("band", "key"), "left_semi")
+      val deltaEdges = Dedup.bucketStarEdges(touched.unionByName(deltaBands))
+        .filter(col("a") % 10 === 0 || col("b") % 10 === 0)
+      served = Dedup.ccIncrementalServe(baseLabels, deltaEdges)
+        .localCheckpoint(true)
+      served.count()
+    }
+    var full: org.apache.spark.sql.DataFrame = null
+    time("full_recompute") {
+      full = Dedup.connectedComponents(Dedup.bucketStarEdges(bandsOf(docs)))
+        .select(col("id").as("doc_id"), col("lbl").as("component"))
+        .localCheckpoint(true)
+      full.count()
+    }
+    // parity: serve ≡ full recompute on every labeled doc (the oracle
+    // proves this at verify scale; assert it holds at production shape)
+    assert(served.exceptAll(full).isEmpty && full.exceptAll(served).isEmpty,
+      "incremental serve diverged from the full recompute")
+  }
+
+  soakGated("100x soak: round-13 tail families (SCD2, item CF, boolean BM25, SSSP, transitions, weighted pct)") {
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak-r14"
+    // lineitem x100 with shifted order keys: baskets keep their size, so
+    // q185's pair volume scales x100 linearly (and q190's mass does too)
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    (0 until 100).map(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // orders x100 with shifted order keys, custkeys UNCHANGED: q181's
+    // as-of windows see ~100x probes per dimension key
+    val o = spark.read.parquet(s"$base/orders.parquet")
+    (0 until 100).map(i => o.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // customer stays 1x: it is the SCD dimension
+    spark.read.parquet(s"$base/customer.parquet")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // events x100 with DISJOINT users (the round-6 convention): q188's
+    // type-side hubs reach ~100x degree, q189 sees 100x users
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    (0 until 100).map(i => ev
+        .withColumn("event_id", col("event_id") + lit(i * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // documents x100 for q186
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    (0 until 100).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"SOAKR14 $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$rows")
+    }
+    time("q181_scd2_join") {
+      graft.queries.JoinQueries.q181Scd2Join.run(spark, dir).count()
+    }
+    time("q185_item_cf") {
+      graft.queries.MiscQueries.q185ItemCf.run(spark, dir).count()
+    }
+    time("q186_boolean_bm25") {
+      graft.queries.TextQueries.q186BooleanBm25.run(spark, dir).count()
+    }
+    time("q188_weighted_sssp") {
+      graft.queries.DedupQueries.q188WeightedSssp.run(spark, dir).count()
+    }
+    time("q189_transition_matrix") {
+      graft.queries.StreamQueries.q189TransitionMatrix.run(spark, dir).count()
+    }
+    time("q190_weighted_pct") {
+      graft.queries.AggQueries.q190WeightedPct.run(spark, dir).count()
+    }
+  }
+
   soakGated("100x soak: round-13 families (BPE train loop, hybrid RAG serving)") {
     // ~500k docs — the BPE loop's vocab collapse and the chunk index's
     // √N geometry both grow past the verify config (cells(~700k chunks)

@@ -187,6 +187,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transition pairs aggregate to the q189 batch matrix on ordered replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{TransEvent, TransPair}
+    implicit val sqlCtx = spark.sqlContext
+    val evFix = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+    val obs = evFix
+      .select(col("user_id"), graft.core.Graft.tsUs(evFix).as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+      .map { case (u, us, id, t) => TransEvent(u, us, id, t) }
+      .sortBy(e => (e.us, e.eventId)) // global time order => per-user order
+    val in = MemoryStream[TransEvent]
+    val q = EventStream.transitionPairs(in.toDS())
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // four ordered micro-batches: cross-batch transitions must be
+      // emitted exactly once via the per-user boundary state
+      obs.grouped(math.max(1, obs.length / 4 + 1)).foreach { chunk =>
+        in.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val pairs = spark.sql("SELECT * FROM trans_out").as[TransPair].collect()
+      // aggregate the pair stream the way the production streaming agg
+      // would (bounded |types|² keys) and derive p_ppm as q189 does
+      val counts = pairs.groupBy(p => (p.cur, p.nxt)).view.mapValues(_.length.toLong).toMap
+      val outDeg = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val streamed = counts.map { case ((cur, nxt), n) =>
+        (cur, nxt, n, n * 1000000L / outDeg(cur))
+      }.toSet
+      val batch = graft.queries.StreamQueries.q189TransitionMatrix
+        .run(spark, TestSpark.sf0001)
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        s"streamed matrix ${streamed.size} cells != batch ${batch.size}")
+      assert(batch.nonEmpty, "degenerate fixture: empty transition matrix")
+    } finally q.stop()
+  }
+
   test("stateful EWMA survives a checkpointed restart (file source, parquet sink)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
