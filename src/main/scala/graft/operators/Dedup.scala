@@ -388,6 +388,52 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
   }
 
+  /** EXACT set-CONTAINMENT join with prefix filtering — the asymmetric
+    * complement to [[setSimJoin]]: every ordered pair (a, b) where b's
+    * token set covers ≥ t of A's (|A∩B| ≥ ⌈t·|A|⌉) — the quote/subset
+    * detector (a doc wholly contained in a longer one has Jaccard far
+    * below any dedup threshold but containment 1.0; Lee et al. 2022's
+    * motivation for substring-level dedup, at set granularity).
+    *
+    * Pruning: the prefix theorem applies to A ALONE (pigeonhole over any
+    * fixed global order: if B misses all of A's first n−⌈t·n⌉+1
+    * df-ordered tokens, fewer than ⌈t·n⌉ of A's tokens can be in B), so
+    * A explodes its prefix while B contributes its FULL token list —
+    * there is no length filter (B may be any size) and no symmetric
+    * prefix, which is exactly what makes containment harder than
+    * Jaccard at scale: candidate volume is Σ_{A-prefix tokens} df(w).
+    * The frequency order keeps hot tokens out of prefixes, which is the
+    * whole fight.
+    *
+    * Input: (id, toks) with toks DISTINCT per row. Output:
+    * (a, b, inter, na) for every qualifying ORDERED pair, a ≠ b —
+    * asymmetric, so (a,b) and (b,a) are independent verdicts.
+    */
+  def containmentJoin(docs: DataFrame, tPct: Int): DataFrame = {
+    require(tPct > 0 && tPct <= 100, s"containmentJoin: tPct in (0,100], got $tPct")
+    val tok = docs.select(col("id"), explode(col("toks")).as("w"))
+    val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val sorted = tok.join(dfreq, "w")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("ord"),
+        count(lit(1)).as("n"))
+      .select(col("id"), col("n"),
+        expr("transform(ord, x -> x.w)").as("ws"))
+      .localCheckpoint(true) // feeds the prefix explode, the B side, verify
+    val pref = sorted.select(col("id"), col("n"),
+      explode(expr(s"slice(ws, 1, n - (($tPct * n + 99) div 100) + 1)")).as("w"))
+    val cand = pref.select(col("id").as("a"), col("w"))
+      .join(sorted.select(col("id").as("b"), explode(col("ws")).as("w")), "w")
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(sorted.select(col("id").as("a"), col("ws").as("wa"), col("n").as("na")), "a")
+      .join(sorted.select(col("id").as("b"), col("ws").as("wb")), "b")
+      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .filter(lit(100) * col("inter") >= lit(tPct) * col("na"))
+      .select(col("a"), col("b"), col("inter"), col("na"))
+  }
+
   /** The three phases of [[setSimJoin]], exposed so the soak can measure
     * the growth law of each: `sorted` = per-doc token arrays in global
     * (df, w) order, `pref` = the exploded prefix rows the self-join keys

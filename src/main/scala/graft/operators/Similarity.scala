@@ -779,7 +779,7 @@ object Similarity {
   /** Nearest-cell assignment per corpus vector (exact scaled-long d²,
     * cid tiebreak): the BUILD half of the composed indexes — (xid, cid).
     */
-  private def cellAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+  private[graft] def cellAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cs = centroids.select(col("cid"), scaled(col("cvec")).as("cs"))
     corpus.select(col("xid"), scaled(col("xvec")).as("xs"))

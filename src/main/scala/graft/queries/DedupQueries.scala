@@ -1511,6 +1511,145 @@ object DedupQueries {
     merged.unionByName(aOnly).unionByName(bOnly)
   }
 
+  /** NORMALIZED exact dedup — q50's hash-groupBy behind a text
+    * canonicalizer (the C4/CCNet preprocessing step: lowercase, strip
+    * punctuation to spaces, collapse runs, trim), so re-encodings of the
+    * same content (case flips, injected separators, trailing junk)
+    * collapse into one class where byte-exact dedup sees distinct rows.
+    * The fixture makes normalization load-bearing with the crawl()
+    * convention: every document rides in twice — raw, and an uppercased
+    * copy with ' , ' separators and trailing '!!' — and every class must
+    * close over both (n = 2 across the board at verify scale).
+    *
+    * Scale shape: identical to q50 — the normalizer is map-side
+    * (three codegen'd string ops), then ONE hash-partitioned groupBy
+    * with map-side combine. Regex semantics are the portable subset
+    * ([^a-z0-9 ] and ' +' mean the same in Java regex and RE2).
+    */
+  val q193NormalizedDedup = Q.checked(
+    "q193_normalized_dedup",
+    """WITH crawl AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, upper(replace(text, ' ', ' , ')) || '!!' FROM documents),
+      |norm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+      |  FROM crawl)
+      |SELECT md5(nt) AS h, min(doc_id) AS keep_id, count(*) AS n
+      |FROM norm GROUP BY md5(nt)""") { (s, dir) =>
+    val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val crawl = docs.unionByName(docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(upper(expr("replace(text, ' ', ' , ')")), lit("!!")).as("text")))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    crawl.select(col("doc_id"), md5(norm).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+  }
+
+  /** Set-CONTAINMENT join ([[Dedup.containmentJoin]], threshold 0.8 over
+    * word-2-shingles) — the subset-duplicate detector q128's Jaccard
+    * join structurally misses: a short document quoted whole inside a
+    * long one has Jaccard |A|/|B| (arbitrarily small) but containment
+    * 1.0. Asymmetric output — (a, b) means "b covers ≥ 80% of a". The
+    * engine prunes with A-side-only df-ordered prefixes (the pigeonhole
+    * bound applies to the covered side alone; B contributes its full
+    * token list — no length filter exists for containment); the oracle
+    * finds the same pairs by the brute token join — two algorithms, one
+    * answer, proving the one-sided prefix prune lossless.
+    */
+  val q194ContainmentJoin = Q.checked(
+    "q194_containment_join",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |ov AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      |  FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT ov.a, ov.b, ov.inter, sa.n AS na
+      |FROM ov JOIN sz sa ON sa.doc_id = ov.a
+      |WHERE 100 * ov.inter >= 80 * sa.n""") { (s, dir) =>
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+        array_distinct(Dedup.bigrams(col("text"))).as("toks"))
+    Dedup.containmentJoin(docs, 80)
+  }
+
+  /** PERSONALIZED PageRank — q127's random walk with teleport pinned to
+    * a SEED node (the lexicographically first event type) instead of the
+    * uniform vector: "importance relative to THIS entity", the
+    * recommendation/expansion primitive (related users of a topic,
+    * related items of a product). Same integer-exact arithmetic as q127
+    * (pr div deg contributions, 85/100 damping), but the teleport mass
+    * 150000 lands ONLY on the seed, injected as a union row so the seed
+    * survives even when no walk returns to it. Ranks stay SPARSE — only
+    * nodes the walk has reached carry rows (on the bipartite graph the
+    * frontier genuinely alternates sides per power-iteration step: a
+    * node's next mass is exactly teleport + in-contributions, no
+    * carryover) — which is the production PPR shape: frontier-sized
+    * state, never |V| rows, the point of PPR at graph scale.
+    */
+  val q196PersonalizedPagerank = Q.checked(
+    "q196_personalized_pagerank",
+    """WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events),
+      |edges AS (
+      |  SELECT 'u:' || CAST(user_id AS VARCHAR) AS src, 't:' || event_type AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT 't:' || event_type, 'u:' || CAST(user_id AS VARCHAR) FROM pairs
+      |), deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+      |seed AS (SELECT 't:' || (SELECT min(event_type) FROM events) AS node),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM seed),
+      |i1 AS (
+      |  SELECT node, CAST(sum(pr) AS BIGINT) AS pr FROM (
+      |    SELECT e.dst AS node, (85 * sum(r.pr // g.d)) // 100 AS pr
+      |    FROM edges e JOIN r0 r ON r.node = e.src JOIN deg g ON g.src = e.src GROUP BY e.dst
+      |    UNION ALL SELECT node, 150000 FROM seed) GROUP BY node),
+      |i2 AS (
+      |  SELECT node, CAST(sum(pr) AS BIGINT) AS pr FROM (
+      |    SELECT e.dst AS node, (85 * sum(r.pr // g.d)) // 100 AS pr
+      |    FROM edges e JOIN i1 r ON r.node = e.src JOIN deg g ON g.src = e.src GROUP BY e.dst
+      |    UNION ALL SELECT node, 150000 FROM seed) GROUP BY node),
+      |i3 AS (
+      |  SELECT node, CAST(sum(pr) AS BIGINT) AS pr FROM (
+      |    SELECT e.dst AS node, (85 * sum(r.pr // g.d)) // 100 AS pr
+      |    FROM edges e JOIN i2 r ON r.node = e.src JOIN deg g ON g.src = e.src GROUP BY e.dst
+      |    UNION ALL SELECT node, 150000 FROM seed) GROUP BY node)
+      |SELECT node, pr FROM i3""") { (s, dir) =>
+    val pairs = table(s, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint(true) // feeds edges AND the seed derivation
+    val edges = pairs
+      .select(concat(lit("u:"), col("user_id")).as("src"),
+        concat(lit("t:"), col("event_type")).as("dst"))
+      .unionByName(pairs
+        .select(concat(lit("t:"), col("event_type")).as("src"),
+          concat(lit("u:"), col("user_id")).as("dst")))
+      .localCheckpoint(true) // reused by deg + every iteration
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val seed = pairs.agg(min(col("event_type")).as("t"))
+      .select(concat(lit("t:"), col("t")).as("node"))
+      .localCheckpoint(true) // injected into every iteration
+    var ranks = seed.select(col("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to 3) {
+      val contribs = edges
+        .join(ranks, col("src") === col("node"))
+        .join(deg, "src")
+        .select(col("dst"), expr("pr div d").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(expr("(85 * sum(contrib)) div 100").as("pr"))
+        .select(col("dst").as("node"), col("pr"))
+      ranks = contribs
+        .unionByName(seed.select(col("node"), lit(150000L).as("pr")))
+        .groupBy(col("node")).agg(sum(col("pr")).as("pr"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   val all: Vector[Q] =
     Vector(q50DedupExact, q51MinhashLsh, q52Simhash, q53Jaccard,
       q57EmbedDedup, q58DedupGroups, q59DedupApply, q87Triangles,
@@ -1518,5 +1657,6 @@ object DedupQueries {
       q115ParagraphDedup, q127Pagerank, q128SetsimJoin, q133MergeUpsert,
       q142LabelProp, q144SourceOverlap, q155IvmAgg, q158BestKeeper,
       q160BfsDist, q166EntityResolution, q168Kcore, q170TimeTravel,
-      q175GoldenRecord, q182KanonAudit, q183IncrementalCc, q188WeightedSssp)
+      q175GoldenRecord, q182KanonAudit, q183IncrementalCc, q188WeightedSssp,
+      q193NormalizedDedup, q194ContainmentJoin, q196PersonalizedPagerank)
 }

@@ -525,9 +525,57 @@ object JoinQueries {
         round(sum(col("o_totalprice").cast(D)), 2).cast("double").as("total"))
   }
 
+  /** Correlated scalar subquery (the TPC-H Q17 shape): lineitems whose
+    * quantity sits under 0.2× their PART's average quantity — "small
+    * orders" revenue per brand. The Spark side is written AS the
+    * correlated subquery (two per-part scalar aggregates referenced from
+    * the WHERE clause) and Catalyst decorrelates: the executed plan is
+    * ONE per-part aggregate joined back to the fact — never a per-row
+    * subquery execution (PlanSpec pins it). Exactness: the 0.2·avg
+    * threshold cross-multiplies to integers (5·qs·n < Σqs — no float
+    * average), and revenue sums cents exactly before the div-7
+    * weekly-rate conversion.
+    *
+    * Scale shape: the per-part aggregate is map-side combined over the
+    * same lineitem scan, the join is partkey-equi (AQE handles skew),
+    * and the brand dim broadcasts — Q17 at 100 TB is two shuffles.
+    */
+  val q192ScalarSubquery = Q.checked(
+    "q192_scalar_subquery",
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(round(CAST(l_quantity AS DOUBLE) * 100) AS BIGINT) AS qs,
+      |         CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS epc
+      |  FROM lineitem),
+      |agg AS (SELECT l_partkey, CAST(sum(qs) AS BIGINT) AS sq, count(*) AS n
+      |        FROM li GROUP BY l_partkey)
+      |SELECT p.p_brand AS brand, count(*) AS n_small,
+      |  CAST(CAST(sum(li.epc) AS HUGEINT) // 7 AS BIGINT) AS weekly_cents
+      |FROM li JOIN agg a ON a.l_partkey = li.l_partkey
+      |JOIN part p ON p.p_partkey = li.l_partkey
+      |WHERE 5 * li.qs * a.n < a.sq
+      |GROUP BY p.p_brand""") { (s, dir) =>
+    table(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        round(col("l_quantity").cast("double") * 100).cast("long").as("qs"),
+        round(col("l_extendedprice").cast("double") * 100).cast("long").as("epc"))
+      .createOrReplaceTempView("q192_li")
+    table(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      .createOrReplaceTempView("q192_part")
+    s.sql("""
+      SELECT brand, count(*) AS n_small,
+        CAST(CAST(sum(epc) AS DECIMAL(38,0)) div 7 AS BIGINT) AS weekly_cents
+      FROM (
+        SELECT l.qs, l.epc, p.p_brand AS brand,
+          (SELECT struct(count(*) AS n, sum(l2.qs) AS sq) FROM q192_li l2
+           WHERE l2.l_partkey = l.l_partkey) AS st
+        FROM q192_li l JOIN q192_part p ON p.p_partkey = l.l_partkey)
+      WHERE 5 * qs * st.n < st.sq
+      GROUP BY brand""")
+  }
+
   val all: Vector[Q] =
     Vector(q10JoinInner, q11JoinOuter, q12JoinOverride, q13JoinTagged,
       q14SemiAnti, q63cBloomSemi, q67BucketedJoin, q69AsofJoin, q80RangeJoin,
       q107SaltedJoin, q149StarJoin, q161Attribution, q165DppPrune,
-      q172OverlapJoin, q181Scd2Join)
+      q172OverlapJoin, q181Scd2Join, q192ScalarSubquery)
 }

@@ -780,6 +780,51 @@ object SimilarityQueries {
     Similarity.knnGraphSq8(corpus, centroids, Similarity.ivfProbesFor(cells), K)
   }
 
+  /** IVF CELL-BALANCE audit — the index-quality gate that runs after
+    * build and before serving traffic (the ANN twin of q173's join-skew
+    * audit): per coarse cell, the member count and integer-ppm share of
+    * the corpus. A balanced √N-cell index holds every share near
+    * 1e6/cells; a fat cell means its queries scan a corpus-scale bucket
+    * (the IVF failure mode — cure is re-training centroids via q104's
+    * k-means or splitting the cell). Assignment is [[Similarity]]'s
+    * exact scaled-long d² argmin — the identical build-time table
+    * q124/q167b serve from, so the audit measures the REAL index, not a
+    * proxy. One bounded crossJoin (corpus × √N broadcast centroids), a
+    * per-vector argmin, and a cells-sized aggregation.
+    */
+  val q197CellBalance = Q.checked(
+    "q197_cell_balance",
+    s"""WITH sv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |sn AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, e -> e*e)) AS DOUBLE) AS n2 FROM sv),
+       |cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM sn WHERE vec_id < $ivfCellsSql),
+       |dots AS (
+       |  SELECT x.vec_id AS xid, c.cid,
+       |    x.n2 - 2 * CAST(list_sum(list_transform(list_zip(x.v, c.cv), p -> p[1]*p[2])) AS DOUBLE) + c.cn2 AS d2
+       |  FROM sn x, cent c
+       |), assign AS (
+       |  SELECT xid, cid FROM (
+       |    SELECT xid, cid, row_number() OVER (PARTITION BY xid ORDER BY d2, cid) AS rn FROM dots) WHERE rn = 1),
+       |tot AS (SELECT count(*) AS n FROM assign)
+       |SELECT a.cid, count(*) AS n_members,
+       |  CAST(count(*) * 1000000 // max(t.n) AS BIGINT) AS share_ppm
+       |FROM assign a CROSS JOIN tot t GROUP BY a.cid""") { (s, dir) =>
+    val emb = table(s, dir, "embeddings")
+    val cells = Similarity.ivfCellsFor(emb.count())
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val centroids = emb.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assign = Similarity.cellAssign(corpus, centroids)
+      .localCheckpoint(true) // feeds the total AND the per-cell rollup
+    val tot = assign.agg(count(lit(1)).as("t"))
+    assign.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"))
+      .crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_members"),
+        expr("n_members * 1000000 div t").as("share_ppm"))
+  }
+
   /** SEMANTIC decontamination — the embedding-side twin of q96's n-gram
     * benchmark decontamination (the modern eval-leakage check: a
     * paraphrased eval item shares no 8-gram but sits close in embedding
@@ -910,6 +955,6 @@ object SimilarityQueries {
     Vector(q60AnnCosine, q61AnnLsh, q62AnnIvf, q104KmeansStep,
       q116SemanticDedup, q119Sq8Ann, q120PqAnn, q120bPqTrained,
       q124IvfSq8Ann, q125IvfPqAnn, q135HybridRetrieval, q167KnnGraph,
-      q167bKnnGraphSq8,
+      q167bKnnGraphSq8, q197CellBalance,
       q171SemanticDecon, q177ProjectEmbed, q187EmbedQa)
 }

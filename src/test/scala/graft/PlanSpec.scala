@@ -469,6 +469,75 @@ class PlanSpec extends AnyFunSuite {
       "no FK edge may shuffle its child for an anti probe:\n" + p.take(4000))
   }
 
+  test("q192 correlated scalar subquery decorrelates to ONE aggregate join") {
+    // the struct-typed scalar subquery must become a per-part aggregate
+    // joined back to the fact — never a per-row subquery, and never TWO
+    // aggregate scans (the two-subquery form Catalyst won't merge)
+    val df = JoinQueries.q192ScalarSubquery.run(spark, TestSpark.sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // 4 HashAggregates: partial+final for the subquery agg, partial+final
+    // for the brand rollup — a 6-count means the subqueries didn't merge
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs == 4, s"expected one decorrelated aggregate (4 HashAggregates), saw $aggs:\n" + p.take(3000))
+  }
+
+  test("q194 containment join meets on the prefix-token equi key, never a nested loop") {
+    val p = plan(graft.queries.DedupQueries.q194ContainmentJoin)
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q196 personalized pagerank rounds are equi joins with map-side combined sums") {
+    // each round ends in a localCheckpoint — build one round the way the
+    // query does (the q188 convention) and pin its shape
+    import org.apache.spark.sql.functions._
+    val pairs = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+      .select(col("user_id"), col("event_type")).distinct()
+    val edges = pairs
+      .select(concat(lit("u:"), col("user_id")).as("src"),
+        concat(lit("t:"), col("event_type")).as("dst"))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val seed = pairs.agg(min(col("event_type")).as("t"))
+      .select(concat(lit("t:"), col("t")).as("node"))
+      .localCheckpoint(true)
+    val ranks = seed.select(col("node"), lit(1000000L).as("pr"))
+    val round = edges
+      .join(ranks, col("src") === col("node"))
+      .join(deg, "src")
+      .select(col("dst"), expr("pr div d").as("contrib"))
+      .groupBy(col("dst"))
+      .agg(expr("(85 * sum(contrib)) div 100").as("pr"))
+      .select(col("dst").as("node"), col("pr"))
+      .unionByName(seed.select(col("node"), lit(150000L).as("pr")))
+      .groupBy(col("node")).agg(sum(col("pr")).as("pr"))
+    val p = round.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-node sum must map-side combine:\n" + p.take(3000))
+  }
+
+  test("q197 cell balance argmin prunes map-side; only the bounded centroid cross join") {
+    // the corpus x centroids crossJoin IS the assignment pass — a
+    // broadcast of sqrt(N) rows, deliberate; a CartesianProduct (both
+    // sides shuffled) must never appear
+    val p = plan(graft.queries.SimilarityQueries.q197CellBalance)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val assign = Similarity.cellAssign(
+      emb.select(col("vec_id").as("xid"), col("embedding").as("xvec")),
+      emb.filter(col("vec_id") < 23)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+    val pa = assign.queryExecution.executedPlan.toString
+    assert(pa.contains("WindowGroupLimit"),
+      "nearest-cell argmin must prune map-side:\n" + pa.take(3000))
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
