@@ -691,10 +691,75 @@ object AggQueries {
     Percentiles.exactWeighted(v, "g", "v", col("w"), Seq(25, 50, 75))
   }
 
+  /** DISTRIBUTION DRIFT monitor — the data-drift gate an ML pipeline
+    * runs between training snapshots (the integer-exact cousin of PSI):
+    * per event type, the value distribution over fixed bins is compared
+    * between the early and late half of the time range, reporting the
+    * L1 distance of the two share vectors in ppm (0 = identical shape,
+    * 2e6 = disjoint). All integer — ppm shares by widened floor
+    * division, |Δ| summed exactly — where PSI's log-ratio would drift
+    * cross-engine. The midpoint derives from the data (min+max over the
+    * same scan), so the query is scale- and window-free.
+    *
+    * Scale shape: one scan → (type, period, bin) counts (map-side
+    * combined, output bins×types×2), a types×2 total rollup riding a
+    * broadcast, and a types-sized final agg. Nothing is event-scale
+    * after the first aggregation.
+    */
+  val q201DistributionDrift = Q.checked(
+    "q201_distribution_drift",
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v
+      |  FROM events),
+      |mid AS (SELECT (min(day) + max(day)) // 2 AS m FROM e),
+      |b AS (
+      |  SELECT event_type, CASE WHEN day <= m THEN 0 ELSE 1 END AS period,
+      |    least(9, greatest(0, v // 100000000)) AS bin
+      |  FROM e CROSS JOIN mid),
+      |c AS (SELECT event_type, period, bin, count(*) AS n FROM b GROUP BY 1,2,3),
+      |t AS (SELECT event_type, period, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1,2),
+      |sh AS (SELECT c.event_type, c.bin,
+      |  CAST(sum(CASE WHEN c.period = 0 THEN CAST(CAST(c.n AS HUGEINT) * 1000000 // t.tot AS BIGINT) ELSE 0 END) AS BIGINT) AS pa,
+      |  CAST(sum(CASE WHEN c.period = 1 THEN CAST(CAST(c.n AS HUGEINT) * 1000000 // t.tot AS BIGINT) ELSE 0 END) AS BIGINT) AS pb
+      |  FROM c JOIN t ON t.event_type = c.event_type AND t.period = c.period
+      |  GROUP BY 1, 2)
+      |SELECT event_type, CAST(sum(abs(pa - pb)) AS BIGINT) AS l1_drift_ppm,
+      |  count(*) AS bins
+      |FROM sh GROUP BY event_type""") { (s, dir) =>
+    val ev = table(s, dir, "events")
+    val e = ev.select(col("event_type"),
+      (graft.core.Graft.tsUs(ev).cast("long") / lit(86400000000L)).cast("long").as("day"),
+      round(col("value").cast("double") * 1000000d).cast("long").as("v"))
+      .localCheckpoint(true) // feeds the midpoint probe AND the binning
+    val mid = e.agg(((min(col("day")) + max(col("day"))) / lit(2L)).cast("long").as("m"))
+    val c = e.crossJoin(broadcast(mid))
+      .select(col("event_type"),
+        when(col("day") <= col("m"), 0).otherwise(1).as("period"),
+        least(lit(9L), greatest(lit(0L), expr("v div 100000000"))).as("bin"))
+      .groupBy(col("event_type"), col("period"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds totals AND shares
+    val t = c.groupBy(col("event_type"), col("period"))
+      .agg(sum(col("n")).cast("long").as("tot"))
+    c.join(broadcast(t), Seq("event_type", "period"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(
+        sum(when(col("period") === 0,
+          expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div tot AS BIGINT)"))
+          .otherwise(0L)).cast("long").as("pa"),
+        sum(when(col("period") === 1,
+          expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div tot AS BIGINT)"))
+          .otherwise(0L)).cast("long").as("pb"))
+      .groupBy(col("event_type"))
+      .agg(sum(abs(col("pa") - col("pb"))).cast("long").as("l1_drift_ppm"),
+        count(lit(1)).as("bins"))
+  }
+
   val all: Vector[Q] =
     Vector(q20AggDescriptor, q21UniqCapped, q22Histogram, q23MaxMin,
       q24Distinct, q25UniqTyped, q78ZscoreOutliers, q82Pivot, q83Unpivot,
       q84Cube, q88Corr, q89Percentiles, q130CmsHeavyHitters, q131HllUsers,
       q134HllMerge, q141ExactPctHist, q153MadOutliers, q174Winsorize,
-      q190WeightedPct)
+      q190WeightedPct, q201DistributionDrift)
 }

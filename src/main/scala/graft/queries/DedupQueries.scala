@@ -1579,6 +1579,99 @@ object DedupQueries {
     Dedup.containmentJoin(docs, 80)
   }
 
+  /** MinHash-LSH DECONTAMINATION — the near-duplicate member of the
+    * decontamination trio (q96 = exact n-gram overlap, q171 = semantic
+    * cosine, this = syntactic near-dup): corpus documents whose bigram
+    * Jaccard against ANY eval-slice document reaches 0.5 are flagged
+    * with hit count and the deterministic argmax offender — catches the
+    * lightly-edited eval copy that shares no exact 8-gram run but is
+    * plainly the same text. The fixture injects real contamination
+    * (each eval doc re-enters the corpus truncated by 5 words under a
+    * new id) so the flag set is load-bearing, and the geometry is the
+    * corpus-derived q51 LSH — candidates only where an eval band bucket
+    * meets a corpus band bucket, never eval×corpus.
+    *
+    * Scale shape: the eval side of the bucket join is eval-sized
+    * (broadcast-able); the corpus side is the q51 band table production
+    * already maintains — decontamination rides the EXISTING index. The
+    * verify intersects bigram-set arrays per candidate (q128's verify
+    * shape); output is per-flagged-doc via one combiner-friendly
+    * argmax aggregation.
+    */
+  val q198LshDecontaminate = Q.checked(
+    "q198_lsh_decontaminate",
+    s"""WITH crawl AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000,
+       |    array_to_string((string_split(text,' '))[1:greatest(len(string_split(text,' ')) - 5, 1)], ' ')
+       |  FROM documents WHERE doc_id % 97 = 0),
+       |toks AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM crawl)
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $duckSig
+       |  FROM toks GROUP BY doc_id
+       |), bands AS (
+       |  $duckBands
+       |), cand AS (
+       |  SELECT DISTINCT e.doc_id AS eid, c.doc_id AS cid
+       |  FROM bands e JOIN bands c ON e.band = c.band AND e.key = c.key
+       |  WHERE e.doc_id % 97 = 0 AND e.doc_id < 1000000
+       |    AND NOT (c.doc_id % 97 = 0 AND c.doc_id < 1000000)
+       |), ov AS (
+       |  SELECT cand.cid, cand.eid, count(*) AS inter
+       |  FROM cand JOIN toks a ON a.doc_id = cand.cid
+       |  JOIN toks b ON b.doc_id = cand.eid AND b.sh = a.sh
+       |  GROUP BY 1, 2
+       |), sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+       |j AS (
+       |  SELECT ov.cid AS doc_id, ov.eid,
+       |    CAST(ov.inter * 1000000 // (sa.n + sb.n - ov.inter) AS BIGINT) AS jac_ppm
+       |  FROM ov JOIN sz sa ON sa.doc_id = ov.cid JOIN sz sb ON sb.doc_id = ov.eid
+       |  WHERE 2 * ov.inter >= sa.n + sb.n - ov.inter),
+       |r AS (
+       |  SELECT doc_id, eid, jac_ppm,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY jac_ppm DESC, eid) AS rn,
+       |    count(*) OVER (PARTITION BY doc_id) AS n_hits
+       |  FROM j)
+       |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits, eid AS top_eid, jac_ppm AS top_jac_ppm
+       |FROM r WHERE rn = 1""") { (s, dir) =>
+    val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val w = split(col("text"), " ")
+    val crawl = docs.unionByName(docs.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", slice(w, lit(1), greatest(size(w) - 5, lit(1)))).as("text")))
+      .localCheckpoint(true) // feeds count, bands, and the verify sets
+    val (b, r) = Dedup.lshGeometry(crawl.count())
+    val bands = Dedup.lshBands(
+      Dedup.minhash(crawl, col("doc_id"), Dedup.bigrams(col("text")), b * r), b, r)
+      .localCheckpoint(true) // both sides of the bucket join
+    // lshBands emits the id column as `id`
+    val isEval = (col("id") % 97 === 0) && (col("id") < 1000000L)
+    val cand = bands.filter(isEval)
+      .select(col("id").as("eid"), col("band"), col("key"))
+      .join(bands.filter(!isEval)
+        .select(col("id").as("cid"), col("band"), col("key")), Seq("band", "key"))
+      .select(col("eid"), col("cid")).distinct()
+    val sets = crawl.select(col("doc_id"),
+      array_distinct(Dedup.bigrams(col("text"))).as("toks"))
+    val j = cand
+      .join(sets.select(col("doc_id").as("cid"), col("toks").as("ta")), "cid")
+      .join(sets.select(col("doc_id").as("eid"), col("toks").as("tb")), "eid")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni", size(col("ta")) + size(col("tb")) - col("inter"))
+      .filter(lit(2) * col("inter") >= col("uni"))
+      .select(col("cid").as("doc_id"), col("eid"),
+        expr("inter * 1000000 div uni").as("jac_ppm"))
+    j.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        max(struct(col("jac_ppm"), (-col("eid")).as("neid"))).as("m"))
+      .select(col("doc_id"), col("n_hits"),
+        (-col("m.neid")).as("top_eid"), col("m.jac_ppm").as("top_jac_ppm"))
+  }
+
   /** PERSONALIZED PageRank — q127's random walk with teleport pinned to
     * a SEED node (the lexicographically first event type) instead of the
     * uniform vector: "importance relative to THIS entity", the
@@ -1658,5 +1751,6 @@ object DedupQueries {
       q142LabelProp, q144SourceOverlap, q155IvmAgg, q158BestKeeper,
       q160BfsDist, q166EntityResolution, q168Kcore, q170TimeTravel,
       q175GoldenRecord, q182KanonAudit, q183IncrementalCc, q188WeightedSssp,
-      q193NormalizedDedup, q194ContainmentJoin, q196PersonalizedPagerank)
+      q193NormalizedDedup, q194ContainmentJoin, q196PersonalizedPagerank,
+      q198LshDecontaminate)
 }

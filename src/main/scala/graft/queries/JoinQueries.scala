@@ -573,9 +573,54 @@ object JoinQueries {
       GROUP BY brand""")
   }
 
+  /** SCD2 dimension BUILD — the other half of q181 (which CONSUMES a
+    * type-2 dimension): turn an attribute change LOG into the
+    * effective/expiry-dated dimension rows themselves. Each key's
+    * changes order by event time; a row's expiry is the next change
+    * minus 1 µs (half-open intervals with no gaps or overlaps by
+    * construction), the latest row stays open (NULL expiry,
+    * is_current). The change log reuses q181's deterministic synthesis
+    * (every customer's base row at t₀; a hash-selected quarter gets a
+    * segment change at 1998-01-01) so the build provably produces the
+    * dimension q181 joins against.
+    *
+    * Scale shape: ONE lead window partitioned by the dimension key —
+    * bounded by a key's own change count (SCD cardinality, never fact
+    * volume); no join, no second scan.
+    */
+  val q202Scd2Build = Q.checked(
+    "q202_scd2_build",
+    """WITH log AS (
+      |  SELECT c_custkey, c_mktsegment AS seg, CAST(0 AS BIGINT) AS ts_us FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 'x' || c_mktsegment, epoch_us(TIMESTAMP '1998-01-01')
+      |  FROM customer
+      |  WHERE ('0x'||substring(md5('scd:'||CAST(c_custkey AS VARCHAR)),1,8))::BIGINT % 4 = 0)
+      |SELECT c_custkey, seg, ts_us AS eff_us,
+      |  lead(ts_us) OVER (PARTITION BY c_custkey ORDER BY ts_us) - 1 AS exp_us,
+      |  CAST(lead(ts_us) OVER (PARTITION BY c_custkey ORDER BY ts_us) IS NULL AS BOOLEAN) AS is_current
+      |FROM log""") { (s, dir) =>
+    import graft.functions.Hashing
+    import org.apache.spark.sql.expressions.Window
+    val cust = table(s, dir, "customer")
+    val log = cust
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"), lit(0L).as("ts_us"))
+      .unionByName(cust
+        .filter(Hashing.hash32(concat(lit("scd:"),
+          col("c_custkey").cast("string"))) % 4 === 0)
+        .select(col("c_custkey"),
+          concat(lit("x"), col("c_mktsegment")).as("seg"),
+          lit(java.time.LocalDate.of(1998, 1, 1).toEpochDay * 86400000000L)
+            .as("ts_us")))
+    val nxt = lead(col("ts_us"), 1).over(
+      Window.partitionBy(col("c_custkey")).orderBy(col("ts_us")))
+    log.select(col("c_custkey"), col("seg"), col("ts_us").as("eff_us"),
+      (nxt - 1).as("exp_us"), nxt.isNull.as("is_current"))
+  }
+
   val all: Vector[Q] =
     Vector(q10JoinInner, q11JoinOuter, q12JoinOverride, q13JoinTagged,
       q14SemiAnti, q63cBloomSemi, q67BucketedJoin, q69AsofJoin, q80RangeJoin,
       q107SaltedJoin, q149StarJoin, q161Attribution, q165DppPrune,
-      q172OverlapJoin, q181Scd2Join, q192ScalarSubquery)
+      q172OverlapJoin, q181Scd2Join, q192ScalarSubquery, q202Scd2Build)
 }

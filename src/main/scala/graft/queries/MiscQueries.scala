@@ -1438,6 +1438,91 @@ object MiscQueries {
           .cast("long").as("fp"))
   }
 
+  /** JOIN-SIZE audit — q173's sibling for the other half of the shuffle
+    * decision: before running a 100 TB join, compute its EXACT output
+    * cardinality from per-key count histograms (Σ over shared keys of
+    * cₗ(k)·cᵣ(k)) plus each side's heaviest key — the numbers that say
+    * broadcast / plain shuffle / salt BEFORE any data moves. Two edges
+    * of the TPC-H star audited in one pass each; the count histograms
+    * are map-side-combined aggs and the product-sum join carries one
+    * row per DISTINCT key, never per row.
+    */
+  val q199JoinSizeAudit = Q.checked(
+    "q199_join_size_audit",
+    """WITH lo AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+      |oo AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+      |lp AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+      |pp AS (SELECT p_partkey AS k, count(*) AS c FROM part GROUP BY 1)
+      |SELECT 'lineitem*orders' AS edge,
+      |  CAST(sum(lo.c * oo.c) AS BIGINT) AS est_rows,
+      |  CAST(max(lo.c) AS BIGINT) AS max_left_key,
+      |  CAST(max(oo.c) AS BIGINT) AS max_right_key
+      |FROM lo JOIN oo ON oo.k = lo.k
+      |UNION ALL
+      |SELECT 'lineitem*part',
+      |  CAST(sum(lp.c * pp.c) AS BIGINT), CAST(max(lp.c) AS BIGINT),
+      |  CAST(max(pp.c) AS BIGINT)
+      |FROM lp JOIN pp ON pp.k = lp.k""") { (s, dir) =>
+    def hist(df: org.apache.spark.sql.DataFrame, key: String) =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+    def edge(name: String, l: org.apache.spark.sql.DataFrame,
+             r: org.apache.spark.sql.DataFrame) =
+      l.join(r.select(col("k"), col("c").as("cr")), "k")
+        .agg(sum(col("c") * col("cr")).cast("long").as("est_rows"),
+          max(col("c")).as("max_left_key"), max(col("cr")).as("max_right_key"))
+        .select(lit(name).as("edge"), col("est_rows"),
+          col("max_left_key"), col("max_right_key"))
+    val li = table(s, dir, "lineitem")
+    edge("lineitem*orders", hist(li, "l_orderkey"),
+        hist(table(s, dir, "orders"), "o_orderkey"))
+      .unionByName(edge("lineitem*part", hist(li, "l_partkey"),
+        hist(table(s, dir, "part"), "p_partkey")))
+  }
+
+  /** ACCUMULATING SNAPSHOT — the classic warehouse fact pattern (one row
+    * per entity, one timestamp column per lifecycle stage, stage-to-
+    * stage latencies): per user the first view / click / purchase in
+    * event time plus the view→click and click→purchase lags, NULL until
+    * the stage happens or when stages arrived out of order (a purchase
+    * before any click yields no click→purchase latency — the guard is
+    * the same CASE on both engines). The funnel family's entity-grain
+    * complement: q138 counts stage conversions, this materializes each
+    * entity's dates — the table BI reads.
+    *
+    * Scale shape: ONE conditional-min aggregation over the event scan
+    * (map-side combined, the q109 conditional-aggregation form), then
+    * pure map-side latency arithmetic. No window, no join, no second
+    * scan.
+    */
+  val q200AccumSnapshot = Q.checked(
+    "q200_accum_snapshot",
+    """WITH s AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view_us,
+      |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click_us,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, first_view_us, first_click_us, first_purchase_us,
+      |  CASE WHEN first_click_us >= first_view_us
+      |       THEN first_click_us - first_view_us END AS view_to_click_us,
+      |  CASE WHEN first_purchase_us >= first_click_us
+      |       THEN first_purchase_us - first_click_us END AS click_to_buy_us
+      |FROM s""") { (s, dir) =>
+    val ev = table(s, dir, "events")
+    val us = graft.core.Graft.tsUs(ev).cast("long")
+    ev.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", us)).as("first_view_us"),
+        min(when(col("event_type") === "click", us)).as("first_click_us"),
+        min(when(col("event_type") === "purchase", us)).as("first_purchase_us"))
+      .select(col("user_id"), col("first_view_us"), col("first_click_us"),
+        col("first_purchase_us"),
+        when(col("first_click_us") >= col("first_view_us"),
+          col("first_click_us") - col("first_view_us")).as("view_to_click_us"),
+        when(col("first_purchase_us") >= col("first_click_us"),
+          col("first_purchase_us") - col("first_click_us")).as("click_to_buy_us"))
+  }
+
   val all: Vector[Q] =
     Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q47bUrlParse, q48Pi, q49TeraGen,
       q54Jdbc, q54bJdbcTextSplit, q54cJdbcDateSplit, q54dJdbcFloatSplit,
@@ -1447,5 +1532,6 @@ object MiscQueries {
       q65TeraSort, q85Json, q86TimeRollup, q90Pipe, q91Xml, q91bXmlFile,
       q132Profile, q138EventFunnel, q139CohortRetention, q151EwmaAnomaly,
       q152DecileBinning, q154RollingActives, q173SkewAudit, q176ImageFeatures,
-      q179AbExperiment, q180FkAudit, q185ItemCf, q191TableFingerprint)
+      q179AbExperiment, q180FkAudit, q185ItemCf, q191TableFingerprint,
+      q199JoinSizeAudit, q200AccumSnapshot)
 }

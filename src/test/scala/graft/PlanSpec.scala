@@ -538,6 +538,42 @@ class PlanSpec extends AnyFunSuite {
       "nearest-cell argmin must prune map-side:\n" + pa.take(3000))
   }
 
+  test("q198 lsh decontamination meets on band buckets: no cartesian, no nested loop") {
+    val p = plan(graft.queries.DedupQueries.q198LshDecontaminate)
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      "eval and corpus must meet on (band, key), never all-pairs:\n" + p.take(3000))
+  }
+
+  test("q199 join-size audit aggregates histograms map-side and joins equi-keyed") {
+    val p = plan(graft.queries.MiscQueries.q199JoinSizeAudit)
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "key histograms must map-side combine:\n" + p.take(3000))
+  }
+
+  test("q200 accumulating snapshot is one scan, no window, no join") {
+    val p = plan(graft.queries.MiscQueries.q200AccumSnapshot)
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("Join"), "the conditional-min form needs no join:\n" + p.take(3000))
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans == 1, s"expected one events scan, saw $scans:\n" + p.take(3000))
+  }
+
+  test("q201 drift monitor plans no window; only the 1-row midpoint broadcast crosses") {
+    val p = plan(graft.queries.AggQueries.q201DistributionDrift)
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q202 scd2 build is one key-partitioned lead window, no join") {
+    val p = plan(JoinQueries.q202Scd2Build)
+    assert(p.contains("windowspecdefinition(c_custkey"),
+      "effective/expiry ranges must come from one per-key window:\n" + p.take(3000))
+    assert(!p.contains("Join"), "the build needs no join:\n" + p.take(3000))
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
