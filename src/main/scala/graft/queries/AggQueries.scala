@@ -756,10 +756,50 @@ object AggQueries {
         count(lit(1)).as("bins"))
   }
 
+  /** DWELL-TIME percentiles — inter-event gap quartiles per event type
+    * (the latency-distribution readout behind engagement and timeout
+    * tuning), composing two proven families: the q189-style per-user
+    * lead window derives each gap (keyed by the EARLIER event's type,
+    * bounded by a user's own history), and
+    * [[graft.operators.Percentiles.exact]] turns gaps into exact
+    * nearest-rank quartiles with NO per-type window — a 100 TB type
+    * never sorts inside one task. The oracle re-derives the thresholds
+    * by the rank window (two algorithms, one answer — the q190
+    * convention).
+    */
+  val q203DwellTimePct = Q.checked(
+    "q203_dwell_time_pct",
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+      |g AS (
+      |  SELECT event_type AS etype,
+      |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS gap
+      |  FROM e QUALIFY gap IS NOT NULL),
+      |n AS (SELECT etype, count(*) AS n FROM g GROUP BY etype),
+      |r AS (SELECT etype, gap, row_number() OVER (PARTITION BY etype ORDER BY gap) AS rn FROM g),
+      |p AS (SELECT CAST(unnest([25, 50, 75]) AS BIGINT) AS p)
+      |SELECT r.etype, p.p, min(r.gap) AS pct, CAST(max(n.n) AS BIGINT) AS n
+      |FROM r JOIN n USING (etype) CROSS JOIN p
+      |WHERE rn >= (p.p * n.n + 99) // 100
+      |GROUP BY r.etype, p.p""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Percentiles
+    val ev = table(s, dir, "events")
+    val gaps = ev.select(col("user_id"), col("event_type"),
+        graft.core.Graft.tsUs(ev).cast("long").as("us"), col("event_id"))
+      .select(col("event_type").as("etype"),
+        (lead(col("us"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id")))
+          - col("us")).as("gap"))
+      .filter(col("gap").isNotNull)
+    Percentiles.exact(gaps, "etype", "gap", Seq(25, 50, 75))
+      .select(col("g").as("etype"), col("p"), col("pct"), col("n"))
+  }
+
   val all: Vector[Q] =
     Vector(q20AggDescriptor, q21UniqCapped, q22Histogram, q23MaxMin,
       q24Distinct, q25UniqTyped, q78ZscoreOutliers, q82Pivot, q83Unpivot,
       q84Cube, q88Corr, q89Percentiles, q130CmsHeavyHitters, q131HllUsers,
       q134HllMerge, q141ExactPctHist, q153MadOutliers, q174Winsorize,
-      q190WeightedPct, q201DistributionDrift)
+      q190WeightedPct, q201DistributionDrift, q203DwellTimePct)
 }

@@ -1523,6 +1523,114 @@ object MiscQueries {
           col("first_purchase_us") - col("first_click_us")).as("click_to_buy_us"))
   }
 
+  /** RFM SEGMENTATION — the product-analytics classic (recency /
+    * frequency / monetary quintile scores per user), built the 100 TB
+    * way: the textbook ntile(5) is a single-partition window over every
+    * user, so the quintile FENCES come from
+    * [[graft.operators.Percentiles.exact]] (4 values per metric, no
+    * window anywhere) and scores are a map-side compare against the
+    * broadcast fence arrays. Recency scores INVERTED (recent = 5);
+    * ties score by strict-below count, identical on both engines. The
+    * oracle re-derives each fence with a rank window — two algorithms,
+    * one answer, three metrics at once.
+    */
+  val q204RfmScores = Q.checked(
+    "q204_rfm_scores",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v
+      |  FROM events),
+      |mx AS (SELECT max(day) AS md FROM e),
+      |u AS (
+      |  SELECT user_id, (SELECT md FROM mx) - max(day) AS rec,
+      |    count(*) AS freq, CAST(sum(v) AS BIGINT) AS mon
+      |  FROM e GROUP BY user_id),
+      |nu AS (SELECT count(*) AS n FROM u),
+      |p AS (SELECT CAST(unnest([20, 40, 60, 80]) AS BIGINT) AS p),
+      |fr AS (SELECT rec AS v, row_number() OVER (ORDER BY rec) AS rn FROM u),
+      |ff AS (SELECT freq AS v, row_number() OVER (ORDER BY freq) AS rn FROM u),
+      |fm AS (SELECT mon AS v, row_number() OVER (ORDER BY mon) AS rn FROM u),
+      |qr AS (SELECT p.p, min(fr.v) AS q FROM fr CROSS JOIN nu CROSS JOIN p
+      |       WHERE fr.rn >= (p.p * nu.n + 99) // 100 GROUP BY p.p),
+      |qf AS (SELECT p.p, min(ff.v) AS q FROM ff CROSS JOIN nu CROSS JOIN p
+      |       WHERE ff.rn >= (p.p * nu.n + 99) // 100 GROUP BY p.p),
+      |qm AS (SELECT p.p, min(fm.v) AS q FROM fm CROSS JOIN nu CROSS JOIN p
+      |       WHERE fm.rn >= (p.p * nu.n + 99) // 100 GROUP BY p.p)
+      |SELECT u.user_id, u.rec, u.freq, u.mon,
+      |  5 - (SELECT count(*) FROM qr WHERE qr.q < u.rec) AS r_score,
+      |  1 + (SELECT count(*) FROM qf WHERE qf.q < u.freq) AS f_score,
+      |  1 + (SELECT count(*) FROM qm WHERE qm.q < u.mon) AS m_score
+      |FROM u""") { (s, dir) =>
+    import graft.operators.Percentiles
+    val ev = table(s, dir, "events")
+    val e = ev.select(col("user_id"),
+      (graft.core.Graft.tsUs(ev).cast("long") / lit(86400000000L)).cast("long").as("day"),
+      round(col("value").cast("double") * 1000000d).cast("long").as("v"))
+    val mx = e.agg(max(col("day")).as("md"))
+    val u = e.crossJoin(broadcast(mx))
+      .groupBy(col("user_id"))
+      .agg((max(col("md")) - max(col("day"))).as("rec"),
+        count(lit(1)).as("freq"), sum(col("v")).as("mon"))
+      .localCheckpoint(true) // feeds three fence derivations + the scoring
+    def fences(metric: String) =
+      Percentiles.exact(u.select(lit("all").as("g"), col(metric).as("m")),
+          "g", "m", Seq(20, 40, 60, 80))
+        .agg(sort_array(collect_list(col("pct"))).as(s"q_$metric"))
+    u.crossJoin(broadcast(fences("rec")))
+      .crossJoin(broadcast(fences("freq")))
+      .crossJoin(broadcast(fences("mon")))
+      .select(col("user_id"), col("rec"), col("freq"), col("mon"),
+        (lit(5) - size(filter(col("q_rec"), q => q < col("rec")))).cast("long").as("r_score"),
+        (lit(1) + size(filter(col("q_freq"), q => q < col("freq")))).cast("long").as("f_score"),
+        (lit(1) + size(filter(col("q_mon"), q => q < col("mon")))).cast("long").as("m_score"))
+  }
+
+  /** ASSOCIATION RULES from order baskets (support / confidence / lift
+    * in integer ppm, min co-occurrence 2) — q185's co-occurrence join
+    * carried to the classic market-basket metrics: support =
+    * P(ante ∧ cons), confidence = P(cons | ante), lift = confidence /
+    * P(cons). Ordered pairs (a rule is directional); the widened
+    * HUGEINT/DECIMAL arithmetic keeps a 100 TB basket count from
+    * wrapping the lift numerator. Same output-scale shape as q185 —
+    * one basket-key equi self-join, counts map-side combined, the
+    * 1-row basket total rides a broadcast.
+    */
+  val q206AssocRules = Q.checked(
+    "q206_assoc_rules",
+    """WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |nb AS (SELECT count(DISTINCT ok) AS n FROM bp),
+      |cnt AS (SELECT pk, count(*) AS c FROM bp GROUP BY pk),
+      |co AS (
+      |  SELECT a.pk AS ante, b.pk AS cons, count(*) AS co
+      |  FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk <> b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT co.ante, co.cons, co.co,
+      |  CAST(CAST(co.co AS HUGEINT) * 1000000 // max(nb.n) AS BIGINT) AS support_ppm,
+      |  CAST(CAST(co.co AS HUGEINT) * 1000000 // max(c1.c) AS BIGINT) AS conf_ppm,
+      |  CAST(CAST(co.co AS HUGEINT) * 1000000 * max(nb.n) // (max(c1.c) * max(c2.c)) AS BIGINT) AS lift_ppm
+      |FROM co JOIN cnt c1 ON c1.pk = co.ante JOIN cnt c2 ON c2.pk = co.cons CROSS JOIN nb
+      |GROUP BY co.ante, co.cons, co.co""") { (s, dir) =>
+    val bp = table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint(true) // feeds totals, item counts, and the self-join
+    val nb = bp.agg(countDistinct(col("ok")).as("n"))
+    val cnt = bp.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val co = bp.alias("a")
+      .join(bp.alias("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .groupBy(col("a.pk").as("ante"), col("b.pk").as("cons"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2)
+    co.join(cnt.select(col("pk").as("ante"), col("c").as("c1")), "ante")
+      .join(cnt.select(col("pk").as("cons"), col("c").as("c2")), "cons")
+      .crossJoin(broadcast(nb))
+      .select(col("ante"), col("cons"), col("co"),
+        expr("CAST(CAST(co AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)").as("support_ppm"),
+        expr("CAST(CAST(co AS DECIMAL(38,0)) * 1000000 div c1 AS BIGINT)").as("conf_ppm"),
+        expr("CAST(CAST(co AS DECIMAL(38,0)) * 1000000 * n div (c1 * c2) AS BIGINT)").as("lift_ppm"))
+  }
+
   val all: Vector[Q] =
     Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q47bUrlParse, q48Pi, q49TeraGen,
       q54Jdbc, q54bJdbcTextSplit, q54cJdbcDateSplit, q54dJdbcFloatSplit,
@@ -1533,5 +1641,5 @@ object MiscQueries {
       q132Profile, q138EventFunnel, q139CohortRetention, q151EwmaAnomaly,
       q152DecileBinning, q154RollingActives, q173SkewAudit, q176ImageFeatures,
       q179AbExperiment, q180FkAudit, q185ItemCf, q191TableFingerprint,
-      q199JoinSizeAudit, q200AccumSnapshot)
+      q199JoinSizeAudit, q200AccumSnapshot, q204RfmScores, q206AssocRules)
 }

@@ -425,9 +425,58 @@ object StreamQueries {
           .as("p_ppm"))
   }
 
+  /** TWO-STEP transition probabilities — q189's Markov matrix SQUARED
+    * (P² in integer ppm): where will a user be two events from now.
+    * The matrix product is one equi join on the middle state plus a
+    * grouped sum — |types|³ multiply-adds over a model-sized input,
+    * nothing event-scale after q189's front half. Floor-ppm products
+    * compose exactly on both engines (Σ aₚₚₘ·bₚₚₘ div 10⁶); row sums
+    * drift below 10⁶ only by the floor remainders, as a fixed-point
+    * matrix should.
+    */
+  val q205Markov2Step = Q.checked(
+    "q205_markov_2step",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+      |p AS (
+      |  SELECT event_type AS cur,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+      |  FROM e),
+      |c AS (SELECT cur, nxt, count(*) AS n FROM p WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+      |t AS (SELECT cur, CAST(sum(n) AS BIGINT) AS outn FROM c GROUP BY cur),
+      |m AS (SELECT c.cur, c.nxt,
+      |  CAST(CAST(c.n AS HUGEINT) * 1000000 // t.outn AS BIGINT) AS ppm
+      |  FROM c JOIN t USING (cur))
+      |SELECT a.cur, b.nxt, CAST(sum(a.ppm * b.ppm) // 1000000 AS BIGINT) AS p2_ppm
+      |FROM m a JOIN m b ON b.cur = a.nxt
+      |GROUP BY a.cur, b.nxt""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val evt = table(s, dir, "events")
+    val e = evt.select(col("user_id"), col("event_id"),
+      graft.core.Graft.tsUs(evt).as("us"), col("event_type"))
+    val c = e
+      .select(col("event_type").as("cur"),
+        lead(col("event_type"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id")))
+          .as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds the out-degree rollup and the matrix
+    val t = c.groupBy(col("cur")).agg(sum(col("n")).as("outn"))
+    val m = c.join(broadcast(t), "cur")
+      .select(col("cur"), col("nxt"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div outn AS BIGINT)")
+          .as("ppm"))
+      .localCheckpoint(true) // both sides of the matrix product
+    m.select(col("cur"), col("nxt").as("mid"), col("ppm").as("appm"))
+      .join(m.select(col("cur").as("mid"), col("nxt"), col("ppm").as("bppm")), "mid")
+      .groupBy(col("cur"), col("nxt"))
+      .agg(expr("sum(appm * bppm) div 1000000").as("p2_ppm"))
+  }
+
   val all: Vector[Q] =
     Vector(q66StreamApiSort, q68Sessionize, q92StreamCli, q93StreamPipeline,
       q95StreamHistogram, q112StreamSeqfile, q113StreamSeqfileOut,
       q122IngestDedup, q148Conversations, q157EventPaths,
-      q189TransitionMatrix)
+      q189TransitionMatrix, q205Markov2Step)
 }

@@ -2263,6 +2263,32 @@ object TextQueries {
     }
   }
 
+  /** EXACT-k stratified sample — q76's fractional split's fixed-quota
+    * sibling (eval-set construction wants "exactly 5 per language", not
+    * "5%"): per stratum the k lowest md5(doc_id) ranks win, so the
+    * sample is deterministic, reproducible, and uniformly random under
+    * the hash. The per-stratum rank is WindowGroupLimit-prunable
+    * (losers drop map-side — the q102 cap shape), so a 100 TB stratum
+    * never sorts whole.
+    */
+  val q207ExactKSample = Q.checked(
+    "q207_exact_k_sample",
+    """SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 5""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    table(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("doc_id"), col("rk"))
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
@@ -2273,5 +2299,5 @@ object TextQueries {
       q123BigramLm, q129Bm25, q136TermDrift, q140DsirSelect, q143TrainShuffle,
       q146HtmlExtract, q147PerceptronTrain, q150RagPipeline, q150bRagHybrid,
       q156QualityBudget, q162WeightedSample, q164NewTerms, q184BpeApply,
-      q186BooleanBm25)
+      q186BooleanBm25, q207ExactKSample)
 }

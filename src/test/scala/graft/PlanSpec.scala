@@ -574,6 +574,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "the build needs no join:\n" + p.take(3000))
   }
 
+  test("q203/q204 percentile compositions stay window-free past the gap/user stage") {
+    // the ONLY window either query owns is the per-user lead deriving
+    // gaps (q203) — the percentile machinery itself must plan no window
+    // and no cartesian in the post-checkpoint composition
+    val p3 = plan(graft.queries.AggQueries.q203DwellTimePct)
+    assert(!p3.contains("Window"), p3.take(3000))
+    assert(!p3.contains("CartesianProduct"), p3.take(3000))
+    val p4 = plan(graft.queries.MiscQueries.q204RfmScores)
+    assert(!p4.contains("Window"),
+      "RFM scoring must not fall back to a global ntile window:\n" + p4.take(3000))
+    assert(!p4.contains("CartesianProduct"), p4.take(3000))
+  }
+
+  test("q205 matrix product is an equi join on the middle state with map-side sums") {
+    val p = plan(graft.queries.StreamQueries.q205Markov2Step)
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "P² cells must map-side combine:\n" + p.take(3000))
+  }
+
+  test("q206 association rules join equi-keyed; the 1-row total broadcasts") {
+    val p = plan(graft.queries.MiscQueries.q206AssocRules)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q207 exact-k sample rank prunes map-side (WindowGroupLimit)") {
+    val p = plan(graft.queries.TextQueries.q207ExactKSample)
+    assert(p.contains("WindowGroupLimit"),
+      "per-stratum k must prune losers map-side:\n" + p.take(3000))
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB

@@ -428,6 +428,44 @@ class SoakTest extends AnyFunSuite {
     }
   }
 
+  soakGated("100x soak: round-14 batch-2 (dwell pct, RFM, assoc rules, 2-step markov)") {
+    // events x100 disjoint users (q203 gap windows per user stay small,
+    // q204 aggregates 100x users, q205's model stays |types|-sized);
+    // lineitem x100 shifted orders (q206 pair volume scales linearly,
+    // the q185 law)
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak-r14b"
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    (0 until 100).map(i => ev
+        .withColumn("event_id", col("event_id") + lit(i * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    (0 until 100).map(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"SOAKR14B $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$rows")
+    }
+    time("q203_dwell_time_pct") {
+      graft.queries.AggQueries.q203DwellTimePct.run(spark, dir).count()
+    }
+    time("q204_rfm_scores") {
+      graft.queries.MiscQueries.q204RfmScores.run(spark, dir).count()
+    }
+    time("q205_markov_2step") {
+      graft.queries.StreamQueries.q205Markov2Step.run(spark, dir).count()
+    }
+    time("q206_assoc_rules") {
+      graft.queries.MiscQueries.q206AssocRules.run(spark, dir).count()
+    }
+  }
+
   soakGated("100x soak: round-13 families (BPE train loop, hybrid RAG serving)") {
     // ~500k docs — the BPE loop's vocab collapse and the chunk index's
     // √N geometry both grow past the verify config (cells(~700k chunks)
