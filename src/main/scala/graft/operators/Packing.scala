@@ -183,6 +183,44 @@ object Packing {
     out
   }
 
+  /** INCLUSIVE running total of LONG `valueCol` in `(orderCols…)` order,
+    * appended as `cum` — the value-weighted sibling of [[globalRank]]
+    * (same two-pass distributed prefix sum; the driver sees one partial
+    * sum per partition, never data). The order must be total (include a
+    * unique tiebreak column); descending orders are expressed by
+    * pre-negating the sort key. Accumulates in Long — callers own the
+    * no-overflow bound on Σ|value| (document it at the call site).
+    */
+  def runningTotal(df: DataFrame, orderCols: Seq[String], valueCol: String,
+                   parts: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val keys = orderCols.map(col)
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val sorted = df
+      .repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .rdd
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sums = sorted
+      .mapPartitionsWithIndex { case (i, it) =>
+        Iterator.single(i -> it.foldLeft(0L)((n, r) => n + r.getLong(vIdx)))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val cum = sorted.mapPartitionsWithIndex { case (i, it) =>
+      var acc = offsets(i)
+      it.map { row =>
+        acc += row.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ acc)
+      }
+    }
+    val out = spark.createDataFrame(cum,
+        df.schema.add("cum", org.apache.spark.sql.types.LongType, nullable = false))
+      .localCheckpoint(true)
+    sorted.unpersist(false)
+    out
+  }
+
   /** [[tokenOffsets]] plus the sequence assignment at `seqLen` tokens:
     * first/last sequence index per doc and whether the doc straddles a
     * sequence boundary (the span a loader must reassemble).

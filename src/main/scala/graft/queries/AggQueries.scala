@@ -796,10 +796,54 @@ object AggQueries {
       .select(col("g").as("etype"), col("p"), col("pct"), col("n"))
   }
 
+  /** PARETO / ABC classification — the revenue-concentration report
+    * (which parts make the first 80% / next 15% / long tail), built
+    * WITHOUT the textbook global running-sum window (a single-partition
+    * sort of the whole catalog — the one-task cliff):
+    * [[graft.operators.Packing.runningTotal]] computes the inclusive
+    * cumulative revenue over the (revenue desc, part) total order by
+    * the two-pass distributed prefix sum — the driver holds one partial
+    * per partition. Classification is an exact integer compare
+    * (100·cum vs 80·total / 95·total; Σ revenue cents ≤ ~6e16 at
+    * 100 TB, two orders under the Long bound). The oracle IS the
+    * textbook window — two algorithms, one answer.
+    */
+  val q208ParetoAbc = Q.checked(
+    "q208_pareto_abc",
+    """WITH r AS (
+      |  SELECT l_partkey AS pk,
+      |    CAST(sum(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY l_partkey),
+      |t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total FROM r),
+      |c AS (
+      |  SELECT pk, rev_c,
+      |    CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, pk) AS BIGINT) AS cum
+      |  FROM r)
+      |SELECT c.pk, c.rev_c, c.cum,
+      |  CASE WHEN 100 * c.cum <= 80 * t.total THEN 'A'
+      |       WHEN 100 * c.cum <= 95 * t.total THEN 'B'
+      |       ELSE 'C' END AS cls
+      |FROM c CROSS JOIN t""") { (s, dir) =>
+    import graft.operators.Packing
+    val r = table(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(round(col("l_extendedprice").cast("double") * 100).cast("long"))
+        .cast("long").as("rev_c"))
+      .withColumn("neg", -col("rev_c"))
+    val cum = Packing.runningTotal(r, Seq("neg", "pk"), "rev_c")
+    val t = cum.agg(max(col("cum")).as("total")) // inclusive max = grand total
+    cum.crossJoin(broadcast(t))
+      .select(col("pk"), col("rev_c"), col("cum"),
+        when(lit(100) * col("cum") <= lit(80) * col("total"), "A")
+          .when(lit(100) * col("cum") <= lit(95) * col("total"), "B")
+          .otherwise("C").as("cls"))
+  }
+
   val all: Vector[Q] =
     Vector(q20AggDescriptor, q21UniqCapped, q22Histogram, q23MaxMin,
       q24Distinct, q25UniqTyped, q78ZscoreOutliers, q82Pivot, q83Unpivot,
       q84Cube, q88Corr, q89Percentiles, q130CmsHeavyHitters, q131HllUsers,
       q134HllMerge, q141ExactPctHist, q153MadOutliers, q174Winsorize,
-      q190WeightedPct, q201DistributionDrift, q203DwellTimePct)
+      q190WeightedPct, q201DistributionDrift, q203DwellTimePct,
+      q208ParetoAbc)
 }

@@ -1743,6 +1743,33 @@ object DedupQueries {
     ranks
   }
 
+  /** DEGREE DISTRIBUTION of the near-dup candidate graph — the
+    * graph-QA readout run before committing to a CC/k-core pass (a
+    * heavy-tailed degree histogram predicts hot components and says
+    * whether the bucket cap is binding): per decimal-digit bin
+    * (1–9, 10–99, …, the portable integer log scale — no cross-engine
+    * float log2 at bin boundaries), the node count and min/max degree.
+    * One degree aggregation over the capped q51 candidate list, then a
+    * bins-sized rollup — output is log-scale-sized, never graph-sized.
+    */
+  val q209DegreeDist = Q.checked(
+    "q209_degree_dist",
+    s"""WITH $duckCandCtes, e AS (
+       |  SELECT a AS id FROM cand UNION ALL SELECT b FROM cand
+       |), d AS (SELECT id, count(*) AS deg FROM e GROUP BY id)
+       |SELECT CAST(length(CAST(deg AS VARCHAR)) AS BIGINT) AS bin,
+       |  count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
+       |FROM d GROUP BY 1""") { (s, dir) =>
+    val docs = table(s, dir, "documents")
+    val cand = Dedup.candidatePairs(autoBands(docs))
+    cand.select(col("a").as("id"))
+      .unionByName(cand.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .groupBy(length(col("deg").cast("string")).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+  }
+
   val all: Vector[Q] =
     Vector(q50DedupExact, q51MinhashLsh, q52Simhash, q53Jaccard,
       q57EmbedDedup, q58DedupGroups, q59DedupApply, q87Triangles,
@@ -1752,5 +1779,5 @@ object DedupQueries {
       q160BfsDist, q166EntityResolution, q168Kcore, q170TimeTravel,
       q175GoldenRecord, q182KanonAudit, q183IncrementalCc, q188WeightedSssp,
       q193NormalizedDedup, q194ContainmentJoin, q196PersonalizedPagerank,
-      q198LshDecontaminate)
+      q198LshDecontaminate, q209DegreeDist)
 }

@@ -66,6 +66,23 @@ class PackingSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(0L, 2L))
   }
 
+  test("runningTotal equals the window running sum at any partition count") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(77)
+    val df = (1 to 500).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+      .toDF("k", "v")
+      .withColumn("neg", -col("v")) // desc order via negation, the contract
+    for (parts <- Seq(1, 3, 32)) {
+      val got = Packing.runningTotal(df, Seq("neg", "k"), "v", parts)
+        .select(col("k"), col("cum")).as[(Long, Long)].collect().toMap
+      val want = df.withColumn("cum",
+          sum(col("v")).over(Window.orderBy(col("neg"), col("k"))))
+        .select(col("k"), col("cum")).as[(Long, Long)].collect().toMap
+      assert(got == want, s"diverged at parts=$parts")
+    }
+  }
+
   test("selectUnderBudget keeps the maximal score-ordered prefix, any partition count") {
     import org.apache.spark.sql.functions.{col, length}
     val rnd = new scala.util.Random(77)

@@ -606,6 +606,23 @@ class PlanSpec extends AnyFunSuite {
       "per-stratum k must prune losers map-side:\n" + p.take(3000))
   }
 
+  test("q208 pareto classification plans no global window") {
+    // the cumulative revenue comes from the distributed prefix sum —
+    // a single-partition running-sum window over the catalog is exactly
+    // what this query exists to avoid
+    val p = plan(graft.queries.AggQueries.q208ParetoAbc)
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q209 degree distribution is two agg levels over the candidate list") {
+    val p = plan(graft.queries.DedupQueries.q209DegreeDist)
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "degree counts must map-side combine:\n" + p.take(3000))
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
