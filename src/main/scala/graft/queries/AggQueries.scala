@@ -839,11 +839,88 @@ object AggQueries {
           .otherwise("C").as("cls"))
   }
 
+  /** PER-SEGMENT OLS TREND — slope / intercept / R² of monthly revenue
+    * per nation, fit in closed form from exact integer sufficient
+    * statistics (n, Σx, Σy, Σx², Σxy, Σy² — the normal equations), never
+    * an iterative solver and never an engine-ordered float accumulation:
+    * the only floats are the final int→double conversions and one IEEE
+    * divide per coefficient, identical in both engines (values past int64
+    * convert via an explicit hi/lo 2^32 split — the engines' native wide-
+    * int→double conversions round differently, the split op tree doesn't). Two aggregation levels, both map-side combined: event-scale
+    * orders collapse to (nation × month) monthly totals first, then the
+    * model-sized monthly series folds to six sufficient statistics per
+    * nation. Σy² and the cross terms (Σx·Σy, Σy²·n) exceed the Long bound
+    * past ~sf100, so the second level accumulates in DECIMAL(38,0)
+    * (HUGEINT on the oracle side) — exact at any scale the 38-digit bound
+    * admits (Σy² at 100 TB ≈ 1e29 « 1e38).
+    */
+  val q210RegrTrend = Q.checked(
+    "q210_regr_trend",
+    """WITH m AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+      |    CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS BIGINT) AS x,
+      |    CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |st AS (
+      |  SELECT nk, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(x * x) AS HUGEINT) AS sxx, CAST(sum(x * y) AS HUGEINT) AS sxy,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      |  FROM m GROUP BY nk),
+      |c AS (
+      |  SELECT nk, n,
+      |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+      |    CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+      |    CAST(sy * sxx - sx * sxy AS DOUBLE) AS inum,
+      |    CAST(CAST((n * syy - sy * sy) // 4294967296 AS BIGINT) AS DOUBLE)
+      |      * 4294967296 +
+      |    CAST(CAST((n * syy - sy * sy) % 4294967296 AS BIGINT) AS DOUBLE) AS vy
+      |  FROM st)
+      |SELECT nk, CAST(n AS BIGINT) AS n_months,
+      |  CASE WHEN den = 0 THEN NULL ELSE num / den END AS slope,
+      |  CASE WHEN den = 0 THEN NULL ELSE inum / den END AS intercept,
+      |  CASE WHEN den = 0 OR vy = 0 THEN NULL
+      |       ELSE (num * num) / (den * vy) END AS r2
+      |FROM c""") { (s, dir) =>
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val m = table(s, dir, "orders")
+      .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nk"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("x"))
+      .agg(sum(round(col("o_totalprice").cast("double") * 100).cast("long"))
+        .cast("long").as("y"))
+    val st = m.groupBy(col("nk"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x")).cast(d38).as("sx"),
+        sum(col("y")).cast(d38).as("sy"),
+        sum(col("x") * col("x")).cast(d38).as("sxx"),
+        sum(col("x") * col("y")).cast(d38).as("sxy"),
+        sum(col("y").cast(d38) * col("y").cast(d38)).cast(d38).as("syy"))
+    val num  = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den  = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val inum = (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+    // Σy²-scale values exceed int64, where the two engines' wide-int →
+    // double conversions round differently (DuckDB's int128 path double-
+    // rounds). Convert via an explicit hi/lo 2^32 split instead: both
+    // halves are int64-range (correctly-rounded hardware conversions) and
+    // the recombination is the identical IEEE op tree in both engines.
+    val st2 = st.withColumn("vy0", col("n") * col("syy") - col("sy") * col("sy"))
+    val vy = expr("CAST(vy0 DIV 4294967296 AS DOUBLE)") * lit(4294967296d) +
+      expr("CAST(vy0 % 4294967296 AS DOUBLE)")
+    st2.select(col("nk"), col("n").cast("long").as("n_months"),
+      when(den === 0d, lit(null)).otherwise(num / den).as("slope"),
+      when(den === 0d, lit(null)).otherwise(inum / den).as("intercept"),
+      when(den === 0d || vy === 0d, lit(null))
+        .otherwise((num * num) / (den * vy)).as("r2"))
+  }
+
   val all: Vector[Q] =
     Vector(q20AggDescriptor, q21UniqCapped, q22Histogram, q23MaxMin,
       q24Distinct, q25UniqTyped, q78ZscoreOutliers, q82Pivot, q83Unpivot,
       q84Cube, q88Corr, q89Percentiles, q130CmsHeavyHitters, q131HllUsers,
       q134HllMerge, q141ExactPctHist, q153MadOutliers, q174Winsorize,
       q190WeightedPct, q201DistributionDrift, q203DwellTimePct,
-      q208ParetoAbc)
+      q208ParetoAbc, q210RegrTrend)
 }

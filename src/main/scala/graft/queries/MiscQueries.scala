@@ -1631,6 +1631,41 @@ object MiscQueries {
         expr("CAST(CAST(co AS DECIMAL(38,0)) * 1000000 * n div (c1 * c2) AS BIGINT)").as("lift_ppm"))
   }
 
+  /** ACTIVITY STREAKS — the gaps-and-islands report (longest run of
+    * consecutive active days per user, how many distinct streaks, total
+    * active days): the classic engagement metric behind "7-day streak"
+    * badges and retention dashboards. Event-scale input collapses to the
+    * distinct user-day grid first (one map-side-combined distinct), then
+    * the island key is `day − row_number` over a PER-USER window — bounded
+    * by one user's active days, never a global sort — and the rest is two
+    * more user-keyed aggregations that reuse the same partitioning. At
+    * 100 TB the only event-scale shuffle is the initial distinct.
+    */
+  val q212Streaks = Q.checked(
+    "q212_streaks",
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |r AS (
+      |  SELECT user_id,
+      |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS isl
+      |  FROM d),
+      |st AS (SELECT user_id, isl, count(*) AS len FROM r GROUP BY 1, 2)
+      |SELECT user_id, CAST(max(len) AS BIGINT) AS best_streak,
+      |  count(*) AS n_streaks, CAST(sum(len) AS BIGINT) AS active_days
+      |FROM st GROUP BY user_id""") { (s, dir) =>
+    val days = table(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("isl", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("best_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).cast("long").as("active_days"))
+  }
+
   val all: Vector[Q] =
     Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q47bUrlParse, q48Pi, q49TeraGen,
       q54Jdbc, q54bJdbcTextSplit, q54cJdbcDateSplit, q54dJdbcFloatSplit,
@@ -1641,5 +1676,6 @@ object MiscQueries {
       q132Profile, q138EventFunnel, q139CohortRetention, q151EwmaAnomaly,
       q152DecileBinning, q154RollingActives, q173SkewAudit, q176ImageFeatures,
       q179AbExperiment, q180FkAudit, q185ItemCf, q191TableFingerprint,
-      q199JoinSizeAudit, q200AccumSnapshot, q204RfmScores, q206AssocRules)
+      q199JoinSizeAudit, q200AccumSnapshot, q204RfmScores, q206AssocRules,
+      q212Streaks)
 }

@@ -271,8 +271,56 @@ object SortQueries {
       .filter(col("dr") <= 3)
   }
 
+  /** EQUI-DEPTH (ntile) BINNING over the full price distribution without
+    * the textbook `ntile(k) OVER (ORDER BY …)` — a global window is a
+    * single-partition sort of the whole fact table, the one-task cliff.
+    * [[graft.operators.Packing.globalRank]] assigns the global rank by the
+    * two-pass distributed prefix sum (range-partition on the sort key, one
+    * row count per partition to the driver), and ANSI ntile is then pure
+    * per-row arithmetic on (rank, n): the first n%k buckets take
+    * ceil(n/k) rows, the rest floor(n/k) — integer-exact in both engines.
+    * Output is k boundary rows (count + min/max cents per bucket): the
+    * equi-depth histogram a lakehouse publishes as quantile statistics.
+    * The order must be total, so (price, orderkey, linenumber) carries a
+    * unique tiebreak.
+    */
+  val q211EquidepthBins = Q.checked(
+    "q211_equidepth_bins",
+    """WITH v AS (
+      |  SELECT CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS c,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT c, ntile(16) OVER (ORDER BY c, l_orderkey, l_linenumber) AS bucket
+      |  FROM v)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+      |  min(c) AS min_c, max(c) AS max_c
+      |FROM b GROUP BY 1""") { (s, dir) =>
+    import graft.operators.Packing
+    val k = 16
+    val v = table(s, dir, "lineitem")
+      .select(round(col("l_extendedprice").cast("double") * 100).cast("long").as("c"),
+        col("l_orderkey"), col("l_linenumber"))
+    val ranked = Packing.globalRank(v, Seq("c", "l_orderkey", "l_linenumber"))
+    val t = ranked.agg(count(lit(1)).as("n_total"))
+    // ANSI ntile from (1-based rank r, n): q = n div k, m = n mod k,
+    // cut = (q+1)*m; bucket = r <= cut ? (r-1) div (q+1) + 1
+    //                                  : m + (r-cut-1) div q + 1
+    ranked.crossJoin(broadcast(t))
+      .select(col("c"),
+        (col("rank") + 1).as("r"),
+        expr(s"n_total DIV $k").as("q"),
+        (col("n_total") % k).as("m"))
+      .withColumn("cut", (col("q") + 1) * col("m"))
+      .withColumn("bucket",
+        expr("CASE WHEN r <= cut THEN (r - 1) DIV (q + 1) + 1" +
+          " ELSE m + (r - cut - 1) DIV q + 1 END"))
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+  }
+
   val all: Vector[Q] =
     Vector(q30SortValidate, q31SecondarySort, q32KeyFieldSort, q33FieldSel,
       q36WindowRunning, q37Rollup, q38KeyFieldPartition, q81WindowFamily,
-      q126Zorder, q159RangeFrame, q163TopTies)
+      q126Zorder, q159RangeFrame, q163TopTies, q211EquidepthBins)
 }

@@ -2289,6 +2289,124 @@ object TextQueries {
       .select(col("lang"), col("doc_id"), col("rk"))
   }
 
+  /** PRIORITY SAMPLING (Duffield–Lund–Thorup) — the O(1)-per-document
+    * scale path for weighted sampling without replacement: priority
+    * q_i = w_i/u_i with u_i a seeded uniform, take the k largest.
+    * [[q162WeightedSample]]'s min-of-tickets construction pays one row
+    * per TOKEN for exactness; at 100 TB that is a full token-scale pass
+    * just to draw a sample. Here the priority is one hash per DOCUMENT:
+    * u_i is the 40-bit md5 slot (u40 ∈ [1, 2^40]) and the priority is
+    * the exact integer ⌊w·2^40 / u40⌋ — the same w/u rational both
+    * engines floor identically, zero floats. Top-k plans as
+    * TakeOrderedAndProject (map-side bounded heap, never a global sort).
+    * w·2^40 ≤ 9.2e18 bounds w at ~8.4M — chars-per-doc, not corpus
+    * size, so the bound is scale-independent.
+    */
+  val q213PrioritySample = Q.checked(
+    "q213_priority_sample",
+    """WITH p AS (
+      |  SELECT doc_id, n_chars AS w,
+      |    ('0x' || substring(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT + 1 AS u40
+      |  FROM documents)
+      |SELECT doc_id, w, w * 1099511627776 // u40 AS prio
+      |FROM p ORDER BY prio DESC, doc_id LIMIT 100""") { (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").as("w"),
+        (conv(substring(md5(concat(lit("ps:"), col("doc_id").cast("string"))), 1, 10),
+          16, 10).cast("long") + 1).as("u40"))
+      .withColumn("prio", expr("w * 1099511627776 DIV u40"))
+      .select(col("doc_id"), col("w"), col("prio"))
+      .orderBy(col("prio").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  /** FEATURE HASHING (the hashing trick, Weinberger et al.) — fixed-
+    * dimension sparse vectorization without a vocabulary table: every
+    * token hashes to one of 1024 dims (md5 slot mod d) with a ±1 sign
+    * from an independent hash bit, so collisions cancel in expectation.
+    * The corpus-level readout per dim — occupancy (token count), load
+    * (distinct tokens: the collision census) and the signed sum — is the
+    * hash-quality audit run before committing a feature space. One
+    * map-side-combined aggregation from token scale to exactly d rows;
+    * no vocabulary shuffle, no top-k, nothing corpus-sized downstream —
+    * the whole point of the trick at 100 TB.
+    */
+  val q214FeatureHash = Q.checked(
+    "q214_feature_hash",
+    """WITH t AS (
+      |  SELECT unnest(string_split_regex(text, '[ \t\n\r\f\x0B]+')) AS w FROM documents),
+      |f AS (
+      |  SELECT w,
+      |    ('0x' || substring(md5(w), 1, 8))::BIGINT % 1024 AS dim,
+      |    CASE WHEN ('0x' || substring(md5(w), 9, 1))::BIGINT % 2 = 0
+      |         THEN 1 ELSE -1 END AS sgn
+      |  FROM t WHERE length(w) > 0)
+      |SELECT dim, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct,
+      |  CAST(sum(sgn) AS BIGINT) AS signed_sum
+      |FROM f GROUP BY dim""") { (s, dir) =>
+    val toks = table(s, dir, "documents")
+      .select(explode(split(col("text"), "[ \t\n\r\f\\x0B]+")).as("w"))
+      .filter(length(col("w")) > 0)
+    toks
+      .select(col("w"),
+        (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 1024).as("dim"),
+        when(conv(substring(md5(col("w")), 9, 1), 16, 10).cast("long") % 2 === 0, 1L)
+          .otherwise(-1L).as("sgn"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("n_distinct"),
+        sum(col("sgn")).cast("long").as("signed_sum"))
+  }
+
+  /** KNESER–NEY smoothed bigram LM — [[q123BigramLm]]'s MLE estimate
+    * upgraded to the smoothing real LM scoring uses (absolute discount
+    * d = 3/4 with the continuation-probability backoff):
+    * P(w2|w1) = [max(c12 − d, 0) + d·N1+(w1·)·Pcont(w2)] / c1 with
+    * Pcont(w2) = N1+(·w2)/N1+(··). Computed entirely in integers by
+    * clearing denominators (d = 3/4 → quarters):
+    * ppm = ⌊10⁶·((4c12−3)₊·Ncc + 3·fol(w1)·pre(w2)) / (4·c1·Ncc)⌋,
+    * accumulated in DECIMAL(38,0)/HUGEINT so the clearing products are
+    * exact at any scale. The sufficient statistics (c1, follower and
+    * predecessor type counts, the distinct-bigram total) all derive from
+    * the one bigram-count table by re-aggregation — vocab-bounded, never
+    * corpus-bounded; output restricted to c12 ≥ 5 like q77.
+    */
+  val q215KneserNey = Q.checked(
+    "q215_kneser_ney",
+    """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |bi AS (SELECT unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS bg FROM w),
+      |bc AS (SELECT bg, count(*) AS c12 FROM bi GROUP BY bg),
+      |w1s AS (SELECT split_part(bg, ' ', 1) AS w1a, CAST(sum(c12) AS BIGINT) AS c1,
+      |        count(*) AS fol FROM bc GROUP BY 1),
+      |w2s AS (SELECT split_part(bg, ' ', 2) AS w2b, count(*) AS pre FROM bc GROUP BY 1),
+      |t AS (SELECT count(*) AS ncc FROM bc)
+      |SELECT bc.bg, bc.c12, w1s.c1, w1s.fol, w2s.pre,
+      |  CAST((CAST(greatest(4*bc.c12 - 3, 0) AS HUGEINT) * t.ncc * 1000000
+      |        + CAST(3 AS HUGEINT) * w1s.fol * w2s.pre * 1000000)
+      |       // (CAST(4 AS HUGEINT) * w1s.c1 * t.ncc) AS BIGINT) AS pkn_ppm
+      |FROM bc
+      |JOIN w1s ON w1s.w1a = split_part(bc.bg, ' ', 1)
+      |JOIN w2s ON w2s.w2b = split_part(bc.bg, ' ', 2)
+      |CROSS JOIN t
+      |WHERE bc.c12 >= 5""") { (s, dir) =>
+    import graft.operators.Dedup
+    val docs = table(s, dir, "documents")
+    val bc = docs.select(explode(Dedup.bigrams(col("text"))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val w1s = bc.groupBy(substring_index(col("bg"), " ", 1).as("w1a"))
+      .agg(sum(col("c12")).cast("long").as("c1"), count(lit(1)).as("fol"))
+    val w2s = bc.groupBy(substring_index(col("bg"), " ", -1).as("w2b"))
+      .agg(count(lit(1)).as("pre"))
+    val t = bc.agg(count(lit(1)).as("ncc"))
+    bc.filter(col("c12") >= 5)
+      .join(w1s, substring_index(col("bg"), " ", 1) === col("w1a"))
+      .join(w2s, substring_index(col("bg"), " ", -1) === col("w2b"))
+      .crossJoin(broadcast(t))
+      .select(col("bg"), col("c12"), col("c1"), col("fol"), col("pre"),
+        expr("CAST((CAST(greatest(4*c12 - 3, 0) AS DECIMAL(38,0)) * ncc * 1000000" +
+          " + CAST(3 AS DECIMAL(38,0)) * fol * pre * 1000000)" +
+          " DIV (CAST(4 AS DECIMAL(38,0)) * c1 * ncc) AS BIGINT)").as("pkn_ppm"))
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
@@ -2299,5 +2417,6 @@ object TextQueries {
       q123BigramLm, q129Bm25, q136TermDrift, q140DsirSelect, q143TrainShuffle,
       q146HtmlExtract, q147PerceptronTrain, q150RagPipeline, q150bRagHybrid,
       q156QualityBudget, q162WeightedSample, q164NewTerms, q184BpeApply,
-      q186BooleanBm25, q207ExactKSample)
+      q186BooleanBm25, q207ExactKSample, q213PrioritySample, q214FeatureHash,
+      q215KneserNey)
 }

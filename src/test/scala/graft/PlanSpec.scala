@@ -623,6 +623,51 @@ class PlanSpec extends AnyFunSuite {
       "degree counts must map-side combine:\n" + p.take(3000))
   }
 
+  test("q210 regression trend is two agg levels, no window, no solver loop") {
+    val p = plan(graft.queries.AggQueries.q210RegrTrend)
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "sufficient statistics must map-side combine:\n" + p.take(3000))
+  }
+
+  test("q211 equi-depth binning plans no global window") {
+    // the global rank comes from the distributed prefix sum; a
+    // single-partition ntile window is exactly what this query avoids
+    val p = plan(graft.queries.SortQueries.q211EquidepthBins)
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q212 streak windows stay user-partitioned") {
+    val p = plan(graft.queries.MiscQueries.q212Streaks)
+    // the one window must carry the user_id partition spec — a global
+    // (unpartitioned) row_number would single-task the whole grid
+    assert("Window.*user_id".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q213 priority sample is a bounded top-k, no window, no global sort") {
+    val p = plan(graft.queries.TextQueries.q213PrioritySample)
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q214 feature hashing is joinless map-side-combined aggregation") {
+    val p = plan(graft.queries.TextQueries.q214FeatureHash)
+    assert(!p.contains("Join"), "no join belongs in the hashing trick:\n" + p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("q215 kneser-ney joins equi-keyed; the 1-row total broadcasts") {
+    val p = plan(graft.queries.TextQueries.q215KneserNey)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "bigram counts must map-side combine:\n" + p.take(3000))
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
