@@ -916,11 +916,45 @@ object AggQueries {
         .otherwise((num * num) / (den * vy)).as("r2"))
   }
 
+  /** PER-GROUP MIN-MAX SCALING — the feature-normalization pass an ML
+    * pipeline runs before training (each value mapped to [0, 1] within
+    * its group), kept integer-exact end to end: values pre-scale to
+    * micros, the per-group (min, max) is one map-side-combined agg
+    * broadcast back onto the fact rows (group count is type-bounded,
+    * never event-bounded), and the scaled feature is the exact floor
+    * division ⌊(v−min)·10⁶/(max−min)⌋ in ppm — no float division to
+    * drift cross-engine. A degenerate (constant) group scales to NULL
+    * explicitly rather than dividing by zero. The fact table shuffles
+    * zero times: scan → broadcast-join → project.
+    */
+  val q216MinmaxScale = Q.checked(
+    "q216_minmax_scale",
+    """WITH v AS (
+      |  SELECT event_id, event_type,
+      |    CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS vm
+      |  FROM events),
+      |st AS (SELECT event_type AS et, min(vm) AS mn, max(vm) AS mx
+      |       FROM v GROUP BY 1)
+      |SELECT event_id, event_type, vm,
+      |  CASE WHEN mx = mn THEN NULL
+      |       ELSE (vm - mn) * 1000000 // (mx - mn) END AS scaled_ppm
+      |FROM v JOIN st ON st.et = v.event_type""") { (s, dir) =>
+    val v = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value").cast("double") * 1000000).cast("long").as("vm"))
+    val st = v.groupBy(col("event_type").as("et"))
+      .agg(min(col("vm")).as("mn"), max(col("vm")).as("mx"))
+    v.join(broadcast(st), col("event_type") === col("et"))
+      .select(col("event_id"), col("event_type"), col("vm"),
+        when(col("mx") === col("mn"), lit(null))
+          .otherwise(expr("(vm - mn) * 1000000 DIV (mx - mn)")).as("scaled_ppm"))
+  }
+
   val all: Vector[Q] =
     Vector(q20AggDescriptor, q21UniqCapped, q22Histogram, q23MaxMin,
       q24Distinct, q25UniqTyped, q78ZscoreOutliers, q82Pivot, q83Unpivot,
       q84Cube, q88Corr, q89Percentiles, q130CmsHeavyHitters, q131HllUsers,
       q134HllMerge, q141ExactPctHist, q153MadOutliers, q174Winsorize,
       q190WeightedPct, q201DistributionDrift, q203DwellTimePct,
-      q208ParetoAbc, q210RegrTrend)
+      q208ParetoAbc, q210RegrTrend, q216MinmaxScale)
 }

@@ -1666,6 +1666,49 @@ object MiscQueries {
         sum(col("len")).cast("long").as("active_days"))
   }
 
+  /** NEGATIVE SAMPLING for recommender / contrastive training pairs —
+    * for every customer, k = 8 deterministic pseudo-random candidate
+    * parts (seeded md5 slot mod |parts|), minus anything the customer
+    * actually bought: the (user, item⁻) pairs a two-tower or BPR loss
+    * consumes. Candidate generation is pure map-side arithmetic (one
+    * explode of a k-literal sequence per customer — k·|customers| rows,
+    * never |customers|·|parts|); the item-count rides in as a 1-row
+    * broadcast; and the subtraction is one LEFT ANTI hash join against
+    * the distinct purchase pairs on the (customer, part) key — the same
+    * shuffle any dedup pays, no cross join anywhere. Determinism by
+    * seed construction means the same sample regenerates on any
+    * cluster — the reproducibility training-data splits require.
+    */
+  val q218NegativeSample = Q.checked(
+    "q218_negative_sample",
+    """WITH pos AS (
+      |  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |np AS (SELECT CAST(max(p_partkey) + 1 AS BIGINT) AS np FROM part),
+      |cand AS (
+      |  SELECT c_custkey AS ck, CAST(t.i AS BIGINT) AS i,
+      |    ('0x' || substring(md5('neg:' || CAST(c_custkey AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)), 1, 8))::BIGINT % np.np AS cand_pk
+      |  FROM customer, generate_series(1, 8) t(i) CROSS JOIN np)
+      |SELECT ck, i, cand_pk FROM cand
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pos WHERE pos.ck = cand.ck AND pos.pk = cand.cand_pk)""") { (s, dir) =>
+    val pos = table(s, dir, "orders")
+      .join(table(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("pck"), col("l_partkey").as("pk"))
+      .distinct()
+    val np = table(s, dir, "part").agg((max(col("p_partkey")) + 1).cast("long").as("np"))
+    val cand = table(s, dir, "customer")
+      .select(col("c_custkey").as("ck"))
+      .withColumn("i", explode(expr("sequence(1L, 8L)")))
+      .crossJoin(broadcast(np))
+      .withColumn("cand_pk",
+        conv(substring(md5(concat(lit("neg:"), col("ck").cast("string"),
+          lit(":"), col("i").cast("string"))), 1, 8), 16, 10).cast("long") % col("np"))
+    cand.join(pos,
+        cand("ck") === pos("pck") && col("cand_pk") === col("pk"), "left_anti")
+      .select(col("ck"), col("i"), col("cand_pk"))
+  }
+
   val all: Vector[Q] =
     Vector(q39ThreeStage, q46SkipBad, q47Logalyzer, q47bUrlParse, q48Pi, q49TeraGen,
       q54Jdbc, q54bJdbcTextSplit, q54cJdbcDateSplit, q54dJdbcFloatSplit,
@@ -1677,5 +1720,5 @@ object MiscQueries {
       q152DecileBinning, q154RollingActives, q173SkewAudit, q176ImageFeatures,
       q179AbExperiment, q180FkAudit, q185ItemCf, q191TableFingerprint,
       q199JoinSizeAudit, q200AccumSnapshot, q204RfmScores, q206AssocRules,
-      q212Streaks)
+      q212Streaks, q218NegativeSample)
 }

@@ -474,9 +474,71 @@ object StreamQueries {
       .agg(expr("sum(appm * bppm) div 1000000").as("p2_ppm"))
   }
 
+  /** CUSUM CHANGE-POINT DETECTION over the per-type daily series — the
+    * drift alarm a pipeline monitor raises when a metric's LEVEL shifts
+    * (q151's EWMA flags spikes; CUSUM integrates, so it catches slow
+    * drifts EWMA smooths over). Everything is exact integers: daily
+    * totals sum in DECIMAL then scale to micros; the Brownian-bridge
+    * statistic is cleared of its divisions — C_t = n·Σᵢ≤ₜxᵢ − t·S (n
+    * times the centered prefix sum) — and the alarm compare
+    * C_t²·n > h²·(n·Sq − S²)·t·(n−t) (h = 2) multiplies both sides out
+    * in DECIMAL(38,0)/HUGEINT, so no variance, square root, or float
+    * ever materializes. Event-scale collapses to the (type × day) grid
+    * map-side first; the prefix window is per-type over a day-bounded
+    * series (model-sized), and the 5-row stats table broadcasts back.
+    * The 38-digit bound holds to ~1e18 micros of daily volume per type —
+    * beyond 100 TB; drop micros to whole units past that.
+    */
+  val q217CusumChangepoint = Q.checked(
+    "q217_cusum_changepoint",
+    """WITH d AS (
+      |  SELECT event_type AS et, epoch_us(date_trunc('day', ts)) AS day_us,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4))) * 1000000 AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT et AS et2, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS s,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sq
+      |  FROM d GROUP BY 1),
+      |p AS (
+      |  SELECT et, day_us,
+      |    CAST(sum(x) OVER w AS HUGEINT) AS px,
+      |    CAST(row_number() OVER w AS HUGEINT) AS t
+      |  FROM d WINDOW w AS (PARTITION BY et ORDER BY day_us))
+      |SELECT et AS event_type, day_us,
+      |  CAST(n * px - t * s AS BIGINT) AS cusum_n,
+      |  CAST(CASE WHEN (n*px - t*s) * (n*px - t*s) * n
+      |                 > 4 * (n*sq - s*s) * t * (n - t)
+      |            THEN 1 ELSE 0 END AS BIGINT) AS flag
+      |FROM p JOIN st ON st.et2 = p.et""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType => DT}
+    val d38 = DT(38, 0)
+    val d = table(s, dir, "events")
+      .groupBy(col("event_type").as("et"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .agg((sum(col("value").cast(DT(18, 4))) * 1000000).cast("long").as("x"))
+    val st = d.groupBy(col("et").as("et2"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x")).cast(d38).as("s"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).cast(d38).as("sq"))
+    val w = Window.partitionBy(col("et")).orderBy(col("day_us"))
+    val p = d
+      .withColumn("px", sum(col("x")).over(w).cast(d38))
+      .withColumn("t", row_number().over(w).cast(d38))
+    val c = col("n") * col("px") - col("t") * col("s")
+    p.join(broadcast(st), col("et2") === col("et"))
+      .select(col("et").as("event_type"), col("day_us"),
+        c.cast("long").as("cusum_n"),
+        when(c * c * col("n") >
+            lit(4) * (col("n") * col("sq") - col("s") * col("s")) *
+              col("t") * (col("n") - col("t")), 1L)
+          .otherwise(0L).as("flag"))
+  }
+
   val all: Vector[Q] =
     Vector(q66StreamApiSort, q68Sessionize, q92StreamCli, q93StreamPipeline,
       q95StreamHistogram, q112StreamSeqfile, q113StreamSeqfileOut,
       q122IngestDedup, q148Conversations, q157EventPaths,
-      q189TransitionMatrix, q205Markov2Step)
+      q189TransitionMatrix, q205Markov2Step, q217CusumChangepoint)
 }

@@ -668,6 +668,28 @@ class PlanSpec extends AnyFunSuite {
       "bigram counts must map-side combine:\n" + p.take(3000))
   }
 
+  test("q216 min-max scaling broadcasts the group stats, no window") {
+    val p = plan(graft.queries.AggQueries.q216MinmaxScale)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "the type-bounded stats side must broadcast, not shuffle the facts:\n" + p.take(3000))
+  }
+
+  test("q217 cusum prefix windows stay type-partitioned; stats broadcast") {
+    val p = plan(graft.queries.StreamQueries.q217CusumChangepoint)
+    assert("Window.*et#".r.findFirstIn(p).isDefined,
+      "the prefix sum must carry the per-type partition spec:\n" + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q218 negative sampling subtracts positives via one anti hash join") {
+    val p = plan(graft.queries.MiscQueries.q218NegativeSample)
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
