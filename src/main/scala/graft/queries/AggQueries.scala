@@ -950,11 +950,77 @@ object AggQueries {
           .otherwise(expr("(vm - mn) * 1000000 DIV (mx - mn)")).as("scaled_ppm"))
   }
 
+  /** ROLLING 7-DAY CORRELATION between two daily event series (clicks
+    * vs purchases) — the co-movement monitor behind "did the funnel
+    * decouple this week": [[q88Corr]]'s exact-sufficient-statistics
+    * recipe in a sliding calendar frame. Daily counts are exact
+    * integers, and the frame is a CALENDAR band (days within 6 days
+    * preceding — RANGE, not ROWS, so a missing day in the grid doesn't
+    * silently stretch the window). The engine computes the frame as a
+    * band self-join on the day grid — the grid is calendar-bounded
+    * (model-sized at any event volume), so the build side broadcasts
+    * and no single-partition WindowExec ever plans (WindowGuardSpec's
+    * net stays universal); the oracle IS the textbook RANGE-frame
+    * window — two algorithms, one answer. The correlation is the same
+    * IEEE op tree over exact integers both sides; degenerate frames
+    * emit NULL explicitly.
+    */
+  val q221RollingCorr = Q.checked(
+    "q221_rolling_corr",
+    """WITH x AS (
+      |  SELECT epoch_us(date_trunc('day', ts)) AS day_us, count(*) AS xc
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |y AS (
+      |  SELECT epoch_us(date_trunc('day', ts)) AS day_us, count(*) AS yc
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |g AS (SELECT x.day_us, x.xc, y.yc FROM x JOIN y USING (day_us)),
+      |f AS (
+      |  SELECT day_us,
+      |    count(*) OVER w AS n,
+      |    CAST(sum(xc) OVER w AS BIGINT) AS sx,
+      |    CAST(sum(yc) OVER w AS BIGINT) AS sy,
+      |    CAST(sum(xc * yc) OVER w AS BIGINT) AS sxy,
+      |    CAST(sum(xc * xc) OVER w AS BIGINT) AS sxx,
+      |    CAST(sum(yc * yc) OVER w AS BIGINT) AS syy
+      |  FROM g WINDOW w AS (ORDER BY day_us
+      |    RANGE BETWEEN 518400000000 PRECEDING AND CURRENT ROW))
+      |SELECT day_us, CAST(n AS BIGINT) AS n,
+      |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+      |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+      |  END AS corr7
+      |FROM f""") { (s, dir) =>
+    val ev = table(s, dir, "events")
+    def daily(et: String, out: String) = ev
+      .filter(col("event_type") === et)
+      .groupBy(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .agg(count(lit(1)).as(out))
+    val g = daily("click", "xc").join(daily("purchase", "yc"), "day_us")
+      .localCheckpoint(true) // tiny day grid, feeds both sides of the band join
+    val b = g.select(col("day_us").as("b_day"), col("xc").as("bx"), col("yc").as("by"))
+    val f = g.join(broadcast(b),
+        col("b_day") >= col("day_us") - lit(518400000000L) && col("b_day") <= col("day_us"))
+      .groupBy(col("day_us"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("bx")).cast("long").as("sx"),
+        sum(col("by")).cast("long").as("sy"),
+        sum(col("bx") * col("by")).cast("long").as("sxy"),
+        sum(col("bx") * col("bx")).cast("long").as("sxx"),
+        sum(col("by") * col("by")).cast("long").as("syy"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    f.select(col("day_us"), col("n").cast("long").as("n"),
+      when(vx > 0 && vy > 0,
+        cov.cast("double") / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+        .as("corr7"))
+  }
+
   val all: Vector[Q] =
     Vector(q20AggDescriptor, q21UniqCapped, q22Histogram, q23MaxMin,
       q24Distinct, q25UniqTyped, q78ZscoreOutliers, q82Pivot, q83Unpivot,
       q84Cube, q88Corr, q89Percentiles, q130CmsHeavyHitters, q131HllUsers,
       q134HllMerge, q141ExactPctHist, q153MadOutliers, q174Winsorize,
       q190WeightedPct, q201DistributionDrift, q203DwellTimePct,
-      q208ParetoAbc, q210RegrTrend, q216MinmaxScale)
+      q208ParetoAbc, q210RegrTrend, q216MinmaxScale, q221RollingCorr)
 }

@@ -1666,6 +1666,47 @@ object MiscQueries {
         sum(col("len")).cast("long").as("active_days"))
   }
 
+  /** RENDEZVOUS (highest-random-weight) SHARD ROUTING + balance audit —
+    * the consistent-hashing assignment stateful services use so that
+    * adding/removing a shard only moves 1/S of the keys (plain
+    * `hash mod S` reshuffles nearly everything): every key goes to
+    * argmax over shards of hash(key, shard). Computed as one explode of
+    * the S-literal shard list per key (S·keys rows, map-side) folded by
+    * a max(struct(h, shard)) aggregation — partial-agg combines
+    * map-side, so the shuffle carries one row per key; the audit rollup
+    * (count + key range per shard) is S-row output. HRW beats jump-hash
+    * here because it is pure integer hashing — no iterative float loop
+    * to drift cross-engine.
+    */
+  val q220RendezvousShards = Q.checked(
+    "q220_rendezvous_shards",
+    """WITH h AS (
+      |  SELECT c_custkey AS ck, CAST(t.i AS BIGINT) AS shard,
+      |    ('0x' || substring(md5('rv:' || CAST(c_custkey AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)), 1, 12))::BIGINT AS hv
+      |  FROM customer, generate_series(0, 15) t(i)),
+      |a AS (
+      |  SELECT ck, shard,
+      |    row_number() OVER (PARTITION BY ck ORDER BY hv DESC, shard) AS rn
+      |  FROM h)
+      |SELECT shard, count(*) AS n_keys, min(ck) AS min_ck, max(ck) AS max_ck
+      |FROM a WHERE rn = 1 GROUP BY shard""") { (s, dir) =>
+    val h = table(s, dir, "customer")
+      .select(col("c_custkey").as("ck"))
+      .withColumn("shard", explode(expr("sequence(0L, 15L)")))
+      .withColumn("hv",
+        conv(substring(md5(concat(lit("rv:"), col("ck").cast("string"),
+          lit(":"), col("shard").cast("string"))), 1, 12), 16, 10).cast("long"))
+    // argmax(hv) per key as max(struct(hv, -shard)): struct ordering is
+    // field-by-field, so the max carries the winning shard along — one
+    // map-side-combinable aggregation instead of a per-key window
+    h.groupBy(col("ck"))
+      .agg(max(struct(col("hv"), (-col("shard")).as("ns"))).as("m"))
+      .select(col("ck"), (-col("m.ns")).as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_keys"), min(col("ck")).as("min_ck"),
+        max(col("ck")).as("max_ck"))
+  }
+
   /** NEGATIVE SAMPLING for recommender / contrastive training pairs —
     * for every customer, k = 8 deterministic pseudo-random candidate
     * parts (seeded md5 slot mod |parts|), minus anything the customer
@@ -1720,5 +1761,5 @@ object MiscQueries {
       q152DecileBinning, q154RollingActives, q173SkewAudit, q176ImageFeatures,
       q179AbExperiment, q180FkAudit, q185ItemCf, q191TableFingerprint,
       q199JoinSizeAudit, q200AccumSnapshot, q204RfmScores, q206AssocRules,
-      q212Streaks, q218NegativeSample)
+      q212Streaks, q218NegativeSample, q220RendezvousShards)
 }

@@ -536,9 +536,58 @@ object StreamQueries {
           .otherwise(0L).as("flag"))
   }
 
+  /** TIME-WEIGHTED AVERAGE (TWAP) per user — the step-function mean
+    * finance and sensor pipelines use when samples arrive irregularly
+    * (an arithmetic mean over-weights bursts; TWAP weights each value by
+    * how long it HELD): Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last−t_first), the value
+    * held until the next observation. Exact integers end to end: values
+    * in cents, durations in epoch-micros, the per-row product bounded by
+    * cents·span < 2^63, the per-user sum accumulated in DECIMAL(38,0),
+    * and the output ⌊10³·Σ/T⌋ in millicents by integer floor division.
+    * The lead() window is per-user (bounded by one user's history);
+    * single-observation users have T = 0 and emit NULL explicitly.
+    */
+  val q219Twap = Q.checked(
+    "q219_twap",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v_c
+      |  FROM events),
+      |seg AS (
+      |  SELECT user_id, us, v_c,
+      |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dt
+      |  FROM e),
+      |a AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |    CAST(sum(CAST(v_c AS HUGEINT) * dt) AS HUGEINT) AS num,
+      |    CAST(max(us) - min(us) AS HUGEINT) AS t
+      |  FROM seg GROUP BY user_id)
+      |SELECT user_id, n_events,
+      |  CASE WHEN t = 0 THEN NULL
+      |       ELSE CAST((1000 * num) // t AS BIGINT) END AS twap_millicents
+      |FROM a""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType => DT}
+    val d38 = DT(38, 0)
+    val ev = table(s, dir, "events")
+    val e = ev.select(col("user_id"), col("event_id"),
+      graft.core.Graft.tsUs(ev).as("us"),
+      round(col("value").cast("double") * 100).cast("long").as("v_c"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val seg = e.withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+    seg.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v_c").cast(d38) * col("dt")).cast(d38).as("num"),
+        (max(col("us")) - min(col("us"))).cast(d38).as("t"))
+      .select(col("user_id"), col("n_events"),
+        when(col("t") === 0, lit(null))
+          .otherwise(expr("CAST((1000 * num) DIV t AS BIGINT)"))
+          .as("twap_millicents"))
+  }
+
   val all: Vector[Q] =
     Vector(q66StreamApiSort, q68Sessionize, q92StreamCli, q93StreamPipeline,
       q95StreamHistogram, q112StreamSeqfile, q113StreamSeqfileOut,
       q122IngestDedup, q148Conversations, q157EventPaths,
-      q189TransitionMatrix, q205Markov2Step, q217CusumChangepoint)
+      q189TransitionMatrix, q205Markov2Step, q217CusumChangepoint, q219Twap)
 }

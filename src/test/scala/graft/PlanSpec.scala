@@ -690,6 +690,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q219 twap lead window stays user-partitioned") {
+    val p = plan(graft.queries.StreamQueries.q219Twap)
+    assert("Window.*user_id".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q220 rendezvous argmax is a windowless map-side-combined aggregation") {
+    val p = plan(graft.queries.MiscQueries.q220RendezvousShards)
+    assert(!p.contains("Window"),
+      "the per-key argmax must fold as max(struct), not a window:\n" + p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("q221 rolling corr is a broadcast band join over the day grid, no window") {
+    val p = plan(graft.queries.AggQueries.q221RollingCorr)
+    assert(!p.contains("Window"),
+      "the calendar frame must be the band join, not a global window:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "daily counts must map-side combine before the band join:\n" + p.take(3000))
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
