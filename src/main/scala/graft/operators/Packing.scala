@@ -183,6 +183,59 @@ object Packing {
     out
   }
 
+  /** EXCLUSIVE running maximum of LONG `valueCol` in `(orderCols…)`
+    * order, appended as nullable `cummax_excl` (null on the global first
+    * row) — the max-monoid sibling of [[runningTotal]], same two-pass
+    * distributed prefix shape: one (partition → max) pair to the driver,
+    * offsets streamed back. Exclusive (strictly-preceding rows only)
+    * because the consumers are dominance tests — "does anything EARLIER
+    * in the order beat me" (skyline/Pareto fronts, high-water-mark
+    * audits). The order must be total (unique key); descending orders
+    * pre-negate the sort key.
+    */
+  def runningMax(df: DataFrame, orderCols: Seq[String], valueCol: String,
+                 parts: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val keys = orderCols.map(col)
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val sorted = df
+      .repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .rdd
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val maxes = sorted
+      .mapPartitionsWithIndex { case (i, it) =>
+        var m = Long.MinValue; var any = false
+        it.foreach { r =>
+          val v = r.getLong(vIdx); if (!any || v > m) { m = v; any = true }
+        }
+        Iterator.single(i -> (if (any) Some(m) else None))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets: Array[Option[Long]] =
+      maxes.scanLeft(Option.empty[Long]) {
+        case (Some(a), Some(b)) => Some(math.max(a, b))
+        case (Some(a), None)    => Some(a)
+        case (None, b)          => b
+      }
+    val out = sorted.mapPartitionsWithIndex { case (i, it) =>
+      var acc = offsets(i)
+      it.map { row =>
+        val prev = acc
+        val v = row.getLong(vIdx)
+        acc = Some(acc.fold(v)(math.max(_, v)))
+        org.apache.spark.sql.Row.fromSeq(
+          row.toSeq :+ prev.map(java.lang.Long.valueOf).orNull)
+      }
+    }
+    val res = spark.createDataFrame(out,
+        df.schema.add("cummax_excl", org.apache.spark.sql.types.LongType,
+          nullable = true))
+      .localCheckpoint(true)
+    sorted.unpersist(false)
+    res
+  }
+
   /** INCLUSIVE running total of LONG `valueCol` in `(orderCols…)` order,
     * appended as `cum` — the value-weighted sibling of [[globalRank]]
     * (same two-pass distributed prefix sum; the driver sees one partial

@@ -1016,11 +1016,99 @@ object AggQueries {
         .as("corr7"))
   }
 
+  /** HLL AUDIENCE OVERLAP — sketch-based set intersection across every
+    * pair of event types: |A∩B| ≈ |A| + |B| − |A∪B| by inclusion–
+    * exclusion, where |A∪B| comes free from HLL mergeability (union of
+    * sketches = max per register — the property [[q134HllMerge]] pins).
+    * The exact answer needs a user-level join per pair; the sketch
+    * answer touches events ONCE (one map-side-combined register build),
+    * then every pair estimate is arithmetic over register tables of a
+    * few KB — at 100 TB the difference between a shuffle per pair and
+    * no shuffle at all. Same deterministic estimator as q131/q134
+    * ([[graft.operators.Sketches]]), so every value is integer-exact
+    * cross-engine; the intersection estimate may be negative for
+    * near-disjoint sets (the known inclusion–exclusion artifact) and is
+    * emitted as-is.
+    */
+  val q224HllOverlap = Q.checked(
+    "q224_hll_overlap",
+    s"""WITH h AS (
+      |  SELECT event_type, ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, h % 256 AS bucket,
+      |    CASE WHEN (h // 256) % 1099511627776 = 0 THEN 41
+      |         ELSE 41 - length(bin((h // 256) % 1099511627776)) END AS rank
+      |  FROM h),
+      |m AS (SELECT event_type, bucket, max(rank) AS mrank FROM r GROUP BY 1, 2),
+      |est AS (
+      |  SELECT event_type,
+      |    CASE WHEN raw <= 640 AND v > 0
+      |         THEN (${graft.operators.Sketches.lcTableSql})[v] ELSE raw END AS e
+      |  FROM (
+      |    SELECT event_type,
+      |      103513989865891026 // (sp + (256 - nb) * (1::BIGINT << 41)) AS raw,
+      |      256 - nb AS v
+      |    FROM (SELECT event_type, CAST(sum(1::BIGINT << (41 - mrank)) AS BIGINT) AS sp,
+      |          count(*) AS nb FROM m GROUP BY 1))),
+      |ty AS (SELECT DISTINCT event_type FROM m),
+      |pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+      |          FROM ty a JOIN ty b ON a.event_type < b.event_type),
+      |um AS (
+      |  SELECT ta, tb, bucket, max(mrank) AS mrank FROM (
+      |    SELECT p.ta, p.tb, m.bucket, m.mrank FROM pairs p JOIN m ON m.event_type = p.ta
+      |    UNION ALL
+      |    SELECT p.ta, p.tb, m.bucket, m.mrank FROM pairs p JOIN m ON m.event_type = p.tb)
+      |  GROUP BY 1, 2, 3),
+      |ue AS (
+      |  SELECT ta, tb,
+      |    CASE WHEN raw <= 640 AND v > 0
+      |         THEN (${graft.operators.Sketches.lcTableSql})[v] ELSE raw END AS union_est
+      |  FROM (
+      |    SELECT ta, tb,
+      |      103513989865891026 // (sp + (256 - nb) * (1::BIGINT << 41)) AS raw,
+      |      256 - nb AS v
+      |    FROM (SELECT ta, tb, CAST(sum(1::BIGINT << (41 - mrank)) AS BIGINT) AS sp,
+      |          count(*) AS nb FROM um GROUP BY 1, 2)))
+      |SELECT ue.ta, ue.tb, ea.e AS a_est, eb.e AS b_est, ue.union_est,
+      |  ea.e + eb.e - ue.union_est AS inter_est
+      |FROM ue
+      |JOIN est ea ON ea.event_type = ue.ta
+      |JOIN est eb ON eb.event_type = ue.tb""") { (s, dir) =>
+    import graft.operators.Sketches
+    val ev = table(s, dir, "events")
+    val regs = Sketches.hllRegisters(ev, col("event_type"), col("user_id"))
+      .localCheckpoint(true) // register-scale: |types| × 256 rows
+    val perType = Sketches.hllEstimate(regs)
+    val types = regs.select(col("g")).distinct()
+    val pairs = types.select(col("g").as("ta"))
+      .crossJoin(types.select(col("g").as("tb")))
+      .filter(col("ta") < col("tb")) // |types|² rows — model-sized
+    val u = pairs.join(regs, col("g") === col("ta"))
+      .select(col("ta"), col("tb"), col("bucket"), col("mrank"))
+      .unionByName(pairs.join(regs, col("g") === col("tb"))
+        .select(col("ta"), col("tb"), col("bucket"), col("mrank")))
+      .groupBy(col("ta"), col("tb"), col("bucket"))
+      .agg(max(col("mrank")).as("mrank"))
+    val uest = Sketches.hllEstimate(
+        u.select(concat_ws("|", col("ta"), col("tb")).as("g"),
+          col("bucket"), col("mrank")))
+      .select(substring_index(col("g"), "|", 1).as("ta"),
+        substring_index(col("g"), "|", -1).as("tb"),
+        col("hll_est").as("union_est"))
+    uest
+      .join(perType.select(col("g").as("ta"), col("hll_est").as("a_est")), "ta")
+      .join(perType.select(col("g").as("tb"), col("hll_est").as("b_est")), "tb")
+      .select(col("ta"), col("tb"), col("a_est"), col("b_est"), col("union_est"),
+        (col("a_est") + col("b_est") - col("union_est")).as("inter_est"))
+  }
+
   val all: Vector[Q] =
     Vector(q20AggDescriptor, q21UniqCapped, q22Histogram, q23MaxMin,
       q24Distinct, q25UniqTyped, q78ZscoreOutliers, q82Pivot, q83Unpivot,
       q84Cube, q88Corr, q89Percentiles, q130CmsHeavyHitters, q131HllUsers,
       q134HllMerge, q141ExactPctHist, q153MadOutliers, q174Winsorize,
       q190WeightedPct, q201DistributionDrift, q203DwellTimePct,
-      q208ParetoAbc, q210RegrTrend, q216MinmaxScale, q221RollingCorr)
+      q208ParetoAbc, q210RegrTrend, q216MinmaxScale, q221RollingCorr,
+      q224HllOverlap)
 }

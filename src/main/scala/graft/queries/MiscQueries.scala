@@ -1666,6 +1666,34 @@ object MiscQueries {
         sum(col("len")).cast("long").as("active_days"))
   }
 
+  /** HOUR-OF-DAY ACTIVITY BITMAP per user — the roaring-bitmap-style
+    * presence encoding engagement systems keep per entity (one bit per
+    * hour, OR-merged across all history): the per-user 24-bit mask via
+    * `bit_or(1 << hour)`, its popcount (distinct active hours), and the
+    * peak-hours flag (any activity in 9–17). Bitwise aggregation is the
+    * cheapest mergeable presence sketch there is — the OR is
+    * associative/commutative so it partial-aggregates map-side, state is
+    * 8 bytes per user regardless of event volume, and re-slicing (by
+    * day, by shard) re-merges by OR without rescanning. Output is
+    * user-scale; every operation is integer-exact in both engines.
+    */
+  val q223HourBitmap = Q.checked(
+    "q223_hour_bitmap",
+    """SELECT user_id,
+      |  CAST(bit_or(1::BIGINT << hour(ts)) AS BIGINT) AS hour_mask,
+      |  CAST(bit_count(bit_or(1::BIGINT << hour(ts))) AS BIGINT) AS active_hours,
+      |  CAST(CASE WHEN bit_or(1::BIGINT << hour(ts)) & 130560 <> 0
+      |       THEN 1 ELSE 0 END AS BIGINT) AS in_work_hours
+      |FROM events GROUP BY user_id""") { (s, dir) =>
+    // 130560 = bits 9..16 set: the 9:00–17:00 work-hours mask
+    table(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), hour(ts)))").as("hour_mask"))
+      .select(col("user_id"), col("hour_mask"),
+        bit_count(col("hour_mask")).cast("long").as("active_hours"),
+        when(expr("hour_mask & 130560") =!= 0, 1L).otherwise(0L).as("in_work_hours"))
+  }
+
   /** RENDEZVOUS (highest-random-weight) SHARD ROUTING + balance audit —
     * the consistent-hashing assignment stateful services use so that
     * adding/removing a shard only moves 1/S of the keys (plain
@@ -1761,5 +1789,6 @@ object MiscQueries {
       q152DecileBinning, q154RollingActives, q173SkewAudit, q176ImageFeatures,
       q179AbExperiment, q180FkAudit, q185ItemCf, q191TableFingerprint,
       q199JoinSizeAudit, q200AccumSnapshot, q204RfmScores, q206AssocRules,
-      q212Streaks, q218NegativeSample, q220RendezvousShards)
+      q212Streaks, q218NegativeSample, q220RendezvousShards,
+      q223HourBitmap)
 }

@@ -319,8 +319,48 @@ object SortQueries {
       .agg(count(lit(1)).as("n"), min(col("c")).as("min_c"), max(col("c")).as("max_c"))
   }
 
+  /** SKYLINE / PARETO FRONT — the multi-objective dominance query (find
+    * the parts no other part beats on BOTH total quantity and total
+    * revenue): p is dominated iff some q has qx ≥ px ∧ qy ≥ py with one
+    * strict. The naive formulation is an O(n²) self-join; the 2-D
+    * structure collapses it to TWO distributed prefix passes: a point
+    * survives iff (a) it carries its x-group's max y, and (b) that y
+    * strictly beats the EXCLUSIVE prefix max of y over all greater x —
+    * [[graft.operators.Packing.runningMax]] over the x-descending
+    * distinct-x table (one partial max per partition to the driver,
+    * never a window, never n²). The oracle IS the quadratic NOT EXISTS
+    * dominance join — two algorithms, one answer. Ties kept correctly:
+    * identical (x, y) points do not dominate each other and all survive.
+    */
+  val q222Skyline = Q.checked(
+    "q222_skyline",
+    """WITH r AS (
+      |  SELECT l_partkey AS pk,
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS x,
+      |    CAST(sum(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM lineitem GROUP BY 1)
+      |SELECT pk, x, y FROM r p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM r q
+      |  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))""") { (s, dir) =>
+    import graft.operators.Packing
+    val r = table(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(round(col("l_quantity")).cast("long")).cast("long").as("x"),
+        sum(round(col("l_extendedprice").cast("double") * 100).cast("long"))
+          .cast("long").as("y"))
+    val perx = r.groupBy(col("x").as("gx")).agg(max(col("y")).as("maxy"))
+      .withColumn("negx", -col("gx"))
+    val ranked = Packing.runningMax(perx, Seq("negx"), "maxy")
+      .select(col("gx"), col("maxy"), col("cummax_excl"))
+    r.join(ranked, col("x") === col("gx"))
+      .filter(col("y") === col("maxy") &&
+        (col("cummax_excl").isNull || col("y") > col("cummax_excl")))
+      .select(col("pk"), col("x"), col("y"))
+  }
+
   val all: Vector[Q] =
     Vector(q30SortValidate, q31SecondarySort, q32KeyFieldSort, q33FieldSel,
       q36WindowRunning, q37Rollup, q38KeyFieldPartition, q81WindowFamily,
-      q126Zorder, q159RangeFrame, q163TopTies, q211EquidepthBins)
+      q126Zorder, q159RangeFrame, q163TopTies, q211EquidepthBins, q222Skyline)
 }

@@ -83,6 +83,25 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("runningMax equals the exclusive window max at any partition count") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(91)
+    // duplicate values on purpose: the exclusive prefix must treat ties
+    // by order position, not value identity
+    val df = (1 to 400).map(i => (i.toLong, rnd.nextInt(50).toLong))
+      .toDF("k", "v")
+    for (parts <- Seq(1, 3, 32)) {
+      val got = Packing.runningMax(df, Seq("k"), "v", parts)
+        .select(col("k"), col("cummax_excl")).as[(Long, Option[Long])]
+        .collect().toMap
+      val w = Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, -1)
+      val want = df.withColumn("m", max(col("v")).over(w))
+        .select(col("k"), col("m")).as[(Long, Option[Long])].collect().toMap
+      assert(got == want, s"diverged at parts=$parts")
+    }
+  }
+
   test("selectUnderBudget keeps the maximal score-ordered prefix, any partition count") {
     import org.apache.spark.sql.functions.{col, length}
     val rnd = new scala.util.Random(77)

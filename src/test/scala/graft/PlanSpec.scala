@@ -713,6 +713,29 @@ class PlanSpec extends AnyFunSuite {
       "daily counts must map-side combine before the band join:\n" + p.take(3000))
   }
 
+  test("q222 skyline plans the prefix-max path, never a window or n² join") {
+    val p = plan(graft.queries.SortQueries.q222Skyline)
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the dominance test must be the runningMax equi-join, not the quadratic join:\n" +
+        p.take(3000))
+  }
+
+  test("q223 hour bitmap is a joinless windowless bitwise aggregation") {
+    val p = plan(graft.queries.MiscQueries.q223HourBitmap)
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the OR must partial-aggregate map-side:\n" + p.take(3000))
+  }
+
+  test("q224 hll overlap builds registers once, map-side combined") {
+    val p = plan(graft.queries.AggQueries.q224HllOverlap)
+    assert(!p.contains("Window"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "register build must map-side combine:\n" + p.take(3000))
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
