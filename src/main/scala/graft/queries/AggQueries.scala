@@ -1103,6 +1103,48 @@ object AggQueries {
         (col("a_est") + col("b_est") - col("union_est")).as("inter_est"))
   }
 
+  /** CHI-SQUARE INDEPENDENCE decomposition — is event type independent
+    * of day-of-week? The classic contingency-table test, per cell and in
+    * EXACT integer ppm: the (O − E)²/E contribution is cleared of its
+    * float expectation E = R·C/T into (O·T − R·C)²·10⁶ / (T·R·C), exact
+    * in DECIMAL(38,0)/HUGEINT. Emitting per-cell contributions (with a
+    * per-type rollup by exact integer sum) sidesteps the one
+    * impossibility: a cross-engine float Σ over cells would be
+    * engine-ordered; a sum of exact ppm integers is not. Three
+    * aggregation levels, all map-side combined; output is
+    * |types|×7 cells.
+    */
+  val q227ChisqIndependence = Q.checked(
+    "q227_chisq_independence",
+    """WITH o AS (
+      |  SELECT event_type AS et, CAST(dayofweek(ts) AS BIGINT) AS dow,
+      |    count(*) AS obs
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT et, CAST(sum(obs) AS BIGINT) AS rt FROM o GROUP BY 1),
+      |c AS (SELECT dow, CAST(sum(obs) AS BIGINT) AS ct FROM o GROUP BY 1),
+      |t AS (SELECT CAST(sum(obs) AS BIGINT) AS tt FROM o)
+      |SELECT o.et, o.dow, o.obs,
+      |  CAST((CAST(o.obs AS HUGEINT) * t.tt - r.rt * c.ct)
+      |       * (CAST(o.obs AS HUGEINT) * t.tt - r.rt * c.ct) * 1000000
+      |       // (CAST(t.tt AS HUGEINT) * r.rt * c.ct) AS BIGINT) AS chi2_ppm
+      |FROM o JOIN r USING (et) JOIN c USING (dow) CROSS JOIN t""") { (s, dir) =>
+    val o = table(s, dir, "events")
+      .groupBy(col("event_type").as("et"),
+        (dayofweek(col("ts")) - 1).cast("long").as("dow")) // 0=Sun: DuckDB convention
+      .agg(count(lit(1)).as("obs"))
+      .localCheckpoint(true) // |types|×7 cells; feeds all three margins
+    val r = o.groupBy(col("et").as("et2")).agg(sum(col("obs")).cast("long").as("rt"))
+    val c = o.groupBy(col("dow").as("dow2")).agg(sum(col("obs")).cast("long").as("ct"))
+    val t = o.agg(sum(col("obs")).cast("long").as("tt"))
+    o.join(broadcast(r), col("et") === col("et2"))
+      .join(broadcast(c), col("dow") === col("dow2"))
+      .crossJoin(broadcast(t))
+      .select(col("et"), col("dow"), col("obs"),
+        expr("CAST((CAST(obs AS DECIMAL(38,0)) * tt - CAST(rt AS DECIMAL(38,0)) * ct)" +
+          " * (CAST(obs AS DECIMAL(38,0)) * tt - CAST(rt AS DECIMAL(38,0)) * ct) * 1000000" +
+          " DIV (CAST(tt AS DECIMAL(38,0)) * rt * ct) AS BIGINT)").as("chi2_ppm"))
+  }
+
   val all: Vector[Q] =
     Vector(q20AggDescriptor, q21UniqCapped, q22Histogram, q23MaxMin,
       q24Distinct, q25UniqTyped, q78ZscoreOutliers, q82Pivot, q83Unpivot,
@@ -1110,5 +1152,5 @@ object AggQueries {
       q134HllMerge, q141ExactPctHist, q153MadOutliers, q174Winsorize,
       q190WeightedPct, q201DistributionDrift, q203DwellTimePct,
       q208ParetoAbc, q210RegrTrend, q216MinmaxScale, q221RollingCorr,
-      q224HllOverlap)
+      q224HllOverlap, q227ChisqIndependence)
 }

@@ -1770,6 +1770,72 @@ object DedupQueries {
         min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
   }
 
+  /** MINHASH CALIBRATION — the sketch-quality audit run before trusting
+    * LSH at 100 TB (the sibling of q224's sketch-vs-exact framing, for
+    * Jaccard instead of cardinality): for every LSH candidate pair, the
+    * signature-agreement ESTIMATE ⌊10⁶·agree/seeds⌋ next to the EXACT
+    * bigram Jaccard ⌊10⁶·|A∩B|/|A∪B|⌋ and their signed error. The
+    * estimate is free (signatures already exist); the exact value joins
+    * shingle sets only for the candidate-scale pair list, never all
+    * pairs. A drifting err_ppm distribution is the signal to re-price
+    * the LSH geometry. All integer arithmetic, candidate-scale output.
+    */
+  val q226MinhashCalibration = Q.checked(
+    "q226_minhash_calibration",
+    s"""WITH $duckCandCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+       |agr AS (
+       |  SELECT c.a, c.b,
+       |    CAST(${(0 until Seeds).map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS agree
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b),
+       |inter AS (
+       |  SELECT c.a, c.b, count(*) AS i
+       |  FROM cand c JOIN toks ta ON ta.doc_id = c.a
+       |  JOIN toks tb ON tb.doc_id = c.b AND tb.sh = ta.sh
+       |  GROUP BY 1, 2)
+       |SELECT agr.a, agr.b, agr.agree,
+       |  agr.agree * 1000000 // $Seeds AS est_ppm,
+       |  coalesce(inter.i, 0) * 1000000 // (na.n + nb.n - coalesce(inter.i, 0)) AS true_ppm,
+       |  agr.agree * 1000000 // $Seeds
+       |    - coalesce(inter.i, 0) * 1000000 // (na.n + nb.n - coalesce(inter.i, 0)) AS err_ppm
+       |FROM agr
+       |LEFT JOIN inter ON inter.a = agr.a AND inter.b = agr.b
+       |JOIN sizes na ON na.doc_id = agr.a
+       |JOIN sizes nb ON nb.doc_id = agr.b""") { (s, dir) =>
+    val docs = table(s, dir, "documents")
+    val sig = Dedup.minhash(docs, col("doc_id"), Dedup.bigrams(col("text")), Seeds)
+      .localCheckpoint(true) // signature-scale; feeds bands and the audit
+    val cand = Dedup.candidatePairs(
+      Dedup.lshBands(sig, Bands, RowsPerBand), BucketCap)
+    val agree = (0 until Seeds)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sigA = sig.select(col("id").as("a") +:
+      (0 until Seeds).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
+    val sigB = sig.select(col("id").as("b") +:
+      (0 until Seeds).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
+    val agr = cand.join(sigA, "a").join(sigB, "b")
+      .select(col("a"), col("b"), agree.as("agree"))
+    val toks = docs
+      .select(col("doc_id"), explode(Dedup.bigrams(col("text"))).as("sh"))
+      .distinct()
+      .localCheckpoint(true) // shingle set; feeds sizes and the pair join
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(toks.select(col("doc_id").as("a"), col("sh")), "a")
+      .join(toks.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+    agr
+      .join(inter, Seq("a", "b"), "left")
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"), col("agree"),
+        expr(s"agree * 1000000 DIV $Seeds").as("est_ppm"),
+        expr("coalesce(i, 0L) * 1000000 DIV (na + nb - coalesce(i, 0L))").as("true_ppm"),
+        (expr(s"agree * 1000000 DIV $Seeds") -
+          expr("coalesce(i, 0L) * 1000000 DIV (na + nb - coalesce(i, 0L))")).as("err_ppm"))
+  }
+
   val all: Vector[Q] =
     Vector(q50DedupExact, q51MinhashLsh, q52Simhash, q53Jaccard,
       q57EmbedDedup, q58DedupGroups, q59DedupApply, q87Triangles,
@@ -1779,5 +1845,5 @@ object DedupQueries {
       q160BfsDist, q166EntityResolution, q168Kcore, q170TimeTravel,
       q175GoldenRecord, q182KanonAudit, q183IncrementalCc, q188WeightedSssp,
       q193NormalizedDedup, q194ContainmentJoin, q196PersonalizedPagerank,
-      q198LshDecontaminate, q209DegreeDist)
+      q198LshDecontaminate, q209DegreeDist, q226MinhashCalibration)
 }

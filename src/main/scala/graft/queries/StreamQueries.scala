@@ -585,9 +585,66 @@ object StreamQueries {
           .as("twap_millicents"))
   }
 
+  /** INTERVAL UNION (merge-overlaps) per user — the coverage metric
+    * behind uptime/engagement reporting: each event opens a 5-minute
+    * activity interval, overlapping intervals merge, and the answer is
+    * the EXACT covered time (double-counting overlaps is the classic
+    * naive-sum bug). The sweep is the interval form of gaps-and-islands:
+    * a new island starts where the interval's start exceeds the EXCLUSIVE
+    * prefix max of interval ends (one per-user window), the island id is
+    * the running count of such breaks (same window), and each island's
+    * coverage is max(end) − min(start). Both windows are per-user —
+    * bounded by one user's history, never global — and all arithmetic is
+    * epoch-micros integers.
+    */
+  val q225IntervalUnion = Q.checked(
+    "q225_interval_union",
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS st,
+      |    epoch_us(ts) + 300000000 AS en
+      |  FROM events),
+      |b AS (
+      |  SELECT user_id, event_id, st, en,
+      |    CASE WHEN st > coalesce(max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+      |  FROM iv),
+      |isl AS (
+      |  SELECT user_id, st, en,
+      |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY st, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS isl
+      |  FROM b),
+      |m AS (
+      |  SELECT user_id, isl, max(en) - min(st) AS cov, count(*) AS n
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_merged, CAST(sum(n) AS BIGINT) AS n_intervals,
+      |  CAST(sum(cov) AS BIGINT) AS covered_us
+      |FROM m GROUP BY user_id""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = table(s, dir, "events")
+    val iv = ev.select(col("user_id"), col("event_id"),
+      graft.core.Graft.tsUs(ev).as("st"),
+      (graft.core.Graft.tsUs(ev) + 300000000L).as("en"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("st"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val b = iv.withColumn("brk",
+      when(col("st") > coalesce(max(col("en")).over(wPrev), lit(-1L)), 1L)
+        .otherwise(0L))
+    // both windows share the UNIQUE (st, event_id) order — a value-only
+    // order would leave island assignment ambiguous within ties
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("st"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isl = b.withColumn("isl", sum(col("brk")).over(wRun).cast("long"))
+    isl.groupBy(col("user_id"), col("isl"))
+      .agg((max(col("en")) - min(col("st"))).as("cov"), count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_merged"), sum(col("n")).cast("long").as("n_intervals"),
+        sum(col("cov")).cast("long").as("covered_us"))
+  }
+
   val all: Vector[Q] =
     Vector(q66StreamApiSort, q68Sessionize, q92StreamCli, q93StreamPipeline,
       q95StreamHistogram, q112StreamSeqfile, q113StreamSeqfileOut,
       q122IngestDedup, q148Conversations, q157EventPaths,
-      q189TransitionMatrix, q205Markov2Step, q217CusumChangepoint, q219Twap)
+      q189TransitionMatrix, q205Markov2Step, q217CusumChangepoint, q219Twap,
+      q225IntervalUnion)
 }

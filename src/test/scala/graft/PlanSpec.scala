@@ -736,6 +736,26 @@ class PlanSpec extends AnyFunSuite {
       "register build must map-side combine:\n" + p.take(3000))
   }
 
+  test("q225 interval union windows stay user-partitioned") {
+    val p = plan(graft.queries.StreamQueries.q225IntervalUnion)
+    assert("Window.*user_id".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q226 minhash calibration joins equi-keyed at candidate scale") {
+    val p = plan(graft.queries.DedupQueries.q226MinhashCalibration)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "every join must be equi-keyed (candidate pairs, shingles, sizes):\n" + p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("q227 chi-square margins broadcast back onto the cell table") {
+    val p = plan(graft.queries.AggQueries.q227ChisqIndependence)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
