@@ -1836,6 +1836,59 @@ object DedupQueries {
           expr("coalesce(i, 0L) * 1000000 DIV (na + nb - coalesce(i, 0L))")).as("err_ppm"))
   }
 
+  /** DEGREE ASSORTATIVITY of the near-dup candidate graph — q209's
+    * degree histogram upgraded to the standard mixing metric (Newman):
+    * the Pearson correlation of endpoint degrees over the symmetrized
+    * edge list. Positive ⇒ hubs pair with hubs (one dense near-dup
+    * blob); negative ⇒ hub-and-spoke (a template with many variants) —
+    * it decides whether CC will produce one giant component before you
+    * pay for CC. Exact integer sufficient statistics over both edge
+    * orientations (q88's recipe; Σx = Σy by symmetry, kept separate so
+    * the op tree is the textbook corr), one join of the edge list
+    * against the degree table on each endpoint, single-row output.
+    */
+  val q228Assortativity = Q.checked(
+    "q228_assortativity",
+    s"""WITH $duckCandCtes,
+       |e2 AS (SELECT a AS s, b AS d FROM cand UNION ALL SELECT b, a FROM cand),
+       |deg AS (SELECT s AS id, count(*) AS dg FROM e2 GROUP BY s),
+       |j AS (
+       |  SELECT ds.dg AS x, dd.dg AS y
+       |  FROM e2 JOIN deg ds ON ds.id = e2.s JOIN deg dd ON dd.id = e2.d),
+       |st AS (
+       |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+       |    CAST(sum(y*y) AS BIGINT) AS syy
+       |  FROM j)
+       |SELECT n,
+       |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+       |    THEN CAST(n*sxy - sx*sy AS DOUBLE)
+       |         / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+       |  END AS assortativity
+       |FROM st""") { (s, dir) =>
+    val docs = table(s, dir, "documents")
+    val cand = Dedup.candidatePairs(autoBands(docs))
+      .localCheckpoint(true) // feeds the symmetrized list twice
+    val e2 = cand.select(col("a").as("s"), col("b").as("d"))
+      .unionByName(cand.select(col("b").as("s"), col("a").as("d")))
+    val deg = e2.groupBy(col("s").as("id")).agg(count(lit(1)).as("dg"))
+    val j = e2
+      .join(deg.select(col("id").as("s"), col("dg").as("x")), "s")
+      .join(deg.select(col("id").as("d"), col("dg").as("y")), "d")
+    val st = j.agg(count(lit(1)).as("n"),
+      sum(col("x")).cast("long").as("sx"), sum(col("y")).cast("long").as("sy"),
+      sum(col("x") * col("y")).cast("long").as("sxy"),
+      sum(col("x") * col("x")).cast("long").as("sxx"),
+      sum(col("y") * col("y")).cast("long").as("syy"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    st.select(col("n"),
+      when(vx > 0 && vy > 0,
+        cov.cast("double") / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+        .as("assortativity"))
+  }
+
   val all: Vector[Q] =
     Vector(q50DedupExact, q51MinhashLsh, q52Simhash, q53Jaccard,
       q57EmbedDedup, q58DedupGroups, q59DedupApply, q87Triangles,
@@ -1845,5 +1898,6 @@ object DedupQueries {
       q160BfsDist, q166EntityResolution, q168Kcore, q170TimeTravel,
       q175GoldenRecord, q182KanonAudit, q183IncrementalCc, q188WeightedSssp,
       q193NormalizedDedup, q194ContainmentJoin, q196PersonalizedPagerank,
-      q198LshDecontaminate, q209DegreeDist, q226MinhashCalibration)
+      q198LshDecontaminate, q209DegreeDist, q226MinhashCalibration,
+      q228Assortativity)
 }

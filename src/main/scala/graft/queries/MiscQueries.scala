@@ -1735,6 +1735,81 @@ object MiscQueries {
         max(col("ck")).as("max_ck"))
   }
 
+  /** RECENCY-DECAYED ENGAGEMENT COUNT — the half-life-weighted activity
+    * score feature stores keep per user (yesterday's event counts half
+    * as much as today's, half-life = 1 day): Σ 2^(−age_days), computed
+    * EXACTLY as dyadic integers — each event contributes the integer
+    * 2^(30−age) and the result renders as ⌊1000·Σ/2^30⌋ milli-units, so
+    * no float pow/exp ever runs (libm decay curves drift cross-engine;
+    * shifts cannot). The reference instant is the corpus max day (one
+    * 1-row broadcast); ages beyond the 30-day horizon contribute zero
+    * explicitly. One map-side-combined aggregation, user-scale output.
+    */
+  val q229DecayedCount = Q.checked(
+    "q229_decayed_count",
+    """WITH d0 AS (SELECT max(CAST(ts AS DATE)) AS d0 FROM events),
+      |w AS (
+      |  SELECT user_id,
+      |    CASE WHEN date_diff('day', CAST(ts AS DATE), d0.d0) BETWEEN 0 AND 30
+      |         THEN 1::BIGINT << (30 - date_diff('day', CAST(ts AS DATE), d0.d0))
+      |         ELSE 0 END AS wt
+      |  FROM events CROSS JOIN d0)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(CAST(sum(wt) AS HUGEINT) * 1000 // 1073741824 AS BIGINT) AS decayed_milli
+      |FROM w GROUP BY user_id""") { (s, dir) =>
+    val ev = table(s, dir, "events")
+    val d0 = ev.agg(max(col("ts").cast("date")).as("d0"))
+    ev.crossJoin(broadcast(d0))
+      .withColumn("age", datediff(col("d0"), col("ts").cast("date")))
+      .select(col("user_id"),
+        when(col("age").between(0, 30),
+          expr("shiftleft(CAST(1 AS BIGINT), 30 - age)"))
+          .otherwise(0L).as("wt"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(CAST(sum(wt) AS DECIMAL(38,0)) * 1000 DIV 1073741824 AS BIGINT)")
+          .as("decayed_milli"))
+  }
+
+  /** WEEK-OVER-WEEK GROWTH — the BI staple (percent change vs the
+    * previous period) in exact ppm: weekly revenue cents per order
+    * priority (ISO Monday weeks — Spark and DuckDB agree on
+    * date_trunc('week')), then growth = (cur − prev)·10⁶ / prev by
+    * integer floor division over the per-priority lag. Event-scale
+    * collapses to the (priority × week) grid map-side; the lag window
+    * is per-priority over a calendar-bounded series. The growth renders as the
+    * RATIO cur·10⁶/prev (1e6 = flat) — always-positive operands, so the
+    * floor division is identical cross-engine (signed floor division is
+    * not: DuckDB // floors toward −∞, Spark DIV truncates toward zero).
+    * First weeks emit NULL (no prior), as does a zero-revenue prior.
+    */
+  val q230WowGrowth = Q.checked(
+    "q230_wow_growth",
+    """WITH w AS (
+      |  SELECT o_orderpriority AS pri, epoch_us(date_trunc('week', o_orderdate)) AS week_us,
+      |    CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1, 2),
+      |l AS (
+      |  SELECT pri, week_us, rev_c,
+      |    lag(rev_c) OVER (PARTITION BY pri ORDER BY week_us) AS prev_c
+      |  FROM w)
+      |SELECT pri, week_us, rev_c, rev_c - prev_c AS delta_c,
+      |  CASE WHEN prev_c IS NULL OR prev_c = 0 THEN NULL
+      |       ELSE rev_c * 1000000 // prev_c END AS ratio_ppm
+      |FROM l""") { (s, dir) =>
+    val w = table(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("pri"),
+        unix_micros(date_trunc("WEEK", col("o_orderdate"))).as("week_us"))
+      .agg(sum(round(col("o_totalprice").cast("double") * 100).cast("long"))
+        .cast("long").as("rev_c"))
+    val win = Window.partitionBy(col("pri")).orderBy(col("week_us"))
+    w.withColumn("prev_c", lag(col("rev_c"), 1).over(win))
+      .select(col("pri"), col("week_us"), col("rev_c"),
+        (col("rev_c") - col("prev_c")).as("delta_c"),
+        when(col("prev_c").isNull || col("prev_c") === 0, lit(null))
+          .otherwise(expr("rev_c * 1000000 DIV prev_c")).as("ratio_ppm"))
+  }
+
   /** NEGATIVE SAMPLING for recommender / contrastive training pairs —
     * for every customer, k = 8 deterministic pseudo-random candidate
     * parts (seeded md5 slot mod |parts|), minus anything the customer
@@ -1790,5 +1865,5 @@ object MiscQueries {
       q179AbExperiment, q180FkAudit, q185ItemCf, q191TableFingerprint,
       q199JoinSizeAudit, q200AccumSnapshot, q204RfmScores, q206AssocRules,
       q212Streaks, q218NegativeSample, q220RendezvousShards,
-      q223HourBitmap)
+      q223HourBitmap, q229DecayedCount, q230WowGrowth)
 }

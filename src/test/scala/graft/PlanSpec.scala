@@ -756,6 +756,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("q228 assortativity is equi joins over the degree table, no window") {
+    val p = plan(graft.queries.DedupQueries.q228Assortativity)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q229 decayed count is shift arithmetic + one map-side-combined agg") {
+    val p = plan(graft.queries.MiscQueries.q229DecayedCount)
+    assert(!p.contains("Window"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("q230 wow growth lag window stays priority-partitioned") {
+    val p = plan(graft.queries.MiscQueries.q230WowGrowth)
+    assert("Window.*pri".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "weekly revenue must map-side combine before the lag:\n" + p.take(3000))
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
