@@ -1735,6 +1735,63 @@ object MiscQueries {
         max(col("ck")).as("max_ck"))
   }
 
+  /** GROWTH ACCOUNTING — the daily new / retained / resurrected /
+    * churned user decomposition every growth team reports (act(d) =
+    * new + retained + resurrected; churned(d) = act(d−1) − retained(d)):
+    * the distinct user-day grid is the one event-scale shuffle, the
+    * yesterday-join is an equi self-join of that grid on
+    * (user, day−1) — the same key the grid is already hashed on — and
+    * first-ever days come from one more user-keyed min. Everything
+    * downstream is day-grid-sized. Day 1 reports churned NULL (no
+    * prior day exists), not a fake zero.
+    */
+  val q233GrowthAccounting = Q.checked(
+    "q233_growth_accounting",
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |act AS (SELECT day, count(*) AS act FROM d GROUP BY 1),
+      |ret AS (
+      |  SELECT a.day, count(*) AS ret
+      |  FROM d a JOIN d b ON b.user_id = a.user_id AND b.day = a.day - 1
+      |  GROUP BY 1),
+      |fst AS (SELECT user_id, min(day) AS fday FROM d GROUP BY 1),
+      |nw AS (SELECT fday AS day, count(*) AS nw FROM fst GROUP BY 1)
+      |SELECT CAST(act.day AS VARCHAR) AS day, act.act,
+      |  coalesce(nw.nw, 0) AS new_users,
+      |  coalesce(ret.ret, 0) AS retained,
+      |  act.act - coalesce(ret.ret, 0) - coalesce(nw.nw, 0) AS resurrected,
+      |  CASE WHEN prev.act IS NULL THEN NULL
+      |       ELSE prev.act - coalesce(ret.ret, 0) END AS churned
+      |FROM act
+      |LEFT JOIN ret ON ret.day = act.day
+      |LEFT JOIN nw ON nw.day = act.day
+      |LEFT JOIN act prev ON prev.day = act.day - 1""") { (s, dir) =>
+    val d = table(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+      .localCheckpoint(true) // user-day grid; feeds all four readings
+    val act = d.groupBy(col("day")).agg(count(lit(1)).as("act"))
+      .localCheckpoint(true) // day-grid-sized; joined to itself shifted
+    val ret = d.alias("a")
+      .join(d.alias("b"),
+        col("b.user_id") === col("a.user_id") &&
+          col("b.day") === date_sub(col("a.day"), 1))
+      .groupBy(col("a.day").as("day")).agg(count(lit(1)).as("ret"))
+    val nw = d.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("nw"))
+    act
+      .join(ret, Seq("day"), "left")
+      .join(nw, Seq("day"), "left")
+      .join(act.select(date_add(col("day"), 1).as("day"), col("act").as("prev")),
+        Seq("day"), "left")
+      .select(col("day").cast("string").as("day"), col("act"),
+        coalesce(col("nw"), lit(0L)).as("new_users"),
+        coalesce(col("ret"), lit(0L)).as("retained"),
+        (col("act") - coalesce(col("ret"), lit(0L)) - coalesce(col("nw"), lit(0L)))
+          .as("resurrected"),
+        when(col("prev").isNull, lit(null))
+          .otherwise(col("prev") - coalesce(col("ret"), lit(0L))).as("churned"))
+  }
+
   /** RECENCY-DECAYED ENGAGEMENT COUNT — the half-life-weighted activity
     * score feature stores keep per user (yesterday's event counts half
     * as much as today's, half-life = 1 day): Σ 2^(−age_days), computed
@@ -1865,5 +1922,5 @@ object MiscQueries {
       q179AbExperiment, q180FkAudit, q185ItemCf, q191TableFingerprint,
       q199JoinSizeAudit, q200AccumSnapshot, q204RfmScores, q206AssocRules,
       q212Streaks, q218NegativeSample, q220RendezvousShards,
-      q223HourBitmap, q229DecayedCount, q230WowGrowth)
+      q223HourBitmap, q229DecayedCount, q230WowGrowth, q233GrowthAccounting)
 }

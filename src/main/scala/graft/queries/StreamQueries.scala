@@ -641,10 +641,63 @@ object StreamQueries {
         sum(col("cov")).cast("long").as("covered_us"))
   }
 
+  /** BOUNCE RATE by landing event type — the engagement-quality readout
+    * per session entry point: 30-minute-gap sessions, a session's
+    * LANDING type, and the share that bounce (single-event sessions) in
+    * exact ppm. The landing type costs nothing extra: the row that
+    * opens a session (gap break in the unique (us, event_id) order) IS
+    * its first event, so the marker row carries the landing type and no
+    * arg_min/first_value pass ever runs. Two per-user windows (bounded
+    * by one user's history), one session-keyed count, entry-type-scale
+    * output.
+    */
+  val q232BounceRate = Q.checked(
+    "q232_bounce_rate",
+    """WITH us AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |marks AS (
+      |  SELECT user_id, event_id, event_type, us,
+      |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM us WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_type, new_s,
+      |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |  FROM marks),
+      |n AS (SELECT user_id, sid, count(*) AS n_ev FROM sess GROUP BY 1, 2),
+      |first AS (SELECT user_id, sid, event_type AS landing FROM sess WHERE new_s = 1)
+      |SELECT landing, count(*) AS n_sessions,
+      |  CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+      |  CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS bounce_ppm
+      |FROM first JOIN n USING (user_id, sid)
+      |GROUP BY landing""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = table(s, dir, "events")
+    val us = ev.select(col("user_id"), col("event_id"), col("event_type"),
+      graft.core.Graft.tsUs(ev).as("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val marks = us.withColumn("new_s",
+      when(lag(col("us"), 1).over(w).isNull ||
+        col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L).otherwise(0L))
+    val sess = marks.withColumn("sid",
+      sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)).cast("long"))
+    val n = sess.groupBy(col("user_id"), col("sid")).agg(count(lit(1)).as("n_ev"))
+    val first = sess.filter(col("new_s") === 1)
+      .select(col("user_id"), col("sid"), col("event_type").as("landing"))
+    first.join(n, Seq("user_id", "sid"))
+      .groupBy(col("landing"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_ev") === 1, 1L).otherwise(0L)).cast("long").as("n_bounce"))
+      .select(col("landing"), col("n_sessions"), col("n_bounce"),
+        expr("n_bounce * 1000000 DIV n_sessions").as("bounce_ppm"))
+  }
+
   val all: Vector[Q] =
     Vector(q66StreamApiSort, q68Sessionize, q92StreamCli, q93StreamPipeline,
       q95StreamHistogram, q112StreamSeqfile, q113StreamSeqfileOut,
       q122IngestDedup, q148Conversations, q157EventPaths,
       q189TransitionMatrix, q205Markov2Step, q217CusumChangepoint, q219Twap,
-      q225IntervalUnion)
+      q225IntervalUnion, q232BounceRate)
 }

@@ -2407,6 +2407,35 @@ object TextQueries {
           " DIV (CAST(4 AS DECIMAL(38,0)) * c1 * ncc) AS BIGINT)").as("pkn_ppm"))
   }
 
+  /** HIGHER-ORDER-FUNCTION doc stats — per-document token statistics
+    * computed ENTIRELY inside the row via Spark's array HOFs
+    * (transform/aggregate/array_distinct), mirrored by DuckDB's list
+    * functions: token count, distinct tokens, longest token, total token
+    * chars. The point is the plan: a tokenizing profile with ZERO
+    * exchanges — no explode, no shuffle, no aggregation; the token array
+    * never leaves its row, so at 100 TB this is exactly one codegen'd
+    * scan (PlanSpec asserts the plan is Exchange-free). The explode-based
+    * siblings (q03/q72) pay a token-scale shuffle for corpus-level
+    * answers; when the answer is per-document, HOFs make the shuffle
+    * disappear.
+    */
+  val q231HofDocstats = Q.checked(
+    "q231_hof_docstats",
+    """SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS n_tok,
+      |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+      |  CAST(list_max(list_transform(w, x -> length(x))) AS BIGINT) AS max_tok_len,
+      |  CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS BIGINT) AS sum_tok_len
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""") { (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tok"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        expr("CAST(array_max(transform(w, x -> length(x))) AS BIGINT)").as("max_tok_len"),
+        expr("aggregate(w, 0L, (a, x) -> a + length(x))").as("sum_tok_len"))
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
@@ -2418,5 +2447,5 @@ object TextQueries {
       q146HtmlExtract, q147PerceptronTrain, q150RagPipeline, q150bRagHybrid,
       q156QualityBudget, q162WeightedSample, q164NewTerms, q184BpeApply,
       q186BooleanBm25, q207ExactKSample, q213PrioritySample, q214FeatureHash,
-      q215KneserNey)
+      q215KneserNey, q231HofDocstats)
 }

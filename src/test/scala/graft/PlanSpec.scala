@@ -777,6 +777,27 @@ class PlanSpec extends AnyFunSuite {
       "weekly revenue must map-side combine before the lag:\n" + p.take(3000))
   }
 
+  test("q231 HOF doc stats plan exactly one scan and ZERO exchanges") {
+    // the entire point: per-doc token stats without explode — the token
+    // array never leaves its row, so nothing shuffles
+    val p = plan(graft.queries.TextQueries.q231HofDocstats)
+    assert(!p.contains("Exchange"), "HOF stats must not shuffle:\n" + p.take(3000))
+    assert(!p.contains("Generate"), "HOF stats must not explode:\n" + p.take(3000))
+  }
+
+  test("q232 bounce rate windows stay user-partitioned") {
+    val p = plan(graft.queries.StreamQueries.q232BounceRate)
+    assert("Window.*user_id".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q233 growth accounting self-joins the grid equi-keyed") {
+    val p = plan(graft.queries.MiscQueries.q233GrowthAccounting)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
