@@ -1145,6 +1145,50 @@ object AggQueries {
           " DIV (CAST(tt AS DECIMAL(38,0)) * rt * ct) AS BIGINT)").as("chi2_ppm"))
   }
 
+  /** BENFORD'S LAW AUDIT — the classic fraud / fabricated-data screen:
+    * the first-significant-digit distribution of revenue against the
+    * Benford expectation log₁₀(1+1/d). The expectations are nine
+    * CONSTANTS (they sum to exactly 10⁶ ppm), so no engine ever
+    * evaluates a logarithm — observed shares are exact integer ppm and
+    * the deviation is a signed subtraction, not a division. One
+    * map-side-combined aggregation to nine rows; the first digit is
+    * string arithmetic on the integer cents, immune to float formatting.
+    */
+  val q234Benford = Q.checked(
+    "q234_benford",
+    """WITH v AS (
+      |  SELECT substring(CAST(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS VARCHAR), 1, 1) AS d
+      |  FROM lineitem
+      |  WHERE l_extendedprice > 0),
+      |o AS (SELECT d, count(*) AS n FROM v GROUP BY d),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM o)
+      |SELECT o.d, o.n,
+      |  o.n * 1000000 // t.total AS obs_ppm,
+      |  CASE o.d WHEN '1' THEN 301030 WHEN '2' THEN 176091 WHEN '3' THEN 124939
+      |           WHEN '4' THEN 96910 WHEN '5' THEN 79181 WHEN '6' THEN 66947
+      |           WHEN '7' THEN 57992 WHEN '8' THEN 51153 ELSE 45757 END AS exp_ppm,
+      |  o.n * 1000000 // t.total
+      |    - CASE o.d WHEN '1' THEN 301030 WHEN '2' THEN 176091 WHEN '3' THEN 124939
+      |               WHEN '4' THEN 96910 WHEN '5' THEN 79181 WHEN '6' THEN 66947
+      |               WHEN '7' THEN 57992 WHEN '8' THEN 51153 ELSE 45757 END AS dev_ppm
+      |FROM o CROSS JOIN t""") { (s, dir) =>
+    // 1-indexed constant table: exp_ppm(d) = round(1e6·log10(1+1/d))
+    val expTable = array(Seq(301030, 176091, 124939, 96910, 79181, 66947,
+      57992, 51153, 45757).map(v => lit(v.toLong)): _*)
+    def exp(d: Column): Column = element_at(expTable, d.cast("int"))
+    val o = table(s, dir, "lineitem")
+      .filter(col("l_extendedprice") > 0)
+      .select(substring(round(col("l_extendedprice").cast("double") * 100)
+        .cast("long").cast("string"), 1, 1).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val t = o.agg(sum(col("n")).cast("long").as("total"))
+    o.crossJoin(broadcast(t))
+      .select(col("d"), col("n"),
+        expr("n * 1000000 DIV total").as("obs_ppm"),
+        exp(col("d")).as("exp_ppm"),
+        (expr("n * 1000000 DIV total") - exp(col("d"))).as("dev_ppm"))
+  }
+
   val all: Vector[Q] =
     Vector(q20AggDescriptor, q21UniqCapped, q22Histogram, q23MaxMin,
       q24Distinct, q25UniqTyped, q78ZscoreOutliers, q82Pivot, q83Unpivot,
@@ -1152,5 +1196,5 @@ object AggQueries {
       q134HllMerge, q141ExactPctHist, q153MadOutliers, q174Winsorize,
       q190WeightedPct, q201DistributionDrift, q203DwellTimePct,
       q208ParetoAbc, q210RegrTrend, q216MinmaxScale, q221RollingCorr,
-      q224HllOverlap, q227ChisqIndependence)
+      q224HllOverlap, q227ChisqIndependence, q234Benford)
 }

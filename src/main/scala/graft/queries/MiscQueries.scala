@@ -1735,6 +1735,45 @@ object MiscQueries {
         max(col("ck")).as("max_ck"))
   }
 
+  /** DATE SPINE / dense-grid materialization — the warehouse pattern
+    * every reporting layer needs and no aggregation produces: the FULL
+    * (day × type) grid including the cells with ZERO events (a groupBy
+    * can only emit rows that exist; dashboards and forecast models need
+    * the explicit zeros, and a silent gap in a daily feed is exactly
+    * the row that isn't there). The spine is generated, not scanned:
+    * one 1-row min/max bounds agg → sequence() explode → broadcast
+    * cross with the distinct type list (both grid-sized at any event
+    * volume), then one left join fills observed counts and flags gaps.
+    */
+  val q235DateSpine = Q.checked(
+    "q235_date_spine",
+    """WITH bounds AS (
+      |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+      |days AS (
+      |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+      |ty AS (SELECT DISTINCT event_type FROM events),
+      |obs AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT CAST(days.day AS VARCHAR) AS day, ty.event_type,
+      |  coalesce(obs.n, 0) AS n,
+      |  CAST(CASE WHEN obs.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+      |FROM days CROSS JOIN ty
+      |LEFT JOIN obs ON obs.day = days.day AND obs.event_type = ty.event_type""") { (s, dir) =>
+    val ev = table(s, dir, "events")
+    val bounds = ev.agg(min(col("ts").cast("date")).as("d0"),
+      max(col("ts").cast("date")).as("d1"))
+    val days = bounds.select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val ty = ev.select(col("event_type")).distinct()
+    val obs = ev.groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    days.crossJoin(broadcast(ty))
+      .join(obs, Seq("day", "event_type"), "left")
+      .select(col("day").cast("string").as("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("n").isNull, 1L).otherwise(0L).as("is_gap"))
+  }
+
   /** GROWTH ACCOUNTING — the daily new / retained / resurrected /
     * churned user decomposition every growth team reports (act(d) =
     * new + retained + resurrected; churned(d) = act(d−1) − retained(d)):
@@ -1922,5 +1961,6 @@ object MiscQueries {
       q179AbExperiment, q180FkAudit, q185ItemCf, q191TableFingerprint,
       q199JoinSizeAudit, q200AccumSnapshot, q204RfmScores, q206AssocRules,
       q212Streaks, q218NegativeSample, q220RendezvousShards,
-      q223HourBitmap, q229DecayedCount, q230WowGrowth, q233GrowthAccounting)
+      q223HourBitmap, q229DecayedCount, q230WowGrowth, q233GrowthAccounting,
+      q235DateSpine)
 }

@@ -2436,6 +2436,50 @@ object TextQueries {
         expr("aggregate(w, 0L, (a, x) -> a + length(x))").as("sum_tok_len"))
   }
 
+  /** SOURCE SIMILARITY MATRIX — pairwise cosine between the term-
+    * frequency vectors of every document source: the corpus-composition
+    * readout a mixture designer checks before weighting sources (two
+    * near-identical crawls shouldn't both get full weight). The vectors
+    * are vocab-keyed SPARSE rows, so the dot product is one equi
+    * self-join on the term — |vocab|-bounded, never document-scale —
+    * and the norms are per-source sums of squares. All sufficient
+    * statistics are exact integers; the cosine is the identical IEEE
+    * (dot, √norms) tree both engines. |sources|²/2 output rows.
+    */
+  val q236SourceSimilarity = Q.checked(
+    "q236_source_similarity",
+    """WITH t AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tf AS (SELECT source, w, count(*) AS f FROM t WHERE length(w) > 0 GROUP BY 1, 2),
+      |nrm AS (SELECT source, CAST(sum(f * f) AS BIGINT) AS n2 FROM tf GROUP BY 1),
+      |dot AS (
+      |  SELECT a.source AS sa, b.source AS sb, CAST(sum(a.f * b.f) AS BIGINT) AS dot
+      |  FROM tf a JOIN tf b ON b.w = a.w AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT dot.sa, dot.sb, dot.dot,
+      |  CAST(dot.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_sim
+      |FROM dot JOIN nrm na ON na.source = dot.sa JOIN nrm nb ON nb.source = dot.sb""") { (s, dir) =>
+    val tf = table(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+      .localCheckpoint(true) // vocab-bounded; feeds norms and the pair join
+    val nrm = tf.groupBy(col("source"))
+      .agg(sum(col("f") * col("f")).cast("long").as("n2"))
+    val dot = tf.alias("a")
+      .join(tf.alias("b"),
+        col("b.w") === col("a.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(sum(col("a.f") * col("b.f")).cast("long").as("dot"))
+    dot
+      .join(nrm.select(col("source").as("sa"), col("n2").as("na")), "sa")
+      .join(nrm.select(col("source").as("sb"), col("n2").as("nb")), "sb")
+      .select(col("sa"), col("sb"), col("dot"),
+        (col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cos_sim"))
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
@@ -2447,5 +2491,5 @@ object TextQueries {
       q146HtmlExtract, q147PerceptronTrain, q150RagPipeline, q150bRagHybrid,
       q156QualityBudget, q162WeightedSample, q164NewTerms, q184BpeApply,
       q186BooleanBm25, q207ExactKSample, q213PrioritySample, q214FeatureHash,
-      q215KneserNey, q231HofDocstats)
+      q215KneserNey, q231HofDocstats, q236SourceSimilarity)
 }

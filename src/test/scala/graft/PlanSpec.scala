@@ -798,6 +798,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("q234 benford is one agg to nine rows; no window, no log evaluated") {
+    val p = plan(graft.queries.AggQueries.q234Benford)
+    assert(!p.contains("Window"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.toLowerCase.contains("log10"),
+      "the Benford expectation must stay a constant table:\n" + p.take(3000))
+  }
+
+  test("q235 date spine generates the grid; no cartesian beyond the bounded cross") {
+    val p = plan(graft.queries.MiscQueries.q235DateSpine)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q236 source similarity dot product joins equi-keyed on the term") {
+    val p = plan(graft.queries.TextQueries.q236SourceSimilarity)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
