@@ -1889,6 +1889,56 @@ object DedupQueries {
         .as("assortativity"))
   }
 
+  /** BLOCKING QUALITY AUDIT — the two numbers that price any blocking
+    * scheme (here: the LSH bands) before a dedup run commits to it:
+    * REDUCTION RATIO (how much of the n(n−1)/2 all-pairs space the
+    * blocks discard) and PAIRS COMPLETENESS (what share of true
+    * duplicate pairs the blocks still cover). Ground truth is exact:
+    * the doubled-crawl corpus (q50's convention) guarantees every doc a
+    * byte-identical twin, so truth pairs come from one md5 groupBy —
+    * never an all-pairs scan — and PC measures something real: an
+    * identical twin can still be LOST to the per-bucket membership cap,
+    * which is exactly the failure mode this audit exists to price. All
+    * ratios exact ppm; the n(n−1)/2 denominator runs in DECIMAL(38,0)/
+    * HUGEINT (n² passes int64 around 4 billion docs).
+    */
+  val q237BlockingQuality = Q.checked(
+    "q237_blocking_quality",
+    s"""WITH $duckCrawlCte, ${duckCandCtes.replace("FROM documents", "FROM crawl")},
+       |h AS (SELECT md5(text) AS h, doc_id FROM crawl),
+       |truth AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM h x JOIN h y ON y.h = x.h AND x.doc_id < y.doc_id),
+       |f AS (SELECT count(*) AS n_found FROM truth JOIN cand USING (a, b)),
+       |c AS (SELECT count(*) AS n_cand FROM cand),
+       |t AS (SELECT count(*) AS n_truth FROM truth),
+       |n AS (SELECT CAST(count(*) AS HUGEINT) AS n_docs FROM crawl)
+       |SELECT CAST(n.n_docs AS BIGINT) AS n_docs, c.n_cand, t.n_truth, f.n_found,
+       |  f.n_found * 1000000 // t.n_truth AS pc_ppm,
+       |  CAST(1000000 - CAST(c.n_cand AS HUGEINT) * 1000000
+       |       // (n.n_docs * (n.n_docs - 1) // 2) AS BIGINT) AS rr_ppm
+       |FROM n CROSS JOIN c CROSS JOIN t CROSS JOIN f""") { (s, dir) =>
+    val docs = crawl(table(s, dir, "documents")).localCheckpoint(true)
+    val cand = Dedup.candidatePairs(autoBands(docs), BucketCap)
+      .localCheckpoint(true) // feeds the count and the truth intersection
+    val h = docs.select(md5(col("text")).as("h"), col("doc_id"))
+    val truth = h.alias("x")
+      .join(h.alias("y"),
+        col("y.h") === col("x.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .localCheckpoint(true)
+    val f = truth.join(cand, Seq("a", "b")).agg(count(lit(1)).as("n_found"))
+    val c = cand.agg(count(lit(1)).as("n_cand"))
+    val t = truth.agg(count(lit(1)).as("n_truth"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    n.crossJoin(broadcast(c)).crossJoin(broadcast(t)).crossJoin(broadcast(f))
+      .select(col("n_docs"), col("n_cand"), col("n_truth"), col("n_found"),
+        expr("n_found * 1000000 DIV n_truth").as("pc_ppm"),
+        expr("CAST(1000000 - CAST(n_cand AS DECIMAL(38,0)) * 1000000" +
+          " DIV (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) DIV 2) AS BIGINT)")
+          .as("rr_ppm"))
+  }
+
   val all: Vector[Q] =
     Vector(q50DedupExact, q51MinhashLsh, q52Simhash, q53Jaccard,
       q57EmbedDedup, q58DedupGroups, q59DedupApply, q87Triangles,
@@ -1899,5 +1949,5 @@ object DedupQueries {
       q175GoldenRecord, q182KanonAudit, q183IncrementalCc, q188WeightedSssp,
       q193NormalizedDedup, q194ContainmentJoin, q196PersonalizedPagerank,
       q198LshDecontaminate, q209DegreeDist, q226MinhashCalibration,
-      q228Assortativity)
+      q228Assortativity, q237BlockingQuality)
 }

@@ -1735,6 +1735,100 @@ object MiscQueries {
         max(col("ck")).as("max_ck"))
   }
 
+  /** HEADER↔LINES RECONCILIATION — the warehouse-closing audit (does
+    * each order header total equal the sum of its line items?): per
+    * order the exact cents delta header − Σ lines·(1−disc)·(1+tax),
+    * folded to a bounded report — per (sign × decimal-digit magnitude
+    * bin, q209's portable integer log scale) the order count and the
+    * total absolute drift. Line amounts compute in DECIMAL (scale-4
+    * products, one half-up cents rounding per line — both engines round
+    * identically on exact decimals, unlike engine-ordered float sums);
+    * headers LEFT JOIN so an order with no lines surfaces instead of
+    * vanishing. Output is bins-sized, never order-scale.
+    */
+  val q238Reconciliation = Q.checked(
+    "q238_reconciliation",
+    """WITH l AS (
+      |  SELECT l_orderkey,
+      |    CAST(sum(CAST(round(CAST(l_extendedprice AS DECIMAL(28,4))
+      |         * (1 - CAST(l_discount AS DECIMAL(9,4)))
+      |         * (1 + CAST(l_tax AS DECIMAL(9,4))) * 100, 0) AS BIGINT)) AS BIGINT) AS lines_c
+      |  FROM lineitem GROUP BY 1),
+      |d AS (
+      |  SELECT o_orderkey,
+      |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
+      |      - coalesce(l.lines_c, 0) AS delta_c
+      |  FROM orders LEFT JOIN l ON l.l_orderkey = o_orderkey)
+      |SELECT CASE WHEN delta_c > 0 THEN 1 WHEN delta_c < 0 THEN -1 ELSE 0 END AS sign,
+      |  CAST(CASE WHEN delta_c = 0 THEN 0
+      |       ELSE length(CAST(abs(delta_c) AS VARCHAR)) END AS BIGINT) AS mag_bin,
+      |  count(*) AS n_orders,
+      |  CAST(sum(abs(delta_c)) AS BIGINT) AS total_abs_drift_c
+      |FROM d GROUP BY 1, 2""") { (s, dir) =>
+    import org.apache.spark.sql.types.{DecimalType => DT}
+    val l = table(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_extendedprice").cast(DT(18, 4))
+          * (lit(1) - col("l_discount").cast(DT(18, 4)))
+          * (lit(1) + col("l_tax").cast(DT(18, 4))) * 100, 0).cast("long"))
+        .cast("long").as("lines_c"))
+    val d = table(s, dir, "orders")
+      .join(l, col("l_orderkey") === col("o_orderkey"), "left")
+      .select((round(col("o_totalprice").cast("double") * 100).cast("long")
+        - coalesce(col("lines_c"), lit(0L))).as("delta_c"))
+    d.groupBy(
+        when(col("delta_c") > 0, 1L).when(col("delta_c") < 0, -1L)
+          .otherwise(0L).as("sign"),
+        when(col("delta_c") === 0, 0L)
+          .otherwise(length(abs(col("delta_c")).cast("string")).cast("long"))
+          .as("mag_bin"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(abs(col("delta_c"))).cast("long").as("total_abs_drift_c"))
+  }
+
+  /** COHORT LTV TRIANGLE — cumulative revenue by acquisition cohort and
+    * age (the table a growth model is fit to): cohort = the customer's
+    * first-order month, age = months since cohort, revenue in exact
+    * cents, and the cumulative column runs over a PER-COHORT window on
+    * the (cohort × age) grid — calendar²-bounded, so the window state is
+    * model-sized at any order volume. Two event-scale shuffles total
+    * (first-order min per customer, the (cohort, age) revenue agg);
+    * everything after is grid arithmetic.
+    */
+  val q239LtvTriangle = Q.checked(
+    "q239_ltv_triangle",
+    """WITH m AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mi,
+      |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS rev_c
+      |  FROM orders),
+      |fst AS (SELECT ck, min(mi) AS cohort FROM m GROUP BY 1),
+      |g AS (
+      |  SELECT fst.cohort, m.mi - fst.cohort AS age,
+      |    CAST(sum(m.rev_c) AS BIGINT) AS rev_c,
+      |    count(DISTINCT m.ck) AS n_custs
+      |  FROM m JOIN fst ON fst.ck = m.ck
+      |  GROUP BY 1, 2)
+      |SELECT cohort, age, rev_c, n_custs,
+      |  CAST(sum(rev_c) OVER (PARTITION BY cohort ORDER BY age
+      |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_c
+      |FROM g""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val m = table(s, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mi"),
+        round(col("o_totalprice").cast("double") * 100).cast("long").as("rev_c"))
+    val fst = m.groupBy(col("ck")).agg(min(col("mi")).as("cohort"))
+    val g = m.join(fst, "ck")
+      .groupBy(col("cohort"), (col("mi") - col("cohort")).as("age"))
+      .agg(sum(col("rev_c")).cast("long").as("rev_c"),
+        countDistinct(col("ck")).as("n_custs"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cum_rev_c", sum(col("rev_c")).over(w).cast("long"))
+  }
+
   /** DATE SPINE / dense-grid materialization — the warehouse pattern
     * every reporting layer needs and no aggregation produces: the FULL
     * (day × type) grid including the cells with ZERO events (a groupBy
@@ -1962,5 +2056,5 @@ object MiscQueries {
       q199JoinSizeAudit, q200AccumSnapshot, q204RfmScores, q206AssocRules,
       q212Streaks, q218NegativeSample, q220RendezvousShards,
       q223HourBitmap, q229DecayedCount, q230WowGrowth, q233GrowthAccounting,
-      q235DateSpine)
+      q235DateSpine, q238Reconciliation, q239LtvTriangle)
 }

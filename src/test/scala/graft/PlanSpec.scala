@@ -819,6 +819,25 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
+  test("q237 blocking quality: truth from one md5 group join, never all-pairs") {
+    val p = plan(graft.queries.DedupQueries.q237BlockingQuality)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q238 reconciliation aggregates lines before the header join") {
+    val p = plan(graft.queries.MiscQueries.q238Reconciliation)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "line totals must map-side combine:\n" + p.take(3000))
+  }
+
+  test("q239 ltv triangle cumulative window stays cohort-partitioned") {
+    val p = plan(graft.queries.MiscQueries.q239LtvTriangle)
+    assert("Window.*cohort".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
