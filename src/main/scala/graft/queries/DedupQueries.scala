@@ -1939,6 +1939,45 @@ object DedupQueries {
           .as("rr_ppm"))
   }
 
+  /** DEDUP SAVINGS REPORT — the number a storage/training-budget owner
+    * actually asks for after a dedup pass: per language, how many
+    * documents and how many BYTES the exact-dedup keep-one policy
+    * drops, and the savings share in exact ppm. Runs over the doubled
+    * crawl (q50's corpus), attributes each dropped doc to ITS language slice
+    * (identical text can cross slices; the group key is the text hash
+    * alone), and the keeper is q50's min-doc_id convention — so this
+    * report is definitionally consistent with the q50/q59 dedup family.
+    * One text-hash groupBy, one hash-keyed join back, language-scale out.
+    */
+  val q241DedupSavings = Q.checked(
+    "q241_dedup_savings",
+    s"""WITH $duckCrawlCte,
+       |d AS (SELECT doc_id, lang, n_chars, md5(text) AS h FROM crawl),
+       |k AS (SELECT h, min(doc_id) AS keeper FROM d GROUP BY h)
+       |SELECT d.lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN d.doc_id <> k.keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  CAST(sum(d.n_chars) AS BIGINT) AS chars_total,
+       |  CAST(sum(CASE WHEN d.doc_id <> k.keeper THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_dropped,
+       |  CAST(sum(CASE WHEN d.doc_id <> k.keeper THEN d.n_chars ELSE 0 END) AS BIGINT)
+       |    * 1000000 // CAST(sum(d.n_chars) AS BIGINT) AS savings_ppm
+       |FROM d JOIN k USING (h)
+       |GROUP BY d.lang""") { (s, dir) =>
+    val d = crawl(table(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), md5(col("text")).as("h"))
+    val k = d.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val dropped = when(col("doc_id") =!= col("keeper"), col("n_chars")).otherwise(0L)
+    d.join(k, "h")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L)).cast("long")
+          .as("n_dropped"),
+        sum(col("n_chars")).cast("long").as("chars_total"),
+        sum(dropped).cast("long").as("chars_dropped"))
+      .select(col("lang"), col("n_docs"), col("n_dropped"), col("chars_total"),
+        col("chars_dropped"),
+        expr("chars_dropped * 1000000 DIV chars_total").as("savings_ppm"))
+  }
+
   val all: Vector[Q] =
     Vector(q50DedupExact, q51MinhashLsh, q52Simhash, q53Jaccard,
       q57EmbedDedup, q58DedupGroups, q59DedupApply, q87Triangles,
@@ -1949,5 +1988,5 @@ object DedupQueries {
       q175GoldenRecord, q182KanonAudit, q183IncrementalCc, q188WeightedSssp,
       q193NormalizedDedup, q194ContainmentJoin, q196PersonalizedPagerank,
       q198LshDecontaminate, q209DegreeDist, q226MinhashCalibration,
-      q228Assortativity, q237BlockingQuality)
+      q228Assortativity, q237BlockingQuality, q241DedupSavings)
 }

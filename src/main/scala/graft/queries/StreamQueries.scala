@@ -694,10 +694,43 @@ object StreamQueries {
         expr("n_bounce * 1000000 DIV n_sessions").as("bounce_ppm"))
   }
 
+  /** PEAK-DAY DETECTION — the local-maxima alarm an ops dashboard runs
+    * over every metric series (which days spiked above BOTH neighbors?):
+    * strict local maxima of the per-type daily counts via one lag and
+    * one lead over a per-type window on the calendar-bounded day grid.
+    * Integers end to end (counts, epoch-micros); series edges (no
+    * neighbor) are by definition not peaks. Complements q217's CUSUM:
+    * CUSUM catches sustained level SHIFTS, this catches one-day spikes.
+    */
+  val q242PeakDays = Q.checked(
+    "q242_peak_days",
+    """WITH d AS (
+      |  SELECT event_type AS et, epoch_us(date_trunc('day', ts)) AS day_us,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |x AS (
+      |  SELECT et, day_us, n,
+      |    lag(n) OVER w AS pn, lead(n) OVER w AS nn
+      |  FROM d WINDOW w AS (PARTITION BY et ORDER BY day_us))
+      |SELECT et AS event_type, day_us, n
+      |FROM x WHERE pn IS NOT NULL AND nn IS NOT NULL AND n > pn AND n > nn""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = table(s, dir, "events")
+      .groupBy(col("event_type").as("et"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("et")).orderBy(col("day_us"))
+    d.withColumn("pn", lag(col("n"), 1).over(w))
+      .withColumn("nn", lead(col("n"), 1).over(w))
+      .filter(col("pn").isNotNull && col("nn").isNotNull &&
+        col("n") > col("pn") && col("n") > col("nn"))
+      .select(col("et").as("event_type"), col("day_us"), col("n"))
+  }
+
   val all: Vector[Q] =
     Vector(q66StreamApiSort, q68Sessionize, q92StreamCli, q93StreamPipeline,
       q95StreamHistogram, q112StreamSeqfile, q113StreamSeqfileOut,
       q122IngestDedup, q148Conversations, q157EventPaths,
       q189TransitionMatrix, q205Markov2Step, q217CusumChangepoint, q219Twap,
-      q225IntervalUnion, q232BounceRate)
+      q225IntervalUnion, q232BounceRate, q242PeakDays)
 }

@@ -2480,6 +2480,43 @@ object TextQueries {
           .as("cos_sim"))
   }
 
+  /** SIMPSON DIVERSITY per source — lexical diversity without the
+    * entropy trap: Shannon's −Σp·log p needs a logarithm (libm, drifts
+    * cross-engine); the Gini–Simpson index 1 − Σp² and its inverse (the
+    * "effective vocabulary" — how many equally-common types would give
+    * the same concentration) are pure rational functions of the term
+    * counts, so both render as EXACT integers: Σf² in DECIMAL(38,0),
+    * simpson_ppm = 10⁶ − Σf²·10⁶/N², eff_vocab_milli = N²·10³/Σf².
+    * The corpus-mixture designer's diversity readout next to q236's
+    * similarity matrix. One token-scale agg to vocab, two re-aggs.
+    */
+  val q240SimpsonDiversity = Q.checked(
+    "q240_simpson_diversity",
+    """WITH t AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tf AS (SELECT source, w, count(*) AS f FROM t WHERE length(w) > 0 GROUP BY 1, 2),
+      |st AS (
+      |  SELECT source, CAST(sum(f) AS HUGEINT) AS n, count(*) AS n_types,
+      |    CAST(sum(CAST(f AS HUGEINT) * f) AS HUGEINT) AS f2
+      |  FROM tf GROUP BY 1)
+      |SELECT source, CAST(n AS BIGINT) AS n_tokens, n_types,
+      |  CAST(1000000 - f2 * 1000000 // (n * n) AS BIGINT) AS simpson_ppm,
+      |  CAST(n * n * 1000 // f2 AS BIGINT) AS eff_vocab_milli
+      |FROM st""") { (s, dir) =>
+    import org.apache.spark.sql.types.{DecimalType => DT}
+    val d38 = DT(38, 0)
+    val tf = table(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("f")).cast(d38).as("n"), count(lit(1)).as("n_types"),
+        sum(col("f").cast(d38) * col("f").cast(d38)).cast(d38).as("f2"))
+      .select(col("source"), col("n").cast("long").as("n_tokens"), col("n_types"),
+        expr("CAST(1000000 - f2 * 1000000 DIV (n * n) AS BIGINT)").as("simpson_ppm"),
+        expr("CAST(n * n * 1000 DIV f2 AS BIGINT)").as("eff_vocab_milli"))
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
@@ -2491,5 +2528,6 @@ object TextQueries {
       q146HtmlExtract, q147PerceptronTrain, q150RagPipeline, q150bRagHybrid,
       q156QualityBudget, q162WeightedSample, q164NewTerms, q184BpeApply,
       q186BooleanBm25, q207ExactKSample, q213PrioritySample, q214FeatureHash,
-      q215KneserNey, q231HofDocstats, q236SourceSimilarity)
+      q215KneserNey, q231HofDocstats, q236SourceSimilarity,
+      q240SimpsonDiversity)
 }

@@ -838,6 +838,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q240 simpson diversity is two agg levels, no window, no log evaluated") {
+    val p = plan(graft.queries.TextQueries.q240SimpsonDiversity)
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.toLowerCase.contains("log("),
+      "diversity must stay rational — no entropy log:\n" + p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("q241 dedup savings is one hash group + one hash-keyed join back") {
+    val p = plan(graft.queries.DedupQueries.q241DedupSavings)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q242 peak detection windows stay type-partitioned") {
+    val p = plan(graft.queries.StreamQueries.q242PeakDays)
+    assert("Window.*et#".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "daily counts must map-side combine before the lag/lead:\n" + p.take(3000))
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB

@@ -892,6 +892,42 @@ class SoakTest extends AnyFunSuite {
     val rows = graft.queries.JoinQueries.q149StarJoin.run(spark, dir).count()
     println(f"SOAK100E q149_star_join ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$rows")
   }
+
+  soakGated("100x soak: distributed prefix family at 60M rows (globalRank/runningTotal/runningMax)") {
+    // The two-pass prefix operators' scale claim, measured: globalRank
+    // totally orders SIXTY MILLION rows (q211's equi-depth binning ranks
+    // every lineitem), while runningTotal (q208 Pareto) and runningMax
+    // (q222 skyline) run over the 2M-part aggregated tables. In every
+    // pass the driver holds exactly one Long per partition — the point
+    // of the family. partkeys remap per copy so the catalog genuinely
+    // grows; orderkeys remap so the (c, orderkey, linenumber) rank order
+    // stays total. Results in COVERAGE.md §"Round-14 soak records".
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak-prefix"
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    (0 until 100).map(i => li
+        .withColumn("l_partkey", col("l_partkey") + lit(i * 1000000L))
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val n = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    println(s"SOAKPREFIX rows=$n")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"SOAKPREFIX $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$rows")
+    }
+    time("q211_equidepth_bins") {
+      graft.queries.SortQueries.q211EquidepthBins.run(spark, dir).count()
+    }
+    time("q208_pareto_abc") {
+      graft.queries.AggQueries.q208ParetoAbc.run(spark, dir).count()
+    }
+    time("q222_skyline") {
+      graft.queries.SortQueries.q222Skyline.run(spark, dir).count()
+    }
+  }
 }
 
 /** Dev tool: phase volumes of the set-similarity join at a given
@@ -929,4 +965,5 @@ object SoakOne {
       println(f"SOAK $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$rows")
     }
   }
+
 }
