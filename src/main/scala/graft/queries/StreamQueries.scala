@@ -727,10 +727,55 @@ object StreamQueries {
       .select(col("et").as("event_type"), col("day_us"), col("n"))
   }
 
+  /** BURSTINESS (inter-event gap CV²) per user — the behavioral feature
+    * separating steady users from bursty ones (CV² ≈ 1 Poisson, > 1
+    * bursty, < 1 regular), computed without a single float: gaps from
+    * one per-user lead window, then CV² = var/mean² clears to the exact
+    * integer ppm (n·Σg² − (Σg)²)·10⁶ / (Σg)² with the squares in
+    * DECIMAL(38,0)/HUGEINT (Σg² over micros passes int64 fast). Users
+    * with fewer than two gaps emit NULL explicitly.
+    */
+  val q243Burstiness = Q.checked(
+    "q243_burstiness",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS gap
+      |  FROM e),
+      |st AS (
+      |  SELECT user_id, count(gap) AS n,
+      |    CAST(sum(CAST(gap AS HUGEINT)) AS HUGEINT) AS sg,
+      |    CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS sg2
+      |  FROM g GROUP BY user_id)
+      |SELECT user_id, n AS n_gaps,
+      |  CASE WHEN n < 2 OR sg = 0 THEN NULL
+      |       ELSE CAST((n * sg2 - sg * sg) * 1000000 // (sg * sg) AS BIGINT)
+      |  END AS cv2_ppm
+      |FROM st""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType => DT}
+    val d38 = DT(38, 0)
+    val ev = table(s, dir, "events")
+    val e = ev.select(col("user_id"), col("event_id"),
+      graft.core.Graft.tsUs(ev).as("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val g = e.withColumn("gap", lead(col("us"), 1).over(w) - col("us"))
+    g.groupBy(col("user_id"))
+      .agg(count(col("gap")).as("n"),
+        sum(col("gap").cast(d38)).cast(d38).as("sg"),
+        sum(col("gap").cast(d38) * col("gap").cast(d38)).cast(d38).as("sg2"))
+      .select(col("user_id"), col("n").as("n_gaps"),
+        when(col("n") < 2 || col("sg") === 0, lit(null))
+          .otherwise(expr(
+            "CAST((n * sg2 - sg * sg) * 1000000 DIV (sg * sg) AS BIGINT)"))
+          .as("cv2_ppm"))
+  }
+
   val all: Vector[Q] =
     Vector(q66StreamApiSort, q68Sessionize, q92StreamCli, q93StreamPipeline,
       q95StreamHistogram, q112StreamSeqfile, q113StreamSeqfileOut,
       q122IngestDedup, q148Conversations, q157EventPaths,
       q189TransitionMatrix, q205Markov2Step, q217CusumChangepoint, q219Twap,
-      q225IntervalUnion, q232BounceRate, q242PeakDays)
+      q225IntervalUnion, q232BounceRate, q242PeakDays, q243Burstiness)
 }

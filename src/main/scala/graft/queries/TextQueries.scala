@@ -2517,6 +2517,49 @@ object TextQueries {
         expr("CAST(n * n * 1000 DIV f2 AS BIGINT)").as("eff_vocab_milli"))
   }
 
+  /** VOCABULARY CONCENTRATION CURVE — the Zipf readout without a
+    * log-log regression (whose logs drift cross-engine): what share of
+    * all tokens do the top 1 / 3 / 10 / 30 / 100 / 1000 terms carry? Shares are
+    * exact integer ppm. The scale path is the bounded top-k, not a
+    * vocab-wide window: TakeOrderedAndProject keeps the 1000 heaviest
+    * terms (map-side bounded heap), the running mass accumulates over
+    * those ≤1000 rows (driver-safe by construction), and the corpus
+    * total rides in as one broadcast row. Output is one row per populated cut (≤6).
+    */
+  val q244VocabConcentration = Q.checked(
+    "q244_vocab_concentration",
+    """WITH t AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |tf AS (SELECT w, count(*) AS f FROM t WHERE length(w) > 0 GROUP BY w),
+      |tot AS (SELECT CAST(sum(f) AS BIGINT) AS n FROM tf),
+      |top AS (
+      |  SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r
+      |  FROM tf ORDER BY f DESC, w LIMIT 1000),
+      |c AS (
+      |  SELECT r, CAST(sum(f) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM top)
+      |SELECT c.r AS rank_cut, c.cum AS mass,
+      |  c.cum * 1000000 // tot.n AS mass_ppm
+      |FROM c CROSS JOIN tot
+      |WHERE c.r IN (1, 3, 10, 30, 100, 1000)""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tf = table(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .localCheckpoint(true) // vocab-bounded; feeds the total and the top-k
+    val tot = tf.agg(sum(col("f")).cast("long").as("n"))
+    val top = tf.orderBy(col("f").desc, col("w")).limit(1000)
+      .withColumn("r", row_number().over(Window.orderBy(col("f").desc, col("w"))))
+    top
+      .withColumn("cum", sum(col("f")).over(Window.orderBy(col("r"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .filter(col("r").isin(1, 3, 10, 30, 100, 1000))
+      .crossJoin(broadcast(tot))
+      .select(col("r").cast("long").as("rank_cut"), col("cum").as("mass"),
+        expr("cum * 1000000 DIV n").as("mass_ppm"))
+  }
+
   val all: Vector[Q] =
     Vector(q70LangId, q71Quality, q71bCorpusFreq, q72TokenCount,
       q72bBpeTokens, q73Fingerprint, q74InvertedIndex, q74bIndexMerge,
@@ -2529,5 +2572,5 @@ object TextQueries {
       q156QualityBudget, q162WeightedSample, q164NewTerms, q184BpeApply,
       q186BooleanBm25, q207ExactKSample, q213PrioritySample, q214FeatureHash,
       q215KneserNey, q231HofDocstats, q236SourceSimilarity,
-      q240SimpsonDiversity)
+      q240SimpsonDiversity, q244VocabConcentration)
 }

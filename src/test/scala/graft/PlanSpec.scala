@@ -861,6 +861,20 @@ class PlanSpec extends AnyFunSuite {
       "daily counts must map-side combine before the lag/lead:\n" + p.take(3000))
   }
 
+  test("q243 burstiness gap window stays user-partitioned") {
+    val p = plan(graft.queries.StreamQueries.q243Burstiness)
+    assert("Window.*user_id".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q244 vocab concentration bounds the top-k below its windows") {
+    // the cumulative-mass windows are unpartitioned by design — they must
+    // sit ABOVE a TakeOrderedAndProject so only the bounded top-k funnels in
+    val p = plan(graft.queries.TextQueries.q244VocabConcentration)
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
