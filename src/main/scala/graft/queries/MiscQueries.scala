@@ -1829,6 +1829,47 @@ object MiscQueries {
     g.withColumn("cum_rev_c", sum(col("rev_c")).over(w).cast("long"))
   }
 
+  /** NEW vs REPEAT REVENUE SPLIT — the monthly acquisition-quality
+    * readout (how much revenue comes from first-ever customers vs
+    * returning ones): an order is "new" iff its month equals its
+    * customer's first-order month. One customer-keyed min for the first
+    * month, one equi join back (the same hash key the revenue agg
+    * shuffles on), monthly-grid output with the new-revenue share in
+    * exact ppm. [[q233GrowthAccounting]]'s user-count decomposition,
+    * weighted by money — the pair a growth team reads together.
+    */
+  val q245NewVsRepeat = Q.checked(
+    "q245_new_vs_repeat",
+    """WITH m AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mi,
+      |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS rev_c
+      |  FROM orders),
+      |fst AS (SELECT ck, min(mi) AS fm FROM m GROUP BY 1)
+      |SELECT m.mi AS month_idx,
+      |  CAST(sum(CASE WHEN m.mi = fst.fm THEN m.rev_c ELSE 0 END) AS BIGINT) AS new_rev_c,
+      |  CAST(sum(CASE WHEN m.mi > fst.fm THEN m.rev_c ELSE 0 END) AS BIGINT) AS repeat_rev_c,
+      |  CAST(sum(CASE WHEN m.mi = fst.fm THEN m.rev_c ELSE 0 END) AS BIGINT)
+      |    * 1000000 // CAST(sum(m.rev_c) AS BIGINT) AS new_share_ppm
+      |FROM m JOIN fst ON fst.ck = m.ck
+      |GROUP BY m.mi""") { (s, dir) =>
+    val m = table(s, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mi"),
+        round(col("o_totalprice").cast("double") * 100).cast("long").as("rev_c"))
+    val fst = m.groupBy(col("ck")).agg(min(col("mi")).as("fm"))
+    m.join(fst, "ck")
+      .groupBy(col("mi").as("month_idx"))
+      .agg(sum(when(col("mi") === col("fm"), col("rev_c")).otherwise(0L))
+          .cast("long").as("new_rev_c"),
+        sum(when(col("mi") > col("fm"), col("rev_c")).otherwise(0L))
+          .cast("long").as("repeat_rev_c"),
+        sum(col("rev_c")).cast("long").as("tot"))
+      .select(col("month_idx"), col("new_rev_c"), col("repeat_rev_c"),
+        expr("new_rev_c * 1000000 DIV tot").as("new_share_ppm"))
+  }
+
   /** DATE SPINE / dense-grid materialization — the warehouse pattern
     * every reporting layer needs and no aggregation produces: the FULL
     * (day × type) grid including the cells with ZERO events (a groupBy
@@ -2056,5 +2097,5 @@ object MiscQueries {
       q199JoinSizeAudit, q200AccumSnapshot, q204RfmScores, q206AssocRules,
       q212Streaks, q218NegativeSample, q220RendezvousShards,
       q223HourBitmap, q229DecayedCount, q230WowGrowth, q233GrowthAccounting,
-      q235DateSpine, q238Reconciliation, q239LtvTriangle)
+      q235DateSpine, q238Reconciliation, q239LtvTriangle, q245NewVsRepeat)
 }

@@ -772,10 +772,62 @@ object StreamQueries {
           .as("cv2_ppm"))
   }
 
+  /** DIURNAL-PROFILE DISTANCE — which event types share a time-of-day
+    * shape? The pairwise L1 (total-variation×2) distance between the
+    * hour-of-day histograms of every type pair, kept EXACT by clearing
+    * denominators: Σₕ |fₐ(h)·N_b − f_b(h)·N_a| · 10⁶ / (N_a·N_b) — the
+    * abs of cross-multiplied integers, never a float share. The hour
+    * histograms are 24-row-per-type model tables, so the pair join is
+    * grid arithmetic; only the histogram build touches event scale
+    * (one map-side-combined agg). The behavioral-clustering input for
+    * "do clicks and purchases happen at the same hours".
+    */
+  val q246DiurnalDistance = Q.checked(
+    "q246_diurnal_distance",
+    """WITH h AS (
+      |  SELECT event_type AS et, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS f
+      |  FROM events GROUP BY 1, 2),
+      |n AS (SELECT et, CAST(sum(f) AS BIGINT) AS n FROM h GROUP BY 1),
+      |grid AS (
+      |  SELECT a.et AS ta, b.et AS tb, coalesce(ha.f, 0) AS fa, coalesce(hb.f, 0) AS fb,
+      |    a.n AS na, b.n AS nb, hrs.hr
+      |  FROM n a JOIN n b ON a.et < b.et
+      |  CROSS JOIN (SELECT DISTINCT hr FROM h) hrs
+      |  LEFT JOIN h ha ON ha.et = a.et AND ha.hr = hrs.hr
+      |  LEFT JOIN h hb ON hb.et = b.et AND hb.hr = hrs.hr)
+      |SELECT ta, tb,
+      |  CAST(CAST(sum(abs(fa * nb - fb * na)) AS HUGEINT) * 1000000
+      |       // (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT) AS l1_ppm
+      |FROM grid GROUP BY ta, tb""") { (s, dir) =>
+    import org.apache.spark.sql.types.{DecimalType => DT}
+    val h = table(s, dir, "events")
+      .groupBy(col("event_type").as("et"), hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("f"))
+      .localCheckpoint(true) // 24×|types| model table; feeds totals + grid
+    val n = h.groupBy(col("et")).agg(sum(col("f")).cast("long").as("n"))
+    val hrs = h.select(col("hr")).distinct()
+    val grid = n.select(col("et").as("ta"), col("n").as("na"))
+      .join(n.select(col("et").as("tb"), col("n").as("nb")), col("ta") < col("tb"))
+      .crossJoin(broadcast(hrs))
+      .join(h.select(col("et").as("ta"), col("hr"), col("f").as("fa")),
+        Seq("ta", "hr"), "left")
+      .join(h.select(col("et").as("tb"), col("hr"), col("f").as("fb")),
+        Seq("tb", "hr"), "left")
+      .na.fill(0L, Seq("fa", "fb"))
+    grid.groupBy(col("ta"), col("tb"))
+      .agg(sum(abs(col("fa") * col("nb") - col("fb") * col("na"))).cast(DT(38, 0))
+          .as("s"),
+        max(col("na")).as("mna"), max(col("nb")).as("mnb"))
+      .select(col("ta"), col("tb"),
+        expr("CAST(s * 1000000 DIV (CAST(mna AS DECIMAL(38,0)) * mnb) AS BIGINT)")
+          .as("l1_ppm"))
+  }
+
   val all: Vector[Q] =
     Vector(q66StreamApiSort, q68Sessionize, q92StreamCli, q93StreamPipeline,
       q95StreamHistogram, q112StreamSeqfile, q113StreamSeqfileOut,
       q122IngestDedup, q148Conversations, q157EventPaths,
       q189TransitionMatrix, q205Markov2Step, q217CusumChangepoint, q219Twap,
-      q225IntervalUnion, q232BounceRate, q242PeakDays, q243Burstiness)
+      q225IntervalUnion, q232BounceRate, q242PeakDays, q243Burstiness,
+      q246DiurnalDistance)
 }
