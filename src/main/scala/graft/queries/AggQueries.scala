@@ -1189,6 +1189,46 @@ object AggQueries {
         (expr("n * 1000000 DIV total") - exp(col("d"))).as("dev_ppm"))
   }
 
+  /** SUPPLIER CONCENTRATION (HHI) per part — the procurement-risk
+    * audit (a part sourced 95% from one supplier is a supply-chain
+    * single point of failure): the Herfindahl–Hirschman index
+    * Σ shareₛ² per part, cleared of float shares into the exact
+    * integer ppm Σrevₛ²·10⁶ / (Σrevₛ)² with the squares in
+    * DECIMAL(38,0)/HUGEINT. Two aggregation levels — (part × supplier)
+    * revenue, then the per-part moments — both map-side combined;
+    * 10⁶ ppm = single-sourced, 10⁶/n = perfectly split over n.
+    */
+  val q247HhiConcentration = Q.checked(
+    "q247_hhi_concentration",
+    """WITH r AS (
+      |  SELECT l_partkey AS pk, l_suppkey AS sk,
+      |    CAST(sum(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1, 2),
+      |st AS (
+      |  SELECT pk, count(*) AS n_suppliers,
+      |    CAST(sum(CAST(rev_c AS HUGEINT)) AS HUGEINT) AS s,
+      |    CAST(sum(CAST(rev_c AS HUGEINT) * rev_c) AS HUGEINT) AS s2
+      |  FROM r GROUP BY pk)
+      |SELECT pk, n_suppliers,
+      |  CASE WHEN s = 0 THEN NULL
+      |       ELSE CAST(s2 * 1000000 // (s * s) AS BIGINT) END AS hhi_ppm
+      |FROM st""") { (s, dir) =>
+    import org.apache.spark.sql.types.{DecimalType => DT}
+    val d38 = DT(38, 0)
+    val r = table(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(sum(round(col("l_extendedprice").cast("double") * 100).cast("long"))
+        .cast("long").as("rev_c"))
+    r.groupBy(col("pk"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("rev_c").cast(d38)).cast(d38).as("s"),
+        sum(col("rev_c").cast(d38) * col("rev_c").cast(d38)).cast(d38).as("s2"))
+      .select(col("pk"), col("n_suppliers"),
+        when(col("s") === 0, lit(null))
+          .otherwise(expr("CAST(s2 * 1000000 DIV (s * s) AS BIGINT)"))
+          .as("hhi_ppm"))
+  }
+
   val all: Vector[Q] =
     Vector(q20AggDescriptor, q21UniqCapped, q22Histogram, q23MaxMin,
       q24Distinct, q25UniqTyped, q78ZscoreOutliers, q82Pivot, q83Unpivot,
@@ -1196,5 +1236,6 @@ object AggQueries {
       q134HllMerge, q141ExactPctHist, q153MadOutliers, q174Winsorize,
       q190WeightedPct, q201DistributionDrift, q203DwellTimePct,
       q208ParetoAbc, q210RegrTrend, q216MinmaxScale, q221RollingCorr,
-      q224HllOverlap, q227ChisqIndependence, q234Benford)
+      q224HllOverlap, q227ChisqIndependence, q234Benford,
+      q247HhiConcentration)
 }

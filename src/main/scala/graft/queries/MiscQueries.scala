@@ -1829,6 +1829,45 @@ object MiscQueries {
     g.withColumn("cum_rev_c", sum(col("rev_c")).over(w).cast("long"))
   }
 
+  /** DORMANCY BUCKETS — the reactivation-targeting segmentation (how
+    * many users went quiet, and how quiet): days since each user's last
+    * event vs the corpus max day, folded into lifecycle buckets (active
+    * = same day, recent ≤1d, lapsing ≤7d, dormant beyond)
+    * with per-bucket user counts and share in exact ppm. One user-keyed
+    * max, one 1-row broadcast reference instant, bucket-scale output —
+    * nothing event-scale survives the first aggregation.
+    */
+  val q248DormancyBuckets = Q.checked(
+    "q248_dormancy_buckets",
+    """WITH d0 AS (SELECT max(CAST(ts AS DATE)) AS d0 FROM events),
+      |lastd AS (SELECT user_id, max(CAST(ts AS DATE)) AS ld FROM events GROUP BY 1),
+      |b AS (
+      |  SELECT CASE
+      |    WHEN date_diff('day', ld, d0.d0) <= 0 THEN 'active'
+      |    WHEN date_diff('day', ld, d0.d0) <= 1 THEN 'recent'
+      |    WHEN date_diff('day', ld, d0.d0) <= 7 THEN 'lapsing'
+      |    ELSE 'dormant' END AS bucket
+      |  FROM lastd CROSS JOIN d0),
+      |t AS (SELECT count(*) AS n FROM b)
+      |SELECT bucket, count(*) AS n_users,
+      |  count(*) * 1000000 // max(t.n) AS share_ppm
+      |FROM b CROSS JOIN t GROUP BY bucket""") { (s, dir) =>
+    val ev = table(s, dir, "events")
+    val d0 = ev.agg(max(col("ts").cast("date")).as("d0"))
+    val lastd = ev.groupBy(col("user_id")).agg(max(col("ts").cast("date")).as("ld"))
+    val b = lastd.crossJoin(broadcast(d0))
+      .select(when(datediff(col("d0"), col("ld")) <= 0, "active")
+        .when(datediff(col("d0"), col("ld")) <= 1, "recent")
+        .when(datediff(col("d0"), col("ld")) <= 7, "lapsing")
+        .otherwise("dormant").as("bucket"))
+    val t = b.agg(count(lit(1)).as("n"))
+    b.crossJoin(broadcast(t))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"), max(col("n")).as("tn"))
+      .select(col("bucket"), col("n_users"),
+        expr("n_users * 1000000 DIV tn").as("share_ppm"))
+  }
+
   /** NEW vs REPEAT REVENUE SPLIT — the monthly acquisition-quality
     * readout (how much revenue comes from first-ever customers vs
     * returning ones): an order is "new" iff its month equals its
@@ -2097,5 +2136,6 @@ object MiscQueries {
       q199JoinSizeAudit, q200AccumSnapshot, q204RfmScores, q206AssocRules,
       q212Streaks, q218NegativeSample, q220RendezvousShards,
       q223HourBitmap, q229DecayedCount, q230WowGrowth, q233GrowthAccounting,
-      q235DateSpine, q238Reconciliation, q239LtvTriangle, q245NewVsRepeat)
+      q235DateSpine, q238Reconciliation, q239LtvTriangle, q245NewVsRepeat,
+      q248DormancyBuckets)
 }

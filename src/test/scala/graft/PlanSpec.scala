@@ -891,6 +891,20 @@ class PlanSpec extends AnyFunSuite {
       "the hour histogram must map-side combine:\n" + p.take(3000))
   }
 
+  test("q247 hhi concentration is two map-side-combined agg levels, no window") {
+    val p = plan(graft.queries.AggQueries.q247HhiConcentration)
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("Join"), "HHI needs no join at all:\n" + p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("q248 dormancy buckets collapse to user grain before any join") {
+    val p = plan(graft.queries.MiscQueries.q248DormancyBuckets)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
   test("q13 large-large join degrades to a shuffle join when neither side broadcasts") {
     // at test scale orders fits under the broadcast threshold; disable it to
     // assert the large-large physical strategy Catalyst picks at 100 TB
