@@ -186,14 +186,23 @@ object Similarity {
       .select(col("f.qid").as("a"), col("f.nid").as("b"), col("f.cos").as("cos"))
   }
 
-  /** The shared candidate stage of [[knnDirected]] / [[knnDirectedSq8]]:
-    * ONE corpus×centroid distance pass feeds both cell assignment
-    * (rank 1) and probe ranking (rank ≤ nProbe), then candidates meet on
-    * the cell equi-key — (qid, nid), unique by construction (nid lives
-    * in exactly one cell and qid probes distinct cells).
+  /** The shared candidate-geometry stage of [[knnDirected]] /
+    * [[knnDirectedSq8]]: ONE corpus×centroid distance pass feeds both
+    * cell assignment (rank 1) and probe ranking (rank ≤ nProbe).
+    * Returns (probes (qid, cid), assign (nid, cid)) — candidates are
+    * their cid equi-join, (qid, nid) unique by construction (nid lives
+    * in exactly one cell and qid probes distinct cells). The PAIRS are
+    * deliberately not materialized here: the scoring stages attach the
+    * vector payloads to each SIDE first (corpus-scale shuffles) and meet
+    * on the cell key, so the candidate explosion happens inside one
+    * stage and drains straight into the map-side top-k prune
+    * (WindowGroupLimit) — at 200k vectors the old pairs-first shape
+    * re-shuffled ~5·10⁸ payload-wide rows (hundreds of GB) and ENOSPC'd
+    * one box; this shape's shuffles are corpus-sized + k·N narrow rows.
     */
-  private def knnCandidates(corpus: DataFrame, centroids: DataFrame,
-                            nProbe: Int): DataFrame = {
+  private def knnProbesAndAssign(corpus: DataFrame, centroids: DataFrame,
+                                 nProbe: Int,
+                                 capPerCell: Long): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val scored = corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
       .crossJoin(broadcast(centroids.select(col("cid"), scaled(col("cvec")).as("cs"))))
@@ -206,12 +215,27 @@ object Similarity {
         Window.partitionBy(col("xid")).orderBy(col("d2"), col("cid"))))
       .filter(col("rn") <= math.max(nProbe, 1))
       .localCheckpoint(true) // one distance pass feeds assign AND probes
-    val assign = ranked.filter(col("rn") === 1)
-      .select(col("xid").as("nid"), col("cid"))
-    val probes = ranked.select(col("xid").as("qid"), col("cid"))
-    probes.join(assign, "cid")
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"))
+    // Per-cell candidate cap (the production posture past ~100k vectors):
+    // each cell's SERVABLE member list is its capPerCell most central
+    // members (rank by d2 to the OWN centroid — the d2 the rn=1 row
+    // already carries, so capping costs one bounded per-cell window, no
+    // extra distance pass). Per-query work is then ≤ nProbe·cap dots
+    // regardless of cell skew. Query-independent ordering keeps the cap
+    // deterministic and oracle-expressible; members past the cap still
+    // QUERY (they appear as qid), they just stop being scanned as
+    // neighbors.
+    val assign =
+      if (capPerCell == Long.MaxValue)
+        ranked.filter(col("rn") === 1)
+          .select(col("xid").as("nid"), col("cid"))
+      else
+        ranked.filter(col("rn") === 1)
+          .select(col("xid").as("nid"), col("cid"), col("d2"))
+          .withColumn("crn", row_number().over(
+            Window.partitionBy(col("cid")).orderBy(col("d2"), col("nid"))))
+          .filter(col("crn") <= capPerCell)
+          .select(col("nid"), col("cid"))
+    (ranked.select(col("xid").as("qid"), col("cid")), assign)
   }
 
   /** The directed per-vector top-k stage of [[knnGraph]], exposed
@@ -221,16 +245,22 @@ object Similarity {
   private[graft] def knnDirected(corpus: DataFrame, centroids: DataFrame,
                                  nProbe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cand = knnCandidates(corpus, centroids, nProbe)
+    val (probes, assign) = knnProbesAndAssign(corpus, centroids, nProbe, Long.MaxValue)
     val xn = corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
       .select(col("xid"), col("xs"),
         sqrt(dotScaled(col("xs"), col("xs")).cast("double")).as("norm"))
       .localCheckpoint(true) // reused on both sides of the scoring join
-    cand
+    // payloads attach to each SIDE (corpus-scale shuffles), the sides
+    // meet on the cell key, and the per-query top-k prunes map-side —
+    // the candidate explosion never writes a shuffle (see
+    // knnProbesAndAssign's scale note)
+    probes
       .join(xn.select(col("xid").as("qid"), col("xs").as("qs"),
         col("norm").as("qnorm")), "qid")
-      .join(xn.select(col("xid").as("nid"), col("xs").as("ns"),
-        col("norm").as("nnorm")), "nid")
+      .join(assign
+        .join(xn.select(col("xid").as("nid"), col("xs").as("ns"),
+          col("norm").as("nnorm")), "nid"), "cid")
+      .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         (dotScaled(col("qs"), col("ns")).cast("double") /
           (col("qnorm") * col("nnorm"))).as("cos"))
@@ -265,19 +295,63 @@ object Similarity {
       .select(col("f.qid").as("a"), col("f.nid").as("b"), col("f.cos").as("cos"))
   }
 
+  /** Per-cell servable-list cap for the all-vectors graphs: the average
+    * cell population ⌈n/cells⌉ (floored at k+1 so a thin corpus still
+    * has k scannable neighbors). At this cap the candidate join is
+    * bounded by N·nProbe·⌈n/cells⌉ — exactly the volume a perfectly
+    * BALANCED index would produce — so the cap removes the skew excess
+    * (a fat cell's members being rescanned by every probe of that cell)
+    * while leaving balanced indexes untouched; it binds on every
+    * above-average cell at any scale. Tightening further trades recall
+    * for shuffle: a member past the cap can still query but can no
+    * longer be scanned as a neighbor, and a MUTUAL edge needs both
+    * endpoints servable, so edge recall falls roughly with the square of
+    * the servable fraction (RecallSpec measures it; the registered q167c
+    * floor is set from that measurement).
+    */
+  def knnCellCapFor(n: Long, cells: Int, k: Int): Long =
+    math.max(k + 1L, math.ceil(n.toDouble / cells).toLong)
+
+  /** [[knnGraphSq8]] with the per-cell candidate cap — the full
+    * production posture for all-vectors graphs past ~100k vectors: SQ8
+    * codes bound the resident store (4× smaller), coarse cells bound the
+    * scan fraction (nProbe/cells), and the per-cell cap bounds the
+    * candidate SHUFFLE (≤ N·nProbe·cap rows no matter how skewed the
+    * cells are — the uncapped graph's failure mode at 200k vectors was
+    * exactly this shuffle exceeding one box's disk). Candidates are a
+    * strict subset of the uncapped graph's; RecallSpec floors the edge
+    * recall against uncapped scoring.
+    */
+  def knnGraphSq8Capped(corpus: DataFrame, centroids: DataFrame,
+                        nProbe: Int, k: Int, capPerCell: Long): DataFrame = {
+    val directed = knnDirectedSq8(corpus, centroids, nProbe, k, capPerCell)
+      .localCheckpoint(true) // both sides of the mutuality self-join
+    directed.alias("f")
+      .join(directed.alias("r"),
+        col("f.qid") === col("r.nid") && col("f.nid") === col("r.qid"))
+      .filter(col("f.qid") < col("f.nid"))
+      .select(col("f.qid").as("a"), col("f.nid").as("b"), col("f.cos").as("cos"))
+  }
+
   /** Directed SQ8-scored top-k stage of [[knnGraphSq8]], exposed like
     * [[knnDirected]] for plan assertions and recall floors.
     */
   private[graft] def knnDirectedSq8(corpus: DataFrame, centroids: DataFrame,
-                                    nProbe: Int, k: Int): DataFrame = {
+                                    nProbe: Int, k: Int,
+                                    capPerCell: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cand = knnCandidates(corpus, centroids, nProbe)
+    val (probes, assign) = knnProbesAndAssign(corpus, centroids, nProbe, capPerCell)
     val enc = sq8EncodeScaled(corpus) // (xid, rx, xnorm), the code store
     val qn = corpus.select(col("xid").as("qid"), scaled(col("xvec")).as("qs"))
       .withColumn("qnorm", sqrt(dotScaled(col("qs"), col("qs")).cast("double")))
-    cand
+    // same cell-key meet as knnDirected: the code store attaches to the
+    // member side, query vectors to the probe side, and the per-query
+    // top-k prunes map-side before the only candidate-keyed shuffle
+    probes
       .join(qn, "qid")
-      .join(enc.select(col("xid").as("nid"), col("rx"), col("xnorm")), "nid")
+      .join(assign
+        .join(enc.select(col("xid").as("nid"), col("rx"), col("xnorm")), "nid"), "cid")
+      .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         (dotScaled(col("qs"), col("rx")).cast("double") /
           (col("qnorm") * col("xnorm"))).as("cos"))

@@ -35,6 +35,11 @@ object SimilarityQueries {
     "(SELECT greatest(4, least(65536, CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM embeddings)"
   private val ivfProbesSql =
     "(SELECT greatest(2, CAST(ceil(sqrt(greatest(4, least(65536, CAST(ceil(sqrt(count(*))) AS BIGINT))))) AS BIGINT)) FROM embeddings)"
+  // per-cell servable cap — the exact rendering of Similarity.knnCellCapFor
+  // (⌈n/cells⌉ floored at k+1), cells formula inlined like ivfProbesSql
+  private val knnCapSql =
+    s"(SELECT greatest(${K + 1}, CAST(ceil(CAST(count(*) AS DOUBLE) / " +
+    "greatest(4, least(65536, CAST(ceil(sqrt(count(*))) AS BIGINT)))) AS BIGINT)) FROM embeddings)"
 
   /** Brute-force cosine top-k: 5 query vectors (vec_id < 5) against the
     * full corpus; exact decimal dot products, per-query bounded rank.
@@ -780,6 +785,81 @@ object SimilarityQueries {
     Similarity.knnGraphSq8(corpus, centroids, Similarity.ivfProbesFor(cells), K)
   }
 
+  /** q167b with the PER-CELL CANDIDATE CAP
+    * ([[Similarity.knnGraphSq8Capped]]) — the last layer of the
+    * production posture for all-vectors graphs, registered: SQ8 codes
+    * bound the resident store, coarse cells bound the scan fraction, and
+    * the cap bounds the candidate SHUFFLE at N·nProbe·⌈n/cells⌉ rows no
+    * matter how skewed the cells are (the uncapped graph's 200k-vector
+    * failure mode was exactly that shuffle exceeding one box's disk).
+    * Each cell serves only its ⌈n/cells⌉ most-central members
+    * ([[Similarity.knnCellCapFor]] — rank by d2 to the own centroid, a
+    * quantity the assignment pass already computed, so capping is one
+    * bounded per-cell window, not a new distance pass); the ordering is
+    * query-independent, which keeps the cap deterministic and lets the
+    * oracle spell it as one more ranked CTE. Members past the cap still
+    * query; they stop being scannable as neighbors — RecallSpec floors
+    * the edge recall of exactly that trade vs the uncapped graph.
+    */
+  val q167cKnnGraphCapped = Q.checked(
+    "q167c_knn_graph_capped",
+    s"""WITH sv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |sn AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, e -> e*e)) AS DOUBLE) AS n2 FROM sv),
+       |cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM sn WHERE vec_id < $ivfCellsSql),
+       |dots AS (
+       |  SELECT x.vec_id AS xid, c.cid,
+       |    x.n2 - 2 * CAST(list_sum(list_transform(list_zip(x.v, c.cv), p -> p[1]*p[2])) AS DOUBLE) + c.cn2 AS d2
+       |  FROM sn x, cent c
+       |), ranked AS (
+       |  SELECT xid, cid, d2, row_number() OVER (PARTITION BY xid ORDER BY d2, cid) AS rn
+       |  FROM dots
+       |), assign AS (
+       |  SELECT nid, cid FROM (
+       |    SELECT xid AS nid, cid, row_number() OVER (PARTITION BY cid ORDER BY d2, xid) AS crn
+       |    FROM ranked WHERE rn = 1)
+       |  WHERE crn <= $knnCapSql
+       |),
+       |probes AS (SELECT xid AS qid, cid FROM ranked WHERE rn <= $ivfProbesSql),
+       |cand AS (SELECT p.qid, a.nid FROM probes p JOIN assign a ON a.cid = p.cid WHERE a.nid <> p.qid),
+       |el AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+       |         ${sc("unnest(embedding)")} AS sval
+       |  FROM embeddings
+       |), stats AS (
+       |  SELECT dim, min(sval) AS mn, max(sval) AS mx FROM el GROUP BY dim
+       |), recon AS (
+       |  SELECT vec_id, e.dim,
+       |    255 * mn + (CASE WHEN mx = mn THEN 0
+       |                     ELSE ((sval - mn) * 255) // (mx - mn) END) * (mx - mn) AS r
+       |  FROM el e JOIN stats s ON s.dim = e.dim
+       |), rl AS (
+       |  SELECT vec_id, list(r ORDER BY dim) AS rv FROM recon GROUP BY vec_id
+       |), rn2 AS (
+       |  SELECT vec_id, rv, CAST(list_sum(list_transform(rv, e -> e*e)) AS DOUBLE) AS n2r FROM rl
+       |), e AS (
+       |  SELECT c.qid, c.nid,
+       |    CAST(list_sum(list_transform(list_zip(q.v, x.rv), p -> p[1]*p[2])) AS DOUBLE) / (sqrt(q.n2) * sqrt(x.n2r)) AS cos
+       |  FROM cand c JOIN sn q ON q.vec_id = c.qid JOIN rn2 x ON x.vec_id = c.nid
+       |), er AS (
+       |  SELECT qid, nid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM e
+       |), d AS (SELECT qid, nid, cos FROM er WHERE rank <= $K)
+       |SELECT f.qid AS a, f.nid AS b, f.cos AS cos
+       |FROM d f JOIN d r ON f.qid = r.nid AND f.nid = r.qid
+       |WHERE f.qid < f.nid""") { (s, dir) =>
+    val emb = table(s, dir, "embeddings")
+    val n = emb.count()
+    val cells = Similarity.ivfCellsFor(n)
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val centroids = emb.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.knnGraphSq8Capped(corpus, centroids,
+      Similarity.ivfProbesFor(cells), K, Similarity.knnCellCapFor(n, cells, K))
+  }
+
   /** IVF CELL-BALANCE audit — the index-quality gate that runs after
     * build and before serving traffic (the ANN twin of q173's join-skew
     * audit): per coarse cell, the member count and integer-ppm share of
@@ -955,6 +1035,6 @@ object SimilarityQueries {
     Vector(q60AnnCosine, q61AnnLsh, q62AnnIvf, q104KmeansStep,
       q116SemanticDedup, q119Sq8Ann, q120PqAnn, q120bPqTrained,
       q124IvfSq8Ann, q125IvfPqAnn, q135HybridRetrieval, q167KnnGraph,
-      q167bKnnGraphSq8, q197CellBalance,
+      q167bKnnGraphSq8, q167cKnnGraphCapped, q197CellBalance,
       q171SemanticDecon, q177ProjectEmbed, q187EmbedQa)
 }

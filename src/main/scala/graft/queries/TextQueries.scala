@@ -1784,19 +1784,20 @@ object TextQueries {
         .as("xvec"))
   }
 
-  /** Doc 42's whole text featurized the same way — the dense query
-    * vector (qid, qvec).
+  /** A query doc's whole text featurized the same way — the dense query
+    * vector (qid, qvec). q150b asks as doc 42, q150c as doc 7.
     */
   private[graft] def ragQueryVector(s: org.apache.spark.sql.SparkSession,
-                                    dir: String): org.apache.spark.sql.DataFrame = {
+                                    dir: String,
+                                    qdoc: Long = 42L): org.apache.spark.sql.DataFrame = {
     import graft.operators.Dedup
-    table(s, dir, "documents").filter(col("doc_id") === 42)
+    table(s, dir, "documents").filter(col("doc_id") === qdoc)
       .select(explode(Dedup.tokens(col("text"))).as("term"))
       .groupBy((Hashing.hash32(col("term")) % 64).as("d"))
       .agg(count(lit(1)).as("c"))
       .agg(map_from_entries(collect_list(struct(col("d"), col("c")))).as("m"),
         sum(col("c")).as("qdl"))
-      .select(lit(42L).as("qid"), expr(
+      .select(lit(qdoc).as("qid"), expr(
         "transform(sequence(0L, 63L), d -> cast(coalesce(m[d], 0L) as double) / cast(qdl as double))")
         .as("qvec"))
   }
@@ -1872,10 +1873,14 @@ object TextQueries {
     * cells-broadcast assignment pass over the chunk corpus + a probe-
     * pruned scoring join; fusion touches 40 rows. At 100 TB the index is
     * ivfSq8Build persisted partitioned by cell (the q124 amortization),
-    * and only ivfSq8Serve runs per query batch.
+    * and only ivfSq8Serve runs per query batch — the split q150c
+    * registers.
+    *
+    * The oracle is parameterized over the query document — q150b renders
+    * it at doc 42, q150c at doc 7; one definition means the two
+    * renderings can never desynchronize.
     */
-  val q150bRagHybrid = Q.checked(
-    "q150b_rag_hybrid",
+  private def ragHybridOracleSql(qdoc: Long): String =
     s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |idx AS (
        |  SELECT doc_id, w,
@@ -1892,7 +1897,7 @@ object TextQueries {
        |               (SELECT count(*) FROM ctoks) AS tt),
        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
        |qt AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
-       |       FROM documents WHERE doc_id = 42),
+       |       FROM documents WHERE doc_id = $qdoc),
        |bsc AS (
        |  SELECT tf.xid,
        |    (1000000 * 44 * tf.tf * (2 * tot.nd - 2 * dfr.df + 1)) //
@@ -1921,7 +1926,7 @@ object TextQueries {
        |  FROM d2) WHERE rn = 1),
        |qtf AS (SELECT ('0x'||substring(md5(term),1,8))::BIGINT % 64 AS d, count(*) AS c
        |        FROM (SELECT unnest(string_split(text, ' ')) AS term
-       |              FROM documents WHERE doc_id = 42) GROUP BY 1),
+       |              FROM documents WHERE doc_id = $qdoc) GROUP BY 1),
        |qel AS (
        |  SELECT dd.d,
        |    CAST(round((CAST(coalesce(qtf.c, 0) AS DOUBLE) / CAST((SELECT sum(c) FROM qtf) AS DOUBLE)) * 1000000) AS BIGINT) AS v
@@ -1956,7 +1961,73 @@ object TextQueries {
        |SELECT xid // 1000000 AS doc_id, xid % 1000000 AS chunk_id,
        |  bm25_rank, cos_rank, rrf,
        |  row_number() OVER (ORDER BY rrf DESC, xid) AS rank
-       |FROM fused QUALIFY rank <= 10""") { (s, dir) =>
+       |FROM fused QUALIFY rank <= 10"""
+
+  /** The persisted chunk-index artifacts a production RAG deployment
+    * stores once and serves every query batch from (the q183/q124
+    * build/serve contract applied to retrieval): BM25 postings keyed by
+    * term, per-term document frequencies, the 2-scalar totals row, the
+    * IVF×SQ8 dense index (codes + cell ids), and its centroids. All
+    * checkpointed — the materialization barrier standing in for the
+    * parquet write a daily pipeline does once (the 100× soak writes the
+    * real parquet and prices both halves).
+    */
+  private[graft] final case class RagIndex(
+      postings: org.apache.spark.sql.DataFrame,  // (xid, term, tf, dl); bucketed by term at scale
+      termStats: org.apache.spark.sql.DataFrame, // (term, df)
+      tot: org.apache.spark.sql.DataFrame,       // (nd, tt), 1 row
+      corpusCount: Long,
+      centroids: org.apache.spark.sql.DataFrame, // (cid, cvec)
+      index: org.apache.spark.sql.DataFrame)     // ivfSq8Build output (xid, rx, xnorm, cid)
+
+  /** BUILD the chunk index once — every query-independent artifact. */
+  private[graft] def ragIndexBuild(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): RagIndex = {
+    import graft.operators.Similarity
+    val ctoks = ragChunkToks(s, dir)
+    val tf = ctoks.groupBy(col("xid"), col("term")).agg(count(lit(1)).as("tf"))
+    val cl = ctoks.groupBy(col("xid")).agg(count(lit(1)).as("dl"))
+    val postings = tf.join(cl, "xid").localCheckpoint(true)
+    val termStats = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    // tt = Σ tf ≡ the token count the inline path takes from ctoks
+    val tot = broadcast(postings.agg(
+      count_distinct(col("xid")).as("nd"), sum(col("tf")).as("tt")))
+    val corpus = ragChunkVectors(ctoks).localCheckpoint(true)
+    val n = corpus.count()
+    val centroids = corpus.orderBy(col("xid")).limit(Similarity.ivfCellsFor(n))
+      .select(col("xid").as("cid"), col("xvec").as("cvec"))
+      .localCheckpoint(true)
+    val index = Similarity.ivfSq8Build(corpus, centroids).localCheckpoint(true)
+    RagIndex(postings, termStats, tot, n, centroids, index)
+  }
+
+  /** SERVE the BM25 half from the persisted postings: per-batch work is
+    * the query-term join over the term-keyed postings (at 100 TB the
+    * postings are bucketed by term, so the scan prunes to the query's
+    * terms) plus one bounded top-k — no tokenization, no df pass, no
+    * totals pass; those are build artifacts.
+    */
+  private[graft] def ragBm25Serve(idx: RagIndex,
+      qt: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfq = broadcast(idx.termStats.join(qt, "term"))
+    idx.postings.join(broadcast(qt), "term")
+      .join(dfq, "term")
+      .crossJoin(idx.tot)
+      .select(col("xid"),
+        expr("""(1000000 * 44 * tf * (2 * nd - 2 * df + 1)) div
+               ((2 * df + 1) * (20 * tf + 6 + (18 * dl * nd) div tt))""").as("sc"))
+      .groupBy(col("xid")).agg(sum(col("sc")).as("score"))
+      .orderBy(col("score").desc, col("xid")).limit(k)
+      .withColumn("bm25_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("xid"))))
+      .select(col("xid"), col("bm25_rank"))
+  }
+
+  val q150bRagHybrid = Q.checked(
+    "q150b_rag_hybrid",
+    ragHybridOracleSql(42)) { (s, dir) =>
     import graft.operators.Similarity
     val ctoks = ragChunkToks(s, dir)
     // the corpus feeds count, centroid sampling, build, and stats —
@@ -1971,6 +2042,37 @@ object TextQueries {
         Similarity.ivfProbesFor(cells), 20)
       .select(col("xid"), col("rank").as("cos_rank"))
     ragFuse(ragBm25Top(s, dir, ctoks, 20), dense)
+  }
+
+  /** The RAG SERVE path over a PERSISTED chunk index — closing the q150b
+    * amortization claim the way q183 closed the CC one: q150b re-derives
+    * postings and rebuilds the IVF×SQ8 index inside the query (148.5 s
+    * of its 100× soak was that one-shot build); this row splits BUILD
+    * ([[ragIndexBuild]] — term-keyed postings, term stats, totals, SQ8
+    * codes + centroids, all checkpointed: the artifacts a daily pipeline
+    * writes to parquet once) from SERVE, which consumes ONLY the
+    * artifacts — the sparse half joins the query's terms against the
+    * term-keyed postings ([[ragBm25Serve]], bucket-pruned at 100 TB),
+    * the dense half is ivfSq8Serve's probe-pruned scan of the code
+    * store, and fusion touches 40 rows. Asked as doc 7 (q150b asks 42)
+    * so the serve split is pinned on an independent query; the oracle is
+    * the same parameterized hybrid SQL — green proves artifact-path ≡
+    * inline-path. The 100× soak persists the artifacts as real parquet
+    * and prices build vs a served batch.
+    */
+  val q150cRagServe = Q.checked(
+    "q150c_rag_serve",
+    ragHybridOracleSql(7)) { (s, dir) =>
+    import graft.operators.{Dedup, Similarity}
+    val idx = ragIndexBuild(s, dir) // BUILD — persisted once in production
+    // SERVE — artifact consumers only
+    val qt = table(s, dir, "documents").filter(col("doc_id") === 7)
+      .select(explode(Dedup.tokens(col("text"))).as("term")).distinct()
+    val dense = Similarity.ivfSq8Serve(idx.index, ragQueryVector(s, dir, 7L),
+        idx.centroids,
+        Similarity.ivfProbesFor(Similarity.ivfCellsFor(idx.corpusCount)), 20)
+      .select(col("xid"), col("rank").as("cos_rank"))
+    ragFuse(ragBm25Serve(idx, qt, 20), dense)
   }
 
   /** Quality-first budget selection — the composition a budgeted
@@ -2569,6 +2671,7 @@ object TextQueries {
       q109CurationFunnel, q114TokenBudget, q118ChunkWindows, q121C4Filters,
       q123BigramLm, q129Bm25, q136TermDrift, q140DsirSelect, q143TrainShuffle,
       q146HtmlExtract, q147PerceptronTrain, q150RagPipeline, q150bRagHybrid,
+      q150cRagServe,
       q156QualityBudget, q162WeightedSample, q164NewTerms, q184BpeApply,
       q186BooleanBm25, q207ExactKSample, q213PrioritySample, q214FeatureHash,
       q215KneserNey, q231HofDocstats, q236SourceSimilarity,

@@ -33,6 +33,12 @@ final case class CmsSketch(key: String, seen: Long, cells: Array[Long])
 final case class TransEvent(userId: Long, us: Long, eventId: Long, eventType: String)
 final case class TransPair(userId: Long, cur: String, nxt: String)
 final case class LastEvent(us: Long, eventId: Long, eventType: String)
+final case class DecayEvent(userId: Long, day: Long, eventId: Long)
+final case class DecayState(refDay: Long, n: Long, seq: Long, slots: Array[Long])
+final case class DecayRow(userId: Long, seq: Long, nEvents: Long, decayedMilli: Long)
+final case class CusumDay(eventType: String, dayUs: Long, x: Long)
+final case class CusumState(daysUs: List[Long], xs: List[Long])
+final case class CusumRow(eventType: String, dayUs: Long, cusumN: Long, flag: Long)
 
 object EventStream {
 
@@ -121,6 +127,115 @@ object EventStream {
           }
           seq.sliding(2).collect {
             case Seq(a, b) => TransPair(uid, a.eventType, b.eventType)
+          }
+      }
+  }
+
+  /** Streaming twin of q229's recency-decayed engagement count: per-user
+    * state is the REFERENCE DAY plus a 31-slot age histogram (counts of
+    * events at age 0..30 relative to that reference) — when the clock
+    * advances by Δ days the histogram shifts up by Δ (slots past the
+    * horizon drop to exactly zero, the same hard cutoff as batch), and a
+    * new event increments its age slot. Keeping the HISTOGRAM rather
+    * than the folded Σ 2^(30−age) is what keeps the twin EXACT: shifting
+    * the folded sum right truncates low bits of co-aged events (3 events
+    * at age 30 fold to 3, which >>1 gives 1, not the 0 batch says),
+    * while shifting the histogram ages each COUNT losslessly. The score
+    * Σ slots[a]·2^(30−a) is re-derived dyadically at emit — no float
+    * pow/exp here either. Rows with eventId < 0 are CLOCK TICKS (the
+    * q151 sentinel convention): they advance the reference day without
+    * counting, which is how a feeder pins every user to one global
+    * as-of instant — batch q229's corpus-max reference.
+    *
+    * Scale posture: state is 31 longs + 3 scalars per user, constant in
+    * the stream length; evictable by the usual idle-timeout dial. Each
+    * emission carries a monotone `seq` so a consumer (and the parity
+    * test) can select the latest row per user from an append sink.
+    */
+  def decayedCounts(events: Dataset[DecayEvent]): Dataset[DecayRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[DecayState, DecayRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[DecayEvent], state: GroupState[DecayState]) =>
+          val st0 = state.getOption
+            .getOrElse(DecayState(Long.MinValue, 0L, 0L, Array.fill(31)(0L)))
+          var ref = st0.refDay
+          var n = st0.n
+          val slots = st0.slots.clone()
+          rows.toVector.sortBy(e => (e.day, e.eventId)).foreach { e =>
+            if (e.day > ref) {
+              val shift = if (ref == Long.MinValue) 31L else e.day - ref
+              if (shift >= 31) java.util.Arrays.fill(slots, 0L)
+              else {
+                var a = 30
+                while (a >= 0) { // shift ages up, oldest first
+                  slots(a) = if (a >= shift) slots(a - shift.toInt) else 0L
+                  a -= 1
+                }
+              }
+              ref = e.day
+            }
+            if (e.eventId >= 0) { // ticks advance the clock only
+              n += 1
+              val age = ref - e.day
+              if (age <= 30) slots(age.toInt) += 1
+            }
+          }
+          var acc = 0L
+          var a = 0
+          while (a <= 30) { acc += slots(a) << (30 - a); a += 1 }
+          val seq = st0.seq + 1
+          state.update(DecayState(ref, n, seq, slots))
+          Iterator.single(DecayRow(uid, seq, n, (acc * 1000L) >> 30))
+      }
+  }
+
+  /** Streaming twin of q217's CUSUM change-point series: the
+    * Brownian-bridge statistic normalizes every prefix by the FULL
+    * series' n, S and Sq, so per-day flags are only final when the
+    * monitoring window closes — the twin therefore accumulates the
+    * per-type day series (closed daily totals arrive as [[CusumDay]]
+    * rows, the q151 feeder convention) and emits the WHOLE exact flag
+    * series when the window-close tick (dayUs = Long.MaxValue) arrives.
+    * The math is bit-for-bit q217's: C_t = n·Σᵢ≤ₜxᵢ − t·S and the alarm
+    * C_t²·n > 4·(n·Sq − S²)·t·(n−t), evaluated in BigInt — the same
+    * exact-integer tree the batch query runs in DECIMAL(38,0).
+    *
+    * Scale posture: state is the (type × day) grid — the identical
+    * model-sized bound the batch plan's per-type prefix window carries;
+    * types shuffle once on the group key and emit day-grid-sized output.
+    */
+  def cusumChangepoints(days: Dataset[CusumDay]): Dataset[CusumRow] = {
+    import days.sparkSession.implicits._
+    days
+      .groupByKey(_.eventType)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (et: String, rows: Iterator[CusumDay], state: GroupState[CusumState]) =>
+          val (ticks, real) = rows.toVector.partition(_.dayUs == Long.MaxValue)
+          val st0 = state.getOption.getOrElse(CusumState(Nil, Nil))
+          val daysUs = st0.daysUs ++ real.map(_.dayUs)
+          val xs = st0.xs ++ real.map(_.x)
+          state.update(CusumState(daysUs, xs))
+          if (ticks.isEmpty) Iterator.empty
+          else {
+            val series = daysUs.zip(xs).sortBy(_._1)
+            val n = BigInt(series.size)
+            val s = series.iterator.map(d => BigInt(d._2)).sum
+            val sq = series.iterator.map(d => BigInt(d._2) * BigInt(d._2)).sum
+            val prefix =
+              series.scanLeft(BigInt(0)) { case (p, (_, x)) => p + BigInt(x) }.tail
+            series.zip(prefix).zipWithIndex.iterator.map {
+              case (((day, _), px), i) =>
+                val t = BigInt(i + 1)
+                val c = n * px - t * s
+                val flag =
+                  if (c * c * n > BigInt(4) * (n * sq - s * s) * t * (n - t)) 1L
+                  else 0L
+                CusumRow(et, day, c.toLong, flag)
+            }
           }
       }
   }

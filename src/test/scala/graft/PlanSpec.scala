@@ -177,6 +177,22 @@ class PlanSpec extends AnyFunSuite {
       "corpus-sized cartesian:\n" + p.take(3000))
   }
 
+  test("q150c RAG serve consumes artifacts: broadcast query sides, no corpus reshuffle") {
+    val p = plan(graft.queries.TextQueries.q150cRagServe)
+    // the serve path's only per-batch joins are the query-term joins
+    // against the persisted postings and the probe-pruned code scan —
+    // all bounded sides broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // same discipline as q150b: the only sort-merge allowed is the
+    // bounded 20 ∪ 20 fusion full-outer
+    val smj = "SortMergeJoin".r.findAllIn(p).size
+    val smjFullOuter = "SortMergeJoin .*FullOuter".r.findAllIn(p).size
+    assert(smj == smjFullOuter,
+      s"non-fusion sort-merge join ($smj vs $smjFullOuter):\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"),
+      "corpus-sized cartesian:\n" + p.take(3000))
+  }
+
   test("q127 pagerank and q128 set-sim join never plan a cartesian") {
     // both are equi-join families: pagerank's per-iteration (src) joins
     // and set-sim's prefix-token + verify joins must all key-match — a
@@ -317,6 +333,24 @@ class PlanSpec extends AnyFunSuite {
     // means the reconstruction got re-inlined into the scoring join
     assert(!pd.contains("CartesianProduct"), pd.take(3000))
     val p = plan(graft.queries.SimilarityQueries.q167bKnnGraphSq8)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q167c capped knn graph bounds rank AND per-cell servable lists, never cartesian") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val cents = emb.filter(col("vec_id") < 23)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val pd = Similarity.knnDirectedSq8(corpus, cents, 5, 3, capPerCell = 22L)
+      .queryExecution.executedPlan.toString
+    // two bounded windows: the per-vector top-k AND the per-cell cap —
+    // both must prune map-side (WindowGroupLimit), neither may be global
+    assert("WindowGroupLimit".r.findAllIn(pd).size >= 2,
+      "per-vector top-k and per-cell cap must both prune map-side:\n" + pd.take(3000))
+    assert(!pd.contains("CartesianProduct"), pd.take(3000))
+    val p = plan(graft.queries.SimilarityQueries.q167cKnnGraphCapped)
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 

@@ -361,6 +361,34 @@ class RecallSpec extends AnyFunSuite {
     assert(recall >= 0.85, f"SQ8 edge recall collapsed: $recall%.3f")
   }
 
+  test("per-cell-capped mutual k-NN graph holds edge recall vs the uncapped graph") {
+    // q167c's trade, measured: capping each cell's servable list at
+    // ⌈n/cells⌉ (knnCellCapFor) bounds the candidate shuffle at
+    // N·nProbe·cap rows, and the ONLY cost is that members past the cap
+    // stop being scannable as neighbors (they still query). A mutual
+    // edge needs both endpoints servable, so recall falls with the
+    // square of the servable fraction in FAT cells — on this corpus's
+    // near-balanced cells the cap trims only above-average tails
+    // (measured 0.874 at sf0.001: 270 capped vs 293 uncapped edges).
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val n = corpus.count()
+    val cells = Similarity.ivfCellsFor(n)
+    val centroids = emb.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val probes = Similarity.ivfProbesFor(cells)
+    val uncapped = Similarity.knnGraphSq8(corpus, centroids, probes, 3)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    val cap = Similarity.knnCellCapFor(n, cells, 3)
+    val capped = Similarity.knnGraphSq8Capped(corpus, centroids, probes, 3, cap)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    assert(uncapped.nonEmpty, "degenerate fixture: uncapped graph is empty")
+    val recall = (capped intersect uncapped).size.toDouble / uncapped.size
+    info(f"per-cell-capped (cap=$cap) mutual-kNN edge recall vs uncapped: " +
+      f"$recall%.3f (${uncapped.size} uncapped, ${capped.size} capped edges)")
+    assert(recall >= 0.75, f"capped edge recall collapsed: $recall%.3f")
+  }
+
   test("sq8 overflow guard fires on coordinates that would wrap the long norm") {
     import spark.implicits._
     // budget at 64 dims is ~1.489e6 scaled (|x| ≈ 1.489): 2.0 is legal

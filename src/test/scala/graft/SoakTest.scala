@@ -303,6 +303,44 @@ class SoakTest extends AnyFunSuite {
     }
   }
 
+  soakGated("100x soak: q167c per-cell-capped knn graph at 200k vectors (the run that ENOSPC'd uncapped)") {
+    // The uncapped 200k-vector graph at board geometry (448 cells, 22
+    // probes) produced ~2e9 candidates = N²·cells^(−1/2) and spilled
+    // >46 GB of shuffle before ENOSPC on this box. The per-cell cap is
+    // the promised fix, now code (Similarity.knnGraphSq8Capped): with
+    // cap = ⌈avg⌉/4 = 112 the candidate join is bounded at
+    // N·nProbe·cap ≈ 4.9e8 rows — a 4× volume reduction at the SAME
+    // geometry, the only change being the cap. (The other production
+    // knob — more cells, FAISS's nlist ≈ 4–16√N guidance — composes
+    // with the cap; this run isolates the cap so it re-prices exactly
+    // the configuration that died.) Recall of the trade is floored in
+    // RecallSpec at verify scale; at 200k the uncapped reference is
+    // uncomputable on one box, which is the point.
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak-q167c"
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until 100).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    import graft.operators.Similarity
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val nVec = corpus.count()
+    val cells = Similarity.ivfCellsFor(nVec)
+    val probes = Similarity.ivfProbesFor(cells)
+    val cap = Similarity.knnCellCapFor(nVec, cells, 3) / 4
+    println(s"SOAK167C geometry: vectors=$nVec cells=$cells probes=$probes cap=$cap " +
+      s"candidateBound=${nVec * probes * cap}")
+    val centroids = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val t0 = System.nanoTime()
+    val edges = Similarity.knnGraphSq8Capped(corpus, centroids, probes, 3, cap).count()
+    println(f"SOAK167C q167c_capped        ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$edges")
+    assert(edges > 0, "capped graph produced no mutual edges")
+  }
+
   soakGated("100x soak: q183 incremental-CC build/serve amortization at ~500k docs") {
     // the O(delta) claim, measured: BUILD (base bands + base CC) runs
     // once and persists; SERVE re-bands only the delta, pulls the
@@ -488,6 +526,104 @@ class SoakTest extends AnyFunSuite {
     }
     time("q150b_rag_hybrid") {
       graft.queries.TextQueries.q150bRagHybrid.run(spark, dir).count()
+    }
+  }
+
+  soakGated("100x soak: RAG build/serve amortization (the q150c split) at ~500k docs") {
+    // q150b's one-shot 100× wall (~148 s) is dominated by the chunk-index
+    // BUILD; q150c splits it. Here the artifacts are REAL parquet (what a
+    // daily pipeline stores), and a 5-query batch serves from the loaded
+    // index — the amortization claim priced: build once, serve cheap.
+    import graft.operators.Similarity
+    import graft.queries.TextQueries
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak-q150c"
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    (0 until 100).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"SOAK150C $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$rows")
+    }
+    time("build_persist_index") {
+      val idx = TextQueries.ragIndexBuild(spark, dir)
+      idx.postings.write.mode("overwrite").parquet(s"$dir/postings.parquet")
+      idx.termStats.write.mode("overwrite").parquet(s"$dir/termstats.parquet")
+      idx.tot.write.mode("overwrite").parquet(s"$dir/tot.parquet")
+      idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+      idx.index.write.mode("overwrite").parquet(s"$dir/sq8index.parquet")
+      spark.read.parquet(s"$dir/sq8index.parquet").count()
+    }
+    val loaded = {
+      val index = spark.read.parquet(s"$dir/sq8index.parquet")
+      TextQueries.RagIndex(
+        spark.read.parquet(s"$dir/postings.parquet"),
+        spark.read.parquet(s"$dir/termstats.parquet"),
+        broadcast(spark.read.parquet(s"$dir/tot.parquet")),
+        index.count(),
+        spark.read.parquet(s"$dir/centroids.parquet"),
+        index)
+    }
+    val nProbe = Similarity.ivfProbesFor(Similarity.ivfCellsFor(loaded.corpusCount))
+    time("serve_5_query_batch") {
+      (0L until 5L).map { qd =>
+        val qt = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") === qd)
+          .select(explode(graft.operators.Dedup.tokens(col("text"))).as("term"))
+          .distinct()
+        val dense = Similarity.ivfSq8Serve(loaded.index,
+            TextQueries.ragQueryVector(spark, dir, qd), loaded.centroids, nProbe, 20)
+          .select(col("xid"), col("rank").as("cos_rank"))
+        TextQueries.ragFuse(TextQueries.ragBm25Serve(loaded, qt, 20), dense).count()
+      }.sum
+    }
+  }
+
+  soakGated("100x soak: exact-audit growth laws (q194 containment, q226 calibration, q237 blocking)") {
+    // Two fixtures isolate the q194 cost law (candidates = Σ_A Σ_{w ∈
+    // prefix(A)} df(w) ∝ N·mean-df over prefix tokens):
+    //  (a) ×100 NAMESPACED replicas (every token suffixed _rN) — corpus
+    //      grows 100×, per-replica df structure unchanged → candidate
+    //      volume and wall must scale ~linearly;
+    //  (b) ×10 REPLICATED (same tokens) — corpus grows 10× AND every df
+    //      grows 10× → the SAME ~100×-base candidate volume reached by
+    //      densification instead of growth.
+    // A super-linear surprise in (a), or (b) diverging from (a), would
+    // falsify the law. q226/q237 ride fixture (a): both are candidate-
+    // scale audits (agreement scan; md5-truth join), linear by design.
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak-audit"
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    (0 until 100).map(i => docs
+        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        .withColumn("text",
+          expr(s"array_join(transform(split(text, ' '), w -> concat(w, '_r$i')), ' ')")))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/ns/documents.parquet")
+    (0 until 10).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/dense/documents.parquet")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"SOAKAUD $name%-26s ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$rows")
+    }
+    time("q194_containment_ns100") {
+      graft.queries.DedupQueries.q194ContainmentJoin.run(spark, s"$dir/ns").count()
+    }
+    time("q194_containment_dense10") {
+      graft.queries.DedupQueries.q194ContainmentJoin.run(spark, s"$dir/dense").count()
+    }
+    time("q226_calibration_ns100") {
+      graft.queries.DedupQueries.q226MinhashCalibration.run(spark, s"$dir/ns").count()
+    }
+    time("q237_blocking_ns100") {
+      graft.queries.DedupQueries.q237BlockingQuality.run(spark, s"$dir/ns").count()
     }
   }
 

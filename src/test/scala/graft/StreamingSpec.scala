@@ -226,6 +226,88 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decayed counts equal the q229 batch scores on ordered replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{DecayEvent, DecayRow}
+    implicit val sqlCtx = spark.sqlContext
+    val evFix = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+    // epoch-day = CAST(ts AS DATE) for non-negative timestamps, so the
+    // age arithmetic is the same integers as q229's datediff
+    val obs = evFix
+      .select(col("user_id"), col("event_id"),
+        (graft.core.Graft.tsUs(evFix) / lit(86400000000L)).cast("long").as("day"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, id, d) => DecayEvent(u, d, id) }
+      .sortBy(e => (e.day, e.eventId))
+    val globalMax = obs.map(_.day).max
+    val in = MemoryStream[DecayEvent]
+    val q = EventStream.decayedCounts(in.toDS())
+      .writeStream.format("memory").queryName("decay_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      obs.grouped(math.max(1, obs.length / 4 + 1)).foreach { chunk =>
+        in.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      // one clock tick per user at the corpus max day — the global
+      // reference instant batch q229 scores against
+      in.addData(obs.map(_.userId).distinct.toSeq.map(DecayEvent(_, globalMax, -1L)))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM decay_out").as[DecayRow].collect()
+        .groupBy(_.userId).map { case (u, rs) =>
+          val r = rs.maxBy(_.seq); (u, r.nEvents, r.decayedMilli)
+        }.toSet
+      val batch = graft.queries.MiscQueries.q229DecayedCount
+        .run(spark, TestSpark.sf0001)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        s"streamed ${streamed.size} users != batch ${batch.size}")
+      assert(batch.exists(_._3 > 0), "fixture must contain a non-zero decayed score")
+    } finally q.stop()
+  }
+
+  test("streaming CUSUM equals the q217 batch flag series at window close") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    import graft.streaming.{CusumDay, CusumRow}
+    implicit val sqlCtx = spark.sqlContext
+    // closed per-type daily totals with q217's exact micros math — the
+    // rows a daily-rollup feeder stream would deliver
+    val obs = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+      .groupBy(col("event_type").as("et"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .agg((sum(col("value").cast(DecimalType(18, 4))) * 1000000)
+        .cast("long").as("x"))
+      .as[(String, Long, Long)].collect()
+      .map { case (t, du, x) => CusumDay(t, du, x) }
+      .sortBy(_.dayUs)
+    val in = MemoryStream[CusumDay]
+    val q = EventStream.cusumChangepoints(in.toDS())
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      obs.grouped(math.max(1, obs.length / 4 + 1)).foreach { chunk =>
+        in.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      // nothing may be emitted before the window closes — the stats
+      // normalizing every prefix are not final until then
+      assert(spark.sql("SELECT * FROM cusum_out").isEmpty,
+        "CUSUM emitted before window close")
+      in.addData(obs.map(_.eventType).distinct.toSeq
+        .map(CusumDay(_, Long.MaxValue, 0L)))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM cusum_out").as[CusumRow].collect()
+        .map(r => (r.eventType, r.dayUs, r.cusumN, r.flag)).toSet
+      val batch = graft.queries.StreamQueries.q217CusumChangepoint
+        .run(spark, TestSpark.sf0001)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        s"streamed ${streamed.size} rows != batch ${batch.size}")
+      assert(batch.exists(_._4 == 1L), "fixture must contain at least one flag")
+    } finally q.stop()
+  }
+
   test("stateful EWMA survives a checkpointed restart (file source, parquet sink)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
