@@ -582,28 +582,39 @@ class SoakTest extends AnyFunSuite {
     }
   }
 
-  soakGated("100x soak: exact-audit growth laws (q194 containment, q226 calibration, q237 blocking)") {
+  soakGated("soak: exact-audit growth laws (q194 containment at 10x, q226/q237 at 100x)") {
     // Two fixtures isolate the q194 cost law (candidates = Σ_A Σ_{w ∈
     // prefix(A)} df(w) ∝ N·mean-df over prefix tokens):
-    //  (a) ×100 NAMESPACED replicas (every token suffixed _rN) — corpus
-    //      grows 100×, per-replica df structure unchanged → candidate
+    //  (a) ×10 NAMESPACED replicas (every token suffixed _rN) — corpus
+    //      grows 10×, per-replica df structure unchanged → candidate
     //      volume and wall must scale ~linearly;
     //  (b) ×10 REPLICATED (same tokens) — corpus grows 10× AND every df
-    //      grows 10× → the SAME ~100×-base candidate volume reached by
-    //      densification instead of growth.
-    // A super-linear surprise in (a), or (b) diverging from (a), would
-    // falsify the law. q226/q237 ride fixture (a): both are candidate-
-    // scale audits (agreement scan; md5-truth join), linear by design.
+    //      grows 10× → ~100×-base candidate volume reached by
+    //      densification, pricing the law's N·d̄f product directly.
+    // q194 soaks at 10×, not 100×, DELIBERATELY: its verify phase
+    // attaches both df-sorted token ARRAYS to every surviving candidate
+    // (the Bayardo/Xiao verify is inherently record-wise), so candidate
+    // volume × array width is shuffle-disk-bound on one box past ~10× —
+    // the same single-box bound the uncapped knn graph hit (a ×100
+    // attempt drained 54 GB of disk before being stopped); 1000-executor
+    // shuffle capacity makes it a non-event, and the approximate route
+    // for hot corpora is q198's LSH containment. q226/q237 ride the
+    // ×100 namespaced fixture: both are candidate-scale audits
+    // (signature-agreement scan; md5-truth group join), no array-wide
+    // verify anywhere.
     val base = "/root/testdata/sf0.1"
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak-audit"
     val docs = spark.read.parquet(s"$base/documents.parquet")
-    (0 until 100).map(i => docs
-        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
-        .withColumn("text",
-          expr(s"array_join(transform(split(text, ' '), w -> concat(w, '_r$i')), ' ')")))
-      .reduce(_ unionByName _)
-      .repartition(64)
-      .write.mode("overwrite").parquet(s"$dir/ns/documents.parquet")
+    def namespaced(n: Int, out: String): Unit =
+      (0 until n).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+          .withColumn("text",
+            expr(s"array_join(transform(split(text, ' '), w -> concat(w, '_r$i')), ' ')")))
+        .reduce(_ unionByName _)
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    namespaced(10, s"$dir/ns10")
+    namespaced(100, s"$dir/ns100")
     (0 until 10).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
       .reduce(_ unionByName _)
       .repartition(64)
@@ -613,17 +624,17 @@ class SoakTest extends AnyFunSuite {
       val rows = f
       println(f"SOAKAUD $name%-26s ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$rows")
     }
-    time("q194_containment_ns100") {
-      graft.queries.DedupQueries.q194ContainmentJoin.run(spark, s"$dir/ns").count()
+    time("q194_containment_ns10") {
+      graft.queries.DedupQueries.q194ContainmentJoin.run(spark, s"$dir/ns10").count()
     }
     time("q194_containment_dense10") {
       graft.queries.DedupQueries.q194ContainmentJoin.run(spark, s"$dir/dense").count()
     }
     time("q226_calibration_ns100") {
-      graft.queries.DedupQueries.q226MinhashCalibration.run(spark, s"$dir/ns").count()
+      graft.queries.DedupQueries.q226MinhashCalibration.run(spark, s"$dir/ns100").count()
     }
     time("q237_blocking_ns100") {
-      graft.queries.DedupQueries.q237BlockingQuality.run(spark, s"$dir/ns").count()
+      graft.queries.DedupQueries.q237BlockingQuality.run(spark, s"$dir/ns100").count()
     }
   }
 
