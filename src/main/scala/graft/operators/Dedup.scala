@@ -421,13 +421,32 @@ object Dedup {
         expr("transform(ord, x -> x.w)").as("ws"))
       .localCheckpoint(true) // feeds the prefix explode, the B side, verify
     val pref = sorted.select(col("id"), col("n"),
-      explode(expr(s"slice(ws, 1, n - (($tPct * n + 99) div 100) + 1)")).as("w"))
-    val cand = pref.select(col("id").as("a"), col("w"))
-      .join(sorted.select(col("id").as("b"), explode(col("ws")).as("w")), "w")
+      posexplode(expr(s"slice(ws, 1, n - (($tPct * n + 99) div 100) + 1)"))
+        .as(Seq("pa", "w")))
+    // First-match positional bound — the containment form of the PPJoin
+    // prune [[setSimParts]] carries: A's and B's common tokens occupy the
+    // same relative order in both df-sorted arrays, and any common token
+    // before a prefix position is itself in the prefix, so the FIRST
+    // common token is the (min pa, min pb) match and bounds the overlap
+    // at min(na − pa, nb − pb) (0-based positions). Pairs whose bound
+    // cannot reach ⌈t·na⌉ are dropped HERE, on narrow position rows —
+    // before the verify join attaches both token arrays, which is where
+    // the operator's single-box shuffle cost lives (the 10× soak's
+    // record-wise verify note). This is the only structural prune
+    // containment admits: no length filter exists for it.
+    val cand = pref.select(col("id").as("a"), col("n").as("na"),
+        col("pa"), col("w"))
+      .join(sorted.select(col("id").as("b"), col("n").as("nb"),
+        posexplode(col("ws")).as(Seq("pb", "w"))), "w")
       .filter(col("a") =!= col("b"))
-      .select(col("a"), col("b")).distinct()
+      .groupBy(col("a"), col("b"))
+      .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .filter(least(col("na") - col("pa"), col("nb") - col("pb")) >=
+        expr(s"($tPct * na + 99) div 100"))
+      .select(col("a"), col("b"), col("na"))
     cand
-      .join(sorted.select(col("id").as("a"), col("ws").as("wa"), col("n").as("na")), "a")
+      .join(sorted.select(col("id").as("a"), col("ws").as("wa")), "a")
       .join(sorted.select(col("id").as("b"), col("ws").as("wb")), "b")
       .withColumn("inter", size(array_intersect(col("wa"), col("wb"))).cast("long"))
       .filter(lit(100) * col("inter") >= lit(tPct) * col("na"))
