@@ -339,6 +339,15 @@ class SoakTest extends AnyFunSuite {
     val edges = Similarity.knnGraphSq8Capped(corpus, centroids, probes, 3, cap).count()
     println(f"SOAK167C q167c_capped        ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$edges")
     assert(edges > 0, "capped graph produced no mutual edges")
+    // The cell-key join shape ALONE (registered q167b geometry, no cap):
+    // proves the ENOSPC was the pairs-first payload re-shuffle, not the
+    // candidate volume per se — candidates drain in-stage into the
+    // map-side top-k, so even the full ~2e9-candidate graph completes
+    // within disk; the cap remains the worst-case/skew COMPUTE bound.
+    val t1 = System.nanoTime()
+    val edgesUncapped = Similarity.knnGraphSq8(corpus, centroids, probes, 3).count()
+    println(f"SOAK167C q167b_uncapped      ${(System.nanoTime() - t1) / 1e9}%7.1fs  rows=$edgesUncapped")
+    assert(edgesUncapped > 0, "uncapped graph produced no mutual edges")
   }
 
   soakGated("100x soak: q183 incremental-CC build/serve amortization at ~500k docs") {
