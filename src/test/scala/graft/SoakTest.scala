@@ -350,6 +350,39 @@ class SoakTest extends AnyFunSuite {
     assert(edgesUncapped > 0, "uncapped graph produced no mutual edges")
   }
 
+  soakGated("250x soak: q167c capped knn graph at 500k vectors (the stated posture scale)") {
+    // The COVERAGE posture phrase was always "past ~100k / at 500k
+    // vectors"; this run puts a number on the half-million case. Geometry
+    // derives from the corpus (708 cells, 27 probes), cap = ⌈avg⌉/4 = 177
+    // → candidate bound 500k·27·177 ≈ 2.4e9 scanned IN-STAGE (the
+    // cell-join shape), vs ~9.4e9 uncapped — the cap is what keeps the
+    // half-million graph a coffee-break build instead of an hour-class
+    // one on one box.
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak-q167c500"
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until 250).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    import graft.operators.Similarity
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val nVec = corpus.count()
+    val cells = Similarity.ivfCellsFor(nVec)
+    val probes = Similarity.ivfProbesFor(cells)
+    val cap = Similarity.knnCellCapFor(nVec, cells, 3) / 4
+    println(s"SOAK167C500 geometry: vectors=$nVec cells=$cells probes=$probes cap=$cap " +
+      s"candidateBound=${nVec * probes * cap}")
+    val centroids = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val t0 = System.nanoTime()
+    val edges = Similarity.knnGraphSq8Capped(corpus, centroids, probes, 3, cap).count()
+    println(f"SOAK167C500 q167c_capped_500k ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$edges")
+    assert(edges > 0, "capped graph produced no mutual edges")
+  }
+
   soakGated("100x soak: q183 incremental-CC build/serve amortization at ~500k docs") {
     // the O(delta) claim, measured: BUILD (base bands + base CC) runs
     // once and persists; SERVE re-bands only the delta, pulls the
