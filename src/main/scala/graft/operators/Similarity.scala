@@ -200,9 +200,9 @@ object Similarity {
     * re-shuffled ~5·10⁸ payload-wide rows (hundreds of GB) and ENOSPC'd
     * one box; this shape's shuffles are corpus-sized + k·N narrow rows.
     */
-  private def knnProbesAndAssign(corpus: DataFrame, centroids: DataFrame,
-                                 nProbe: Int,
-                                 capPerCell: Long): (DataFrame, DataFrame) = {
+  private[graft] def knnProbesAndAssign(corpus: DataFrame, centroids: DataFrame,
+                                        nProbe: Int,
+                                        capPerCell: Long): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val scored = corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
       .crossJoin(broadcast(centroids.select(col("cid"), scaled(col("cvec")).as("cs"))))

@@ -389,6 +389,42 @@ class RecallSpec extends AnyFunSuite {
     assert(recall >= 0.75, f"capped edge recall collapsed: $recall%.3f")
   }
 
+  test("per-cell cap contract binds on a deliberately skewed corpus") {
+    // The cap's whole purpose is the FAT cell; this fixture manufactures
+    // one — 900 of 1000 vectors jitter around a single center whose
+    // centroid is cid 0, the other 31 centroids are far-flung — and
+    // asserts the contract where it binds hard: every cell's SERVABLE
+    // list (the assign side of the candidate join) holds at most `cap`
+    // members, so the hot cell serves exactly cap while still being
+    // probed by all its members as queries.
+    import spark.implicits._
+    def vec(seed: Int, base: Double): Array[Double] =
+      Array.tabulate(64)(d => base + ((seed * 31 + d * 7) % 13) * 0.001)
+    val hot = (0 until 900).map(i => (i.toLong, vec(i, 0.5)))
+    val far = (900 until 1000).map(i => (i.toLong, vec(i, -0.8 + (i % 7) * 0.3)))
+    val corpus = (hot ++ far).toDF("xid", "xvec")
+    // centroid 0 sits at the hot center; 1..31 among the far vectors
+    val centroids = ((0L, vec(0, 0.5)) +:
+      (1 until 32).map(i => (i.toLong, vec(900 + i, -0.8 + ((900 + i) % 7) * 0.3))))
+      .toDF("cid", "cvec")
+    val cap = 50L
+    val (_, assign) = Similarity.knnProbesAndAssign(corpus, centroids, 4, cap)
+    val perCell = assign.groupBy(col("cid")).agg(count(lit(1)).as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(perCell.values.forall(_ <= cap),
+      s"a cell exceeded the servable cap: $perCell")
+    assert(perCell.getOrElse(0L, 0L) == cap,
+      s"the hot cell should serve exactly cap=$cap members: ${perCell.get(0L)}")
+    // uncapped reference: the hot cell really is fat without the cap
+    val (_, uncapped) = Similarity.knnProbesAndAssign(corpus, centroids, 4, Long.MaxValue)
+    val hotSize = uncapped.filter(col("cid") === 0L).count()
+    info(s"hot cell: $hotSize members uncapped -> $cap servable capped")
+    assert(hotSize > 800, s"fixture failed to concentrate the hot cell: $hotSize")
+    // and the capped graph over this corpus still builds
+    val edges = Similarity.knnGraphSq8Capped(corpus, centroids, 4, 3, cap).count()
+    assert(edges > 0, "capped graph over the skewed corpus is empty")
+  }
+
   test("sq8 overflow guard fires on coordinates that would wrap the long norm") {
     import spark.implicits._
     // budget at 64 dims is ~1.489e6 scaled (|x| ≈ 1.489): 2.0 is legal
