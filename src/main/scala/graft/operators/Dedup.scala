@@ -403,7 +403,12 @@ object Dedup {
     * prefix, which is exactly what makes containment harder than
     * Jaccard at scale: candidate volume is Σ_{A-prefix tokens} df(w).
     * The frequency order keeps hot tokens out of prefixes, which is the
-    * whole fight.
+    * whole fight. On top of the prefix prune, the FIRST-MATCH POSITIONAL
+    * bound (the containment form of [[setSimParts]]'s PPJoin filter)
+    * drops pairs whose best-possible overlap min(na−pa, nb−pb) cannot
+    * reach ⌈t·na⌉ — evaluated on narrow position rows BEFORE the verify
+    * join attaches either token array (measured −24% on the 10× soak
+    * fixture, −13% at sf0.1).
     *
     * Input: (id, toks) with toks DISTINCT per row. Output:
     * (a, b, inter, na) for every qualifying ORDERED pair, a ≠ b —

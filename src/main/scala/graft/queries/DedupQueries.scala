@@ -1556,9 +1556,11 @@ object DedupQueries {
     * 1.0. Asymmetric output — (a, b) means "b covers ≥ 80% of a". The
     * engine prunes with A-side-only df-ordered prefixes (the pigeonhole
     * bound applies to the covered side alone; B contributes its full
-    * token list — no length filter exists for containment); the oracle
-    * finds the same pairs by the brute token join — two algorithms, one
-    * answer, proving the one-sided prefix prune lossless.
+    * token list — no length filter exists for containment) plus the
+    * first-match positional bound on narrow rows before the verify
+    * arrays attach (round 15); the oracle finds the same pairs by the
+    * brute token join — two algorithms, one answer, proving both prunes
+    * lossless.
     */
   val q194ContainmentJoin = Q.checked(
     "q194_containment_join",
