@@ -371,6 +371,40 @@ object Multimodal {
     * luminance features (dimensions, sum, min, max) an oracle can replay
     * from the generation formula.
     */
+  /** Batched MJPEG-AVI decode + FRAME SAMPLING ([[Avi]] container walk +
+    * [[Jpeg]] per sampled frame): per video, header geometry, total frame
+    * count, and luminance features over the every-`stride`-th frames
+    * ONLY — unsampled frames' JPEG payloads are never entropy-decoded,
+    * which is the whole point of sampling at curation scale. Same
+    * per-partition batch shape as [[decodeJpegBatched]].
+    */
+  def decodeAviSampleBatched(df: DataFrame, stride: Int,
+                             batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("bin"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val v = Avi.decode(bytes)
+            var sum = 0L; var mn = 255L; var mx = 0L; var sampled = 0L
+            Avi.sampleFrames(v, stride).foreach { case (_, jpeg) =>
+              sampled += 1
+              val img = Jpeg.decode(jpeg)
+              img.pixels.foreach { p =>
+                sum += p; mn = math.min(mn, p.toLong); mx = math.max(mx, p.toLong)
+              }
+            }
+            (id, v.width.toLong, v.height.toLong, v.usecPerFrame.toLong,
+              v.frames.length.toLong, sampled, sum, mn, mx)
+          }
+        }
+      }
+      .toDF("id", "width", "height", "usec_per_frame", "n_frames",
+        "n_sampled", "sum_lum", "min_lum", "max_lum")
+  }
+
   def decodeJpegBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -572,6 +572,67 @@ object MiscQueries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** REAL video container decode + FRAME SAMPLING (the video member of
+    * the q55 multimodal family): per document, a deterministic MJPEG
+    * clip — 3–6 block-constant grayscale frames whose per-frame formula
+    * depends on the frame index — is encoded as a standards-shaped AVI
+    * ([[graft.operators.Avi]]: RIFF hdrl/avih/strl/movi/idx1, real JPEG
+    * frames via [[graft.operators.Jpeg]]) and run through the batched
+    * decode+sample pipeline, keeping every 2nd frame. Sampling happens
+    * at the CONTAINER level, so skipped frames are never entropy-decoded
+    * — the curation shape for frame-sampling petabytes of video. The
+    * oracle replays the pixel formula over the SAMPLED indices only
+    * (f % 2 = 0) without seeing a byte: a green row proves the container
+    * round trip, the frame count, WHICH frames sampling kept, and the
+    * bit-exact DC-path JPEG decode of each kept frame. Inter-frame
+    * codecs (H.264/Opus) remain the documented external-lib stub; this
+    * pins the container walk + indexing + sampling layers they'd slot
+    * into.
+    */
+  val q55fAviFrames = Q.checked(
+    "q55f_avi_frames",
+    """WITH g AS (
+      |  SELECT doc_id, 3 + doc_id % 4 AS nf, 10 + doc_id % 9 AS w, 9 + doc_id % 7 AS h
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, nf, w, h, unnest(generate_series(0, CAST(nf AS INT) - 1)) AS f FROM g),
+      |sf AS (SELECT * FROM f WHERE f % 2 = 0),
+      |i AS (
+      |  SELECT doc_id, nf, w, h, f, unnest(generate_series(0, CAST(w * h AS INT) - 1)) AS i FROM sf),
+      |px AS (
+      |  SELECT doc_id, nf, w, h, f,
+      |    (doc_id * 7 + f * 11 + ((i % w) // 8) * 3 + ((i // w) // 8) * 5) % 256 AS lum
+      |  FROM i)
+      |SELECT doc_id,
+      |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+      |  CAST(40000 AS BIGINT) AS usec_per_frame,
+      |  CAST(max(nf) AS BIGINT) AS n_frames,
+      |  CAST(count(DISTINCT f) AS BIGINT) AS n_sampled,
+      |  CAST(sum(lum) AS BIGINT) AS sum_lum,
+      |  CAST(min(lum) AS BIGINT) AS min_lum, CAST(max(lum) AS BIGINT) AS max_lum
+      |FROM px GROUP BY doc_id""") { (s, dir) =>
+    import s.implicits._
+    import graft.operators.{Avi, Jpeg}
+    val gen = table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val nf = (3 + id % 4).toInt
+        val w = (10 + id % 9).toInt
+        val h = (9 + id % 7).toInt
+        val frames = (0 until nf).map { f =>
+          val px = Array.tabulate(w * h) { i =>
+            val x = i % w
+            val y = i / w
+            ((id * 7 + f * 11 + (x / 8) * 3 + (y / 8) * 5) % 256).toInt
+          }
+          Jpeg.encode(Jpeg.GrayImage(w, h, px))
+        }
+        (id, Avi.encode(w, h, usecPerFrame = 40000, frames))
+      })
+      .toDF("id", "bin")
+    Multimodal.decodeAviSampleBatched(gen, stride = 2)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Pipe operator (`PipeMapRed.java:204-214`): fork `tr a-z A-Z` per
     * partition, stream `key \t value` lines through it, parse back on the
     * first separator.
@@ -2128,6 +2189,7 @@ object MiscQueries {
       q54Jdbc, q54bJdbcTextSplit, q54cJdbcDateSplit, q54dJdbcFloatSplit,
       q54eJdbcBoolSplit, q55Multimodal,
       q55bWavDecode, q55cBmpResize, q55dPngDecode, q55eJpegDecode,
+      q55fAviFrames,
       q63ReferenceSelect, q64IndirectRead,
       q65TeraSort, q85Json, q86TimeRollup, q90Pipe, q91Xml, q91bXmlFile,
       q132Profile, q138EventFunnel, q139CohortRetention, q151EwmaAnomaly,

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{Avi, Jpeg}
+import graft.operators.Jpeg.GrayImage
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AVI container codec properties: the container round trip is BYTE-exact
+  * (the payload is opaque to the chunk walk), headers carry the declared
+  * geometry, word alignment holds for odd-length frames, sampling keeps
+  * exactly the every-k-th indices without touching the others, and the
+  * declared-vs-carried frame-count guard refuses a truncated movi list.
+  */
+class AviSpec extends AnyFunSuite {
+
+  private def frame(n: Int, seed: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((seed * 31 + i * 7) % 251).toByte)
+
+  test("container round-trip is byte-exact, headers carried") {
+    val frames = (0 until 5).map(f => frame(100 + f, f)) // mixed odd/even sizes
+    val bytes = Avi.encode(64, 48, 40000, frames)
+    val v = Avi.decode(bytes)
+    assert(v.width == 64 && v.height == 48 && v.usecPerFrame == 40000)
+    assert(v.frames.length == 5)
+    frames.zip(v.frames).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "frame payload changed in transit")
+    }
+  }
+
+  test("odd-length frames are word-aligned without corrupting successors") {
+    val frames = Seq(frame(33, 1), frame(34, 2), frame(35, 3))
+    val v = Avi.decode(Avi.encode(8, 8, 1000, frames))
+    assert(v.frames.map(_.length) == Vector(33, 34, 35))
+    frames.zip(v.frames).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+  }
+
+  test("sampleFrames keeps exactly the every-k-th indices") {
+    val frames = (0 until 7).map(f => frame(20, f))
+    val v = Avi.decode(Avi.encode(8, 8, 1000, frames))
+    assert(Avi.sampleFrames(v, 2).map(_._1) == Vector(0, 2, 4, 6))
+    assert(Avi.sampleFrames(v, 3).map(_._1) == Vector(0, 3, 6))
+    assert(Avi.sampleFrames(v, 1).map(_._1) == (0 until 7).toVector)
+    Avi.sampleFrames(v, 2).foreach { case (i, f) =>
+      assert(java.util.Arrays.equals(f, frames(i)))
+    }
+  }
+
+  test("declared-vs-carried frame mismatch and non-AVI input are refused") {
+    val good = Avi.encode(8, 8, 1000, Seq(frame(20, 1), frame(20, 2)))
+    // chop the last movi chunk + idx1 off: header still declares 2 frames
+    val truncated = java.util.Arrays.copyOfRange(good, 0, good.length - (16 * 2 + 8) - 28)
+    // fix the RIFF size so the walk itself stays in bounds
+    val sz = truncated.length - 8
+    truncated(4) = (sz & 0xff).toByte
+    truncated(5) = ((sz >> 8) & 0xff).toByte
+    truncated(6) = ((sz >> 16) & 0xff).toByte
+    truncated(7) = ((sz >> 24) & 0xff).toByte
+    intercept[IllegalArgumentException](Avi.decode(truncated))
+    intercept[IllegalArgumentException](Avi.decode("not a riff".getBytes))
+  }
+
+  test("MJPEG end-to-end: sampled frames decode to their generating formula") {
+    val (w, h) = (16, 10)
+    def lum(f: Int)(x: Int, y: Int): Int =
+      (7 + f * 11 + (x / 8) * 3 + (y / 8) * 5) % 256
+    val frames = (0 until 4).map { f =>
+      Jpeg.encode(GrayImage(w, h,
+        Array.tabulate(w * h)(i => lum(f)(i % w, i / w))))
+    }
+    val v = Avi.decode(Avi.encode(w, h, 40000, frames))
+    Avi.sampleFrames(v, 2).foreach { case (f, jb) =>
+      val img = Jpeg.decode(jb)
+      assert(img.width == w && img.height == h)
+      img.pixels.zipWithIndex.foreach { case (p, i) =>
+        assert(p == lum(f)(i % w, i / w),
+          s"frame $f pixel $i: $p != ${lum(f)(i % w, i / w)}")
+      }
+    }
+  }
+}
