@@ -406,25 +406,74 @@ object Dedup {
     * whole fight. On top of the prefix prune, the FIRST-MATCH POSITIONAL
     * bound (the containment form of [[setSimParts]]'s PPJoin filter)
     * drops pairs whose best-possible overlap min(na−pa, nb−pb) cannot
-    * reach ⌈t·na⌉ — evaluated on narrow position rows BEFORE the verify
-    * join attaches either token array (measured −24% on the 10× soak
-    * fixture, −13% at sf0.1).
+    * reach ⌈t·na⌉ — evaluated on narrow position rows before the verify
+    * (measured −24% on the 10× soak fixture, −13% at sf0.1).
+    *
+    * Round 16 adds the two defenses a replica-heavy corpus needs:
+    *
+    *  - EXACT-SET COLLAPSE: docs are grouped by an md5 of their sorted
+    *    token set BEFORE the join; one representative per distinct set
+    *    runs the algorithm and results expand back through the member
+    *    map at the end (identical sets have identical overlap with
+    *    everything, and intra-group pairs are containment 1.0 by
+    *    definition — both exact). Candidate volume then scales with
+    *    DISTINCT sets, not documents: a ×k-replicated corpus — whose
+    *    candidate pairs otherwise grow k² (every df ×k AND every doc
+    *    ×k, the shape that drained 54 GB of shuffle disk at ×100 in
+    *    round 15) — collapses to the base-sized problem plus an
+    *    output-bound clique expansion. Dedup-before-join, priced at one
+    *    narrow md5 agg over the corpus.
+    *
+    *  - ADAPTIVE VERIFY: under `broadcastTokenBudget` total tokens the
+    *    surviving candidates verify by broadcast-attaching both
+    *    df-sorted arrays and `array_intersect` in place (no shuffle of
+    *    candidate rows at all — measured 5.2 s vs 34 s at sf0.1's 6.1M
+    *    candidates); past the budget — where the arrays can no longer
+    *    broadcast and the old shape re-shuffled candidate × array-width
+    *    bytes — the verify switches to NARROW-ROW matched-token
+    *    counting: re-join candidates to the token table on the token
+    *    key and count matches per pair (Σ_cand na narrow rows, a
+    *    map-side-combinable agg, no array ever rides a candidate row
+    *    through a shuffle). Same exact answer either way (toks are
+    *    DISTINCT per row, so matched rows = |A∩B|); the switch is the
+    *    operator-level analogue of Spark's own autoBroadcastJoinThreshold
+    *    decision, made here because the payload is an exploded array the
+    *    planner's row-count stats don't price.
     *
     * Input: (id, toks) with toks DISTINCT per row. Output:
     * (a, b, inter, na) for every qualifying ORDERED pair, a ≠ b —
     * asymmetric, so (a,b) and (b,a) are independent verdicts.
     */
-  def containmentJoin(docs: DataFrame, tPct: Int): DataFrame = {
+  def containmentJoin(docs: DataFrame, tPct: Int,
+      broadcastTokenBudget: Long = ContainmentBroadcastTokens): DataFrame = {
     require(tPct > 0 && tPct <= 100, s"containmentJoin: tPct in (0,100], got $tPct")
     val tok = docs.select(col("id"), explode(col("toks")).as("w"))
     val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val sorted = tok.join(dfreq, "w")
+    val sortedAll = tok.join(dfreq, "w")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("ord"),
         count(lit(1)).as("n"))
       .select(col("id"), col("n"),
         expr("transform(ord, x -> x.w)").as("ws"))
-      .localCheckpoint(true) // feeds the prefix explode, the B side, verify
+      .localCheckpoint(true) // feeds collapse, prefix explode, B side, verify
+    // ---- exact-set collapse: one representative per distinct token set,
+    // keyed off the ALREADY-MATERIALIZED df-ordered array (identical sets
+    // sort identically under the shared global order, so ws is a
+    // canonical set form — no second corpus pass). The member map is what
+    // the expansion joins ride (rid → id, group size).
+    val keyed = sortedAll.select(col("id"),
+      md5(array_join(col("ws"), "\u0001")).as("sk"))
+    val memb = keyed
+      .join(keyed.groupBy(col("sk"))
+        .agg(min(col("id")).as("rid"), count(lit(1)).as("m")), "sk")
+      .select(col("rid"), col("id"), col("m"))
+      .localCheckpoint(true)
+    // the algorithm below sees REPRESENTATIVES only: candidate volume
+    // scales with distinct sets, not documents (df values keep their
+    // all-docs counts — only their ORDER matters to the prefix theorem)
+    val sorted = sortedAll
+      .join(memb.filter(col("id") === col("rid")).select(col("id")), "id")
+      .localCheckpoint(true)
     val pref = sorted.select(col("id"), col("n"),
       posexplode(expr(s"slice(ws, 1, n - (($tPct * n + 99) div 100) + 1)"))
         .as(Seq("pa", "w")))
@@ -435,10 +484,9 @@ object Dedup {
     // common token is the (min pa, min pb) match and bounds the overlap
     // at min(na − pa, nb − pb) (0-based positions). Pairs whose bound
     // cannot reach ⌈t·na⌉ are dropped HERE, on narrow position rows —
-    // before the verify join attaches both token arrays, which is where
-    // the operator's single-box shuffle cost lives (the 10× soak's
-    // record-wise verify note). This is the only structural prune
-    // containment admits: no length filter exists for it.
+    // before the verify touches any token payload. This is the only
+    // structural prune containment admits: no length filter exists for
+    // it.
     val cand = pref.select(col("id").as("a"), col("n").as("na"),
         col("pa"), col("w"))
       .join(sorted.select(col("id").as("b"), col("n").as("nb"),
@@ -450,13 +498,57 @@ object Dedup {
       .filter(least(col("na") - col("pa"), col("nb") - col("pb")) >=
         expr(s"($tPct * na + 99) div 100"))
       .select(col("a"), col("b"), col("na"))
-    cand
-      .join(sorted.select(col("id").as("a"), col("ws").as("wa")), "a")
-      .join(sorted.select(col("id").as("b"), col("ws").as("wb")), "b")
-      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))).cast("long"))
-      .filter(lit(100) * col("inter") >= lit(tPct) * col("na"))
-      .select(col("a"), col("b"), col("inter"), col("na"))
+    // total rep tokens — a 1-row probe over the already-checkpointed
+    // store; this is the size the broadcast decision actually depends on
+    val totRow = sorted.agg(sum(col("n"))).first()
+    val totTokens = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+    val repPairs =
+      if (totTokens <= broadcastTokenBudget) {
+        // broadcast-array verify: candidates never shuffle — both sides
+        // attach map-side and array_intersect runs in place
+        cand
+          .join(broadcast(sorted.select(col("id").as("a"), col("ws").as("wa"))), "a")
+          .join(broadcast(sorted.select(col("id").as("b"), col("ws").as("wb"))), "b")
+          .withColumn("inter", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+          .filter(lit(100) * col("inter") >= lit(tPct) * col("na"))
+          .select(col("a"), col("b"), col("inter"), col("na"))
+      } else {
+        // narrow-row verify: matched-token counting — no array payload
+        // ever rides a candidate row through a shuffle
+        val tokA = sorted.select(col("id").as("a"), explode(col("ws")).as("w"))
+        val tokB = sorted.select(col("id").as("b"), explode(col("ws")).as("w"))
+        cand
+          .join(tokA, "a")
+          .join(tokB, Seq("b", "w"))
+          .groupBy(col("a"), col("b"))
+          .agg(max(col("na")).as("na"), count(lit(1)).as("inter"))
+          .filter(lit(100) * col("inter") >= lit(tPct) * col("na"))
+          .select(col("a"), col("b"), col("inter"), col("na"))
+      }
+    // ---- expansion: rep verdicts fan back out to members (overlap is a
+    // set property, so every member pair inherits its reps' verdict),
+    // plus the intra-group cliques — identical sets are containment 1.0
+    // in both directions for any t ≤ 1. Both joins are output-bound.
+    val cross = repPairs
+      .join(memb.select(col("rid").as("a"), col("id").as("ma")), "a")
+      .join(memb.select(col("rid").as("b"), col("id").as("mb")), "b")
+      .select(col("ma").as("a"), col("mb").as("b"), col("inter"), col("na"))
+    val mm = memb.filter(col("m") >= 2).select(col("rid"), col("id"))
+    val intra = mm
+      .join(mm.withColumnRenamed("id", "id2"), "rid")
+      .filter(col("id") =!= col("id2"))
+      .join(sorted.select(col("id").as("rid"), col("n")), "rid")
+      .select(col("id").as("a"), col("id2").as("b"),
+        col("n").as("inter"), col("n").as("na"))
+    cross.unionByName(intra)
   }
+
+  /** Token budget under which [[containmentJoin]]'s verify broadcasts
+    * the df-sorted arrays (≈ a few hundred MB of hashed relation at
+    * typical bigram widths); past it the narrow-row matched-token count
+    * takes over. Exposed so tests and scale runs can force either path.
+    */
+  val ContainmentBroadcastTokens: Long = 3000000L
 
   /** The three phases of [[setSimJoin]], exposed so the soak can measure
     * the growth law of each: `sorted` = per-doc token arrays in global

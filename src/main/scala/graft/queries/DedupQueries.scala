@@ -1581,6 +1581,38 @@ object DedupQueries {
     Dedup.containmentJoin(docs, 80)
   }
 
+  /** The NARROW-ROW verify path of [[Dedup.containmentJoin]], forced by
+    * a zero broadcast-token budget over a 1-in-3 corpus slice (sized so
+    * the forced path stays a board-scale query) — the same parameterized
+    * brute-join oracle as q194, so green proves matched-token-count
+    * verify ≡ broadcast array_intersect verify ≡ the oracle's token
+    * join. This is the verify the operator switches to past
+    * [[Dedup.ContainmentBroadcastTokens]], where the df-sorted arrays no
+    * longer broadcast: candidates re-join the token table on the token
+    * key and |A∩B| is a map-side-combined count of matched rows — no
+    * array ever rides a candidate row through a shuffle.
+    */
+  val q194bContainmentNarrow = Q.checked(
+    "q194b_containment_narrow",
+    """WITH base AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+      |tok AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |ov AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      |  FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT ov.a, ov.b, ov.inter, sa.n AS na
+      |FROM ov JOIN sz sa ON sa.doc_id = ov.a
+      |WHERE 100 * ov.inter >= 80 * sa.n""") { (s, dir) =>
+    val docs = table(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("id"),
+        array_distinct(Dedup.bigrams(col("text"))).as("toks"))
+    Dedup.containmentJoin(docs, 80, broadcastTokenBudget = 0L)
+  }
+
   /** MinHash-LSH DECONTAMINATION — the near-duplicate member of the
     * decontamination trio (q96 = exact n-gram overlap, q171 = semantic
     * cosine, this = syntactic near-dup): corpus documents whose bigram
@@ -1988,7 +2020,8 @@ object DedupQueries {
       q142LabelProp, q144SourceOverlap, q155IvmAgg, q158BestKeeper,
       q160BfsDist, q166EntityResolution, q168Kcore, q170TimeTravel,
       q175GoldenRecord, q182KanonAudit, q183IncrementalCc, q188WeightedSssp,
-      q193NormalizedDedup, q194ContainmentJoin, q196PersonalizedPagerank,
+      q193NormalizedDedup, q194ContainmentJoin, q194bContainmentNarrow,
+      q196PersonalizedPagerank,
       q198LshDecontaminate, q209DegreeDist, q226MinhashCalibration,
       q228Assortativity, q237BlockingQuality, q241DedupSavings)
 }

@@ -2011,9 +2011,10 @@ object TextQueries {
   private[graft] def ragBm25Serve(idx: RagIndex,
       qt: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // dfq already restricts to the query's terms (termStats ⋈ qt), so
+    // the postings join it broadcasts is the ONLY per-batch term join
     val dfq = broadcast(idx.termStats.join(qt, "term"))
-    idx.postings.join(broadcast(qt), "term")
-      .join(dfq, "term")
+    idx.postings.join(dfq, "term")
       .crossJoin(idx.tot)
       .select(col("xid"),
         expr("""(1000000 * 44 * tf * (2 * nd - 2 * df + 1)) div
