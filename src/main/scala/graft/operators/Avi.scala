@@ -36,9 +36,14 @@ import java.io.ByteArrayOutputStream
   */
 object Avi {
 
-  /** A parsed MJPEG video: header geometry + the raw JPEG bytes per frame. */
+  /** A parsed MJPEG video: header geometry + the raw JPEG bytes per frame,
+    * plus the optional PCM audio track ('01wb' stream — audioRate 0 and an
+    * empty sample array when the container carries video only).
+    */
   final case class AviVideo(width: Int, height: Int, usecPerFrame: Int,
-                            frames: Vector[Array[Byte]])
+                            frames: Vector[Array[Byte]],
+                            audioRate: Int = 0,
+                            audio: Array[Short] = Array.emptyShortArray)
 
   private def le32(out: ByteArrayOutputStream, v: Int): Unit = {
     out.write(v & 0xff); out.write((v >> 8) & 0xff)
@@ -50,9 +55,17 @@ object Avi {
   private def fourcc(out: ByteArrayOutputStream, s: String): Unit =
     out.write(s.getBytes("US-ASCII"))
 
-  /** Encode JPEG frames as a standards-shaped MJPEG AVI. */
+  /** Encode JPEG frames as a standards-shaped MJPEG AVI — optionally with
+    * a 16-bit mono PCM audio track (`audio` = (sampleRate, samples)):
+    * stream 1 ('auds' strl with a WAVEFORMATEX strf, samples in one
+    * word-aligned '01wb' movi chunk, indexed in idx1) — the audio member
+    * [[graft.operators.Multimodal.wavEncode]] proves sample-exact,
+    * composed into the container. With no audio the output is
+    * byte-identical to the video-only layout q55f pinned.
+    */
   def encode(width: Int, height: Int, usecPerFrame: Int,
-             frames: Seq[Array[Byte]]): Array[Byte] = {
+             frames: Seq[Array[Byte]],
+             audio: Option[(Int, Array[Short])] = None): Array[Byte] = {
     require(frames.nonEmpty, "avi encode: at least one frame")
     val maxFrame = frames.map(_.length).max
 
@@ -85,6 +98,38 @@ object Avi {
     le32(strlBody, 0); le32(strlBody, 0) // clr used/important
     le32(strl, strlBody.size()); strlBody.writeTo(strl)
 
+    // 'strl' list for the optional PCM audio stream: strh('auds') + a
+    // 16-byte WAVEFORMATEX strf — the layout every AVI audio reader
+    // expects for uncompressed PCM
+    val strlAud = audio.map { case (rate, samples) =>
+      val a = new ByteArrayOutputStream()
+      fourcc(a, "LIST")
+      val ab = new ByteArrayOutputStream()
+      fourcc(ab, "strl")
+      fourcc(ab, "strh"); le32(ab, 56)
+      fourcc(ab, "auds"); le32(ab, 0) // handler: none for raw PCM
+      le32(ab, 0) // flags
+      le16(ab, 0); le16(ab, 0) // priority, language
+      le32(ab, 0) // initial frames
+      le32(ab, 1) // scale (with rate → samples/sec)
+      le32(ab, rate) // rate
+      le32(ab, 0) // start
+      le32(ab, samples.length) // length in samples
+      le32(ab, samples.length * 2) // suggested buffer size
+      le32(ab, -1) // quality
+      le32(ab, 2) // sample size (block align: mono 16-bit)
+      le16(ab, 0); le16(ab, 0); le16(ab, 0); le16(ab, 0) // rcFrame
+      fourcc(ab, "strf"); le32(ab, 16)
+      le16(ab, 1) // wFormatTag: PCM
+      le16(ab, 1) // mono
+      le32(ab, rate)
+      le32(ab, rate * 2) // avg bytes/sec
+      le16(ab, 2)  // block align
+      le16(ab, 16) // bits per sample
+      le32(a, ab.size()); ab.writeTo(a)
+      a
+    }
+
     // 'hdrl' list: avih + strl
     val hdrl = new ByteArrayOutputStream()
     fourcc(hdrl, "LIST")
@@ -97,11 +142,12 @@ object Avi {
     le32(hdrlBody, 0x10) // AVIF_HASINDEX
     le32(hdrlBody, frames.length)
     le32(hdrlBody, 0) // initial frames
-    le32(hdrlBody, 1) // streams
+    le32(hdrlBody, 1 + strlAud.size) // streams
     le32(hdrlBody, maxFrame) // suggested buffer size
     le32(hdrlBody, width); le32(hdrlBody, height)
     (0 until 4).foreach(_ => le32(hdrlBody, 0)) // reserved
     hdrlBody.write(strl.toByteArray)
+    strlAud.foreach(_.writeTo(hdrlBody))
     le32(hdrl, hdrlBody.size()); hdrlBody.writeTo(hdrl)
 
     // 'movi' list: word-aligned '00dc' chunks; idx1 offsets are relative
@@ -119,15 +165,28 @@ object Avi {
       if ((f.length & 1) == 1) moviBody.write(0) // word alignment pad
       off
     }
+    // PCM rides in ONE '01wb' chunk (always word-aligned: 2 bytes/sample)
+    val audOffset = audio.map { case (_, samples) =>
+      val off = moviBody.size()
+      fourcc(moviBody, "01wb"); le32(moviBody, samples.length * 2)
+      samples.foreach { s => moviBody.write(s & 0xff); moviBody.write((s >> 8) & 0xff) }
+      off
+    }
     le32(movi, moviBody.size()); moviBody.writeTo(movi)
 
     val idx1 = new ByteArrayOutputStream()
-    fourcc(idx1, "idx1"); le32(idx1, 16 * frames.length)
+    fourcc(idx1, "idx1"); le32(idx1, 16 * (frames.length + audOffset.size))
     frames.zip(offsets).foreach { case (f, off) =>
       fourcc(idx1, "00dc")
       le32(idx1, 0x10) // AVIIF_KEYFRAME
       le32(idx1, off)
       le32(idx1, f.length)
+    }
+    audio.zip(audOffset).foreach { case ((_, samples), off) =>
+      fourcc(idx1, "01wb")
+      le32(idx1, 0x10)
+      le32(idx1, off)
+      le32(idx1, samples.length * 2)
     }
 
     val riffBody = new ByteArrayOutputStream()
@@ -141,6 +200,8 @@ object Avi {
   private def rdLe32(b: Array[Byte], p: Int): Int =
     (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
       ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+  private def rdLe16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
   private def cc(b: Array[Byte], p: Int): String =
     new String(b, p, 4, "US-ASCII")
 
@@ -151,7 +212,10 @@ object Avi {
     require(bytes.length >= 12 && cc(bytes, 0) == "RIFF" && cc(bytes, 8) == "AVI ",
       "avi decode: not a RIFF/AVI stream")
     var width = 0; var height = 0; var usec = 0; var declared = -1
+    var curStrm = "" // fccType of the strl being walked (strh precedes strf)
+    var audioRate = 0
     val frames = Vector.newBuilder[Array[Byte]]
+    val audBytes = new ByteArrayOutputStream()
 
     def walk(from: Int, to: Int): Unit = {
       var p = from
@@ -159,7 +223,8 @@ object Avi {
         val id = cc(bytes, p)
         val size = rdLe32(bytes, p + 4)
         val body = p + 8
-        require(size >= 0 && body + size <= to,
+        // Long arithmetic: size near 2^31 must overrun cleanly, not wrap
+        require(size >= 0 && body.toLong + size <= to,
           s"avi decode: chunk '$id' overruns its parent")
         id match {
           case "LIST" =>
@@ -167,22 +232,48 @@ object Avi {
             if (listType == "hdrl" || listType == "movi" || listType == "strl")
               walk(body + 4, body + size)
           case "avih" =>
+            require(size >= 40,
+              s"avi decode: avih declares $size bytes, header needs 40")
             usec = rdLe32(bytes, body)
             declared = rdLe32(bytes, body + 16)
             width = rdLe32(bytes, body + 32)
             height = rdLe32(bytes, body + 36)
+          case "strh" =>
+            require(size >= 4,
+              s"avi decode: strh declares $size bytes, fccType needs 4")
+            curStrm = cc(bytes, body)
+          case "strf" if curStrm == "auds" =>
+            // WAVEFORMATEX: the same PCM-only contract as wavDecode
+            require(size >= 16,
+              s"avi decode: audio strf declares $size bytes, WAVEFORMATEX needs 16")
+            val fmt = rdLe16(bytes, body)
+            require(fmt == 1, s"avi decode: audio not PCM (format $fmt)")
+            val ch = rdLe16(bytes, body + 2)
+            require(ch == 1, s"avi decode: only mono audio is decoded (got $ch)")
+            val bits = rdLe16(bytes, body + 14)
+            require(bits == 16, s"avi decode: only 16-bit PCM is decoded (got $bits)")
+            audioRate = rdLe32(bytes, body + 4)
           case "00dc" | "00db" =>
             frames += java.util.Arrays.copyOfRange(bytes, body, body + size)
-          case _ => () // strh/strf/idx1/JUNK: geometry comes from avih
+          case "01wb" =>
+            audBytes.write(bytes, body, size)
+          case _ => () // video strf/idx1/JUNK: geometry comes from avih
         }
         p = body + size + (size & 1)
       }
     }
-    walk(12, 8 + rdLe32(bytes, 4))
+    // clamp to the buffer: a declared RIFF size past the data (or near
+    // 2^31) must fail inside walk's require, not index out of bounds
+    walk(12, math.min(bytes.length.toLong, 8L + rdLe32(bytes, 4)).toInt)
     val fs = frames.result()
     require(declared < 0 || declared == fs.length,
       s"avi decode: header declares $declared frames, movi carries ${fs.length}")
-    AviVideo(width, height, usec, fs)
+    val ab = audBytes.toByteArray
+    require(ab.isEmpty || audioRate > 0,
+      "avi decode: '01wb' audio data without an auds WAVEFORMATEX header")
+    require(ab.length % 2 == 0, "avi decode: odd 16-bit PCM payload")
+    val samples = Array.tabulate(ab.length / 2)(i => rdLe16(ab, i * 2).toShort)
+    AviVideo(width, height, usec, fs, if (ab.isEmpty) 0 else audioRate, samples)
   }
 
   /** Every `stride`-th frame with its index — container-level sampling:

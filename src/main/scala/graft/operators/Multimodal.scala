@@ -405,6 +405,44 @@ object Multimodal {
         "n_sampled", "sum_lum", "min_lum", "max_lum")
   }
 
+  /** Batched audio+video AVI pipeline — [[decodeAviSampleBatched]]'s
+    * sampled-frame features PLUS the q55b audio features (sample rate,
+    * count, peak, energy) of the container's PCM track, decoded in the
+    * same single container walk: the complete multimodal shape for an AV
+    * asset (one binary cell in, one integral feature row out), with
+    * frame sampling still at the container level.
+    */
+  def decodeAviAvBatched(df: DataFrame, stride: Int,
+                         batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("bin"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val v = Avi.decode(bytes)
+            var sum = 0L; var sampled = 0L
+            Avi.sampleFrames(v, stride).foreach { case (_, jpeg) =>
+              sampled += 1
+              Jpeg.decode(jpeg).pixels.foreach { p => sum += p }
+            }
+            var peak = 0L
+            var sumSq = 0L
+            v.audio.foreach { sa =>
+              peak = math.max(peak, math.abs(sa.toLong))
+              sumSq += sa.toLong * sa
+            }
+            (id, v.width.toLong, v.height.toLong, v.frames.length.toLong,
+              sampled, sum, v.audioRate.toLong, v.audio.length.toLong,
+              peak, sumSq)
+          }
+        }
+      }
+      .toDF("id", "width", "height", "n_frames", "n_sampled", "sum_lum",
+        "sample_rate", "n_samples", "peak", "sum_sq")
+  }
+
   def decodeJpegBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -204,17 +204,7 @@ object Similarity {
                                         nProbe: Int,
                                         capPerCell: Long): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val scored = corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
-      .crossJoin(broadcast(centroids.select(col("cid"), scaled(col("cvec")).as("cs"))))
-      .select(col("xid"), col("cid"),
-        (dotScaled(col("xs"), col("xs")) -
-          lit(2L) * dotScaled(col("xs"), col("cs")) +
-          dotScaled(col("cs"), col("cs"))).as("d2"))
-    val ranked = scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("xid")).orderBy(col("d2"), col("cid"))))
-      .filter(col("rn") <= math.max(nProbe, 1))
-      .localCheckpoint(true) // one distance pass feeds assign AND probes
+    val ranked = cellRanked(corpus, centroids, nProbe)
     // Per-cell candidate cap (the production posture past ~100k vectors):
     // each cell's SERVABLE member list is its capPerCell most central
     // members (rank by d2 to the OWN centroid — the d2 the rn=1 row
@@ -236,6 +226,30 @@ object Similarity {
           .filter(col("crn") <= capPerCell)
           .select(col("nid"), col("cid"))
     (ranked.select(col("xid").as("qid"), col("cid")), assign)
+  }
+
+  /** One corpus×centroid distance pass, ranked per vector and
+    * checkpointed — the shared geometry table of the knn-graph family:
+    * rn = 1 is the cell assignment (carrying its own-centroid d2, the
+    * centrality the per-cell cap ranks by), rn ≤ nProbe are the probe
+    * cells. Exposed separately so [[knnGraphBuild]] can persist the
+    * assignment WITH d2 (what a touched cell re-ranks by at serve time)
+    * and so a delta append ranks its vectors under FROZEN centroids with
+    * the exact same expression tree a full rebuild would use.
+    */
+  private[graft] def cellRanked(corpus: DataFrame, centroids: DataFrame,
+                                nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
+      .crossJoin(broadcast(centroids.select(col("cid"), scaled(col("cvec")).as("cs"))))
+      .select(col("xid"), col("cid"),
+        (dotScaled(col("xs"), col("xs")) -
+          lit(2L) * dotScaled(col("xs"), col("cs")) +
+          dotScaled(col("cs"), col("cs"))).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("xid")).orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") <= math.max(nProbe, 1))
+      .localCheckpoint(true) // one distance pass feeds assign AND probes
   }
 
   /** The directed per-vector top-k stage of [[knnGraph]], exposed
@@ -359,6 +373,145 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("cos"))
+  }
+
+  /** Persisted-artifact BUILD of the capped SQ8-scored mutual k-NN graph
+    * ([[knnGraphSq8Capped]] decomposed into the q183/q150c build/serve
+    * contract): everything query-independent a daily pipeline stores —
+    * the frozen index CONFIG (centroids, SQ8 quantizer stats, per-cell
+    * cap, probe count, k) plus the artifact tables a delta append serves
+    * from. All checkpointed — the parquet tables a production build
+    * writes once.
+    *
+    *  - `assignD2` (nid, cid, d2): every member's own cell WITH its
+    *    centrality — what a touched cell re-ranks by at serve time
+    *  - `servable` (nid, cid): the capped per-cell serving lists
+    *  - `probes` (qid, cid): each member's nProbe probe cells (frozen —
+    *    centroids don't move between re-indexes)
+    *  - `enc` (xid, rx, xnorm): the SQ8 code store; `xn` (xid, xs, norm):
+    *    the exact query-side store
+    *  - `directed` (qid, nid, cos): the full directed top-k
+    */
+  final case class KnnIndex(
+      centroids: DataFrame, stats: Seq[(Long, Long)],
+      xn: DataFrame, enc: DataFrame,
+      assignD2: DataFrame, servable: DataFrame, probes: DataFrame,
+      directed: DataFrame, nProbe: Int, k: Int, cap: Long)
+
+  def knnGraphBuild(corpus: DataFrame, centroids: DataFrame,
+                    nProbe: Int, k: Int, cap: Long): KnnIndex = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids.localCheckpoint(true)
+    val ranked = cellRanked(corpus, cents, nProbe)
+    val assignD2 = ranked.filter(col("rn") === 1)
+      .select(col("xid").as("nid"), col("cid"), col("d2"))
+      .localCheckpoint(true)
+    val servable = assignD2
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("d2"), col("nid"))))
+      .filter(col("crn") <= cap)
+      .select(col("nid"), col("cid"))
+      .localCheckpoint(true)
+    val probes = ranked.select(col("xid").as("qid"), col("cid"))
+      .localCheckpoint(true)
+    val stats = sq8StatsOf(corpus)
+    val enc = sq8EncodeFrozen(corpus, stats)
+    val xn = corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
+      .withColumn("norm", sqrt(dotScaled(col("xs"), col("xs")).cast("double")))
+      .localCheckpoint(true)
+    val directed = scoreDirected(probes, servable, enc, xn, k)
+      .localCheckpoint(true)
+    KnnIndex(cents, stats, xn, enc, assignD2, servable, probes, directed,
+      nProbe, k, cap)
+  }
+
+  /** The shared ADC scoring core over explicit artifact tables — q167c's
+    * scoring shape ([[knnDirectedSq8]]): payloads attach to each SIDE
+    * (exact query vectors to the probe side, SQ8 codes to the servable
+    * member side), the sides meet on the cell key, and the per-query
+    * top-k prunes map-side (WindowGroupLimit) — the candidate explosion
+    * never writes a shuffle.
+    */
+  private[graft] def scoreDirected(probes: DataFrame, servable: DataFrame,
+                                   enc: DataFrame, xn: DataFrame,
+                                   k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    probes
+      .join(xn.select(col("xid").as("qid"), col("xs").as("qs"),
+        col("norm").as("qnorm")), "qid")
+      .join(servable
+        .join(enc.select(col("xid").as("nid"), col("rx"), col("xnorm")), "nid"), "cid")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dotScaled(col("qs"), col("rx")).cast("double") /
+          (col("qnorm") * col("xnorm"))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cos"))
+  }
+
+  /** SERVE a delta append against [[knnGraphBuild]] artifacts — the
+    * incremental maintenance a daily pipeline runs between full
+    * re-indexes (the q183/q150c contract, closing the one build/serve
+    * family that still rebuilt wholesale). The index CONFIG is frozen:
+    * delta vectors assign + probe under the build's centroids, encode
+    * under its quantizer (clamped — [[sq8EncodeFrozen]]), and cells keep
+    * the build-time cap. Then:
+    *
+    *  1. TOUCHED cells — those a delta member assigned into — re-rank
+    *     their servable list over base ∪ delta members (the
+    *     query-independent centrality order makes the re-rank exact,
+    *     displacement of a now-over-cap base member included);
+    *     untouched cells keep their artifact lists verbatim.
+    *  2. AFFECTED queries — base members probing ≥1 touched cell, plus
+    *     every delta vector — re-score against current lists. Every
+    *     other query's candidate set is provably unchanged (all its
+    *     probed cells kept their exact member lists and codes), so its
+    *     stored top-k is spliced in verbatim.
+    *  3. The mutual join runs over the spliced directed lists.
+    *
+    * Output is bit-for-bit the full rebuild under the same frozen
+    * config — q167d's brute oracle IS that rebuild, and
+    * KnnIncrementalSpec asserts the two-way exceptAll emptiness
+    * in-engine. Serve cost: |delta|·cells broadcast assignment +
+    * touched-cell re-rank + (affected ∪ delta)·nProbe·cap scoring —
+    * delta-driven, never a full-corpus re-score. Ids must be unique
+    * across base ∪ delta (the append contract).
+    */
+  def knnGraphServe(idx: KnnIndex, delta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dRanked = cellRanked(delta, idx.centroids, idx.nProbe)
+    val dAssign = dRanked.filter(col("rn") === 1)
+      .select(col("xid").as("nid"), col("cid"), col("d2"))
+    val dProbes = dRanked.select(col("xid").as("qid"), col("cid"))
+    val touched = dAssign.select(col("cid")).distinct().localCheckpoint(true)
+    val servTouched = idx.assignD2.unionByName(dAssign)
+      .join(broadcast(touched), "cid")
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("d2"), col("nid"))))
+      .filter(col("crn") <= idx.cap)
+      .select(col("nid"), col("cid"))
+    val servNew = idx.servable
+      .join(broadcast(touched), Seq("cid"), "left_anti")
+      .unionByName(servTouched)
+    val encAll = idx.enc.unionByName(sq8EncodeFrozen(delta, idx.stats))
+    val xnAll = idx.xn.unionByName(
+      delta.select(col("xid"), scaled(col("xvec")).as("xs"))
+        .withColumn("norm", sqrt(dotScaled(col("xs"), col("xs")).cast("double"))))
+    val affected = idx.probes.join(broadcast(touched), "cid")
+      .select(col("qid")).distinct().localCheckpoint(true)
+    val reDirected = scoreDirected(
+      idx.probes.join(affected, "qid").unionByName(dProbes),
+      servNew, encAll, xnAll, idx.k)
+    val directed = idx.directed.join(affected, Seq("qid"), "left_anti")
+      .unionByName(reDirected)
+      .localCheckpoint(true) // both sides of the mutuality self-join
+    directed.alias("f")
+      .join(directed.alias("r"),
+        col("f.qid") === col("r.nid") && col("f.nid") === col("r.qid"))
+      .filter(col("f.qid") < col("f.nid"))
+      .select(col("f.qid").as("a"), col("f.nid").as("b"), col("f.cos").as("cos"))
   }
 
   /** The ONE md5-parity ±1 matrix derivation behind [[srpSigns]] and
@@ -788,11 +941,19 @@ object Similarity {
     * table; without the barrier CollapseProject re-inlines the
     * reconstruction into every consumer — a measured 10× wall cost).
     */
-  private[graft] def sq8EncodeScaled(corpus: DataFrame): DataFrame = {
-    val xs = corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
-    // per-dimension min/max: one map-side-combined agg, `dims` rows total
-    // (a bounded collect — 64 rows here, never data-scale)
-    val stats = xs.select(posexplode(col("xs")).as(Seq("dim", "v")))
+  private[graft] def sq8EncodeScaled(corpus: DataFrame): DataFrame =
+    sq8EncodeFrozen(corpus, sq8StatsOf(corpus))
+
+  /** The per-dimension (min, range) quantizer a corpus trains — the
+    * FROZEN artifact a build persists so a later delta append encodes
+    * under the identical scale ([[sq8EncodeFrozen]]): one
+    * map-side-combined agg, `dims` rows total (a bounded collect — 64
+    * rows here, never data-scale). The overflow budget is checked here,
+    * at training time.
+    */
+  private[graft] def sq8StatsOf(corpus: DataFrame): Seq[(Long, Long)] = {
+    val stats = corpus.select(scaled(col("xvec")).as("xs"))
+      .select(posexplode(col("xs")).as(Seq("dim", "v")))
       .groupBy(col("dim"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
       .orderBy(col("dim"))
@@ -802,18 +963,36 @@ object Similarity {
     require(maxAbs <= budget,
       s"sq8TopK: scaled coordinate magnitude $maxAbs exceeds the 255x-domain " +
         s"overflow budget $budget for ${stats.length} dims — the long norm sum would wrap")
+    stats.map(r => (r.getLong(1), r.getLong(2) - r.getLong(1))).toSeq
+  }
+
+  /** SQ8 encode+reconstruct under a GIVEN quantizer: codes CLAMP to
+    * [0, 255] so out-of-range coordinates — a delta vector past the
+    * frozen training range, the standard frozen-quantizer posture —
+    * saturate instead of escaping the byte domain (a no-op when the
+    * stats were trained on this corpus, so [[sq8EncodeScaled]] is
+    * unchanged by the clamp). Returns each vector's 255×-scaled
+    * reconstruction and its norm — `(xid, rx, xnorm)`, materialized once
+    * (localCheckpoint: production persists the codes table; without the
+    * barrier CollapseProject re-inlines the reconstruction into every
+    * consumer — a measured 10× wall cost).
+    */
+  private[graft] def sq8EncodeFrozen(corpus: DataFrame,
+                                     stats: Seq[(Long, Long)]): DataFrame = {
     // one (min, range) struct per dimension, one zip_with pass per row:
     // higher-order functions cost a lambda invocation per element, so
     // encode+reconstruct fold into a single traversal instead of four
-    val mnRng = typedlit(stats.map(r => (r.getLong(1), r.getLong(2) - r.getLong(1))).toSeq)
+    val mnRng = typedlit(stats)
     def recon255(sv: Column): Column =
       zip_with(sv, mnRng, (v, mr) => {
         val m = mr.getField("_1"); val r = mr.getField("_2")
-        m * lit(255L) + when(r === 0L, 0L)
-          .otherwise(floor(((v - m) * lit(255L)).cast("double") / r.cast("double"))
-            .cast("long")) * r
+        m * lit(255L) + least(lit(255L), greatest(lit(0L),
+          when(r === 0L, 0L)
+            .otherwise(floor(((v - m) * lit(255L)).cast("double") / r.cast("double"))
+              .cast("long")))) * r
       })
-    xs.select(col("xid"), recon255(col("xs")).as("rx"))
+    corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
+      .select(col("xid"), recon255(col("xs")).as("rx"))
       .withColumn("xnorm", sqrt(dotScaled(col("rx"), col("rx")).cast("double")))
       .localCheckpoint(true)
   }

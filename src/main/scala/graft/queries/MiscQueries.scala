@@ -633,6 +633,74 @@ object MiscQueries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** AV container decode — q55f's MJPEG clip plus a PCM AUDIO track in
+    * the same AVI ('auds' strl + '01wb' movi chunk, [[graft.operators.Avi]]),
+    * completing the container surface: the two independently-proven
+    * codecs (q55e JPEG frames, q55b PCM samples) composed through ONE
+    * container walk, frame sampling still at the container level. The
+    * oracle replays both generation formulas — sampled-frame luminance
+    * AND per-sample audio (count, peak, energy Σx²) — without seeing a
+    * byte, so a green row proves the two-stream round trip: stream
+    * headers, interleaved movi chunks, idx1, sample-exact PCM, bit-exact
+    * DC-path JPEG. (H.264/Opus remain the documented external-lib stub;
+    * this is the layer they would slot into.)
+    */
+  val q55gAviAudio = Q.checked(
+    "q55g_avi_audio",
+    """WITH g AS (
+      |  SELECT doc_id, 3 + doc_id % 4 AS nf, 10 + doc_id % 9 AS w, 9 + doc_id % 7 AS h,
+      |         40 + doc_id % 30 AS na
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, nf, w, h, unnest(generate_series(0, CAST(nf AS INT) - 1)) AS f FROM g),
+      |sf AS (SELECT * FROM f WHERE f % 2 = 0),
+      |i AS (
+      |  SELECT doc_id, w, h, f, unnest(generate_series(0, CAST(w * h AS INT) - 1)) AS i FROM sf),
+      |vpx AS (
+      |  SELECT doc_id,
+      |    CAST(sum((doc_id * 7 + f * 11 + ((i % w) // 8) * 3 + ((i // w) // 8) * 5) % 256) AS BIGINT) AS sum_lum,
+      |    CAST(count(DISTINCT f) AS BIGINT) AS n_sampled
+      |  FROM i GROUP BY doc_id),
+      |ak AS (
+      |  SELECT doc_id, na, unnest(generate_series(0, CAST(na AS INT) - 1)) AS k FROM g),
+      |av AS (SELECT doc_id, na, (doc_id * 13 + k * 17) % 2001 - 1000 AS x FROM ak),
+      |aa AS (
+      |  SELECT doc_id, CAST(max(na) AS BIGINT) AS n_samples,
+      |    CAST(max(abs(x)) AS BIGINT) AS peak, CAST(sum(x * x) AS BIGINT) AS sum_sq
+      |  FROM av GROUP BY doc_id)
+      |SELECT g.doc_id,
+      |  CAST(g.w AS BIGINT) AS width, CAST(g.h AS BIGINT) AS height,
+      |  CAST(g.nf AS BIGINT) AS n_frames,
+      |  vpx.n_sampled, vpx.sum_lum,
+      |  CAST(16000 AS BIGINT) AS sample_rate,
+      |  aa.n_samples, aa.peak, aa.sum_sq
+      |FROM g JOIN vpx ON vpx.doc_id = g.doc_id JOIN aa ON aa.doc_id = g.doc_id""") { (s, dir) =>
+    import s.implicits._
+    import graft.operators.{Avi, Jpeg}
+    val gen = table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val nf = (3 + id % 4).toInt
+        val w = (10 + id % 9).toInt
+        val h = (9 + id % 7).toInt
+        val frames = (0 until nf).map { f =>
+          val px = Array.tabulate(w * h) { i =>
+            val x = i % w
+            val y = i / w
+            ((id * 7 + f * 11 + (x / 8) * 3 + (y / 8) * 5) % 256).toInt
+          }
+          Jpeg.encode(Jpeg.GrayImage(w, h, px))
+        }
+        val na = (40 + id % 30).toInt
+        val samples = Array.tabulate(na)(k =>
+          ((id * 13 + k * 17) % 2001 - 1000).toShort)
+        (id, Avi.encode(w, h, usecPerFrame = 40000, frames,
+          audio = Some((16000, samples))))
+      })
+      .toDF("id", "bin")
+    Multimodal.decodeAviAvBatched(gen, stride = 2)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Pipe operator (`PipeMapRed.java:204-214`): fork `tr a-z A-Z` per
     * partition, stream `key \t value` lines through it, parse back on the
     * first separator.
@@ -2189,7 +2257,7 @@ object MiscQueries {
       q54Jdbc, q54bJdbcTextSplit, q54cJdbcDateSplit, q54dJdbcFloatSplit,
       q54eJdbcBoolSplit, q55Multimodal,
       q55bWavDecode, q55cBmpResize, q55dPngDecode, q55eJpegDecode,
-      q55fAviFrames,
+      q55fAviFrames, q55gAviAudio,
       q63ReferenceSelect, q64IndirectRead,
       q65TeraSort, q85Json, q86TimeRollup, q90Pipe, q91Xml, q91bXmlFile,
       q132Profile, q138EventFunnel, q139CohortRetention, q151EwmaAnomaly,

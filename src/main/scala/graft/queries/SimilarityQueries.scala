@@ -860,6 +860,101 @@ object SimilarityQueries {
       Similarity.ivfProbesFor(cells), K, Similarity.knnCellCapFor(n, cells, K))
   }
 
+  // base-slice renderings of the IVF geometry macros for q167d: the
+  // incremental graph freezes its config at BUILD time, so cells /
+  // probes / cap all derive from the BASE corpus count (vec_id % 100 <> 99)
+  private val baseWhere = "WHERE vec_id % 100 <> 99"
+  private val ivfCellsBaseSql =
+    s"(SELECT greatest(4, least(65536, CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM embeddings $baseWhere)"
+  private val ivfProbesBaseSql =
+    s"(SELECT greatest(2, CAST(ceil(sqrt(greatest(4, least(65536, CAST(ceil(sqrt(count(*))) AS BIGINT))))) AS BIGINT)) FROM embeddings $baseWhere)"
+  private val knnCapBaseSql =
+    s"(SELECT greatest(${K + 1}, CAST(ceil(CAST(count(*) AS DOUBLE) / " +
+    s"greatest(4, least(65536, CAST(ceil(sqrt(count(*))) AS BIGINT)))) AS BIGINT)) FROM embeddings $baseWhere)"
+
+  /** INCREMENTAL maintenance of the capped k-NN graph
+    * ([[Similarity.knnGraphBuild]] / [[Similarity.knnGraphServe]]) — the
+    * one build/serve family q167c still rebuilt wholesale, closed the
+    * q183 way: the corpus splits 99/1 into base (built once: frozen
+    * centroids, SQ8 quantizer, capped servable lists, probe sets,
+    * directed top-k — the persisted artifacts) and a delta append that
+    * serves AGAINST those artifacts — new vectors probe the persisted
+    * capped cell lists, only cells a delta member lands in re-rank
+    * (displacement included), only base queries probing a touched cell
+    * re-score, every other query's stored top-k splices in verbatim.
+    * The ORACLE is the full rebuild under the frozen build config
+    * (base-derived cells/probes/cap, base-trained clamped quantizer,
+    * base-prefix centroids), so a green hash IS the serve ≡ rebuild
+    * parity — KnnIncrementalSpec additionally asserts the two-way
+    * exceptAll in-engine and that untouched queries' rows come from the
+    * artifact verbatim.
+    */
+  val q167dKnnGraphIncremental = Q.checked(
+    "q167d_knn_graph_incremental",
+    s"""WITH sv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |sn AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, e -> e*e)) AS DOUBLE) AS n2 FROM sv),
+       |cent AS (
+       |  SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM sn
+       |  $baseWhere ORDER BY vec_id LIMIT $ivfCellsBaseSql),
+       |dots AS (
+       |  SELECT x.vec_id AS xid, c.cid,
+       |    x.n2 - 2 * CAST(list_sum(list_transform(list_zip(x.v, c.cv), p -> p[1]*p[2])) AS DOUBLE) + c.cn2 AS d2
+       |  FROM sn x, cent c
+       |), ranked AS (
+       |  SELECT xid, cid, d2, row_number() OVER (PARTITION BY xid ORDER BY d2, cid) AS rn
+       |  FROM dots
+       |), assign AS (
+       |  SELECT nid, cid FROM (
+       |    SELECT xid AS nid, cid, row_number() OVER (PARTITION BY cid ORDER BY d2, xid) AS crn
+       |    FROM ranked WHERE rn = 1)
+       |  WHERE crn <= $knnCapBaseSql
+       |),
+       |probes AS (SELECT xid AS qid, cid FROM ranked WHERE rn <= $ivfProbesBaseSql),
+       |cand AS (SELECT p.qid, a.nid FROM probes p JOIN assign a ON a.cid = p.cid WHERE a.nid <> p.qid),
+       |el AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+       |         ${sc("unnest(embedding)")} AS sval
+       |  FROM embeddings
+       |), stats AS (
+       |  SELECT dim, min(sval) AS mn, max(sval) AS mx FROM el $baseWhere GROUP BY dim
+       |), recon AS (
+       |  SELECT vec_id, e.dim,
+       |    255 * mn + least(255, greatest(0,
+       |      CASE WHEN mx = mn THEN 0
+       |           ELSE ((sval - mn) * 255) // (mx - mn) END)) * (mx - mn) AS r
+       |  FROM el e JOIN stats s ON s.dim = e.dim
+       |), rl AS (
+       |  SELECT vec_id, list(r ORDER BY dim) AS rv FROM recon GROUP BY vec_id
+       |), rn2 AS (
+       |  SELECT vec_id, rv, CAST(list_sum(list_transform(rv, e -> e*e)) AS DOUBLE) AS n2r FROM rl
+       |), e AS (
+       |  SELECT c.qid, c.nid,
+       |    CAST(list_sum(list_transform(list_zip(q.v, x.rv), p -> p[1]*p[2])) AS DOUBLE) / (sqrt(q.n2) * sqrt(x.n2r)) AS cos
+       |  FROM cand c JOIN sn q ON q.vec_id = c.qid JOIN rn2 x ON x.vec_id = c.nid
+       |), er AS (
+       |  SELECT qid, nid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM e
+       |), d AS (SELECT qid, nid, cos FROM er WHERE rank <= $K)
+       |SELECT f.qid AS a, f.nid AS b, f.cos AS cos
+       |FROM d f JOIN d r ON f.qid = r.nid AND f.nid = r.qid
+       |WHERE f.qid < f.nid""") { (s, dir) =>
+    val emb = table(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 100 =!= 99)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val delta = emb.filter(col("vec_id") % 100 === 99)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val nb = base.count()
+    val cells = Similarity.ivfCellsFor(nb)
+    val centroids = base.orderBy(col("xid")).limit(cells)
+      .select(col("xid").as("cid"), col("xvec").as("cvec"))
+    val idx = Similarity.knnGraphBuild(base, centroids,
+      Similarity.ivfProbesFor(cells), K, Similarity.knnCellCapFor(nb, cells, K))
+    Similarity.knnGraphServe(idx, delta)
+  }
+
   /** IVF CELL-BALANCE audit — the index-quality gate that runs after
     * build and before serving traffic (the ANN twin of q173's join-skew
     * audit): per coarse cell, the member count and integer-ppm share of
@@ -1035,6 +1130,7 @@ object SimilarityQueries {
     Vector(q60AnnCosine, q61AnnLsh, q62AnnIvf, q104KmeansStep,
       q116SemanticDedup, q119Sq8Ann, q120PqAnn, q120bPqTrained,
       q124IvfSq8Ann, q125IvfPqAnn, q135HybridRetrieval, q167KnnGraph,
-      q167bKnnGraphSq8, q167cKnnGraphCapped, q197CellBalance,
+      q167bKnnGraphSq8, q167cKnnGraphCapped, q167dKnnGraphIncremental,
+      q197CellBalance,
       q171SemanticDecon, q177ProjectEmbed, q187EmbedQa)
 }

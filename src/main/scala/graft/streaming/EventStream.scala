@@ -39,6 +39,16 @@ final case class DecayRow(userId: Long, seq: Long, nEvents: Long, decayedMilli: 
 final case class CusumDay(eventType: String, dayUs: Long, x: Long)
 final case class CusumState(daysUs: List[Long], xs: List[Long])
 final case class CusumRow(eventType: String, dayUs: Long, cusumN: Long, flag: Long)
+final case class TwapObs(userId: Long, us: Long, eventId: Long, vCents: Long)
+final case class TwapState(seq: Long, nEvents: Long, firstUs: Long,
+                           lastUs: Long, lastV: Long, numStr: String)
+final case class TwapRow(userId: Long, seq: Long, nEvents: Long,
+                         twapMillicents: Option[Long])
+final case class IntervalObs(userId: Long, st: Long, eventId: Long)
+final case class IntervalState(seq: Long, nIntervals: Long, nClosed: Long,
+                               closedCov: Long, openSt: Long, openEn: Long)
+final case class IntervalRow(userId: Long, seq: Long, nMerged: Long,
+                             nIntervals: Long, coveredUs: Long)
 
 object EventStream {
 
@@ -218,9 +228,12 @@ object EventStream {
           val st0 = state.getOption.getOrElse(CusumState(Nil, Nil))
           val daysUs = st0.daysUs ++ real.map(_.dayUs)
           val xs = st0.xs ++ real.map(_.x)
-          state.update(CusumState(daysUs, xs))
-          if (ticks.isEmpty) Iterator.empty
+          if (ticks.isEmpty) { state.update(CusumState(daysUs, xs)); Iterator.empty }
           else {
+            // the window is closed: emit the final series exactly once
+            // and drop the state — a later stray tick must not re-emit
+            // the whole flag series into an append sink
+            state.remove()
             val series = daysUs.zip(xs).sortBy(_._1)
             val n = BigInt(series.size)
             val s = series.iterator.map(d => BigInt(d._2)).sum
@@ -237,6 +250,92 @@ object EventStream {
                 CusumRow(et, day, c.toLong, flag)
             }
           }
+      }
+  }
+
+  /** Streaming twin of q219's per-user TWAP (the time-weighted mean over
+    * irregular samples): state is the bounded running form of the batch
+    * lead() sweep — first/last observation time, the last HELD value,
+    * and the exact Σ v·(t₊₁−t) accumulator, carried as a decimal string
+    * (BigInt — the batch query runs the identical sum in DECIMAL(38,0);
+    * a raw long would wrap at corpus-scale cents × micros). The feeder
+    * delivers each key's events in (us, event_id) order across batches
+    * (the q151 ordered-replay convention; within a batch the twin
+    * re-sorts), so after ANY prefix of batches the latest emitted row
+    * equals the batch query over that prefix — floor division, the
+    * single-observation NULL, and all.
+    *
+    * Scale posture: one fixed-size struct per user, shuffled once on the
+    * group key; emission is one row per key per batch.
+    */
+  def twapRunning(events: Dataset[TwapObs]): Dataset[TwapRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[TwapState, TwapRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TwapObs], state: GroupState[TwapState]) =>
+          val st0 = state.getOption.getOrElse(TwapState(0L, 0L, -1L, -1L, 0L, "0"))
+          var n = st0.nEvents
+          var first = st0.firstUs
+          var last = st0.lastUs
+          var lastV = st0.lastV
+          var num = BigInt(st0.numStr)
+          rows.toVector.sortBy(e => (e.us, e.eventId)).foreach { e =>
+            if (n == 0L) first = e.us
+            else num += BigInt(lastV) * BigInt(e.us - last)
+            last = e.us; lastV = e.vCents; n += 1
+          }
+          val seq = st0.seq + 1
+          state.update(TwapState(seq, n, first, last, lastV, num.toString))
+          val t = last - first
+          // BigInt / truncates toward zero — DECIMAL DIV's rule, so the
+          // twin agrees with the batch query for negative values too
+          val twap = if (t == 0L) None
+                     else Some(((BigInt(1000) * num) / BigInt(t)).toLong)
+          Iterator.single(TwapRow(uid, seq, n, twap))
+      }
+  }
+
+  /** Streaming twin of q225's per-user interval union (exact covered
+    * time under overlap merging): the ordered sweep keeps ONE open
+    * island (start, end) plus closed totals — the bounded-state form of
+    * the batch prefix-max window. Each arriving 5-minute interval either
+    * extends the open island or closes it and opens the next; emission
+    * after any batch counts the open island exactly as the batch query's
+    * last island, so ordered-replay equality holds at every prefix.
+    * Feeder contract as [[twapRunning]]: per-key (st, event_id) order
+    * across batches, re-sorted within each batch.
+    *
+    * Scale posture: six scalars per user — the whole point of the sweep
+    * form; the batch plan's per-user window becomes one running struct.
+    */
+  def intervalUnion(events: Dataset[IntervalObs]): Dataset[IntervalRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[IntervalState, IntervalRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[IntervalObs], state: GroupState[IntervalState]) =>
+          val st0 = state.getOption
+            .getOrElse(IntervalState(0L, 0L, 0L, 0L, -1L, -1L))
+          var nIv = st0.nIntervals
+          var nClosed = st0.nClosed
+          var cov = st0.closedCov
+          var oSt = st0.openSt
+          var oEn = st0.openEn
+          rows.toVector.sortBy(e => (e.st, e.eventId)).foreach { e =>
+            val en = e.st + 300000000L
+            if (nIv == 0L) { oSt = e.st; oEn = en }
+            else if (e.st > oEn) {
+              cov += oEn - oSt; nClosed += 1
+              oSt = e.st; oEn = en
+            } else if (en > oEn) oEn = en
+            nIv += 1
+          }
+          val seq = st0.seq + 1
+          state.update(IntervalState(seq, nIv, nClosed, cov, oSt, oEn))
+          Iterator.single(IntervalRow(uid, seq, nClosed + 1, nIv, cov + (oEn - oSt)))
       }
   }
 

@@ -60,6 +60,56 @@ class AviSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Avi.decode("not a riff".getBytes))
   }
 
+  test("malformed geometry fails with require messages, never an index error") {
+    val good = Avi.encode(8, 8, 1000, Seq(frame(20, 1), frame(20, 2)))
+    // declared RIFF size far past the data (including near-2^31 values
+    // that would wrap Int arithmetic): the walk clamps to the buffer, so
+    // complete content still decodes and truncated content fails inside
+    // a require — never ArrayIndexOutOfBounds either way
+    for (sz <- Seq(good.length + 1000, Int.MaxValue - 4)) {
+      val big = good.clone()
+      big(4) = (sz & 0xff).toByte
+      big(5) = ((sz >> 8) & 0xff).toByte
+      big(6) = ((sz >> 16) & 0xff).toByte
+      big(7) = ((sz >> 24) & 0xff).toByte
+      assert(Avi.decode(big).frames.length == 2, "clamped walk must still decode")
+      val cut = java.util.Arrays.copyOfRange(big, 0, big.length - 10)
+      val err = intercept[IllegalArgumentException](Avi.decode(cut))
+      assert(err.getMessage.contains("overruns") || err.getMessage.contains("declares"),
+        err.getMessage)
+    }
+    // a short avih chunk must be refused, not read into its neighbors
+    val idx = {
+      def cc(p: Int) = new String(good.slice(p, p + 4), "ISO-8859-1")
+      (0 until good.length - 4).find(cc(_) == "avih").get
+    }
+    val short = good.clone()
+    short(idx + 4) = 16 // declared avih size < the 40 the header needs
+    short(idx + 5) = 0; short(idx + 6) = 0; short(idx + 7) = 0
+    val e = intercept[IllegalArgumentException](Avi.decode(short))
+    assert(e.getMessage.contains("avih"), e.getMessage)
+  }
+
+  test("audio track round-trips sample-exact alongside the frames") {
+    val frames = (0 until 3).map(f => frame(40 + f, f))
+    val samples = Array.tabulate(97)(k => ((k * 131 - 6000) % 32768).toShort)
+    val bytes = Avi.encode(16, 12, 40000, frames, audio = Some((16000, samples)))
+    val v = Avi.decode(bytes)
+    assert(v.width == 16 && v.height == 12 && v.frames.length == 3)
+    frames.zip(v.frames).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "frame payload changed in transit")
+    }
+    assert(v.audioRate == 16000)
+    assert(java.util.Arrays.equals(v.audio, samples), "PCM changed in transit")
+    // video-only output is unchanged by the audio extension (q55f's pin)
+    val vOnly = Avi.decode(Avi.encode(16, 12, 40000, frames))
+    assert(vOnly.audioRate == 0 && vOnly.audio.isEmpty)
+    // and the video-only byte layout itself is identical to before
+    assert(java.util.Arrays.equals(
+      Avi.encode(16, 12, 40000, frames),
+      Avi.encode(16, 12, 40000, frames, audio = None)))
+  }
+
   test("MJPEG end-to-end: sampled frames decode to their generating formula") {
     val (w, h) = (16, 10)
     def lum(f: Int)(x: Int, y: Int): Int =

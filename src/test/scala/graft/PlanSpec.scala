@@ -354,6 +354,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q167d incremental serve: touched cells broadcast, map-side top-k, never cartesian") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 100 =!= 99)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val delta = emb.filter(col("vec_id") % 100 === 99)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val cents = base.orderBy(col("xid")).limit(22)
+      .select(col("xid").as("cid"), col("xvec").as("cvec"))
+    val idx = Similarity.knnGraphBuild(base, cents, 5, 3, 22L)
+    // serve ends in a localCheckpoint (the q58 convention), so its own
+    // executed plan is a Scan of the materialized directed list; assert
+    // the scoring core's plan — the exact subtree serve re-scores
+    // affected queries through — prunes its per-query top-k map-side
+    val enc = idx.enc
+    val ps = Similarity.scoreDirected(idx.probes, idx.servable, enc, idx.xn, 3)
+      .queryExecution.executedPlan.toString
+    assert(ps.contains("WindowGroupLimit"),
+      "re-scored top-k must prune map-side:\n" + ps.take(3000))
+    assert(!ps.contains("CartesianProduct"), ps.take(3000))
+    val served = Similarity.knnGraphServe(idx, delta)
+    served.collect()
+    val p = served.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // nothing in the serve path may degenerate to a cartesian (the only
+    // cross join in the family is the bounded centroid broadcast inside
+    // cellRanked, checkpointed away before this plan)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    val q = plan(graft.queries.SimilarityQueries.q167dKnnGraphIncremental)
+    assert(!q.contains("CartesianProduct"), q.take(3000))
+  }
+
   test("q170 versioned replay never shuffles the snapshot: broadcast anti per batch") {
     val p = plan(graft.queries.DedupQueries.q170TimeTravel)
     assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
@@ -521,6 +554,21 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graft.queries.DedupQueries.q194ContainmentJoin)
     assert(!p.contains("CartesianProduct")
       && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q194b narrow verify never exchanges an array column, never a nested loop") {
+    val p = plan(graft.queries.DedupQueries.q194bContainmentNarrow)
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the narrow-path contract: no shuffle writes token-array rows — the
+    // only array columns (ws/wa/wb) stay inside scan-side projections.
+    // Exchange lines list their output schema; an array in one means the
+    // verify re-attached payloads to candidate rows.
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exchanges.nonEmpty, "expected shuffles in the narrow path:\n" + p.take(2000))
+    val arrayExch = exchanges.filter(l => l.contains("wa#") || l.contains("wb#"))
+    assert(arrayExch.isEmpty,
+      "narrow verify must not shuffle token arrays:\n" + arrayExch.mkString("\n"))
   }
 
   test("q196 personalized pagerank rounds are equi joins with map-side combined sums") {

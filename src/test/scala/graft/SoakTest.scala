@@ -350,6 +350,47 @@ class SoakTest extends AnyFunSuite {
     assert(edgesUncapped > 0, "uncapped graph produced no mutual edges")
   }
 
+  soakGated("soak: q167d incremental knn graph — build once at 190k, serve a 5% delta") {
+    // The q183/q150c amortization question asked for the graph family:
+    // what does a daily append cost vs rebuilding the capped graph?
+    // Build rides the q167c 200k posture config (geometry from the BASE
+    // count, cap = ⌈avg⌉/4); serve appends the held-out 5% under the
+    // frozen config (centroids, quantizer, cap). Serve cost is
+    // delta-driven: |delta|·cells assignment + touched-cell re-ranks +
+    // (affected ∪ delta)·nProbe·cap scoring — the splice reuses every
+    // unaffected query's stored top-k verbatim (KnnIncrementalSpec
+    // proves serve ≡ frozen-config rebuild two-way at verify scale).
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak-q167d"
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until 100).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    import graft.operators.Similarity
+    val allv = spark.read.parquet(s"$dir/embeddings.parquet")
+    val baseV = allv.filter(col("vec_id") % 20 =!= 19)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val deltaV = allv.filter(col("vec_id") % 20 === 19)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val nb = baseV.count()
+    val cells = Similarity.ivfCellsFor(nb)
+    val probes = Similarity.ivfProbesFor(cells)
+    val cap = Similarity.knnCellCapFor(nb, cells, 3) / 4
+    println(s"SOAK167D geometry: base=$nb delta=${deltaV.count()} cells=$cells " +
+      s"probes=$probes cap=$cap")
+    val centroids = baseV.orderBy(col("xid")).limit(cells)
+      .select(col("xid").as("cid"), col("xvec").as("cvec"))
+    val t0 = System.nanoTime()
+    val idx = Similarity.knnGraphBuild(baseV, centroids, probes, 3, cap)
+    val baseEdges = idx.directed.count()
+    println(f"SOAK167D build               ${(System.nanoTime() - t0) / 1e9}%7.1fs  directed=$baseEdges")
+    val t1 = System.nanoTime()
+    val served = Similarity.knnGraphServe(idx, deltaV).count()
+    println(f"SOAK167D serve_5pct_delta    ${(System.nanoTime() - t1) / 1e9}%7.1fs  rows=$served")
+    assert(served > 0, "served graph produced no mutual edges")
+  }
+
   soakGated("250x soak: q167c capped knn graph at 500k vectors (the stated posture scale)") {
     // The COVERAGE posture phrase was always "past ~100k / at 500k
     // vectors"; this run puts a number on the half-million case. Geometry
@@ -610,8 +651,8 @@ class SoakTest extends AnyFunSuite {
         index)
     }
     val nProbe = Similarity.ivfProbesFor(Similarity.ivfCellsFor(loaded.corpusCount))
-    time("serve_5_query_batch") {
-      (0L until 5L).map { qd =>
+    def serveBatch(n: Long): Long =
+      (0L until n).map { qd =>
         val qt = spark.read.parquet(s"$dir/documents.parquet")
           .filter(col("doc_id") === qd)
           .select(explode(graft.operators.Dedup.tokens(col("text"))).as("term"))
@@ -621,27 +662,36 @@ class SoakTest extends AnyFunSuite {
           .select(col("xid"), col("rank").as("cos_rank"))
         TextQueries.ragFuse(TextQueries.ragBm25Serve(loaded, qt, 20), dense).count()
       }.sum
-    }
+    time("serve_5_query_batch") { serveBatch(5L) }
+    // the marginal-cost curve: per-query wall at batch 50 vs batch 5
+    // pins how much of the 2.9 s/query was fixed per-batch plan overhead
+    // (the number the 100 TB amortization paragraph quotes)
+    time("serve_50_query_batch") { serveBatch(50L) }
   }
 
-  soakGated("soak: exact-audit growth laws (q194 containment at 10x, q226/q237 at 100x)") {
-    // Two fixtures isolate the q194 cost law (candidates = Σ_A Σ_{w ∈
-    // prefix(A)} df(w) ∝ N·mean-df over prefix tokens):
+  soakGated("soak: exact-audit growth laws (q194 containment to dense x100, q226/q237 at 100x)") {
+    // Two fixture families isolate the q194 cost law (candidates =
+    // Σ_A Σ_{w ∈ prefix(A)} df(w) over DISTINCT sets):
     //  (a) ×10 NAMESPACED replicas (every token suffixed _rN) — corpus
     //      grows 10×, per-replica df structure unchanged → candidate
     //      volume and wall must scale ~linearly;
-    //  (b) ×10 REPLICATED (same tokens) — corpus grows 10× AND every df
-    //      grows 10× → ~100×-base candidate volume reached by
-    //      densification, pricing the law's N·d̄f product directly.
-    // q194 soaks at 10×, not 100×, DELIBERATELY: its verify phase
-    // attaches both df-sorted token ARRAYS to every surviving candidate
-    // (the Bayardo/Xiao verify is inherently record-wise), so candidate
-    // volume × array width is shuffle-disk-bound on one box past ~10× —
-    // the same single-box bound the uncapped knn graph hit (a ×100
-    // attempt drained 54 GB of disk before being stopped); 1000-executor
-    // shuffle capacity makes it a non-event, and the approximate route
-    // for hot corpora is q198's LSH containment. q226/q237 ride the
-    // ×100 namespaced fixture: both are candidate-scale audits
+    //  (b) ×k REPLICATED (same tokens) — corpus grows k× AND every df
+    //      grows k×. Pre-round-16 this priced candidates at k²× base
+    //      (dense×10 = 641.8 s; a dense×100 attempt drained 54 GB of
+    //      shuffle disk before being stopped — the board's last
+    //      single-box ceiling). The round-16 EXACT-SET COLLAPSE makes
+    //      replica densification output-bound: identical token sets
+    //      run once and results expand through the member map, so
+    //      dense×10 AND the formerly-impossible dense×100 both reduce
+    //      to the base-sized candidate problem + clique expansion
+    //      (5k × k·(k−1) intra pairs + k² × 512 organic pairs).
+    // Organic (non-replica) density growth is still verify-priced; for
+    // hot corpora the approximate route remains q198's LSH containment,
+    // and past ContainmentBroadcastTokens the verify switches to the
+    // narrow-row matched-token count (forced here on dense10 via
+    // budget=0 to measure the Σ_cand·na narrow-row law at soak scale —
+    // exactness of that path is oracle-proven by q194b). q226/q237 ride
+    // the ×100 namespaced fixture: both are candidate-scale audits
     // (signature-agreement scan; md5-truth group join), no array-wide
     // verify anywhere.
     val base = "/root/testdata/sf0.1"
@@ -657,10 +707,13 @@ class SoakTest extends AnyFunSuite {
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
     namespaced(10, s"$dir/ns10")
     namespaced(100, s"$dir/ns100")
-    (0 until 10).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
-      .reduce(_ unionByName _)
-      .repartition(64)
-      .write.mode("overwrite").parquet(s"$dir/dense/documents.parquet")
+    def dense(n: Int, out: String): Unit =
+      (0 until n).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+        .reduce(_ unionByName _)
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    dense(10, s"$dir/dense")
+    dense(100, s"$dir/dense100")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = f
@@ -671,6 +724,16 @@ class SoakTest extends AnyFunSuite {
     }
     time("q194_containment_dense10") {
       graft.queries.DedupQueries.q194ContainmentJoin.run(spark, s"$dir/dense").count()
+    }
+    time("q194_dense10_narrow_forced") {
+      import graft.operators.Dedup
+      val d = spark.read.parquet(s"$dir/dense/documents.parquet")
+        .select(col("doc_id").as("id"),
+          array_distinct(Dedup.bigrams(col("text"))).as("toks"))
+      Dedup.containmentJoin(d, 80, broadcastTokenBudget = 0L).count()
+    }
+    time("q194_containment_dense100") {
+      graft.queries.DedupQueries.q194ContainmentJoin.run(spark, s"$dir/dense100").count()
     }
     time("q226_calibration_ns100") {
       graft.queries.DedupQueries.q226MinhashCalibration.run(spark, s"$dir/ns100").count()

@@ -305,6 +305,80 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed === batch,
         s"streamed ${streamed.size} rows != batch ${batch.size}")
       assert(batch.exists(_._4 == 1L), "fixture must contain at least one flag")
+      // the close tick dropped the state: a stray second tick must not
+      // re-emit the whole flag series into the append sink
+      val emitted = spark.sql("SELECT count(*) FROM cusum_out").head.getLong(0)
+      in.addData(obs.map(_.eventType).distinct.toSeq
+        .map(CusumDay(_, Long.MaxValue, 0L)))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM cusum_out").head.getLong(0) == emitted,
+        "a second close tick re-emitted the series")
+    } finally q.stop()
+  }
+
+  test("streaming TWAP equals the q219 batch rows after ordered replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{TwapObs, TwapRow}
+    implicit val sqlCtx = spark.sqlContext
+    val ev = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+    val obs = ev.select(col("user_id"), graft.core.Graft.tsUs(ev).as("us"),
+        col("event_id"),
+        round(col("value").cast("double") * 100).cast("long").as("v"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (u, us, eid, v) => TwapObs(u, us, eid, v) }
+      .sortBy(e => (e.us, e.eventId)) // the ordered-replay feeder contract
+    val in = MemoryStream[TwapObs]
+    val q = EventStream.twapRunning(in.toDS())
+      .writeStream.format("memory").queryName("twap_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      obs.grouped(math.max(1, obs.length / 4 + 1)).foreach { chunk =>
+        in.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.sql("SELECT * FROM twap_out").as[TwapRow].collect()
+        .groupBy(_.userId).map { case (u, rs) =>
+          val r = rs.maxBy(_.seq); (u, r.nEvents, r.twapMillicents)
+        }.toSet
+      val batch = graft.queries.StreamQueries.q219Twap
+        .run(spark, TestSpark.sf0001)
+        .as[(Long, Long, Option[Long])].collect().toSet
+      assert(streamed === batch,
+        s"streamed ${streamed.size} users != batch ${batch.size}")
+      assert(batch.exists(_._3.isDefined), "fixture must contain a defined TWAP")
+    } finally q.stop()
+  }
+
+  test("streaming interval union equals the q225 batch rows after ordered replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{IntervalObs, IntervalRow}
+    implicit val sqlCtx = spark.sqlContext
+    val ev = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+    val obs = ev.select(col("user_id"), graft.core.Graft.tsUs(ev).as("st"),
+        col("event_id"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, st, eid) => IntervalObs(u, st, eid) }
+      .sortBy(e => (e.st, e.eventId)) // the ordered-replay feeder contract
+    val in = MemoryStream[IntervalObs]
+    val q = EventStream.intervalUnion(in.toDS())
+      .writeStream.format("memory").queryName("interval_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      obs.grouped(math.max(1, obs.length / 4 + 1)).foreach { chunk =>
+        in.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.sql("SELECT * FROM interval_out").as[IntervalRow].collect()
+        .groupBy(_.userId).map { case (u, rs) =>
+          val r = rs.maxBy(_.seq); (u, r.nMerged, r.nIntervals, r.coveredUs)
+        }.toSet
+      val batch = graft.queries.StreamQueries.q225IntervalUnion
+        .run(spark, TestSpark.sf0001)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        s"streamed ${streamed.size} users != batch ${batch.size}")
+      // the equality only bites if some user actually merged overlaps
+      assert(batch.exists(r => r._3 > r._2), "fixture must contain a merged overlap")
     } finally q.stop()
   }
 
