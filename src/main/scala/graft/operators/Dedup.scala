@@ -468,12 +468,30 @@ object Dedup {
         .agg(min(col("id")).as("rid"), count(lit(1)).as("m")), "sk")
       .select(col("rid"), col("id"), col("m"))
       .localCheckpoint(true)
-    // the algorithm below sees REPRESENTATIVES only: candidate volume
-    // scales with distinct sets, not documents (df values keep their
-    // all-docs counts — only their ORDER matters to the prefix theorem)
-    val sorted = sortedAll
-      .join(memb.filter(col("id") === col("rid")).select(col("id")), "id")
-      .localCheckpoint(true)
+    // ENGAGE the collapse only when duplication can actually dominate
+    // candidate volume (a bounded 1-row probe on the checkpointed map):
+    // a hot set replicated m times contributes m² clique candidates, so
+    // any group of ≥ 16 members — or a ≥ 20% overall duplicate fraction —
+    // flips to representatives; below that the base algorithm handles
+    // the few identical sets natively (they are ordinary qualifying
+    // pairs) and skipping saves the rep-store materialization + the
+    // expansion joins. The switch is physical-strategy only: both paths
+    // compute the identical exact answer (q194 is green through each —
+    // the board corpus sits under the threshold, the dense soaks above).
+    val probe = memb.agg(max(col("m")).as("mx"),
+      sum(when(col("id") =!= col("rid"), 1L).otherwise(0L)).as("dups"),
+      count(lit(1)).as("docs")).first()
+    val collapse = !probe.isNullAt(0) &&
+      (probe.getLong(0) >= 16L || probe.getLong(1) * 5L >= probe.getLong(2))
+    // under collapse the algorithm below sees REPRESENTATIVES only:
+    // candidate volume scales with distinct sets, not documents (df
+    // values keep their all-docs counts — only their ORDER matters to
+    // the prefix theorem)
+    val sorted =
+      if (!collapse) sortedAll
+      else sortedAll
+        .join(memb.filter(col("id") === col("rid")).select(col("id")), "id")
+        .localCheckpoint(true)
     val pref = sorted.select(col("id"), col("n"),
       posexplode(expr(s"slice(ws, 1, n - (($tPct * n + 99) div 100) + 1)"))
         .as(Seq("pa", "w")))
@@ -525,6 +543,7 @@ object Dedup {
           .filter(lit(100) * col("inter") >= lit(tPct) * col("na"))
           .select(col("a"), col("b"), col("inter"), col("na"))
       }
+    if (!collapse) return repPairs
     // ---- expansion: rep verdicts fan back out to members (overlap is a
     // set property, so every member pair inherits its reps' verdict),
     // plus the intra-group cliques — identical sets are containment 1.0

@@ -464,20 +464,27 @@ object Similarity {
     *     query-independent centrality order makes the re-rank exact,
     *     displacement of a now-over-cap base member included);
     *     untouched cells keep their artifact lists verbatim.
-    *  2. AFFECTED queries — base members probing ≥1 touched cell, plus
-    *     every delta vector — re-score against current lists. Every
-    *     other query's candidate set is provably unchanged (all its
-    *     probed cells kept their exact member lists and codes), so its
-    *     stored top-k is spliced in verbatim.
+    *  2. The work then splits by what each query's candidate set could
+    *     have lost, not just gained. A query whose STORED top-k kept all
+    *     its members needs no re-score at all: its candidates changed
+    *     only by inserted delta members and displaced non-top-k members,
+    *     and removing candidates outside a top-k never changes it — so
+    *     the exact new list is top-k(stored ∪ inserted-member scores),
+    *     a MERGE over ≤ 2k rows per query after the inserted members
+    *     rank through the cell-meet core. Only queries with a DISPLACED
+    *     stored neighbor (promotions become possible) re-score fully,
+    *     plus every delta vector; everyone not probing a touched cell
+    *     splices in verbatim.
     *  3. The mutual join runs over the spliced directed lists.
     *
     * Output is bit-for-bit the full rebuild under the same frozen
     * config — q167d's brute oracle IS that rebuild, and
     * KnnIncrementalSpec asserts the two-way exceptAll emptiness
     * in-engine. Serve cost: |delta|·cells broadcast assignment +
-    * touched-cell re-rank + (affected ∪ delta)·nProbe·cap scoring —
-    * delta-driven, never a full-corpus re-score. Ids must be unique
-    * across base ∪ delta (the append contract).
+    * touched-cell re-rank + Σ_inserted(probe in-degree) merge-ranking +
+    * (displacement-hit ∪ delta)·nProbe·cap full scoring — every term
+    * delta-driven; the affected-query count never multiplies nProbe·cap.
+    * Ids must be unique across base ∪ delta (the append contract).
     */
   def knnGraphServe(idx: KnnIndex, delta: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -492,20 +499,60 @@ object Similarity {
         Window.partitionBy(col("cid")).orderBy(col("d2"), col("nid"))))
       .filter(col("crn") <= idx.cap)
       .select(col("nid"), col("cid"))
+      .localCheckpoint(true) // feeds servNew, inserted, displaced
     val servNew = idx.servable
       .join(broadcast(touched), Seq("cid"), "left_anti")
       .unionByName(servTouched)
+    // the LIST DELTAS — what actually changed, both bounded by |delta|:
+    // delta members that entered serving lists, and the base members
+    // their arrival displaced (the cap is fixed, so one in ≈ one out)
+    val inserted = servTouched
+      .join(idx.servable, Seq("nid", "cid"), "left_anti")
+      .localCheckpoint(true)
+    val displaced = idx.servable.join(broadcast(touched), "cid")
+      .join(servTouched, Seq("nid", "cid"), "left_anti")
     val encAll = idx.enc.unionByName(sq8EncodeFrozen(delta, idx.stats))
     val xnAll = idx.xn.unionByName(
       delta.select(col("xid"), scaled(col("xvec")).as("xs"))
         .withColumn("norm", sqrt(dotScaled(col("xs"), col("xs")).cast("double"))))
-    val affected = idx.probes.join(broadcast(touched), "cid")
-      .select(col("qid")).distinct().localCheckpoint(true)
-    val reDirected = scoreDirected(
-      idx.probes.join(affected, "qid").unionByName(dProbes),
+    // FULL re-score only where the merge shortcut below is inexact: a
+    // query whose STORED neighbor was displaced (promotions from outside
+    // the stored top-k become possible, so the stored list is no longer
+    // a sufficient summary). Every stored neighbor was servable, and a
+    // displaced member's cell is touched, so fullQ ⊆ affected queries —
+    // and it is displacement-bounded, not affected-bounded.
+    val fullQ = idx.directed
+      .join(displaced.select(col("nid")), "nid")
+      .select(col("qid")).distinct()
+      .localCheckpoint(true)
+    val fullDirected = scoreDirected(
+      idx.probes.join(fullQ, "qid").unionByName(dProbes),
       servNew, encAll, xnAll, idx.k)
-    val directed = idx.directed.join(affected, Seq("qid"), "left_anti")
-      .unionByName(reDirected)
+    // INCREMENTAL merge for every other query probing a touched cell:
+    // its candidate set changed only by (inserted ∪ displaced) members
+    // of its touched probe cells, none of its stored top-k left, and
+    // removing candidates outside a top-k never changes the top-k — so
+    // top-k(new set) = top-k(stored top-k ∪ inserted-member scores),
+    // EXACTLY. The inserted members rank through the same cell-meet
+    // core (bounded at k per query, map-side pruned), then one window
+    // over ≤ 2k rows per query merges. Candidate volume is
+    // Σ_inserted (probe in-degree of its cell) — delta-driven, never
+    // affected × nProbe × cap.
+    val incrProbes = idx.probes
+      .join(broadcast(touched), "cid")
+      .join(fullQ, Seq("qid"), "left_anti")
+      .localCheckpoint(true) // feeds the ranking AND the splice key set
+    val addTopK = scoreDirected(incrProbes, inserted, encAll, xnAll, idx.k)
+    val incrQ = incrProbes.select(col("qid")).distinct()
+    val merged = idx.directed.join(incrQ, "qid").unionByName(addTopK)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= idx.k)
+      .select(col("qid"), col("nid"), col("cos"))
+    val rescored = incrQ.unionByName(fullQ).localCheckpoint(true)
+    val directed = idx.directed.join(rescored, Seq("qid"), "left_anti")
+      .unionByName(merged)
+      .unionByName(fullDirected)
       .localCheckpoint(true) // both sides of the mutuality self-join
     directed.alias("f")
       .join(directed.alias("r"),

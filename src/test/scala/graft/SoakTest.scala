@@ -385,6 +385,13 @@ class SoakTest extends AnyFunSuite {
     val idx = Similarity.knnGraphBuild(baseV, centroids, probes, 3, cap)
     val baseEdges = idx.directed.count()
     println(f"SOAK167D build               ${(System.nanoTime() - t0) / 1e9}%7.1fs  directed=$baseEdges")
+    // the trickle regime — a minute-level ingest batch (0.05%): the
+    // serve cost model's every term is delta-driven, so this is where
+    // the amortization shows; the 5% row below prices a full daily batch
+    val trickle = deltaV.filter(col("xid") % 2000L === 19L)
+    val t2 = System.nanoTime()
+    val servedT = Similarity.knnGraphServe(idx, trickle).count()
+    println(f"SOAK167D serve_100_delta     ${(System.nanoTime() - t2) / 1e9}%7.1fs  rows=$servedT")
     val t1 = System.nanoTime()
     val served = Similarity.knnGraphServe(idx, deltaV).count()
     println(f"SOAK167D serve_5pct_delta    ${(System.nanoTime() - t1) / 1e9}%7.1fs  rows=$served")
