@@ -398,6 +398,46 @@ class SoakTest extends AnyFunSuite {
     assert(served > 0, "served graph produced no mutual edges")
   }
 
+  soakGated("250x soak: q167d incremental graph at the 500k posture scale") {
+    // the q167c 250× posture row's incremental sibling: build once at
+    // 475k vectors (95%), serve the 25k daily batch and a 250-vector
+    // trickle under the frozen config — the amortization numbers the
+    // half-million-vector deployment quotes
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak-q167d500"
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until 250).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    import graft.operators.Similarity
+    val allv = spark.read.parquet(s"$dir/embeddings.parquet")
+    val baseV = allv.filter(col("vec_id") % 20 =!= 19)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val deltaV = allv.filter(col("vec_id") % 20 === 19)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val nb = baseV.count()
+    val cells = Similarity.ivfCellsFor(nb)
+    val probes = Similarity.ivfProbesFor(cells)
+    val cap = Similarity.knnCellCapFor(nb, cells, 3) / 4
+    println(s"SOAK167D500 geometry: base=$nb delta=${deltaV.count()} cells=$cells " +
+      s"probes=$probes cap=$cap")
+    val centroids = baseV.orderBy(col("xid")).limit(cells)
+      .select(col("xid").as("cid"), col("xvec").as("cvec"))
+    val t0 = System.nanoTime()
+    val idx = Similarity.knnGraphBuild(baseV, centroids, probes, 3, cap)
+    val baseEdges = idx.directed.count()
+    println(f"SOAK167D500 build              ${(System.nanoTime() - t0) / 1e9}%7.1fs  directed=$baseEdges")
+    val trickle = deltaV.filter(col("xid") % 2000L === 19L)
+    val t2 = System.nanoTime()
+    val servedT = Similarity.knnGraphServe(idx, trickle).count()
+    println(f"SOAK167D500 serve_250_delta    ${(System.nanoTime() - t2) / 1e9}%7.1fs  rows=$servedT")
+    val t1 = System.nanoTime()
+    val served = Similarity.knnGraphServe(idx, deltaV).count()
+    println(f"SOAK167D500 serve_5pct_delta   ${(System.nanoTime() - t1) / 1e9}%7.1fs  rows=$served")
+    assert(served > 0, "served graph produced no mutual edges")
+  }
+
   soakGated("250x soak: q167c capped knn graph at 500k vectors (the stated posture scale)") {
     // The COVERAGE posture phrase was always "past ~100k / at 500k
     // vectors"; this run puts a number on the half-million case. Geometry
