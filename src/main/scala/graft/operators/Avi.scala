@@ -262,9 +262,13 @@ object Avi {
         p = body + size + (size & 1)
       }
     }
-    // clamp to the buffer: a declared RIFF size past the data (or near
-    // 2^31) must fail inside walk's require, not index out of bounds
-    walk(12, math.min(bytes.length.toLong, 8L + rdLe32(bytes, 4)).toInt)
+    // clamp to the buffer: a declared RIFF size past the data must fail
+    // inside walk's require, not index out of bounds. The RIFF size is
+    // UNSIGNED — read ≥ 2^31 as its positive long value (a signed read
+    // would go negative, end the clamped walk before offset 12, and
+    // silently decode an empty video instead of failing loudly)
+    walk(12, math.min(bytes.length.toLong,
+      8L + (rdLe32(bytes, 4) & 0xffffffffL)).toInt)
     val fs = frames.result()
     require(declared < 0 || declared == fs.length,
       s"avi decode: header declares $declared frames, movi carries ${fs.length}")

@@ -351,6 +351,57 @@ object Dedup {
           (size(col("sa.toks")) + size(col("sb.toks")) - col("c"))).as("jaccard"))
   }
 
+  /** Exact-set collapse MEMBERSHIP map, shared by [[setSimJoin]] and
+    * [[containmentJoin]]: one representative per distinct token set,
+    * keyed off the ALREADY-MATERIALIZED df-ordered array (identical sets
+    * sort identically under the shared global order, so ws is a
+    * canonical set form — no second corpus pass). The key is
+    * COLLISION-SAFE by construction: each token is length-prefixed
+    * ("len:tok") before concatenation, a prefix code, so two distinct
+    * token sequences can never render to the same key string (a bare
+    * separator join would merge e.g. the 1-token set ["a<SEP>b"] with
+    * the 2-token set ["a","b"] whenever a token contains the sentinel —
+    * an input contract this encoding removes entirely). Returns
+    * (rid, id, m): rid = the group's min id (its representative), m =
+    * group size; checkpointed — the expansion joins ride it.
+    */
+  private def setMembership(sortedAll: DataFrame): DataFrame = {
+    val keyed = sortedAll.select(col("id"), md5(expr(
+      "array_join(transform(ws, w -> concat(cast(length(w) as string), ':', w)), '')"))
+      .as("sk"))
+    keyed
+      .join(keyed.groupBy(col("sk"))
+        .agg(min(col("id")).as("rid"), count(lit(1)).as("m")), "sk")
+      .select(col("rid"), col("id"), col("m"))
+      .localCheckpoint(true)
+  }
+
+  /** Max clique size at which the exact-set collapse engages: a hot set
+    * replicated m times contributes m² clique candidates, so past this
+    * any single group already dominates its own candidate volume.
+    */
+  val CollapseCliqueMin: Long = 16L
+
+  /** The collapse CONCENTRATION GATE — engage only when duplication can
+    * actually dominate candidate volume (a bounded 1-row probe on the
+    * checkpointed membership map): any group of ≥ [[CollapseCliqueMin]]
+    * members, or a ≥ 20% overall duplicate fraction, flips to
+    * representatives; below that the base algorithms handle the few
+    * identical sets natively (they are ordinary qualifying pairs) and
+    * skipping saves the rep-store materialization + the expansion joins.
+    * The switch is physical-strategy only: both paths compute the
+    * identical exact answer (q194/q128 are green through each — the
+    * board corpus sits under the threshold, the dense soaks above).
+    */
+  private def collapseEngaged(memb: DataFrame): Boolean = {
+    val probe = memb.agg(max(col("m")).as("mx"),
+      sum(when(col("id") =!= col("rid"), 1L).otherwise(0L)).as("dups"),
+      count(lit(1)).as("docs")).first()
+    !probe.isNullAt(0) &&
+      (probe.getLong(0) >= CollapseCliqueMin ||
+        probe.getLong(1) * 5L >= probe.getLong(2))
+  }
+
   /** EXACT set-similarity join with prefix filtering (AllPairs/PPJoin —
     * Bayardo 2007, Xiao 2008): every pair of documents with token-set
     * Jaccard ≥ t, found WITHOUT LSH — the exact-recall complement to
@@ -375,17 +426,62 @@ object Dedup {
     * then the [[jaccard]]-style array-intersect verify. All integer
     * compares: 100·|∩| ≥ tPct·(na + nb − |∩|).
     *
+    * Replica defense: the EXACT-SET COLLAPSE ([[setMembership]] /
+    * [[collapseEngaged]], shared with [[containmentJoin]]) — identical
+    * token sets are Jaccard-1.0 cliques, so under the concentration gate
+    * one representative per distinct set runs the join and verdicts
+    * expand back through the membership map (Jaccard is a set property)
+    * plus the intra-group cliques; candidate volume then scales with
+    * DISTINCT sets, not documents.
+    *
     * Input: (id, toks) with toks DISTINCT per row. Output:
     * (a, b, inter, na, nb) for every qualifying pair, a < b.
     */
   def setSimJoin(docs: DataFrame, tPct: Int): DataFrame = {
-    val (sorted, _, cand) = setSimParts(docs, tPct)
-    cand
+    require(tPct > 0 && tPct <= 100, s"setSimJoin: tPct in (0,100], got $tPct")
+    val sortedAll = setSimSorted(docs)
+    // exact-set collapse (the round-16 containmentJoin defense, extended
+    // here): identical token sets are Jaccard-1.0 cliques, so a
+    // replica-heavy corpus otherwise pays k² through BOTH candidate sides
+    // — every df grows ×k AND every doc appears ×k. One representative
+    // per distinct set runs the join (Jaccard is a set property, so every
+    // member pair inherits its reps' verdict) and results expand back
+    // through the membership map; intra-group pairs are J = 1.0 ≥ any t
+    // by definition. Both paths exact; the gate is [[collapseEngaged]].
+    val memb = setMembership(sortedAll)
+    val collapse = collapseEngaged(memb)
+    val sorted =
+      if (!collapse) sortedAll
+      else sortedAll
+        .join(memb.filter(col("id") === col("rid")).select(col("id")), "id")
+        .localCheckpoint(true)
+    val cand = setSimCandidates(sorted, tPct)
+    val repPairs = cand
       .join(sorted.select(col("id").as("a"), col("ws").as("wa"), col("n").as("na")), "a")
       .join(sorted.select(col("id").as("b"), col("ws").as("wb"), col("n").as("nb")), "b")
       .withColumn("inter", size(array_intersect(col("wa"), col("wb"))).cast("long"))
       .filter(lit(100) * col("inter") >= lit(tPct) * (col("na") + col("nb") - col("inter")))
       .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
+    if (!collapse) return repPairs
+    // expansion: rep verdicts fan out to members. The output contract is
+    // a < b with (na, nb) = |A|, |B| — member ids need not preserve their
+    // reps' order, so sizes swap with the endpoints when they flip.
+    val cross = repPairs
+      .join(memb.select(col("rid").as("a"), col("id").as("ma")), "a")
+      .join(memb.select(col("rid").as("b"), col("id").as("mb")), "b")
+      .select(least(col("ma"), col("mb")).as("a"),
+        greatest(col("ma"), col("mb")).as("b"),
+        col("inter"),
+        when(col("ma") < col("mb"), col("na")).otherwise(col("nb")).as("na"),
+        when(col("ma") < col("mb"), col("nb")).otherwise(col("na")).as("nb"))
+    val mm = memb.filter(col("m") >= 2).select(col("rid"), col("id"))
+    val intra = mm
+      .join(mm.withColumnRenamed("id", "id2"), "rid")
+      .filter(col("id") < col("id2"))
+      .join(sorted.select(col("id").as("rid"), col("n")), "rid")
+      .select(col("id").as("a"), col("id2").as("b"),
+        col("n").as("inter"), col("n").as("na"), col("n").as("nb"))
+    cross.unionByName(intra)
   }
 
   /** EXACT set-CONTAINMENT join with prefix filtering — the asymmetric
@@ -456,33 +552,10 @@ object Dedup {
       .select(col("id"), col("n"),
         expr("transform(ord, x -> x.w)").as("ws"))
       .localCheckpoint(true) // feeds collapse, prefix explode, B side, verify
-    // ---- exact-set collapse: one representative per distinct token set,
-    // keyed off the ALREADY-MATERIALIZED df-ordered array (identical sets
-    // sort identically under the shared global order, so ws is a
-    // canonical set form — no second corpus pass). The member map is what
-    // the expansion joins ride (rid → id, group size).
-    val keyed = sortedAll.select(col("id"),
-      md5(array_join(col("ws"), "\u0001")).as("sk"))
-    val memb = keyed
-      .join(keyed.groupBy(col("sk"))
-        .agg(min(col("id")).as("rid"), count(lit(1)).as("m")), "sk")
-      .select(col("rid"), col("id"), col("m"))
-      .localCheckpoint(true)
-    // ENGAGE the collapse only when duplication can actually dominate
-    // candidate volume (a bounded 1-row probe on the checkpointed map):
-    // a hot set replicated m times contributes m² clique candidates, so
-    // any group of ≥ 16 members — or a ≥ 20% overall duplicate fraction —
-    // flips to representatives; below that the base algorithm handles
-    // the few identical sets natively (they are ordinary qualifying
-    // pairs) and skipping saves the rep-store materialization + the
-    // expansion joins. The switch is physical-strategy only: both paths
-    // compute the identical exact answer (q194 is green through each —
-    // the board corpus sits under the threshold, the dense soaks above).
-    val probe = memb.agg(max(col("m")).as("mx"),
-      sum(when(col("id") =!= col("rid"), 1L).otherwise(0L)).as("dups"),
-      count(lit(1)).as("docs")).first()
-    val collapse = !probe.isNullAt(0) &&
-      (probe.getLong(0) >= 16L || probe.getLong(1) * 5L >= probe.getLong(2))
+    // exact-set collapse membership + concentration gate (shared with
+    // [[setSimJoin]] — see [[setMembership]] / [[collapseEngaged]])
+    val memb = setMembership(sortedAll)
+    val collapse = collapseEngaged(memb)
     // under collapse the algorithm below sees REPRESENTATIVES only:
     // candidate volume scales with distinct sets, not documents (df
     // values keep their all-docs counts — only their ORDER matters to
@@ -578,18 +651,33 @@ object Dedup {
     */
   def setSimParts(docs: DataFrame, tPct: Int): (DataFrame, DataFrame, DataFrame) = {
     require(tPct > 0 && tPct <= 100, s"setSimJoin: tPct in (0,100], got $tPct")
+    val sorted = setSimSorted(docs)
+    val (pref, cand) = setSimPrefCand(sorted, tPct)
+    (sorted, pref, cand)
+  }
+
+  /** Per-doc tokens in global (df, w) order + the plain token array for
+    * the verify intersect; materialized once — three consumers (both
+    * candidate sides and the verify). The token-df-sort build shared by
+    * [[setSimParts]] and [[setSimJoin]].
+    */
+  private def setSimSorted(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("id"), explode(col("toks")).as("w"))
     val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    // per-doc tokens in global (df, w) order + the plain token array for
-    // the verify intersect; materialize once — three consumers (both
-    // candidate sides and the verify)
-    val sorted = tok.join(dfreq, "w")
+    tok.join(dfreq, "w")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("ord"),
         count(lit(1)).as("n"))
       .select(col("id"), col("n"),
         expr("transform(ord, x -> x.w)").as("ws"))
       .localCheckpoint(true)
+  }
+
+  /** Candidate pairs over a (possibly collapsed) sorted store. */
+  private def setSimCandidates(sorted: DataFrame, tPct: Int): DataFrame =
+    setSimPrefCand(sorted, tPct)._2
+
+  private def setSimPrefCand(sorted: DataFrame, tPct: Int): (DataFrame, DataFrame) = {
     // prefix length n - ceil(t*n) + 1; ceil(t*n) = (tPct*n + 99) div 100.
     // posexplode keeps each prefix token's position for the PPJoin
     // positional filter below.
@@ -626,6 +714,6 @@ object Dedup {
         lit(tPct) * (col("_na") + col("_nb")))
       .select(col("a"), col("b"))
       .distinct()
-    (sorted, pref, cand)
+    (pref, cand)
   }
 }

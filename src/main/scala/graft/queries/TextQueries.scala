@@ -2012,8 +2012,11 @@ object TextQueries {
       qt: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // dfq already restricts to the query's terms (termStats ⋈ qt), so
-    // the postings join it broadcasts is the ONLY per-batch term join
-    val dfq = broadcast(idx.termStats.join(qt, "term"))
+    // the postings join it broadcasts is the ONLY per-batch term join.
+    // qt deduplicates HERE, not by caller contract: BM25 sums one score
+    // per (chunk, query term) — a duplicated query term would double a
+    // posting's contribution, so distinctness is load-bearing
+    val dfq = broadcast(idx.termStats.join(qt.distinct(), "term"))
     idx.postings.join(dfq, "term")
       .crossJoin(idx.tot)
       .select(col("xid"),

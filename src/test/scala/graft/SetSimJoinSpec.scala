@@ -50,4 +50,37 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(exact == brute(100))
     assert(exact.forall { case (_, _, i, na, nb) => i == na && i == nb })
   }
+
+  test("setSimJoin under the exact-set collapse equals brute force (replica-heavy corpus)") {
+    import spark.implicits._
+    // replicate docs 0 and 3's token sets 18x each with fresh ids —
+    // max clique 19 >= CollapseCliqueMin (16), so the collapse ENGAGES
+    // (the non-collapse path is covered by the test above); replicas
+    // interleave arbitrary ids so the expansion's a<b re-ordering and
+    // na/nb swap both get real work
+    val reps = (0 until 36).map { j =>
+      val src = docs(if (j % 2 == 0) 0 else 3)
+      (1000L + j, src._2)
+    }
+    val heavy = docs ++ reps
+    val sets = heavy.map { case (id, ws) => id -> ws.toSet }.toMap
+    def bruteH(tPct: Int): Set[(Long, Long, Long, Long, Long)] =
+      (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa & sb).size.toLong
+        if 100 * inter >= tPct * (sa.size + sb.size - inter)
+      } yield (a, b, inter, sa.size.toLong, sb.size.toLong)).toSet
+    for (t <- Seq(80, 50)) {
+      val got = Dedup.setSimJoin(heavy.toDF("id", "toks"), t)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val want = bruteH(t)
+      assert(got == want,
+        s"collapse t=$t: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)} " +
+          s"(got ${got.size}, want ${want.size})")
+      // the fixture must actually exercise the expansion: intra-group
+      // (J=1.0 cliques) AND cross-group inherited pairs must both appear
+      assert(want.exists { case (_, _, i, na, nb) => i == na && i == nb })
+      assert(want.exists { case (_, _, i, na, nb) => i < na || i < nb })
+    }
+  }
 }
