@@ -451,13 +451,27 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"))
   }
 
-  /** SERVE a delta append against [[knnGraphBuild]] artifacts — the
-    * incremental maintenance a daily pipeline runs between full
-    * re-indexes (the q183/q150c contract, closing the one build/serve
-    * family that still rebuilt wholesale). The index CONFIG is frozen:
-    * delta vectors assign + probe under the build's centroids, encode
-    * under its quantizer (clamped — [[sq8EncodeFrozen]]), and cells keep
-    * the build-time cap. Then:
+  /** The a<b mutual-edge closure of a directed top-k list — the final
+    * stage every graph surface shares ([[knnGraphBuild]]'s serve, the
+    * retire path, and the chained-append soak all emit it).
+    */
+  private[graft] def mutualize(directed: DataFrame): DataFrame =
+    directed.alias("f")
+      .join(directed.alias("r"),
+        col("f.qid") === col("r.nid") && col("f.nid") === col("r.qid"))
+      .filter(col("f.qid") < col("f.nid"))
+      .select(col("f.qid").as("a"), col("f.nid").as("b"), col("f.cos").as("cos"))
+
+  /** APPEND a delta against [[knnGraphBuild]] artifacts and return the
+    * UPDATED index — the incremental maintenance a daily pipeline runs
+    * between full re-indexes (the q183/q150c contract, closing the one
+    * build/serve family that still rebuilt wholesale). Returning the
+    * refreshed [[KnnIndex]] (not just edges) is what lets consecutive
+    * deltas CHAIN: k 1% appends compound to the one 5% append
+    * (KnnIncrementalSpec asserts the chain ≡ one-shot parity). The index
+    * CONFIG is frozen: delta vectors assign + probe under the build's
+    * centroids, encode under its quantizer (clamped —
+    * [[sq8EncodeFrozen]]), and cells keep the build-time cap. Then:
     *
     *  1. TOUCHED cells — those a delta member assigned into — re-rank
     *     their servable list over base ∪ delta members (the
@@ -475,23 +489,31 @@ object Similarity {
     *     stored neighbor (promotions become possible) re-score fully,
     *     plus every delta vector; everyone not probing a touched cell
     *     splices in verbatim.
-    *  3. The mutual join runs over the spliced directed lists.
+    *  3. [[knnGraphServe]] runs the mutual join over the spliced
+    *     directed lists.
     *
-    * Output is bit-for-bit the full rebuild under the same frozen
-    * config — q167d's brute oracle IS that rebuild, and
+    * The spliced directed list is bit-for-bit the full rebuild's under
+    * the same frozen config — q167d's brute oracle IS that rebuild, and
     * KnnIncrementalSpec asserts the two-way exceptAll emptiness
     * in-engine. Serve cost: |delta|·cells broadcast assignment +
     * touched-cell re-rank + Σ_inserted(probe in-degree) merge-ranking +
     * (displacement-hit ∪ delta)·nProbe·cap full scoring — every term
     * delta-driven; the affected-query count never multiplies nProbe·cap.
-    * Ids must be unique across base ∪ delta (the append contract).
+    * Ids must be unique across base ∪ delta (the append contract;
+    * [[knnGraphRetire]] frees an id for genuine re-insertion). The
+    * returned index checkpoints only delta-sized pieces plus the narrow
+    * servable/directed tables; the wide vector/code tables stay lazy
+    * unions over the already-checkpointed inputs, so chaining never
+    * re-materializes the base payloads.
     */
-  def knnGraphServe(idx: KnnIndex, delta: DataFrame): DataFrame = {
+  def knnGraphAppend(idx: KnnIndex, delta: DataFrame): KnnIndex = {
     import org.apache.spark.sql.expressions.Window
     val dRanked = cellRanked(delta, idx.centroids, idx.nProbe)
     val dAssign = dRanked.filter(col("rn") === 1)
       .select(col("xid").as("nid"), col("cid"), col("d2"))
+      .localCheckpoint(true) // feeds touched, servTouched, and the new index
     val dProbes = dRanked.select(col("xid").as("qid"), col("cid"))
+      .localCheckpoint(true) // feeds fullDirected and the new index
     val touched = dAssign.select(col("cid")).distinct().localCheckpoint(true)
     val servTouched = idx.assignD2.unionByName(dAssign)
       .join(broadcast(touched), "cid")
@@ -511,10 +533,14 @@ object Similarity {
       .localCheckpoint(true)
     val displaced = idx.servable.join(broadcast(touched), "cid")
       .join(servTouched, Seq("nid", "cid"), "left_anti")
+    // wide payloads: checkpoint ONLY the delta pieces (sq8EncodeFrozen
+    // checkpoints internally); the unions stay lazy over checkpointed
+    // inputs so the base vectors never re-materialize on a chained serve
     val encAll = idx.enc.unionByName(sq8EncodeFrozen(delta, idx.stats))
     val xnAll = idx.xn.unionByName(
       delta.select(col("xid"), scaled(col("xvec")).as("xs"))
-        .withColumn("norm", sqrt(dotScaled(col("xs"), col("xs")).cast("double"))))
+        .withColumn("norm", sqrt(dotScaled(col("xs"), col("xs")).cast("double")))
+        .localCheckpoint(true))
     // FULL re-score only where the merge shortcut below is inexact: a
     // query whose STORED neighbor was displaced (promotions from outside
     // the stored top-k become possible, so the stored list is no longer
@@ -554,11 +580,181 @@ object Similarity {
       .unionByName(merged)
       .unionByName(fullDirected)
       .localCheckpoint(true) // both sides of the mutuality self-join
-    directed.alias("f")
-      .join(directed.alias("r"),
-        col("f.qid") === col("r.nid") && col("f.nid") === col("r.qid"))
-      .filter(col("f.qid") < col("f.nid"))
-      .select(col("f.qid").as("a"), col("f.nid").as("b"), col("f.cos").as("cos"))
+    KnnIndex(idx.centroids, idx.stats, xnAll, encAll,
+      idx.assignD2.unionByName(dAssign),
+      servNew.localCheckpoint(true), // narrow (nid, cid); flattens chains
+      idx.probes.unionByName(dProbes),
+      directed, idx.nProbe, idx.k, idx.cap)
+  }
+
+  /** SERVE a delta append: the mutual k-NN edges after [[knnGraphAppend]]
+    * folds the delta into the artifacts — the one-shot surface q167d
+    * pins (its oracle is the frozen-config full rebuild).
+    */
+  def knnGraphServe(idx: KnnIndex, delta: DataFrame): DataFrame =
+    mutualize(knnGraphAppend(idx, delta).directed)
+
+  /** RETIRE vectors from [[knnGraphBuild]] artifacts (tombstone deletes)
+    * and return the updated index — the dual of [[knnGraphAppend]],
+    * closing the append-only gap: a daily pipeline must also UN-index
+    * documents (takedowns, TTL expiry, re-crawled replacements). The
+    * artifacts already contain everything an exact delete needs because
+    * `assignD2` keeps EVERY member with its centrality d², serving or
+    * not — so a tombstoned cell re-ranks exactly and previously over-cap
+    * members re-promote. The work splits the same displacement-dual way:
+    *
+    *  1. TOUCHED cells — those a deleted member was ASSIGNED to — re-rank
+    *     their servable lists over the surviving members (promotions
+    *     only: with fewer members every survivor's rank can only
+    *     improve, so no displacement exists on the delete path).
+    *  2. A query whose STORED top-k LOST a deleted neighbor must
+    *     re-score fully (demotions from inside the stored top-k make the
+    *     stored list an insufficient summary — the exact dual of
+    *     append's displacement split). Every other query affected only
+    *     by PROMOTED members takes the ≤2k-row MERGE
+    *     top-k(stored ∪ promoted-member scores); candidates it lost were
+    *     outside its stored top-k, and removing candidates outside a
+    *     top-k never changes it. Queries probing no promoted cell splice
+    *     verbatim. Deleted ids drop from both sides (they neither query
+    *     nor serve).
+    *
+    * Parity: the updated directed list equals the frozen-config rebuild
+    * over (members \ ids) — KnnIncrementalSpec asserts the two-way
+    * exceptAll, and the mixed append/retire chain compounds exactly.
+    * Cost: every term is tombstone-driven — |ids| broadcast anti-joins,
+    * touched-cell re-ranks, Σ_promoted(probe in-degree) merge-ranking,
+    * (lost-neighbor queries)·nProbe·cap full scoring. `ids` is the
+    * tombstone batch (first column taken as the id), broadcast-sized by
+    * contract.
+    */
+  def knnGraphRetire(idx: KnnIndex, ids: DataFrame): KnnIndex = {
+    import org.apache.spark.sql.expressions.Window
+    val del = ids.select(col(ids.columns.head).cast("long").as("nid"))
+      .distinct().localCheckpoint(true)
+    val delQ = del.select(col("nid").as("qid"))
+    val delX = del.select(col("nid").as("xid"))
+    val touched = idx.assignD2.join(broadcast(del), "nid")
+      .select(col("cid")).distinct().localCheckpoint(true)
+    val assignNew = idx.assignD2.join(broadcast(del), Seq("nid"), "left_anti")
+    val servTouched = assignNew.join(broadcast(touched), "cid")
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("d2"), col("nid"))))
+      .filter(col("crn") <= idx.cap)
+      .select(col("nid"), col("cid"))
+      .localCheckpoint(true) // feeds servNew and promoted
+    val servNew = idx.servable
+      .join(broadcast(touched), Seq("cid"), "left_anti") // untouched cells hold no deleted member
+      .unionByName(servTouched)
+      .localCheckpoint(true)
+    // the LIST DELTA — promotions only (see doc): ex-over-cap members now
+    // serving, bounded by |ids| (cap fixed: one out frees at most one in)
+    val promoted = servTouched
+      .join(idx.servable, Seq("nid", "cid"), "left_anti")
+      .localCheckpoint(true)
+    val encNew = idx.enc.join(broadcast(delX), Seq("xid"), "left_anti")
+    val xnNew = idx.xn.join(broadcast(delX), Seq("xid"), "left_anti")
+    // FULL re-score where the merge shortcut is inexact: a stored top-k
+    // that lost a deleted neighbor (the delete-side dual of displacement)
+    val fullQ = idx.directed.join(broadcast(del), "nid")
+      .select(col("qid")).distinct()
+      .join(broadcast(delQ), Seq("qid"), "left_anti")
+      .localCheckpoint(true)
+    val probesNew = idx.probes.join(broadcast(delQ), Seq("qid"), "left_anti")
+    val fullDirected = scoreDirected(
+      probesNew.join(fullQ, "qid"), servNew, encNew, xnNew, idx.k)
+    // INCREMENTAL merge for queries probing a cell with a promotion:
+    // their stored top-k lost nothing (else fullQ), so
+    // top-k(stored ∪ promoted-member scores) is exact
+    val promCells = promoted.select(col("cid")).distinct()
+    val incrProbes = probesNew.join(broadcast(promCells), "cid")
+      .join(fullQ, Seq("qid"), "left_anti")
+      .localCheckpoint(true) // feeds the ranking AND the splice key set
+    val addTopK = scoreDirected(incrProbes, promoted, encNew, xnNew, idx.k)
+    val incrQ = incrProbes.select(col("qid")).distinct()
+    val merged = idx.directed.join(incrQ, "qid").unionByName(addTopK)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= idx.k)
+      .select(col("qid"), col("nid"), col("cos"))
+    val dropped = incrQ.unionByName(fullQ).unionByName(delQ)
+      .localCheckpoint(true)
+    val directed = idx.directed.join(dropped, Seq("qid"), "left_anti")
+      .unionByName(merged)
+      .unionByName(fullDirected)
+      .localCheckpoint(true)
+    KnnIndex(idx.centroids, idx.stats, xnNew, encNew, assignNew,
+      servNew, probesNew, directed, idx.nProbe, idx.k, idx.cap)
+  }
+
+  /** PERSIST [[knnGraphBuild]] artifacts as parquet tables — the piece
+    * that turns the measured in-session build/serve amortization into
+    * the deployable daily-pipeline shape (build job writes once, every
+    * later session serves from disk; the reference's MapFileOutputFormat
+    * persisted-store + getEntry lookup split,
+    * `src/mapred/org/apache/hadoop/mapred/MapFileOutputFormat.java:109`).
+    * Layout is the 100 TB one: the per-member table (codes, centrality
+    * d², serving flag) is PARTITIONED BY CELL ID, as are the probe
+    * lists, so a serve's touched-cell and probed-cell reads prune to
+    * directories instead of scanning the corpus; centroids, the frozen
+    * quantizer, and the config are small unpartitioned tables. One
+    * member row per vector: every member has exactly one rn=1
+    * assignment, so codes/assignment/serving-flag fold into a single
+    * cell-partitioned table instead of three stores.
+    */
+  def knnIndexSave(idx: KnnIndex, path: String): Unit = {
+    val s = idx.centroids.sparkSession
+    import s.implicits._
+    idx.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/centroids")
+    idx.stats.zipWithIndex
+      .map { case ((mn, rng), d) => (d.toLong, mn, rng) }
+      .toDF("dim", "mn", "rng").coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/stats")
+    Seq((idx.nProbe.toLong, idx.k.toLong, idx.cap))
+      .toDF("n_probe", "k", "cap").coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/config")
+    // repartition BY cid before partitionBy: each cell's rows land in one
+    // task, so the store writes ~one file per cell, not tasks × cells
+    idx.enc
+      .join(idx.assignD2.select(col("nid").as("xid"), col("cid"), col("d2")), "xid")
+      .join(idx.servable.select(col("nid").as("xid"), col("cid"),
+        lit(true).as("serving")), Seq("xid", "cid"), "left")
+      .na.fill(false, Seq("serving"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/members")
+    idx.xn.write.mode("overwrite").parquet(s"$path/xn")
+    idx.probes.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/probes")
+    idx.directed.write.mode("overwrite").parquet(s"$path/directed")
+  }
+
+  /** Reconstitute a [[KnnIndex]] from [[knnIndexSave]] artifacts in a
+    * FRESH session: every frame is a FileScan over the saved tables (no
+    * in-session lineage — q167e's PlanSpec guard), cell-partitioned
+    * where the serve path joins on cells. Partition-column inference
+    * types `cid` from directory names, so it is cast back to long and
+    * columns re-selected in the build-time order.
+    */
+  def knnIndexLoad(s: org.apache.spark.sql.SparkSession,
+                   path: String): KnnIndex = {
+    val conf = s.read.parquet(s"$path/config").first()
+    val stats = s.read.parquet(s"$path/stats").orderBy(col("dim")).collect()
+      .map(r => (r.getAs[Long]("mn"), r.getAs[Long]("rng"))).toSeq
+    val centroids = s.read.parquet(s"$path/centroids")
+      .select(col("cid"), col("cvec"))
+    val members = s.read.parquet(s"$path/members")
+    val cidL = col("cid").cast("long").as("cid")
+    KnnIndex(
+      centroids, stats,
+      s.read.parquet(s"$path/xn").select(col("xid"), col("xs"), col("norm")),
+      members.select(col("xid"), col("rx"), col("xnorm")),
+      members.select(col("xid").as("nid"), cidL, col("d2")),
+      members.filter(col("serving")).select(col("xid").as("nid"), cidL),
+      s.read.parquet(s"$path/probes").select(col("qid"), cidL),
+      s.read.parquet(s"$path/directed")
+        .select(col("qid"), col("nid"), col("cos")),
+      conf.getAs[Long]("n_probe").toInt, conf.getAs[Long]("k").toInt,
+      conf.getAs[Long]("cap"))
   }
 
   /** The ONE md5-parity ±1 matrix derivation behind [[srpSigns]] and
@@ -1097,8 +1293,8 @@ object Similarity {
   /** The nProbe nearest cells per query (same d² tree): the per-batch
     * SERVE half of the routing — (qid, cid).
     */
-  private def cellProbes(queries: DataFrame, centroids: DataFrame,
-                         nProbe: Int): DataFrame = {
+  private[graft] def cellProbes(queries: DataFrame, centroids: DataFrame,
+                                nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cs = centroids.select(col("cid"), scaled(col("cvec")).as("cs"))
     queries.select(col("qid"), scaled(col("qvec")).as("qsv"))

@@ -889,8 +889,11 @@ object SimilarityQueries {
     * exceptAll in-engine and that untouched queries' rows come from the
     * artifact verbatim.
     */
-  val q167dKnnGraphIncremental = Q.checked(
-    "q167d_knn_graph_incremental",
+  // shared by q167d (in-memory artifacts) and q167e (artifacts persisted
+  // to parquet and reloaded): the oracle IS the frozen-config full
+  // rebuild, so a green hash on either query proves serve ≡ rebuild —
+  // and on q167e that the save/load round-trip lost nothing
+  private val knnIncrementalOracleSql =
     s"""WITH sv AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
        |  FROM embeddings),
@@ -940,7 +943,14 @@ object SimilarityQueries {
        |), d AS (SELECT qid, nid, cos FROM er WHERE rank <= $K)
        |SELECT f.qid AS a, f.nid AS b, f.cos AS cos
        |FROM d f JOIN d r ON f.qid = r.nid AND f.nid = r.qid
-       |WHERE f.qid < f.nid""") { (s, dir) =>
+       |WHERE f.qid < f.nid"""
+
+  /** The frozen-config BUILD over the 99% base slice — shared by q167d
+    * (serves straight from the in-memory artifacts) and q167e (persists
+    * them first).
+    */
+  private def knnIncrementalBuild(s: org.apache.spark.sql.SparkSession,
+      dir: String): (Similarity.KnnIndex, org.apache.spark.sql.DataFrame) = {
     val emb = table(s, dir, "embeddings")
     val base = emb.filter(col("vec_id") % 100 =!= 99)
       .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
@@ -950,9 +960,39 @@ object SimilarityQueries {
     val cells = Similarity.ivfCellsFor(nb)
     val centroids = base.orderBy(col("xid")).limit(cells)
       .select(col("xid").as("cid"), col("xvec").as("cvec"))
-    val idx = Similarity.knnGraphBuild(base, centroids,
-      Similarity.ivfProbesFor(cells), K, Similarity.knnCellCapFor(nb, cells, K))
+    (Similarity.knnGraphBuild(base, centroids,
+      Similarity.ivfProbesFor(cells), K,
+      Similarity.knnCellCapFor(nb, cells, K)), delta)
+  }
+
+  val q167dKnnGraphIncremental = Q.checked(
+    "q167d_knn_graph_incremental",
+    knnIncrementalOracleSql) { (s, dir) =>
+    val (idx, delta) = knnIncrementalBuild(s, dir)
     Similarity.knnGraphServe(idx, delta)
+  }
+
+  /** q167d through PERSISTED artifacts — the deployable daily-pipeline
+    * shape: [[Similarity.knnIndexSave]] writes the frozen index as
+    * parquet (members/codes and probe lists partitioned by cell id,
+    * centroids/quantizer/config as small tables), and the serve runs
+    * ONLY from [[Similarity.knnIndexLoad]]'s reconstitution — every
+    * artifact frame a FileScan, none of the build's in-memory lineage
+    * (PlanSpec pins that). Same oracle as q167d (the frozen-config full
+    * rebuild), so a green hash proves the save/load round-trip is
+    * lossless END TO END: quantizer stats, centrality d², serving flags,
+    * probe sets, stored top-k, and the three config scalars all survive
+    * the disk hop or the serve's splice/merge/re-score arithmetic would
+    * diverge. This is the q183/q150c build/serve discipline made
+    * cross-session: the fresh-JVM soak row prices load+serve ≪ build.
+    */
+  val q167eKnnGraphPersisted = Q.checked(
+    "q167e_knn_graph_persisted",
+    knnIncrementalOracleSql) { (s, dir) =>
+    val (idx, delta) = knnIncrementalBuild(s, dir)
+    val path = graft.core.Graft.scratch("q167e_knn_index")
+    Similarity.knnIndexSave(idx, path)
+    Similarity.knnGraphServe(Similarity.knnIndexLoad(s, path), delta)
   }
 
   /** IVF CELL-BALANCE audit — the index-quality gate that runs after
@@ -1131,6 +1171,6 @@ object SimilarityQueries {
       q116SemanticDedup, q119Sq8Ann, q120PqAnn, q120bPqTrained,
       q124IvfSq8Ann, q125IvfPqAnn, q135HybridRetrieval, q167KnnGraph,
       q167bKnnGraphSq8, q167cKnnGraphCapped, q167dKnnGraphIncremental,
-      q197CellBalance,
+      q167eKnnGraphPersisted, q197CellBalance,
       q171SemanticDecon, q177ProjectEmbed, q187EmbedQa)
 }

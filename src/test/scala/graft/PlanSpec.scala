@@ -387,6 +387,56 @@ class PlanSpec extends AnyFunSuite {
     assert(!q.contains("CartesianProduct"), q.take(3000))
   }
 
+  test("q167e loaded index artifacts are FileScans — serve reads disk, not session lineage") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 100 =!= 99)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val cents = base.orderBy(col("xid")).limit(22)
+      .select(col("xid").as("cid"), col("xvec").as("cvec"))
+    val idx = Similarity.knnGraphBuild(base, cents, 5, 3, 22L)
+    val path = graft.core.Graft.scratch("planspec_knn_index")
+    Similarity.knnIndexSave(idx, path)
+    val loaded = Similarity.knnIndexLoad(spark, path)
+    for ((df, what) <- Seq(
+        (loaded.servable, "servable"), (loaded.assignD2, "assignD2"),
+        (loaded.enc, "codes"), (loaded.xn, "vectors"),
+        (loaded.probes, "probes"), (loaded.directed, "directed"),
+        (loaded.centroids, "centroids"))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("FileScan parquet"),
+        s"$what must be a parquet FileScan:\n" + p.take(2000))
+      assert(!p.contains("ExistingRDD"),
+        s"$what leaked in-session lineage:\n" + p.take(2000))
+    }
+    // and the cell-partitioned layout is real: a literal cell filter on
+    // the member store prunes DIRECTORIES, not rows
+    val one = loaded.servable.filter(col("cid") === 1L)
+      .queryExecution.executedPlan.toString
+    assert(one.contains("PartitionFilters: [") && one.contains("cid"),
+      "cell filter must land in PartitionFilters:\n" + one.take(2000))
+  }
+
+  test("q150d disk serve prunes postings to term buckets and codes to probed cells") {
+    import graft.queries.TextQueries
+    val dir = TestSpark.sf0001
+    val built = TextQueries.ragIndexBuild(spark, dir)
+    val path = graft.core.Graft.scratch("planspec_rag_index")
+    TextQueries.ragIndexSave(built, path)
+    val idx = TextQueries.ragIndexLoad(spark, path)
+    import org.apache.spark.sql.functions.col
+    val sp = idx.postings.filter(col("tb").isin(3, 17, 41))
+      .queryExecution.executedPlan.toString
+    assert(sp.contains("FileScan parquet"), sp.take(2000))
+    assert(sp.contains("PartitionFilters: [") && sp.contains("tb"),
+      "term-bucket filter must prune partitions:\n" + sp.take(2000))
+    val dp = idx.index.filter(col("cid").isin(1L, 2L))
+      .queryExecution.executedPlan.toString
+    assert(dp.contains("PartitionFilters: [") && dp.contains("cid"),
+      "cell filter must prune the code store:\n" + dp.take(2000))
+  }
+
   test("q170 versioned replay never shuffles the snapshot: broadcast anti per batch") {
     val p = plan(graft.queries.DedupQueries.q170TimeTravel)
     assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,

@@ -716,6 +716,105 @@ class SoakTest extends AnyFunSuite {
     time("serve_50_query_batch") { serveBatch(50L) }
   }
 
+  /** Drive a serve CLI in a CHILD JVM — a session that never saw the
+    * build — and return its one-line JSON. The child rides tools/run.sh
+    * (compiled classes + spark jars, the driver's own launch shape);
+    * stderr inherits so Spark warnings stay visible in the soak log.
+    */
+  private def freshJvm(env: Map[String, String], args: String*): String = {
+    import scala.jdk.CollectionConverters._
+    val pb = new ProcessBuilder(
+      (Seq("/root/repo/tools/run.sh") ++ args).asJava)
+    pb.directory(new java.io.File("/root/repo"))
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val t0 = System.nanoTime()
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val code = proc.waitFor()
+    assert(code == 0, s"child JVM exited $code: $out")
+    val line = out.linesIterator.filter(_.startsWith("{")).toSeq.lastOption
+      .getOrElse(fail(s"child JVM printed no JSON line: $out"))
+    println(f"FRESHJVM total_child_wall ${(System.nanoTime() - t0) / 1e9}%7.1fs  $line")
+    line
+  }
+
+  soakGated("soak: q167e persisted knn index — fresh-JVM load+serve vs build at 190k") {
+    // The verdict's deployability gap, closed with a number: the q167d
+    // soak proved IN-SESSION serve amortization (build 149.8 s, trickle
+    // 7.7 s); here the artifacts go to parquet via knnIndexSave and the
+    // serve runs in a CHILD JVM that knows only the paths — the daily
+    // pipeline's actual shape. The row prices build vs save vs
+    // fresh-session load+serve of a 100-vector trickle.
+    import graft.operators.Similarity
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak-q167e"
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until 100).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val allv = spark.read.parquet(s"$dir/embeddings.parquet")
+    val baseV = allv.filter(col("vec_id") % 20 =!= 19)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    // two disjoint 50-vector trickle batches of DISTINCT embeddings (the
+    // replica-0 block of the held-out 5%): batch 1 prices the cold
+    // start, batch 2 the chained steady state (appended to batch 1's
+    // returned index inside the child session)
+    val trickle = allv
+      .filter(col("vec_id") % 20 === 19 && col("vec_id") < 2000L)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    trickle.filter(col("xid") % 40 === 19)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/trickleA.parquet")
+    trickle.filter(col("xid") % 40 =!= 19)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/trickleB.parquet")
+    val nb = baseV.count()
+    val cells = Similarity.ivfCellsFor(nb)
+    val probes = Similarity.ivfProbesFor(cells)
+    val cap = Similarity.knnCellCapFor(nb, cells, 3) / 4
+    println(s"SOAK167E geometry: base=$nb trickle=${trickle.count()} cells=$cells " +
+      s"probes=$probes cap=$cap")
+    val centroids = baseV.orderBy(col("xid")).limit(cells)
+      .select(col("xid").as("cid"), col("xvec").as("cvec"))
+    val t0 = System.nanoTime()
+    val idx = Similarity.knnGraphBuild(baseV, centroids, probes, 3, cap)
+    val directed = idx.directed.count()
+    println(f"SOAK167E build               ${(System.nanoTime() - t0) / 1e9}%7.1fs  directed=$directed")
+    val t1 = System.nanoTime()
+    Similarity.knnIndexSave(idx, s"$dir/index")
+    println(f"SOAK167E save_artifacts      ${(System.nanoTime() - t1) / 1e9}%7.1fs")
+    val line = freshJvm(
+      Map("SPARK_GRAFT_CPUS" -> "32", "SPARK_DRIVER_MEM" -> "16g"),
+      "graft.KnnServeMain", s"$dir/index",
+      s"$dir/trickleA.parquet", s"$dir/trickleB.parquet")
+    assert("\"edges\":\\d".r.findAllIn(line).size == 2 && !line.contains("\"edges\":0"),
+      s"fresh-JVM serve must report two non-empty chained batches: $line")
+  }
+
+  soakGated("100x soak: q150d persisted RAG index — fresh-JVM bucket/cell-pruned serve") {
+    // the q150c amortization made cross-session: build + ragIndexSave
+    // once (~500k docs), then a child JVM serves one hybrid query from
+    // the term-bucketed/cell-partitioned artifacts alone
+    import graft.queries.TextQueries
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak-q150d"
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    (0 until 100).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    TextQueries.ragIndexSave(TextQueries.ragIndexBuild(spark, dir), s"$dir/index")
+    println(f"SOAK150D build_save          ${(System.nanoTime() - t0) / 1e9}%7.1fs")
+    val line = freshJvm(
+      Map("SPARK_GRAFT_CPUS" -> "32", "SPARK_DRIVER_MEM" -> "16g"),
+      "graft.RagServeMain", s"$dir/index", s"$dir/documents.parquet",
+      "7,11,23,42,99", "20")
+    assert("\"hits\":10".r.findAllIn(line).size == 5,
+      s"fresh-JVM serve must answer all 5 queries: $line")
+  }
+
   soakGated("soak: exact-audit growth laws (q194 containment to dense x100, q226/q237 at 100x)") {
     // Two fixture families isolate the q194 cost law (candidates =
     // Σ_A Σ_{w ∈ prefix(A)} df(w) over DISTINCT sets):
@@ -781,6 +880,17 @@ class SoakTest extends AnyFunSuite {
     }
     time("q194_containment_dense100") {
       graft.queries.DedupQueries.q194ContainmentJoin.run(spark, s"$dir/dense100").count()
+    }
+    // q128 on the SAME replica fixtures: identical token sets are
+    // Jaccard-1.0 cliques, so pre-collapse this cost k² like q194 did;
+    // with the shared exact-set collapse both densifications must be
+    // output-bound (one representative per distinct set runs the prefix
+    // join; verdicts expand through membership)
+    time("q128_setsim_dense10") {
+      graft.queries.DedupQueries.q128SetsimJoin.run(spark, s"$dir/dense").count()
+    }
+    time("q128_setsim_dense100") {
+      graft.queries.DedupQueries.q128SetsimJoin.run(spark, s"$dir/dense100").count()
     }
     time("q226_calibration_ns100") {
       graft.queries.DedupQueries.q226MinhashCalibration.run(spark, s"$dir/ns100").count()
