@@ -179,11 +179,7 @@ object Similarity {
                nProbe: Int, k: Int): DataFrame = {
     val directed = knnDirected(corpus, centroids, nProbe, k)
       .localCheckpoint(true) // both sides of the mutuality self-join
-    directed.alias("f")
-      .join(directed.alias("r"),
-        col("f.qid") === col("r.nid") && col("f.nid") === col("r.qid"))
-      .filter(col("f.qid") < col("f.nid"))
-      .select(col("f.qid").as("a"), col("f.nid").as("b"), col("f.cos").as("cos"))
+    mutualize(directed)
   }
 
   /** The shared candidate-geometry stage of [[knnDirected]] /
@@ -302,11 +298,7 @@ object Similarity {
                   nProbe: Int, k: Int): DataFrame = {
     val directed = knnDirectedSq8(corpus, centroids, nProbe, k)
       .localCheckpoint(true) // both sides of the mutuality self-join
-    directed.alias("f")
-      .join(directed.alias("r"),
-        col("f.qid") === col("r.nid") && col("f.nid") === col("r.qid"))
-      .filter(col("f.qid") < col("f.nid"))
-      .select(col("f.qid").as("a"), col("f.nid").as("b"), col("f.cos").as("cos"))
+    mutualize(directed)
   }
 
   /** Per-cell servable-list cap for the all-vectors graphs: the average
@@ -340,11 +332,7 @@ object Similarity {
                         nProbe: Int, k: Int, capPerCell: Long): DataFrame = {
     val directed = knnDirectedSq8(corpus, centroids, nProbe, k, capPerCell)
       .localCheckpoint(true) // both sides of the mutuality self-join
-    directed.alias("f")
-      .join(directed.alias("r"),
-        col("f.qid") === col("r.nid") && col("f.nid") === col("r.qid"))
-      .filter(col("f.qid") < col("f.nid"))
-      .select(col("f.qid").as("a"), col("f.nid").as("b"), col("f.cos").as("cos"))
+    mutualize(directed)
   }
 
   /** Directed SQ8-scored top-k stage of [[knnGraphSq8]], exposed like

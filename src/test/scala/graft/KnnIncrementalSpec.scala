@@ -219,4 +219,42 @@ class KnnIncrementalSpec extends AnyFunSuite {
     val b = Similarity.knnGraphServe(loaded, delta).localCheckpoint(true)
     same(a, b, "served graph")
   }
+
+  test("daily maintenance cycle: save → load → append → retire → save → load ≡ rebuild") {
+    // the full ops loop a production deployment runs: every maintenance
+    // step operates on a LOADED index, and the maintained index is
+    // saved BACK and reloaded before the next day's delta — so this
+    // pins that knnIndexSave round-trips the lazily-assembled frames
+    // append/retire return (anti-joined unions, not build-shaped
+    // checkpoints), not just a fresh build's
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 10 =!= 9)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val d1 = emb.filter(col("vec_id") % 20 === 9)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val d2 = emb.filter(col("vec_id") % 20 === 19)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val del = base.filter(col("xid") % 30 === 5).select(col("xid"))
+    val nb = base.count()
+    val cells = Similarity.ivfCellsFor(nb)
+    val centroids = base.orderBy(col("xid")).limit(cells)
+      .select(col("xid").as("cid"), col("xvec").as("cvec"))
+    val idx0 = Similarity.knnGraphBuild(base, centroids,
+      Similarity.ivfProbesFor(cells), K,
+      Similarity.knnCellCapFor(nb, cells, K))
+    val p1 = graft.core.Graft.scratch("spec_knn_cycle1")
+    Similarity.knnIndexSave(idx0, p1)
+    val day1 = Similarity.knnGraphRetire(
+      Similarity.knnGraphAppend(Similarity.knnIndexLoad(spark, p1), d1), del)
+    val p2 = graft.core.Graft.scratch("spec_knn_cycle2")
+    Similarity.knnIndexSave(day1, p2)
+    val day2 = Similarity.knnGraphAppend(Similarity.knnIndexLoad(spark, p2), d2)
+    val got = Similarity.mutualize(day2.directed).localCheckpoint(true)
+    val want = frozenRebuild(
+      base.unionByName(d1).unionByName(d2).join(del, Seq("xid"), "left_anti"),
+      idx0)
+    assert(got.count() > 0, "cycled graph must stay non-empty")
+    assert(got.exceptAll(want).isEmpty, "cycle rows missing from rebuild")
+    assert(want.exceptAll(got).isEmpty, "rebuild rows missing from cycle")
+  }
 }

@@ -453,4 +453,57 @@ class RecallSpec extends AnyFunSuite {
       .toDF("xid", "xvec")
     assert(Similarity.sq8TopK(q, ok, 1).count() == 1L)
   }
+
+  test("config staleness: frozen-config appends vs retraining — the re-index dial") {
+    // The incremental serve is EXACT vs the frozen-config rebuild
+    // (q167d/q167e oracles) — but the config itself goes stale as the
+    // corpus grows: centroids trained on the base, √n_base cells,
+    // base-trained quantizer. This measures the OPS dial — how much of
+    // the retrained-from-scratch graph the frozen index still finds —
+    // at the two ends: the REALISTIC daily delta (1%: the geometry
+    // macros don't even move, so frozen ≈ retrained), and a
+    // PATHOLOGICAL single append of half the base (33% of the final
+    // corpus) where derived cells/centroids/quantizer all shift.
+    // Production re-indexes long before the second case; the floors say
+    // a stale index degrades (measured 0.46 at 33% — THE reason the
+    // save/load split exists, re-indexing is cheap to schedule), never
+    // collapses to garbage.
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    def recallAt(splitDelta: org.apache.spark.sql.Column): Double = {
+      val base = emb.filter(!splitDelta)
+        .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+      val delta = emb.filter(splitDelta)
+        .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+      val nb = base.count()
+      val cellsB = Similarity.ivfCellsFor(nb)
+      val centsB = base.orderBy(col("xid")).limit(cellsB)
+        .select(col("xid").as("cid"), col("xvec").as("cvec"))
+      val idx = Similarity.knnGraphBuild(base, centsB,
+        Similarity.ivfProbesFor(cellsB), K,
+        Similarity.knnCellCapFor(nb, cellsB, K))
+      val frozen = Similarity.knnGraphServe(idx, delta).localCheckpoint(true)
+      val all = base.unionByName(delta)
+      val n = all.count()
+      val cells = Similarity.ivfCellsFor(n)
+      val cents = all.orderBy(col("xid")).limit(cells)
+        .select(col("xid").as("cid"), col("xvec").as("cvec"))
+      val retrained = Similarity.mutualize(
+        Similarity.knnGraphBuild(all, cents,
+          Similarity.ivfProbesFor(cells), K,
+          Similarity.knnCellCapFor(n, cells, K)).directed)
+        .localCheckpoint(true)
+      val nRet = retrained.count().toDouble
+      val hit = retrained.select(col("a"), col("b"))
+        .intersect(frozen.select(col("a"), col("b"))).count().toDouble
+      info(f"edge recall vs retrained: ${hit / nRet}%.3f " +
+        f"(${hit.toLong}/${nRet.toLong} edges; frozen ${frozen.count()})")
+      hit / nRet
+    }
+    val daily = recallAt(col("vec_id") % 100 === 99)
+    assert(daily >= 0.9,
+      f"a 1%% delta must not move the graph materially: $daily%.3f")
+    val pathological = recallAt(col("vec_id") % 3 === 0)
+    assert(pathological >= 0.35,
+      f"a stale config may degrade but not collapse: $pathological%.3f")
+  }
 }
