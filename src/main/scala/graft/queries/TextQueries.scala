@@ -1744,7 +1744,11 @@ object TextQueries {
     */
   private def ragChunks(s: org.apache.spark.sql.SparkSession,
                         dir: String): org.apache.spark.sql.DataFrame =
-    table(s, dir, "documents")
+    ragChunksOf(table(s, dir, "documents"))
+
+  private def ragChunksOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("n", size(col("w")))
       .select(col("doc_id"), col("w"), explode(expr(
@@ -1757,9 +1761,13 @@ object TextQueries {
     * the BM25 stats AND the hashed feature vectors.
     */
   private[graft] def ragChunkToks(s: org.apache.spark.sql.SparkSession,
-                                  dir: String): org.apache.spark.sql.DataFrame = {
+                                  dir: String): org.apache.spark.sql.DataFrame =
+    ragChunkToksOf(table(s, dir, "documents"))
+
+  private[graft] def ragChunkToksOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import graft.operators.Dedup
-    ragChunks(s, dir)
+    ragChunksOf(docs)
       .select(col("xid"), explode(Dedup.tokens(col("chunk_text"))).as("term"))
       .localCheckpoint(true)
   }
@@ -1881,10 +1889,20 @@ object TextQueries {
     * registers.
     *
     * The oracle is parameterized over the query document — q150b renders
-    * it at doc 42, q150c at doc 7; one definition means the two
-    * renderings can never desynchronize.
+    * it at doc 42, q150c at doc 7, q150d at 13, q150e at 23; one
+    * definition means the renderings can never desynchronize. The second
+    * parameter freezes the CONFIG to a chunk slice (q150e's incremental
+    * append: cells, centroids, and the SQ8 quantizer derive from the
+    * BASE docs only, exactly like q167d's base-sliced geometry macros),
+    * while every count-shaped artifact (tf/df/totals/assignment) always
+    * derives from the full corpus — counts are counts, the sparse half
+    * of an append is exactly incremental. `TRUE` renders the classic
+    * full-corpus config. The reconstruction clamps codes to [0, 255]
+    * ([[graft.operators.Similarity.sq8EncodeFrozen]]'s saturation — a
+    * no-op when the quantizer trained on the full corpus).
     */
-  private def ragHybridOracleSql(qdoc: Long): String =
+  private def ragHybridOracleSql(qdoc: Long,
+                                 basePred: String = "TRUE"): String =
     s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |idx AS (
        |  SELECT doc_id, w,
@@ -1918,9 +1936,9 @@ object TextQueries {
        |    CAST(round((CAST(coalesce(tfb.c, 0) AS DOUBLE) / CAST(g.dl AS DOUBLE)) * 1000000) AS BIGINT) AS v
        |  FROM (SELECT cl.xid, cl.dl, dd.d FROM cl, (SELECT unnest(range(0, 64)) AS d) dd) g
        |  LEFT JOIN tfb ON tfb.xid = g.xid AND tfb.d = g.d),
-       |geo2 AS (SELECT greatest(4, least(65536, CAST(ceil(sqrt(count(*))) AS BIGINT))) AS cells FROM cl),
+       |geo2 AS (SELECT greatest(4, least(65536, CAST(ceil(sqrt(count(*))) AS BIGINT))) AS cells FROM cl WHERE $basePred),
        |np AS (SELECT greatest(2, CAST(ceil(sqrt(cells)) AS BIGINT)) AS np FROM geo2),
-       |cids AS (SELECT xid AS cid, row_number() OVER (ORDER BY xid) AS rn FROM cl),
+       |cids AS (SELECT xid AS cid, row_number() OVER (ORDER BY xid) AS rn FROM cl WHERE $basePred),
        |cent AS (SELECT c.cid, x.d, x.v FROM cids c JOIN xel x ON x.xid = c.cid
        |         WHERE c.rn <= (SELECT cells FROM geo2)),
        |d2 AS (SELECT x.xid, ct.cid, sum((x.v - ct.v) * (x.v - ct.v)) AS d
@@ -1940,11 +1958,12 @@ object TextQueries {
        |probes AS (SELECT cid FROM (
        |  SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM qd2)
        |  WHERE rn <= (SELECT np FROM np)),
-       |stats AS (SELECT d, min(v) AS mn, max(v) AS mx FROM xel GROUP BY d),
+       |stats AS (SELECT d, min(v) AS mn, max(v) AS mx FROM xel WHERE $basePred GROUP BY d),
        |recon AS (
        |  SELECT e.xid, e.d,
-       |    255 * s.mn + (CASE WHEN s.mx = s.mn THEN 0
-       |                       ELSE ((e.v - s.mn) * 255) // (s.mx - s.mn) END) * (s.mx - s.mn) AS r
+       |    255 * s.mn + least(255, greatest(0,
+       |      CASE WHEN s.mx = s.mn THEN 0
+       |           ELSE ((e.v - s.mn) * 255) // (s.mx - s.mn) END)) * (s.mx - s.mn) AS r
        |  FROM xel e JOIN stats s USING (d)),
        |cand AS (SELECT a.xid FROM assign a JOIN probes p ON p.cid = a.cid),
        |dots AS (
@@ -1980,15 +1999,27 @@ object TextQueries {
       postings: org.apache.spark.sql.DataFrame,  // (xid, term, tf, dl); bucketed by term at scale
       termStats: org.apache.spark.sql.DataFrame, // (term, df)
       tot: org.apache.spark.sql.DataFrame,       // (nd, tt), 1 row
-      corpusCount: Long,
+      corpusCount: Long,                         // CURRENT chunk count (append/retire update it)
       centroids: org.apache.spark.sql.DataFrame, // (cid, cvec)
-      index: org.apache.spark.sql.DataFrame)     // ivfSq8Build output (xid, rx, xnorm, cid)
+      index: org.apache.spark.sql.DataFrame,     // SQ8 codes + cells (xid, rx, xnorm, cid)
+      stats: Seq[(Long, Long)],                  // FROZEN SQ8 quantizer (per-dim min, range)
+      cells: Int)                                // FROZEN coarse-cell count (geometry never re-derives)
 
-  /** BUILD the chunk index once — every query-independent artifact. */
+  /** BUILD the chunk index once — every query-independent artifact. The
+    * quantizer stats and cell count are captured EXPLICITLY (not left
+    * implicit in ivfSq8Build) because they are the FROZEN half of the
+    * incremental contract: [[ragIndexAppend]] encodes delta chunks under
+    * these stats (clamped) and assigns under these centroids, exactly as
+    * [[graft.operators.Similarity.knnGraphAppend]] does for the graph.
+    */
   private[graft] def ragIndexBuild(s: org.apache.spark.sql.SparkSession,
-                                   dir: String): RagIndex = {
+                                   dir: String): RagIndex =
+    ragIndexBuildOf(table(s, dir, "documents"))
+
+  private[graft] def ragIndexBuildOf(
+      docs: org.apache.spark.sql.DataFrame): RagIndex = {
     import graft.operators.Similarity
-    val ctoks = ragChunkToks(s, dir)
+    val ctoks = ragChunkToksOf(docs)
     val tf = ctoks.groupBy(col("xid"), col("term")).agg(count(lit(1)).as("tf"))
     val cl = ctoks.groupBy(col("xid")).agg(count(lit(1)).as("dl"))
     val postings = tf.join(cl, "xid").localCheckpoint(true)
@@ -1999,11 +2030,17 @@ object TextQueries {
       count_distinct(col("xid")).as("nd"), sum(col("tf")).as("tt")))
     val corpus = ragChunkVectors(ctoks).localCheckpoint(true)
     val n = corpus.count()
-    val centroids = corpus.orderBy(col("xid")).limit(Similarity.ivfCellsFor(n))
+    val cells = Similarity.ivfCellsFor(n)
+    val centroids = corpus.orderBy(col("xid")).limit(cells)
       .select(col("xid").as("cid"), col("xvec").as("cvec"))
       .localCheckpoint(true)
-    val index = Similarity.ivfSq8Build(corpus, centroids).localCheckpoint(true)
-    RagIndex(postings, termStats, tot, n, centroids, index)
+    val stats = Similarity.sq8StatsOf(corpus)
+    // ≡ ivfSq8Build: frozen-stats encode over the training corpus is the
+    // trained encode (the clamp is a no-op in range)
+    val index = Similarity.sq8EncodeFrozen(corpus, stats)
+      .join(Similarity.cellAssign(corpus, centroids), "xid")
+      .localCheckpoint(true)
+    RagIndex(postings, termStats, tot, n, centroids, index, stats, cells)
   }
 
   /** SERVE the BM25 half from the persisted postings: per-batch work is
@@ -2077,8 +2114,7 @@ object TextQueries {
     val qt = table(s, dir, "documents").filter(col("doc_id") === 7)
       .select(explode(Dedup.tokens(col("text"))).as("term")).distinct()
     val dense = Similarity.ivfSq8Serve(idx.index, ragQueryVector(s, dir, 7L),
-        idx.centroids,
-        Similarity.ivfProbesFor(Similarity.ivfCellsFor(idx.corpusCount)), 20)
+        idx.centroids, Similarity.ivfProbesFor(idx.cells), 20)
       .select(col("xid"), col("rank").as("cos_rank"))
     ragFuse(ragBm25Serve(idx, qt, 20), dense)
   }
@@ -2107,8 +2143,12 @@ object TextQueries {
     idx.tot.coalesce(1).write.mode("overwrite").parquet(s"$path/totals")
     val s = idx.postings.sparkSession
     import s.implicits._
-    Seq(idx.corpusCount).toDF("n").coalesce(1)
+    Seq((idx.corpusCount, idx.cells.toLong)).toDF("n", "cells").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/config")
+    idx.stats.zipWithIndex
+      .map { case ((mn, rng), d) => (d.toLong, mn, rng) }
+      .toDF("dim", "mn", "rng").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/stats")
     idx.centroids.coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     idx.index.repartition(col("cid"))
@@ -2122,13 +2162,115 @@ object TextQueries {
     * pruning), and every consumer joins through them type-coerced.
     */
   private[graft] def ragIndexLoad(s: org.apache.spark.sql.SparkSession,
-                                  path: String): RagIndex = RagIndex(
-    s.read.parquet(s"$path/postings"),
-    s.read.parquet(s"$path/term_stats"),
-    broadcast(s.read.parquet(s"$path/totals")),
-    s.read.parquet(s"$path/config").first().getAs[Long]("n"),
-    s.read.parquet(s"$path/centroids").select(col("cid"), col("cvec")),
-    s.read.parquet(s"$path/codes"))
+                                  path: String): RagIndex = {
+    val conf = s.read.parquet(s"$path/config").first()
+    RagIndex(
+      s.read.parquet(s"$path/postings"),
+      s.read.parquet(s"$path/term_stats"),
+      broadcast(s.read.parquet(s"$path/totals")),
+      conf.getAs[Long]("n"),
+      s.read.parquet(s"$path/centroids").select(col("cid"), col("cvec")),
+      s.read.parquet(s"$path/codes"),
+      s.read.parquet(s"$path/stats").orderBy(col("dim")).collect()
+        .map(r => (r.getAs[Long]("mn"), r.getAs[Long]("rng"))).toSeq,
+      conf.getAs[Long]("cells").toInt)
+  }
+
+  /** APPEND new documents to a built (or loaded) chunk index and return
+    * the updated [[RagIndex]] — the daily RAG ingest, closing the last
+    * build/serve family without a delta path (the q167d contract for
+    * retrieval). The SPARSE half is EXACTLY incremental — counts are
+    * counts: the delta's postings union in, per-term document
+    * frequencies merge by addition (new terms enter), and the totals
+    * row adds the delta's chunk and token counts; serve over the
+    * appended index is bit-identical to a full rebuild's sparse half.
+    * The DENSE half is frozen-config, like the k-NN append: delta
+    * chunks featurize, encode under the build-time quantizer
+    * ([[graft.operators.Similarity.sq8EncodeFrozen]] — clamped for
+    * out-of-range coordinates) and assign under the build-time
+    * centroids; cells/nProbe never re-derive (the [[RagIndex.cells]]
+    * freeze). Chunk ids must be new — document ids unique across
+    * base ∪ delta (the append contract; [[ragIndexRetire]] frees one).
+    * Delta artifacts checkpoint; base payloads ride as lazy unions, so
+    * chained appends never re-materialize the corpus.
+    */
+  private[graft] def ragIndexAppend(idx: RagIndex,
+      newDocs: org.apache.spark.sql.DataFrame): RagIndex = {
+    import graft.operators.Similarity
+    val dtoks = ragChunkToksOf(newDocs)
+    val tfD = dtoks.groupBy(col("xid"), col("term")).agg(count(lit(1)).as("tf"))
+    val clD = dtoks.groupBy(col("xid")).agg(count(lit(1)).as("dl"))
+    val postingsD = tfD.join(clD, "xid").localCheckpoint(true)
+    // a LOADED index carries the term-bucket partition column; delta rows
+    // compute theirs so bucket pruning stays exact over the union
+    val withTb = idx.postings.columns.contains("tb")
+    def tbOf(d: org.apache.spark.sql.DataFrame) =
+      if (withTb)
+        d.withColumn("tb", (Hashing.hash32(col("term")) % 64).cast("int"))
+      else d
+    val postings2 = idx.postings.unionByName(tbOf(postingsD))
+    val dfD = postingsD.groupBy(col("term")).agg(count(lit(1)).as("dfd"))
+    val termStats2 = tbOf(
+      idx.termStats.drop("tb").join(dfD, Seq("term"), "full_outer")
+        .withColumn("df",
+          coalesce(col("df"), lit(0L)) + coalesce(col("dfd"), lit(0L)))
+        .drop("dfd"))
+      .localCheckpoint(true)
+    val totD = postingsD.agg(
+      count_distinct(col("xid")).as("ndd"), sum(col("tf")).as("ttd"))
+    val tot2 = broadcast(idx.tot.crossJoin(totD)
+      .select((col("nd") + col("ndd")).as("nd"),
+        (col("tt") + coalesce(col("ttd"), lit(0L))).as("tt"))
+      .localCheckpoint(true))
+    val corpusD = ragChunkVectors(dtoks).localCheckpoint(true)
+    val nD = corpusD.count()
+    // align the delta's cid dtype to the stored index's (a loaded store
+    // infers the partition column) so filters keep pruning the base side
+    val cidT = idx.index.schema(idx.index.schema.fieldIndex("cid")).dataType
+    val codesD = Similarity.sq8EncodeFrozen(corpusD, idx.stats)
+      .join(Similarity.cellAssign(corpusD, idx.centroids), "xid")
+      .withColumn("cid", col("cid").cast(cidT))
+      .localCheckpoint(true)
+    RagIndex(postings2, termStats2, tot2, idx.corpusCount + nD,
+      idx.centroids, idx.index.unionByName(codesD), idx.stats, idx.cells)
+  }
+
+  /** RETIRE documents from the chunk index (tombstone deletes — the
+    * dual of [[ragIndexAppend]]): every artifact here is count-shaped,
+    * so deletion is EXACT with no frozen-config caveat at all — the
+    * retired docs' posting rows leave, per-term document frequencies
+    * decrement by exactly the rows that left (terms reaching zero drop
+    * out of the stats), the totals row subtracts their chunk and token
+    * counts, and their SQ8 codes anti-join away. `docIds` is the
+    * tombstone batch (first column taken as the doc id),
+    * broadcast-sized by contract.
+    */
+  private[graft] def ragIndexRetire(idx: RagIndex,
+      docIds: org.apache.spark.sql.DataFrame): RagIndex = {
+    val del = docIds.select(col(docIds.columns.head).cast("long").as("del_doc"))
+      .distinct().localCheckpoint(true)
+    val onDel = expr("xid div 1000000") === col("del_doc")
+    val removedP = idx.postings.join(broadcast(del), onDel)
+      .localCheckpoint(true) // feeds df decrements, totals, and the chunk count
+    val postings2 = idx.postings.join(broadcast(del), onDel, "left_anti")
+    val dfR = removedP.groupBy(col("term")).agg(count(lit(1)).as("dfr"))
+    val termStats2 = idx.termStats.join(dfR, Seq("term"), "left")
+      .withColumn("df", col("df") - coalesce(col("dfr"), lit(0L)))
+      .filter(col("df") > 0)
+      .drop("dfr")
+      .localCheckpoint(true)
+    val totR = removedP.agg(
+      count_distinct(col("xid")).as("ndr"), sum(col("tf")).as("ttr"))
+    val tot2 = broadcast(idx.tot.crossJoin(totR)
+      .select((col("nd") - col("ndr")).as("nd"),
+        (col("tt") - coalesce(col("ttr"), lit(0L))).as("tt"))
+      .localCheckpoint(true))
+    val nR = removedP.select(col("xid")).distinct().count()
+    RagIndex(postings2, termStats2, tot2, idx.corpusCount - nR,
+      idx.centroids,
+      idx.index.join(broadcast(del), onDel, "left_anti"),
+      idx.stats, idx.cells)
+  }
 
   /** The RAG serve from DISK artifacts — q150c made the build/serve
     * split's cost honest; this row makes it DEPLOYABLE: the index is
@@ -2174,7 +2316,7 @@ object TextQueries {
     val sparse = idx.copy(
       postings = idx.postings.filter(col("tb").isin(tbs: _*)),
       termStats = idx.termStats.filter(col("tb").isin(tbs: _*)))
-    val nProbe = Similarity.ivfProbesFor(Similarity.ivfCellsFor(idx.corpusCount))
+    val nProbe = Similarity.ivfProbesFor(idx.cells)
     val cids = Similarity.cellProbes(qv, idx.centroids, nProbe)
       .select(col("cid")).distinct().collect().map(_.getLong(0)).toSeq
     val dense = Similarity.ivfSq8Serve(
@@ -2194,6 +2336,32 @@ object TextQueries {
     ragServeDisk(idx,
       ragQueryTermsOf(docs, 13L).localCheckpoint(true),
       ragQueryVector(s, dir, 13L).localCheckpoint(true), 20)
+  }
+
+  /** INCREMENTAL RAG index maintenance — the daily ingest composed with
+    * the disk artifacts: yesterday's index (built over the 49/50 base
+    * docs, persisted, reloaded) takes today's doc batch through
+    * [[ragIndexAppend]], and the serve runs over the appended index with
+    * the same bucket/cell pruning. The oracle is the hybrid SQL with the
+    * CONFIG frozen to the base slice (cells, centroids, SQ8 quantizer
+    * from base chunks — the q167d base-geometry convention) and every
+    * count from the full corpus — so a green hash proves BOTH halves of
+    * the append contract at once: the sparse half exactly incremental
+    * (postings/df/totals merges ≡ full-corpus counts) and the dense half
+    * exactly frozen-config (delta codes clamp-encoded under base stats,
+    * assigned under base centroids). Asked as doc 23.
+    */
+  val q150eRagIncremental = Q.checked(
+    "q150e_rag_incremental",
+    ragHybridOracleSql(23, "(xid // 1000000) % 50 <> 49")) { (s, dir) =>
+    val docs = table(s, dir, "documents")
+    val path = graft.core.Graft.scratch("q150e_rag_index")
+    ragIndexSave(ragIndexBuildOf(docs.filter(col("doc_id") % 50 =!= 49)), path)
+    val idx = ragIndexAppend(
+      ragIndexLoad(s, path), docs.filter(col("doc_id") % 50 === 49))
+    ragServeDisk(idx,
+      ragQueryTermsOf(docs, 23L).localCheckpoint(true),
+      ragQueryVector(s, dir, 23L).localCheckpoint(true), 20)
   }
 
   /** Quality-first budget selection — the composition a budgeted
@@ -2792,7 +2960,7 @@ object TextQueries {
       q109CurationFunnel, q114TokenBudget, q118ChunkWindows, q121C4Filters,
       q123BigramLm, q129Bm25, q136TermDrift, q140DsirSelect, q143TrainShuffle,
       q146HtmlExtract, q147PerceptronTrain, q150RagPipeline, q150bRagHybrid,
-      q150dRagServeDisk,
+      q150dRagServeDisk, q150eRagIncremental,
       q150cRagServe,
       q156QualityBudget, q162WeightedSample, q164NewTerms, q184BpeApply,
       q186BooleanBm25, q207ExactKSample, q213PrioritySample, q214FeatureHash,

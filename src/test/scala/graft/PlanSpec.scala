@@ -437,6 +437,26 @@ class PlanSpec extends AnyFunSuite {
       "cell filter must prune the code store:\n" + dp.take(2000))
   }
 
+  test("q150e appended index: the bucket filter prunes the base store through the union") {
+    import graft.queries.TextQueries
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val path = graft.core.Graft.scratch("planspec_rag_append")
+    TextQueries.ragIndexSave(
+      TextQueries.ragIndexBuildOf(docs.filter(col("doc_id") % 50 =!= 49)), path)
+    val app = TextQueries.ragIndexAppend(
+      TextQueries.ragIndexLoad(spark, path), docs.filter(col("doc_id") % 50 === 49))
+    // the serve's isin lands on a union of (loaded base store, delta
+    // checkpoint); predicate pushdown must carry it through the Union
+    // into the base FileScan's PartitionFilters — else every appended
+    // session silently rescans the whole store
+    val p = app.postings.filter(col("tb").isin(3, 17, 41))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("tb"),
+      "bucket filter lost through the union:\n" + p.take(3000))
+    assert(p.contains("FileScan parquet"), p.take(3000))
+  }
+
   test("q170 versioned replay never shuffles the snapshot: broadcast anti per batch") {
     val p = plan(graft.queries.DedupQueries.q170TimeTravel)
     assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,

@@ -689,13 +689,16 @@ class SoakTest extends AnyFunSuite {
     }
     val loaded = {
       val index = spark.read.parquet(s"$dir/sq8index.parquet")
+      val n = index.count()
+      // stats are unused on this serve path (codes are pre-encoded);
+      // cells re-derives from the build-time count
       TextQueries.RagIndex(
         spark.read.parquet(s"$dir/postings.parquet"),
         spark.read.parquet(s"$dir/termstats.parquet"),
         broadcast(spark.read.parquet(s"$dir/tot.parquet")),
-        index.count(),
+        n,
         spark.read.parquet(s"$dir/centroids.parquet"),
-        index)
+        index, Nil, Similarity.ivfCellsFor(n))
     }
     val nProbe = Similarity.ivfProbesFor(Similarity.ivfCellsFor(loaded.corpusCount))
     def serveBatch(n: Long): Long =
@@ -813,6 +816,22 @@ class SoakTest extends AnyFunSuite {
       "7,11,23,42,99", "20")
     assert("\"hits\":10".r.findAllIn(line).size == 5,
       s"fresh-JVM serve must answer all 5 queries: $line")
+    // the daily ingest priced against the 295 s build_save: load
+    // yesterday's artifacts, append a 1% doc batch (a fresh replica
+    // block shifted past the corpus), serve over the appended index
+    val newDocs = spark.read.parquet(s"$base/documents.parquet")
+      .filter(col("doc_id") % 20 === 7)
+      .withColumn("doc_id", col("doc_id") + lit(500000000L))
+    val t1 = System.nanoTime()
+    val app = graft.queries.TextQueries.ragIndexAppend(
+      graft.queries.TextQueries.ragIndexLoad(spark, s"$dir/index"), newDocs)
+    val served = graft.queries.TextQueries.ragServeDisk(app,
+      graft.queries.TextQueries.ragQueryTermsOf(
+        spark.read.parquet(s"$dir/documents.parquet"), 7L).localCheckpoint(true),
+      graft.queries.TextQueries.ragQueryVector(spark, dir, 7L)
+        .localCheckpoint(true), 20).count()
+    println(f"SOAK150D append_1pct_serve   ${(System.nanoTime() - t1) / 1e9}%7.1fs  hits=$served")
+    assert(served == 10, s"appended-index serve returned $served hits")
   }
 
   soakGated("soak: exact-audit growth laws (q194 containment to dense x100, q226/q237 at 100x)") {
