@@ -795,6 +795,51 @@ class SoakTest extends AnyFunSuite {
       s"fresh-JVM serve must report two non-empty chained batches: $line")
   }
 
+  soakGated("250x soak: q167e persisted knn index at the 500k posture — fresh-JVM serve") {
+    // the 190k fresh-JVM row's scaling check at the stated posture
+    // scale: does the save/load layer stay proportional when the build
+    // is an 848 s job? (save is one corpus-linear write; load+serve is
+    // narrow-pin + delta work)
+    import graft.operators.Similarity
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak-q167e500"
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until 250).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val allv = spark.read.parquet(s"$dir/embeddings.parquet")
+    val baseV = allv.filter(col("vec_id") % 20 =!= 19)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val trickle = allv
+      .filter(col("vec_id") % 20 === 19 && col("vec_id") < 2000L)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    trickle.filter(col("xid") % 40 === 19)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/trickleA.parquet")
+    trickle.filter(col("xid") % 40 =!= 19)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/trickleB.parquet")
+    val nb = baseV.count()
+    val cells = Similarity.ivfCellsFor(nb)
+    val probes = Similarity.ivfProbesFor(cells)
+    val cap = Similarity.knnCellCapFor(nb, cells, 3) / 4
+    println(s"SOAK167E500 geometry: base=$nb cells=$cells probes=$probes cap=$cap")
+    val centroids = baseV.orderBy(col("xid")).limit(cells)
+      .select(col("xid").as("cid"), col("xvec").as("cvec"))
+    val t0 = System.nanoTime()
+    val idx = Similarity.knnGraphBuild(baseV, centroids, probes, 3, cap)
+    val directed = idx.directed.count()
+    println(f"SOAK167E500 build              ${(System.nanoTime() - t0) / 1e9}%7.1fs  directed=$directed")
+    val t1 = System.nanoTime()
+    Similarity.knnIndexSave(idx, s"$dir/index")
+    println(f"SOAK167E500 save_artifacts     ${(System.nanoTime() - t1) / 1e9}%7.1fs")
+    val line = freshJvm(
+      Map("SPARK_GRAFT_CPUS" -> "32", "SPARK_DRIVER_MEM" -> "24g"),
+      "graft.KnnServeMain", s"$dir/index",
+      s"$dir/trickleA.parquet", s"$dir/trickleB.parquet")
+    assert("\"edges\":\\d".r.findAllIn(line).size == 2 && !line.contains("\"edges\":0"),
+      s"fresh-JVM serve must report two non-empty chained batches: $line")
+  }
+
   soakGated("100x soak: q150d persisted RAG index — fresh-JVM bucket/cell-pruned serve") {
     // the q150c amortization made cross-session: build + ragIndexSave
     // once (~500k docs), then a child JVM serves one hybrid query from

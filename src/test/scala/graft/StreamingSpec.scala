@@ -12,6 +12,8 @@ import org.scalatest.funsuite.AnyFunSuite
 final case class IngestEv(eventId: Long, userId: Long, eventType: String,
                           ts: java.sql.Timestamp, dayBucket: Long)
 
+final case class Vec(xid: Long, xvec: Array[Float])
+
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -741,6 +743,47 @@ class StreamingSpec extends AnyFunSuite {
       in.addData(b2: _*)
       q.processAllAvailable()
       assert(streamed() == batchCells(b1 ++ b2), "prefix-2 cells diverge from batch sketch")
+    } finally q.stop()
+  }
+
+  test("knn ingest stream: micro-batch appends chain to the one-shot serve") {
+    // the q167d trickle regime as an ACTUAL Structured Streaming
+    // pipeline: a vector stream folds into the index batch by batch via
+    // foreachBatch (KnnIngest — the returned-index chaining contract);
+    // after three micro-batches the mutual graph must equal the
+    // one-shot serve of the whole delta under the frozen config
+    import graft.operators.Similarity
+    import graft.streaming.KnnIngest
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 10 =!= 9)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val delta = emb.filter(col("vec_id") % 10 === 9)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val nb = base.count()
+    val cells = Similarity.ivfCellsFor(nb)
+    val centroids = base.orderBy(col("xid")).limit(cells)
+      .select(col("xid").as("cid"), col("xvec").as("cvec"))
+    val idx0 = Similarity.knnGraphBuild(base, centroids,
+      Similarity.ivfProbesFor(cells), 3,
+      Similarity.knnCellCapFor(nb, cells, 3))
+    val ingest = new KnnIngest(idx0)
+    val in = MemoryStream[Vec]
+    val q = in.toDS().toDF()
+      .writeStream.foreachBatch(ingest.foldBatch _).start()
+    try {
+      val vecs = delta.as[Vec].collect() // 50 rows at this scale
+      val batches = vecs.grouped(math.max(1, vecs.length / 3)).toSeq
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      assert(batches.size >= 3, "fixture must exercise several micro-batches")
+      val streamed = ingest.edges.localCheckpoint(true)
+      val oneShot = Similarity.knnGraphServe(idx0, delta).localCheckpoint(true)
+      assert(streamed.count() > 0, "ingested graph must be non-empty")
+      assert(streamed.exceptAll(oneShot).isEmpty
+        && oneShot.exceptAll(streamed).isEmpty,
+        "streamed ingest diverged from the one-shot serve")
     } finally q.stop()
   }
 }
