@@ -14,6 +14,8 @@ final case class IngestEv(eventId: Long, userId: Long, eventType: String,
 
 final case class Vec(xid: Long, xvec: Array[Float])
 
+final case class Doc(doc_id: Long, text: String)
+
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -784,6 +786,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.exceptAll(oneShot).isEmpty
         && oneShot.exceptAll(streamed).isEmpty,
         "streamed ingest diverged from the one-shot serve")
+    } finally q.stop()
+  }
+
+  test("rag ingest stream: micro-batch appends equal one append of the union") {
+    import graft.queries.TextQueries
+    import graft.streaming.RagIngest
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 50 =!= 49)
+    val delta = docs.filter(col("doc_id") % 50 === 49)
+    val idx0 = TextQueries.ragIndexBuildOf(base)
+    val ingest = new RagIngest(idx0)
+    val in = MemoryStream[Doc]
+    val q = in.toDS().toDF()
+      .writeStream.foreachBatch(ingest.foldBatch _).start()
+    try {
+      val rows = delta.as[Doc].collect() // 10 docs at this scale
+      val batches = rows.grouped(math.max(1, rows.length / 3)).toSeq
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      assert(batches.size >= 3, "fixture must exercise several micro-batches")
+      val got = ingest.index
+      val want = TextQueries.ragIndexAppend(idx0, delta)
+      def same(a: org.apache.spark.sql.DataFrame,
+               b: org.apache.spark.sql.DataFrame, what: String): Unit =
+        assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          s"$what diverged between streamed and one-shot append")
+      same(got.postings, want.postings, "postings")
+      same(got.termStats.select(col("term"), col("df")),
+        want.termStats.select(col("term"), col("df")), "term stats")
+      same(got.tot, want.tot, "totals")
+      same(got.index, want.index, "codes")
+      assert(got.corpusCount === want.corpusCount, "corpusCount diverged")
     } finally q.stop()
   }
 }
