@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions.col
   */
 object KnnServeMain {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: KnnServeMain <indexPath> <deltaParquet> [<deltaParquet2> ...]")
+      sys.exit(2)
+    }
     val indexPath = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -70,10 +75,20 @@ object KnnServeMain {
   * Usage: RagServeMain <indexPath> <documentsParquet> <qdoc>[,<qdoc>...] [k]
   */
 object RagServeMain {
+  private val usage =
+    "usage: RagServeMain <indexPath> <documentsParquet> <qdoc>[,<qdoc>...] [k]"
+
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) { System.err.println(usage); sys.exit(2) }
     val (indexPath, docsPath) = (args(0), args(1))
-    val qdocs = args(2).split(',').toSeq.map(_.toLong)
-    val k = if (args.length > 3) args(3).toInt else 20
+    val qdocs = args(2).split(',').toSeq.flatMap(q => q.toLongOption.orElse {
+      System.err.println(s"$usage\n  bad qdoc '$q' (expected a long)")
+      sys.exit(2)
+    })
+    val k = if (args.length > 3) args(3).toIntOption.getOrElse {
+      System.err.println(s"$usage\n  bad k '${args(3)}' (expected an int)")
+      sys.exit(2)
+    } else 20
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -484,6 +484,64 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** CLIQUE SUMMARY of the exact set-similarity join — what production
+    * actually asks of a replica-heavy corpus (the q58-shaped answer):
+    * one row per distinct token set (the [[setMembership]] clique),
+    * with the clique's representative (min id), member count, and the
+    * number of pairs of the FULL [[setSimJoin]] answer that touch the
+    * clique — WITHOUT ever enumerating those pairs. The collapse
+    * already proves the enumerated answer is output-bound on organic
+    * k²; this surface removes the output term itself: a ×100-replicated
+    * corpus whose enumerated answer is 29.7 billion rows summarizes in
+    * base-join time, because every clique-level count is arithmetic
+    * over the REPRESENTATIVE join —
+    *
+    *  - intra pairs: every member pair of an m-clique is Jaccard 1.0,
+    *    so it contributes m·(m−1)/2 pairs, counted not enumerated;
+    *  - cross pairs: a qualifying representative pair (r, r') expands
+    *    to exactly m·m' member pairs (Jaccard is a set property), each
+    *    touching both cliques once.
+    *
+    * Unlike [[setSimJoin]] this always runs the representative path —
+    * there is no expansion to gate, and on an un-replicated corpus the
+    * representatives ARE the corpus. Output: (rep, members,
+    * organic_pairs) for every clique touching ≥ 1 qualifying pair;
+    * a pair inside one clique counts once, a pair across two cliques
+    * counts once in each — so Σ organic_pairs = pairs + cross-pairs,
+    * and any clique's row is independently meaningful ("how duplicated
+    * is this content, and how entangled with near-duplicates").
+    */
+  def setSimCliqueSummary(docs: DataFrame, tPct: Int): DataFrame = {
+    require(tPct > 0 && tPct <= 100,
+      s"setSimCliqueSummary: tPct in (0,100], got $tPct")
+    val sortedAll = setSimSorted(docs)
+    val memb = setMembership(sortedAll)
+    val sizes = memb.groupBy(col("rid")).agg(count(lit(1)).as("m"))
+      .localCheckpoint(true) // feeds both cross sides + intra + the final join
+    val reps = sortedAll
+      .join(memb.filter(col("id") === col("rid")).select(col("id")), "id")
+      .localCheckpoint(true)
+    val repPairs = setSimCandidates(reps, tPct)
+      .join(reps.select(col("id").as("a"), col("ws").as("wa"), col("n").as("na")), "a")
+      .join(reps.select(col("id").as("b"), col("ws").as("wb"), col("n").as("nb")), "b")
+      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .filter(lit(100) * col("inter") >= lit(tPct) * (col("na") + col("nb") - col("inter")))
+      .select(col("a"), col("b"))
+    val withSizes = repPairs
+      .join(sizes.select(col("rid").as("a"), col("m").as("ma")), "a")
+      .join(sizes.select(col("rid").as("b"), col("m").as("mb")), "b")
+      .select(col("a"), col("b"), (col("ma") * col("mb")).as("pairs"))
+      .localCheckpoint(true) // both attributions read it
+    val cross = withSizes.select(col("a").as("rep"), col("pairs"))
+      .unionByName(withSizes.select(col("b").as("rep"), col("pairs")))
+    val intra = sizes.filter(col("m") >= 2)
+      .select(col("rid").as("rep"), expr("(m * (m - 1)) div 2").as("pairs"))
+    cross.unionByName(intra)
+      .groupBy(col("rep")).agg(sum(col("pairs")).as("organic_pairs"))
+      .join(sizes.select(col("rid").as("rep"), col("m").as("members")), "rep")
+      .select(col("rep"), col("members"), col("organic_pairs"))
+  }
+
   /** EXACT set-CONTAINMENT join with prefix filtering — the asymmetric
     * complement to [[setSimJoin]]: every ordered pair (a, b) where b's
     * token set covers ≥ t of A's (|A∩B| ≥ ⌈t·|A|⌉) — the quote/subset

@@ -688,8 +688,28 @@ object Similarity {
     * member row per vector: every member has exactly one rn=1
     * assignment, so codes/assignment/serving-flag fold into a single
     * cell-partitioned table instead of three stores.
+    *
+    * Saves are CRASH-ATOMIC ([[graft.core.IndexStore]] — the
+    * FileOutputCommitter two-phase discipline at index granularity):
+    * the 7 tables stage under a fresh `v=<n>/` directory and one
+    * marker rename commits the version, so a crash between table
+    * writes can never leave a torn store a loader would serve from —
+    * [[knnIndexLoad]] always resolves the latest COMMITTED version.
+    * `lastBatch` persists the streaming ingest's replay cursor
+    * ([[graft.streaming.KnnIngest]]); −1 for non-streaming saves.
     */
-  def knnIndexSave(idx: KnnIndex, path: String): Unit = {
+  def knnIndexSave(idx: KnnIndex, path: String, lastBatch: Long = -1L): Unit = {
+    val s = idx.centroids.sparkSession
+    val (dir, v) = graft.core.IndexStore.begin(s, path)
+    knnIndexSaveTables(idx, dir)
+    graft.core.IndexStore.commit(s, path, v, lastBatch)
+    graft.core.IndexStore.prune(s, path, v)
+  }
+
+  /** The uncommitted table writes of [[knnIndexSave]] — package-visible
+    * so the torn-save spec can stage a version without committing it.
+    */
+  private[graft] def knnIndexSaveTables(idx: KnnIndex, path: String): Unit = {
     val s = idx.centroids.sparkSession
     import s.implicits._
     idx.centroids.coalesce(1).write.mode("overwrite")
@@ -721,10 +741,13 @@ object Similarity {
     * in-session lineage — q167e's PlanSpec guard), cell-partitioned
     * where the serve path joins on cells. Partition-column inference
     * types `cid` from directory names, so it is cast back to long and
-    * columns re-selected in the build-time order.
+    * columns re-selected in the build-time order. Reads the latest
+    * COMMITTED version ([[graft.core.IndexStore.latestDir]]) — a save
+    * that crashed between tables is invisible.
     */
   def knnIndexLoad(s: org.apache.spark.sql.SparkSession,
-                   path: String): KnnIndex = {
+                   rootPath: String): KnnIndex = {
+    val path = graft.core.IndexStore.latestDir(s, rootPath)
     val conf = s.read.parquet(s"$path/config").first()
     val stats = s.read.parquet(s"$path/stats").orderBy(col("dim")).collect()
       .map(r => (r.getAs[Long]("mn"), r.getAs[Long]("rng"))).toSeq
@@ -744,6 +767,110 @@ object Similarity {
       conf.getAs[Long]("n_probe").toInt, conf.getAs[Long]("k").toInt,
       conf.getAs[Long]("cap"))
   }
+
+  /** CONFIG-STALENESS probe over persisted index artifacts — the cheap
+    * trigger a pipeline schedules its re-train on, turning the measured
+    * staleness dial (RecallSpec: 1% daily delta → frozen ≡ retrained,
+    * recall 1.000; a pathological 33% append → 0.456) into an operator.
+    * The incremental serve is EXACT vs the frozen config by
+    * construction; what decays is the CONFIG itself — and each of its
+    * three decay modes is visible in artifacts the store already holds,
+    * so the probe costs three bounded narrow aggregations and never
+    * touches raw vectors:
+    *
+    *  - GEOMETRY: cells/probes derive from √n at build time; the probe
+    *    re-derives [[ivfCellsFor]] from the CURRENT member count and
+    *    fires when it exceeds the frozen cell count by `geometryFactor`
+    *    (the 33%-append regime — per-cell occupancy, and with it
+    *    per-query scan cost, has outgrown the build's sizing).
+    *  - QUANTIZER: appended codes encode CLAMPED under the frozen SQ8
+    *    range; a distribution shift shows up as appended coordinates
+    *    saturating at the byte bounds. The probe compares the
+    *    boundary-code rate of appended members (codes not in the base
+    *    store) against the base's own rate — at build time only the
+    *    per-dim extremes sit on a bound, so the base rate is the
+    *    calibration — and fires past `max(clampFloor,
+    *    clampFactor·base)`. Detected from the stored reconstructions
+    *    alone: code 0 ⇔ rx_d = 255·mn_d, code 255 ⇔ rx_d = 255·(mn_d +
+    *    rng_d) (zero-range dims excluded — their single code is not a
+    *    saturation signal).
+    *  - OCCUPANCY: appends that pile into few cells skew the per-cell
+    *    load even at small growth. The probe takes the total-variation
+    *    distance between the base and current cell-occupancy
+    *    distributions and fires past `occTvMax`.
+    *
+    * Returns ONE row: the raw dials (member counts, recommended vs
+    * frozen cells, ppm boundary rates, ppm TV) plus per-mode `stale_*`
+    * booleans and their OR `stale` — the scheduling bit. Thresholds are
+    * calibrated in RecallSpec: quiet through the 1%-daily regime, fires
+    * on the pathological append BEFORE recall degrades.
+    */
+  def indexStaleness(
+      baseCodes: DataFrame, curCodes: DataFrame,
+      baseAssign: DataFrame, curAssign: DataFrame,
+      stats: Seq[(Long, Long)], frozenCells: Int,
+      geometryFactor: Double = 1.15,
+      clampFactor: Double = 5.0, clampFloor: Double = 0.05,
+      occTvMax: Double = 0.10): DataFrame = {
+    val s = baseCodes.sparkSession
+    import s.implicits._
+    // zero-range dims always emit their one code — excluded from both
+    // the bound literals (sentinel no code can equal) and the denominator
+    val lo = typedlit(stats.map { case (m, r) =>
+      if (r == 0) Long.MinValue else 255L * m })
+    val hi = typedlit(stats.map { case (m, r) =>
+      if (r == 0) Long.MinValue else 255L * (m + r) })
+    val dimsEff = math.max(1, stats.count(_._2 > 0))
+    def boundaryPpm(codes: DataFrame): Long = {
+      val bounded =
+        aggregate(zip_with(col("rx"), lo,
+          (x, l) => when(x === l, 1L).otherwise(0L)), lit(0L), _ + _) +
+        aggregate(zip_with(col("rx"), hi,
+          (x, h) => when(x === h, 1L).otherwise(0L)), lit(0L), _ + _)
+      val r = codes.agg(
+        sum(bounded).as("b"), count(lit(1)).as("n")).first()
+      if (r.isNullAt(1) || r.getLong(1) == 0L) 0L
+      else 1000000L * r.getLong(0) / (r.getLong(1) * dimsEff)
+    }
+    val appended = curCodes.select(col("xid"), col("rx"))
+      .join(baseCodes.select(col("xid")), Seq("xid"), "left_anti")
+      .localCheckpoint(true) // counted + rate-scanned
+    val nAppend = appended.count()
+    val clampBase = boundaryPpm(baseCodes)
+    val clampApp = if (nAppend == 0) 0L else boundaryPpm(appended)
+    val baseN = baseAssign.count()
+    val curN = curAssign.count()
+    val rec = ivfCellsFor(math.max(1L, curN))
+    val bc = baseAssign.groupBy(col("cid")).agg(count(lit(1)).as("bn"))
+    val cc = curAssign.groupBy(col("cid")).agg(count(lit(1)).as("cn"))
+    val tvPpm = bc.join(cc, Seq("cid"), "full_outer")
+      .na.fill(0L, Seq("bn", "cn"))
+      .agg((sum(abs(col("cn").cast("double") / curN -
+        col("bn").cast("double") / baseN)) * 500000d).as("tv"))
+      .first().getDouble(0).toLong
+    val staleGeo = rec >= geometryFactor * frozenCells
+    val staleQuant = nAppend > 0 && clampApp >
+      math.max(clampFloor * 1000000L, clampFactor * clampBase)
+    val staleOcc = tvPpm > occTvMax * 1000000L
+    Seq((baseN, curN, nAppend, frozenCells.toLong, rec.toLong,
+      clampBase, clampApp, tvPpm,
+      staleGeo, staleQuant, staleOcc, staleGeo || staleQuant || staleOcc))
+      .toDF("base_members", "cur_members", "appended", "cells_frozen",
+        "cells_recommended", "clamp_base_ppm", "clamp_appended_ppm",
+        "occ_tv_ppm", "stale_geometry", "stale_quantizer",
+        "stale_occupancy", "stale")
+  }
+
+  /** [[indexStaleness]] over two [[KnnIndex]] states — base = the
+    * persisted build, cur = after its appends (loaded or chained).
+    */
+  def knnStaleness(base: KnnIndex, cur: KnnIndex): DataFrame =
+    indexStaleness(
+      base.enc.select(col("xid"), col("rx")),
+      cur.enc.select(col("xid"), col("rx")),
+      base.assignD2.select(col("cid")),
+      cur.assignD2.select(col("cid")),
+      cur.stats, base.centroids.count().toInt)
 
   /** The ONE md5-parity ±1 matrix derivation behind [[srpSigns]] and
     * [[projSigns]]: entry (j, d) = parity of the last digest byte of

@@ -475,6 +475,58 @@ object DedupQueries {
     Dedup.setSimJoin(docs, 80)
   }
 
+  /** CLIQUE SUMMARY of q128 ([[Dedup.setSimCliqueSummary]]) — the
+    * answer production asks of a replica-heavy corpus instead of the
+    * enumerated pair list: per distinct-token-set clique, the
+    * representative (min id), member count, and how many pairs of the
+    * full q128 answer touch the clique — computed ARITHMETICALLY over
+    * the representative join (intra m·(m−1)/2, cross m·m′ per
+    * qualifying rep pair), never by enumerating members. The dense×100
+    * soak's 29.7-billion-row answer becomes a base-sized summary. The
+    * oracle derives the same counts from the BRUTE-FORCE pair list +
+    * a canonical set key (length-prefixed sorted tokens — the same
+    * prefix-code discipline as the engine's collapse key), so a green
+    * hash proves the arithmetic attribution equals actually counting
+    * the enumerated pairs: a pair inside one clique counts once, a
+    * pair across two cliques once per side.
+    */
+  val q128bSetsimCliques = Q.checked(
+    "q128b_setsim_cliques",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+      |  FROM documents),
+      |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |qual AS (
+      |  SELECT ov.a, ov.b
+      |  FROM (
+      |    SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      |    FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2) ov
+      |  JOIN sz sa ON sa.doc_id = ov.a JOIN sz sb ON sb.doc_id = ov.b
+      |  WHERE 100 * ov.inter >= 80 * (sa.n + sb.n - ov.inter)),
+      |cl AS (
+      |  SELECT doc_id,
+      |    md5(string_agg(CAST(length(w) AS VARCHAR) || ':' || w, '' ORDER BY w)) AS key
+      |  FROM tok GROUP BY doc_id),
+      |grp AS (SELECT key, min(doc_id) AS rep, count(*) AS members FROM cl GROUP BY key),
+      |docrep AS (SELECT c.doc_id, g.rep FROM cl c JOIN grp g ON g.key = c.key),
+      |pr AS (
+      |  SELECT ra.rep AS repa, rb.rep AS repb
+      |  FROM qual JOIN docrep ra ON ra.doc_id = qual.a
+      |            JOIN docrep rb ON rb.doc_id = qual.b),
+      |touch AS (
+      |  SELECT repa AS rep FROM pr
+      |  UNION ALL
+      |  SELECT repb AS rep FROM pr WHERE repb <> repa)
+      |SELECT g.rep, g.members, count(*) AS organic_pairs
+      |FROM touch t JOIN grp g ON g.rep = t.rep
+      |GROUP BY 1, 2""") { (s, dir) =>
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+        array_distinct(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("toks"))
+    Dedup.setSimCliqueSummary(docs, 80)
+  }
+
   /** Binary-payload dedup COMPOSITION — multimodal columns flowing
     * through the exact-dedup path: deterministic WAV / BMP / PNG payloads
     * are synthesized per document (content class = doc_id % 17, so ~17
@@ -2016,7 +2068,8 @@ object DedupQueries {
     Vector(q50DedupExact, q51MinhashLsh, q52Simhash, q53Jaccard,
       q57EmbedDedup, q58DedupGroups, q59DedupApply, q87Triangles,
       q97BinaryDedup, q103SnapshotDiff, q106UrlDedup, q110IncrementalDedup,
-      q115ParagraphDedup, q127Pagerank, q128SetsimJoin, q133MergeUpsert,
+      q115ParagraphDedup, q127Pagerank, q128SetsimJoin, q128bSetsimCliques,
+      q133MergeUpsert,
       q142LabelProp, q144SourceOverlap, q155IvmAgg, q158BestKeeper,
       q160BfsDist, q166EntityResolution, q168Kcore, q170TimeTravel,
       q175GoldenRecord, q182KanonAudit, q183IncrementalCc, q188WeightedSssp,

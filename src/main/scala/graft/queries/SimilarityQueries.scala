@@ -995,6 +995,33 @@ object SimilarityQueries {
     Similarity.knnGraphServe(Similarity.knnIndexLoad(s, path), delta)
   }
 
+  /** q167d through the STREAMING ingest ([[graft.streaming.KnnIngest]])
+    * — the foreachBatch lane put under the driver's gate: the delta
+    * arrives as three deterministic micro-batches folded through the
+    * ingest's `foldBatch` (the exact foreachBatch sink signature),
+    * INCLUDING a replayed duplicate of batch 1 — foreachBatch is
+    * at-least-once on restart, and the ingest's batchId cursor must
+    * fold the replay as a no-op or the double-appended ids would shift
+    * every downstream cosine and the hash would go red. Same oracle as
+    * q167d/e (the frozen-config full rebuild): chained micro-batch
+    * appends compound to the one-shot union serve
+    * (KnnIncrementalSpec), so a green hash proves batch boundaries AND
+    * replays are both invisible.
+    */
+  val q167fKnnStreaming = Q.checked(
+    "q167f_knn_streaming",
+    knnIncrementalOracleSql) { (s, dir) =>
+    val (idx, delta) = knnIncrementalBuild(s, dir)
+    val ingest = new graft.streaming.KnnIngest(idx)
+    val b = (0 until 3).map(r =>
+      delta.filter(col("xid") % 3 === r).localCheckpoint(true))
+    ingest.foldBatch(b(0), 0L)
+    ingest.foldBatch(b(1), 1L)
+    ingest.foldBatch(b(1), 1L) // the at-least-once replay — must no-op
+    ingest.foldBatch(b(2), 2L)
+    ingest.edges
+  }
+
   /** IVF CELL-BALANCE audit — the index-quality gate that runs after
     * build and before serving traffic (the ANN twin of q173's join-skew
     * audit): per coarse cell, the member count and integer-ppm share of
@@ -1171,6 +1198,6 @@ object SimilarityQueries {
       q116SemanticDedup, q119Sq8Ann, q120PqAnn, q120bPqTrained,
       q124IvfSq8Ann, q125IvfPqAnn, q135HybridRetrieval, q167KnnGraph,
       q167bKnnGraphSq8, q167cKnnGraphCapped, q167dKnnGraphIncremental,
-      q167eKnnGraphPersisted, q197CellBalance,
+      q167eKnnGraphPersisted, q167fKnnStreaming, q197CellBalance,
       q171SemanticDecon, q177ProjectEmbed, q187EmbedQa)
 }

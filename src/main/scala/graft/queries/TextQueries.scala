@@ -1746,6 +1746,20 @@ object TextQueries {
                         dir: String): org.apache.spark.sql.DataFrame =
     ragChunksOf(table(s, dir, "documents"))
 
+  /** Chunk-id packing base: `xid = doc_id * ChunkIdBase + chunk_k`.
+    * THE one constant behind the encoding — [[docIdOf]] is its inverse
+    * and every consumer (retire's membership derivation, the hybrid
+    * output's unpacking, RagIndexSpec) goes through them, so a future
+    * re-packing cannot silently desynchronize a consumer.
+    */
+  private[graft] val ChunkIdBase = 1000000L
+
+  /** Inverse of the chunk-id packing: the document id of a packed chunk
+    * id column (integral `div` — exact at any long scale).
+    */
+  private[graft] def docIdOf(xidCol: String): org.apache.spark.sql.Column =
+    expr(s"$xidCol div $ChunkIdBase")
+
   private def ragChunksOf(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
@@ -1754,7 +1768,7 @@ object TextQueries {
       .select(col("doc_id"), col("w"), explode(expr(
         s"sequence(0, cast(ceil(greatest(n - $ChunkW, 0) / $ChunkS.0) as int))"))
         .as("k"))
-      .select((col("doc_id") * 1000000L + col("k")).as("xid"),
+      .select((col("doc_id") * ChunkIdBase + col("k")).as("xid"),
         expr(s"array_join(slice(w, k * $ChunkS + 1, $ChunkW), ' ')").as("chunk_text"))
 
   /** Chunk-token stream (xid, term) for q150b — checkpointed once; feeds
@@ -1858,8 +1872,8 @@ object TextQueries {
       .orderBy(col("rrf").desc, col("xid")).limit(10)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("rrf").desc, col("xid"))))
-      .select(expr("xid div 1000000").as("doc_id"),
-        expr("xid % 1000000").as("chunk_id"),
+      .select(docIdOf("xid").as("doc_id"),
+        expr(s"xid % $ChunkIdBase").as("chunk_id"),
         col("bm25_rank"), col("cos_rank"), col("rrf"), col("rank"))
   }
 
@@ -2131,8 +2145,28 @@ object TextQueries {
     * hash to; the SQ8 code store is CELL-PARTITIONED so the dense side
     * reads only probed cells. Totals, centroids, and the corpus count
     * are small unpartitioned tables.
+    *
+    * Saves are CRASH-ATOMIC ([[graft.core.IndexStore]], shared with the
+    * k-NN store): tables stage under a fresh `v=<n>/` directory, one
+    * marker rename commits, and [[ragIndexLoad]] resolves only the
+    * latest committed version — a crash between the 7 table writes can
+    * never serve new postings beside old codes. `lastBatch` persists
+    * the streaming ingest's replay cursor
+    * ([[graft.streaming.RagIngest]]); −1 for non-streaming saves.
     */
-  private[graft] def ragIndexSave(idx: RagIndex, path: String): Unit = {
+  private[graft] def ragIndexSave(idx: RagIndex, path: String,
+      lastBatch: Long = -1L): Unit = {
+    val s = idx.postings.sparkSession
+    val (dir, v) = graft.core.IndexStore.begin(s, path)
+    ragIndexSaveTables(idx, dir)
+    graft.core.IndexStore.commit(s, path, v, lastBatch)
+    graft.core.IndexStore.prune(s, path, v)
+  }
+
+  /** The uncommitted table writes of [[ragIndexSave]] — package-visible
+    * so the torn-save spec can stage a version without committing it.
+    */
+  private[graft] def ragIndexSaveTables(idx: RagIndex, path: String): Unit = {
     def tb(d: org.apache.spark.sql.DataFrame) =
       d.withColumn("tb", (Hashing.hash32(col("term")) % 64).cast("int"))
         .repartition(col("tb"))
@@ -2160,9 +2194,12 @@ object TextQueries {
     * columns stay in their INFERRED types and positions: filters on them
     * must hit the raw partition column (a cast would defeat directory
     * pruning), and every consumer joins through them type-coerced.
+    * Reads the latest COMMITTED version
+    * ([[graft.core.IndexStore.latestDir]]) — a torn save is invisible.
     */
   private[graft] def ragIndexLoad(s: org.apache.spark.sql.SparkSession,
-                                  path: String): RagIndex = {
+                                  rootPath: String): RagIndex = {
+    val path = graft.core.IndexStore.latestDir(s, rootPath)
     val conf = s.read.parquet(s"$path/config").first()
     RagIndex(
       s.read.parquet(s"$path/postings"),
@@ -2249,7 +2286,7 @@ object TextQueries {
       docIds: org.apache.spark.sql.DataFrame): RagIndex = {
     val del = docIds.select(col(docIds.columns.head).cast("long").as("del_doc"))
       .distinct().localCheckpoint(true)
-    val onDel = expr("xid div 1000000") === col("del_doc")
+    val onDel = docIdOf("xid") === col("del_doc")
     val removedP = idx.postings.join(broadcast(del), onDel)
       .localCheckpoint(true) // feeds df decrements, totals, and the chunk count
     val postings2 = idx.postings.join(broadcast(del), onDel, "left_anti")
@@ -2271,6 +2308,21 @@ object TextQueries {
       idx.index.join(broadcast(del), onDel, "left_anti"),
       idx.stats, idx.cells)
   }
+
+  /** [[graft.operators.Similarity.indexStaleness]] over two [[RagIndex]]
+    * states (base = the persisted build, cur = after its appends): the
+    * dense half shares the k-NN family's config-decay modes exactly —
+    * frozen √n cells, frozen SQ8 quantizer, cell occupancy — because it
+    * IS the same artifact shape (the cell-partitioned SQ8 code store).
+    * The sparse half never goes stale: counts are counts.
+    */
+  private[graft] def ragStaleness(base: RagIndex, cur: RagIndex) =
+    graft.operators.Similarity.indexStaleness(
+      base.index.select(col("xid"), col("rx")),
+      cur.index.select(col("xid"), col("rx")),
+      base.index.select(col("cid")),
+      cur.index.select(col("cid")),
+      cur.stats, base.cells)
 
   /** The RAG serve from DISK artifacts — q150c made the build/serve
     * split's cost honest; this row makes it DEPLOYABLE: the index is
@@ -2311,11 +2363,18 @@ object TextQueries {
       qv: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame = {
     import graft.operators.Similarity
-    val tbs = qt.select((Hashing.hash32(col("term")) % 64).cast("int").as("tb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val sparse = idx.copy(
-      postings = idx.postings.filter(col("tb").isin(tbs: _*)),
-      termStats = idx.termStats.filter(col("tb").isin(tbs: _*)))
+    // the `tb` bucket column exists on persisted+loaded indexes (and on
+    // appends over them); an index straight from ragIndexBuildOf has no
+    // buckets to prune, so the sparse side serves unfiltered — same
+    // answer, just without the directory skip (the guard ragIndexAppend
+    // already applies on its side)
+    val sparse = if (!idx.postings.columns.contains("tb")) idx else {
+      val tbs = qt.select((Hashing.hash32(col("term")) % 64).cast("int").as("tb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      idx.copy(
+        postings = idx.postings.filter(col("tb").isin(tbs: _*)),
+        termStats = idx.termStats.filter(col("tb").isin(tbs: _*)))
+    }
     val nProbe = Similarity.ivfProbesFor(idx.cells)
     val cids = Similarity.cellProbes(qv, idx.centroids, nProbe)
       .select(col("cid")).distinct().collect().map(_.getLong(0)).toSeq
@@ -2362,6 +2421,37 @@ object TextQueries {
     ragServeDisk(idx,
       ragQueryTermsOf(docs, 23L).localCheckpoint(true),
       ragQueryVector(s, dir, 23L).localCheckpoint(true), 20)
+  }
+
+  /** q150e through the STREAMING ingest ([[graft.streaming.RagIngest]])
+    * — the foreachBatch lane put under the driver's gate (the one
+    * round-17 surface with spec-only parity): yesterday's persisted
+    * index reloads, today's doc batch arrives as three deterministic
+    * micro-batches folded through `foldBatch` (the exact foreachBatch
+    * sink signature) INCLUDING a replayed duplicate of batch 1 — the
+    * ingest's batchId cursor must fold the replay as a no-op or the
+    * double-counted postings/df/totals would shift every BM25 score.
+    * The oracle is q150e's: frozen base config, full-corpus counts —
+    * so a green hash proves batch boundaries and at-least-once replays
+    * are both invisible to the served answer. Asked as doc 31.
+    */
+  val q150fRagStreaming = Q.checked(
+    "q150f_rag_streaming",
+    ragHybridOracleSql(31, "(xid // 1000000) % 50 <> 49")) { (s, dir) =>
+    val docs = table(s, dir, "documents")
+    val path = graft.core.Graft.scratch("q150f_rag_index")
+    ragIndexSave(ragIndexBuildOf(docs.filter(col("doc_id") % 50 =!= 49)), path)
+    val ingest = new graft.streaming.RagIngest(ragIndexLoad(s, path))
+    val delta = docs.filter(col("doc_id") % 50 === 49)
+    val b = (0 until 3).map(r =>
+      delta.filter(col("doc_id") % 3 === r).localCheckpoint(true))
+    ingest.foldBatch(b(0), 0L)
+    ingest.foldBatch(b(1), 1L)
+    ingest.foldBatch(b(1), 1L) // the at-least-once replay — must no-op
+    ingest.foldBatch(b(2), 2L)
+    ragServeDisk(ingest.index,
+      ragQueryTermsOf(docs, 31L).localCheckpoint(true),
+      ragQueryVector(s, dir, 31L).localCheckpoint(true), 20)
   }
 
   /** Quality-first budget selection — the composition a budgeted
@@ -2960,7 +3050,7 @@ object TextQueries {
       q109CurationFunnel, q114TokenBudget, q118ChunkWindows, q121C4Filters,
       q123BigramLm, q129Bm25, q136TermDrift, q140DsirSelect, q143TrainShuffle,
       q146HtmlExtract, q147PerceptronTrain, q150RagPipeline, q150bRagHybrid,
-      q150dRagServeDisk, q150eRagIncremental,
+      q150dRagServeDisk, q150eRagIncremental, q150fRagStreaming,
       q150cRagServe,
       q156QualityBudget, q162WeightedSample, q164NewTerms, q184BpeApply,
       q186BooleanBm25, q207ExactKSample, q213PrioritySample, q214FeatureHash,

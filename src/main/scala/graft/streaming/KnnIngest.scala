@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.Similarity
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Streaming ingest for the incremental k-NN index — the q167d trickle
   * regime as an actual Structured Streaming pipeline: a vector stream
@@ -13,36 +13,109 @@ import org.apache.spark.sql.DataFrame
   * The state IS the index: held on the driver like any
   * foreachBatch-maintained artifact (its payload tables live as
   * checkpointed/Filescan frames on the executors — nothing data-scale
-  * sits in driver memory), persisted with [[Similarity.knnIndexSave]]
-  * at whatever cadence the caller checkpoints, and reconstitutable in a
-  * fresh session with [[Similarity.knnIndexLoad]] — so a crashed ingest
-  * resumes from the last saved index plus the source's replay, the
-  * standard foreachBatch idempotence posture. Every micro-batch pays
-  * only the delta-driven serve terms, so the streaming twin inherits
-  * q167d's measured amortization (7.7 s per 100-vector trickle at 190k
-  * base vs the 149.8 s rebuild).
+  * sits in driver memory), persisted with [[save]] at whatever cadence
+  * the caller checkpoints, and reconstitutable in a fresh session with
+  * [[KnnIngest.resume]].
+  *
+  * REPLAY-IDEMPOTENT: foreachBatch is at-least-once on restart, so
+  * [[foldBatch]] tracks the last folded `batchId` and skips any batch
+  * at or below it — a replayed micro-batch can never double-append ids
+  * already in the index. The cursor persists WITH the index ([[save]]
+  * writes it into the [[graft.core.IndexStore]] commit marker), so a
+  * resumed ingest skips exactly the source's replay of already-folded
+  * batches and folds the genuine suffix — the idempotence holds across
+  * crashes, not just within a run.
+  *
+  * CHAIN-DEPTH BOUNDED: each append layers one Union onto the lazy
+  * wide-table plans (enc/xn/assignD2/probes), so every `flattenEvery`
+  * folded batches the index flattens those frames via localCheckpoint —
+  * analysis cost per batch stays O(flattenEvery), not O(batches since
+  * start). (The narrow serve-path frames already checkpoint inside
+  * every append.) For corpora past executor-storage scale, use a
+  * [[save]]/[[KnnIngest.resume]] cadence instead — the disk round-trip
+  * is the flatten.
+  *
+  * Every micro-batch pays only the delta-driven serve terms, so the
+  * streaming twin inherits q167d's measured amortization (7.7 s per
+  * 100-vector trickle at 190k base vs the 149.8 s rebuild).
   *
   * Parity: after any prefix of batches the graph equals the one-shot
   * serve of their union under the frozen config — StreamingSpec asserts
-  * the two-way exceptAll through three micro-batches.
+  * the two-way exceptAll through three micro-batches, plus the
+  * replayed-duplicate no-op and the resume-from-saved suffix replay;
+  * q167f pins the folded serve against the frozen-config rebuild
+  * oracle on the board.
   */
-final class KnnIngest(initial: Similarity.KnnIndex) {
+final class KnnIngest(initial: Similarity.KnnIndex,
+                      startAfterBatch: Long = -1L,
+                      flattenEvery: Int = KnnIngest.DefaultFlattenEvery) {
   @volatile private var current: Similarity.KnnIndex = initial
+  @volatile private var last: Long = startAfterBatch
+  private var folded: Long = 0L
 
   /** The live index — serve queries against it between batches, or
-    * [[Similarity.knnIndexSave]] it as a streaming checkpoint.
+    * [[save]] it as a streaming checkpoint.
     */
   def index: Similarity.KnnIndex = current
+
+  /** The last folded batch id — the replay cursor [[save]] persists. */
+  def lastBatch: Long = last
 
   /** foreachBatch sink: fold one micro-batch of (xid, xvec) rows into
     * the index. Ids must be unique across the index and all batches
     * (the append contract; retirements run between batches via
-    * [[Similarity.knnGraphRetire]] on [[index]]).
+    * [[Similarity.knnGraphRetire]] on [[index]]). Batches at or below
+    * the last folded id are REPLAYS (at-least-once delivery) and fold
+    * as no-ops.
     */
   def foldBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
-    if (!batch.isEmpty) current = Similarity.knnGraphAppend(current, batch)
+    if (batchId <= last) return
+    if (!batch.isEmpty) {
+      current = Similarity.knnGraphAppend(current, batch)
+      folded += 1
+      if (flattenEvery > 0 && folded % flattenEvery == 0)
+        current = KnnIngest.flatten(current)
+    }
+    last = batchId
+  }
+
+  /** Checkpoint the live index + replay cursor as one atomic committed
+    * version ([[Similarity.knnIndexSave]]).
+    */
+  def save(path: String): Unit = synchronized {
+    Similarity.knnIndexSave(current, path, last)
   }
 
   /** The mutual k-NN edges of everything ingested so far. */
   def edges: DataFrame = Similarity.mutualize(current.directed)
+}
+
+object KnnIngest {
+  /** Default flatten cadence — bounds lazy-union chain depth (and with
+    * it per-batch analysis cost) at a constant, while amortizing the
+    * wide-table materialization over several appends.
+    */
+  val DefaultFlattenEvery: Int = 8
+
+  /** Collapse the lazy union chains the appends accumulate on the wide
+    * tables (the narrow frames already checkpoint inside every append).
+    */
+  def flatten(idx: Similarity.KnnIndex): Similarity.KnnIndex = idx.copy(
+    xn = idx.xn.localCheckpoint(true),
+    enc = idx.enc.localCheckpoint(true),
+    assignD2 = idx.assignD2.localCheckpoint(true),
+    probes = idx.probes.localCheckpoint(true))
+
+  /** Reconstitute an ingest from a [[KnnIngest.save]] checkpoint: loads
+    * the latest committed index version AND its replay cursor, so the
+    * stream's at-least-once replay of already-folded batches lands on
+    * the skip path and only the genuine suffix folds.
+    */
+  def resume(s: SparkSession, path: String,
+             flattenEvery: Int = DefaultFlattenEvery): KnnIngest = {
+    val commit = graft.core.IndexStore.latest(s, path).getOrElse(sys.error(
+      s"KnnIngest.resume: no committed index at $path"))
+    new KnnIngest(Similarity.knnIndexLoad(s, path), commit.lastBatch,
+      flattenEvery)
+  }
 }

@@ -77,9 +77,9 @@ class RagIndexSpec extends AnyFunSuite {
     // no retired doc's chunks may survive anywhere
     val delC = del.select(col("doc_id").as("del_doc"))
     assert(ret.postings.join(broadcast(delC),
-      expr("xid div 1000000") === col("del_doc")).isEmpty)
+      TextQueries.docIdOf("xid") === col("del_doc")).isEmpty)
     assert(ret.index.join(broadcast(delC),
-      expr("xid div 1000000") === col("del_doc")).isEmpty)
+      TextQueries.docIdOf("xid") === col("del_doc")).isEmpty)
   }
 
   test("maintenance cycle: save → load → append → retire → save → load ≡ assembly of the net set") {

@@ -506,4 +506,53 @@ class RecallSpec extends AnyFunSuite {
     assert(pathological >= 0.35,
       f"a stale config may degrade but not collapse: $pathological%.3f")
   }
+
+  test("staleness probe: quiet on the daily regime, fires before recall degrades") {
+    // the re-index TRIGGER for the dial above ([[Similarity.knnStaleness]],
+    // three bounded aggs over already-persisted artifacts): it must stay
+    // QUIET through the regime where frozen ≡ retrained (1% daily delta,
+    // recall 1.000 above) and FIRE on the regimes that degrade recall —
+    // the 33% growth append (geometry dial: √n outgrew the frozen cells)
+    // and a distribution-shifted append (quantizer dial: codes saturate
+    // at the frozen SQ8 bounds) — at append time, BEFORE a query is
+    // served from the stale config.
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    def probeFor(splitDelta: org.apache.spark.sql.Column,
+                 shift: org.apache.spark.sql.Column => org.apache.spark.sql.Column = identity)
+        : org.apache.spark.sql.Row = {
+      val base = emb.filter(!splitDelta)
+        .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+      val delta = emb.filter(splitDelta)
+        .select(col("vec_id").as("xid"), shift(col("embedding")).as("xvec"))
+      val nb = base.count()
+      val cellsB = Similarity.ivfCellsFor(nb)
+      val centsB = base.orderBy(col("xid")).limit(cellsB)
+        .select(col("xid").as("cid"), col("xvec").as("cvec"))
+      val idx = Similarity.knnGraphBuild(base, centsB,
+        Similarity.ivfProbesFor(cellsB), K,
+        Similarity.knnCellCapFor(nb, cellsB, K))
+      val cur = Similarity.knnGraphAppend(idx, delta)
+      val r = Similarity.knnStaleness(idx, cur).first()
+      info(s"probe: $r")
+      r
+    }
+    val daily = probeFor(col("vec_id") % 100 === 99)
+    assert(!daily.getAs[Boolean]("stale"),
+      s"the 1%-daily regime must not trigger a re-index: $daily")
+
+    val grown = probeFor(col("vec_id") % 3 === 0)
+    assert(grown.getAs[Boolean]("stale_geometry") &&
+      grown.getAs[Boolean]("stale"),
+      s"the 33% growth append must fire the geometry dial: $grown")
+
+    // distribution shift at tiny growth: tripled coordinates leave the
+    // frozen SQ8 range, so appended codes pile onto the byte bounds
+    val shifted = probeFor(col("vec_id") % 100 === 99,
+      v => transform(v, x => x * lit(3.0f)))
+    assert(shifted.getAs[Boolean]("stale_quantizer") &&
+      shifted.getAs[Boolean]("stale"),
+      s"a distribution-shifted append must fire the quantizer dial: $shifted")
+    assert(!shifted.getAs[Boolean]("stale_geometry"),
+      "tiny growth must not fire the geometry dial")
+  }
 }

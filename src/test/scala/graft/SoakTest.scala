@@ -959,6 +959,16 @@ class SoakTest extends AnyFunSuite {
     time("q226_calibration_ns100") {
       graft.queries.DedupQueries.q226MinhashCalibration.run(spark, s"$dir/ns100").count()
     }
+    // the summary surface on the same dense×100 fixture: q128's
+    // enumerated answer there is 29.7B rows whose DRAIN is the wall
+    // (3592 s in round 17 — 8.3M pairs/s of answer production never
+    // asks for); q128b computes the per-clique pair counts
+    // ARITHMETICALLY over the representative join, so the wall must
+    // collapse to the base-join class — the number that proves the
+    // output term, not the candidate term, was all that remained
+    time("q128b_cliques_dense100") {
+      graft.queries.DedupQueries.q128bSetsimCliques.run(spark, s"$dir/dense100").count()
+    }
     time("q237_blocking_ns100") {
       graft.queries.DedupQueries.q237BlockingQuality.run(spark, s"$dir/ns100").count()
     }

@@ -823,4 +823,80 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.corpusCount === want.corpusCount, "corpusCount diverged")
     } finally q.stop()
   }
+
+  test("knn ingest: a replayed micro-batch folds as a no-op") {
+    // foreachBatch is AT-LEAST-ONCE on restart: the sink may see the same
+    // (batch, batchId) again. The ingest tracks its last folded id, so a
+    // replay must leave every artifact bit-identical — a double-append
+    // would violate the unique-id contract and duplicate graph edges.
+    import graft.operators.Similarity
+    import graft.streaming.KnnIngest
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 10 =!= 9)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val delta = emb.filter(col("vec_id") % 10 === 9)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val nb = base.count()
+    val cells = Similarity.ivfCellsFor(nb)
+    val centroids = base.orderBy(col("xid")).limit(cells)
+      .select(col("xid").as("cid"), col("xvec").as("cvec"))
+    val idx0 = Similarity.knnGraphBuild(base, centroids,
+      Similarity.ivfProbesFor(cells), 3,
+      Similarity.knnCellCapFor(nb, cells, 3))
+    val ingest = new KnnIngest(idx0)
+    val b0 = delta.filter(col("xid") % 2 === 0).localCheckpoint(true)
+    val b1 = delta.filter(col("xid") % 2 === 1).localCheckpoint(true)
+    ingest.foldBatch(b0, 0L)
+    ingest.foldBatch(b1, 1L)
+    val before = ingest.edges.localCheckpoint(true)
+    ingest.foldBatch(b1, 1L) // the restart replay
+    ingest.foldBatch(b0, 0L) // an even staler replay
+    val after = ingest.edges.localCheckpoint(true)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      "replayed batches must not change the graph")
+    assert(ingest.lastBatch === 1L)
+  }
+
+  test("rag ingest: resume from a saved checkpoint skips the replay prefix") {
+    // crash/restart posture: fold batches 0–1, checkpoint (index + replay
+    // cursor commit atomically), then a fresh ingest resumes from disk and
+    // the source replays from batch 0 — the resumed ingest must skip the
+    // already-folded prefix and fold only batch 2, landing exactly on the
+    // one-shot append of all three batches.
+    import graft.queries.TextQueries
+    import graft.streaming.RagIngest
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 50 =!= 49)
+    val delta = docs.filter(col("doc_id") % 50 === 49)
+    val b = (0 until 3).map(r =>
+      delta.filter(col("doc_id") % 3 === r).localCheckpoint(true))
+    val idx0 = TextQueries.ragIndexBuildOf(base)
+    val ingest = new RagIngest(idx0)
+    ingest.foldBatch(b(0), 0L)
+    ingest.foldBatch(b(1), 1L)
+    val path = graft.core.Graft.scratch("spec_rag_resume")
+    ingest.save(path)
+
+    val resumed = RagIngest.resume(spark, path)
+    assert(resumed.lastBatch === 1L, "replay cursor must load from the commit")
+    resumed.foldBatch(b(0), 0L) // source replay — must skip
+    resumed.foldBatch(b(1), 1L) // source replay — must skip
+    resumed.foldBatch(b(2), 2L) // the genuine suffix
+    val got = resumed.index
+    val want = TextQueries.ragIndexAppend(TextQueries.ragIndexLoad(spark, path)
+      .copy(), b(2)) // same loaded artifacts, one append of the suffix
+    def same(a: org.apache.spark.sql.DataFrame,
+             bd: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(bd).isEmpty && bd.exceptAll(a).isEmpty,
+        s"$what diverged between resumed ingest and one-shot append")
+    same(got.postings, want.postings, "postings")
+    same(got.termStats.select(col("term"), col("df")),
+      want.termStats.select(col("term"), col("df")), "term stats")
+    same(got.tot, want.tot, "totals")
+    same(got.index.select(col("xid")), want.index.select(col("xid")), "codes")
+    assert(got.corpusCount === want.corpusCount, "corpusCount diverged")
+  }
 }
