@@ -793,6 +793,16 @@ class SoakTest extends AnyFunSuite {
       s"$dir/trickleA.parquet", s"$dir/trickleB.parquet")
     assert("\"edges\":\\d".r.findAllIn(line).size == 2 && !line.contains("\"edges\":0"),
       s"fresh-JVM serve must report two non-empty chained batches: $line")
+    // the staleness probe priced at this posture: after the daily-shaped
+    // trickle append, the re-index trigger must cost seconds (three
+    // bounded narrow aggs over artifacts the session already holds) and
+    // stay QUIET — the 1%-regime is exactly where re-indexing is waste
+    val cur = Similarity.knnGraphAppend(idx, trickle)
+    val t2 = System.nanoTime()
+    val probe = Similarity.knnStaleness(idx, cur).first()
+    println(f"SOAK167E staleness_probe     ${(System.nanoTime() - t2) / 1e9}%7.1fs  $probe")
+    assert(!probe.getAs[Boolean]("stale"),
+      s"the trickle regime must not trigger a re-index: $probe")
   }
 
   soakGated("250x soak: q167e persisted knn index at the 500k posture — fresh-JVM serve") {
