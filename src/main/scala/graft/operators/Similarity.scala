@@ -793,7 +793,10 @@ object Similarity {
     *    clampFactor·base)`. Detected from the stored reconstructions
     *    alone: code 0 ⇔ rx_d = 255·mn_d, code 255 ⇔ rx_d = 255·(mn_d +
     *    rng_d) (zero-range dims excluded — their single code is not a
-    *    saturation signal).
+    *    saturation signal). The calibration side reads a deterministic
+    *    ~64k-code residue sample of the base store, never the full
+    *    corpus — the rate is an average whose estimator converges long
+    *    before a 100 TB store does; small stores stay exact.
     *  - OCCUPANCY: appends that pile into few cells skew the per-cell
     *    load even at small growth. The probe takes the total-variation
     *    distance between the base and current cell-occupancy
@@ -836,9 +839,18 @@ object Similarity {
       .join(baseCodes.select(col("xid")), Seq("xid"), "left_anti")
       .localCheckpoint(true) // counted + rate-scanned
     val nAppend = appended.count()
-    val clampBase = boundaryPpm(baseCodes)
-    val clampApp = if (nAppend == 0) 0L else boundaryPpm(appended)
     val baseN = baseAssign.count()
+    // the base boundary rate is a CALIBRATION CONSTANT, not a per-probe
+    // measurement — on a 100 TB store a full code scan per probe would
+    // cost what the probe exists to avoid, and the rate is an average
+    // whose estimator converges long before the corpus does. Sample the
+    // base deterministically (residue on xid — stable across probe runs)
+    // down to ~64k codes; small stores stay exact.
+    val calibStride = math.max(1L, baseN / 65536L)
+    val clampBase = boundaryPpm(
+      if (calibStride == 1L) baseCodes
+      else baseCodes.filter(pmod(col("xid"), lit(calibStride)) === 0L))
+    val clampApp = if (nAppend == 0) 0L else boundaryPpm(appended)
     val curN = curAssign.count()
     val rec = ivfCellsFor(math.max(1L, curN))
     val bc = baseAssign.groupBy(col("cid")).agg(count(lit(1)).as("bn"))

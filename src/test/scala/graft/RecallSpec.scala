@@ -554,5 +554,21 @@ class RecallSpec extends AnyFunSuite {
       s"a distribution-shifted append must fire the quantizer dial: $shifted")
     assert(!shifted.getAs[Boolean]("stale_geometry"),
       "tiny growth must not fire the geometry dial")
+
+    // the ops loop CLOSES: re-indexing over the grown corpus (fresh
+    // √n geometry, retrained quantizer — what the fired probe schedules,
+    // cheap because of the save/load split) clears every dial
+    val all = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val n = all.count()
+    val cells = Similarity.ivfCellsFor(n)
+    val cents = all.orderBy(col("xid")).limit(cells)
+      .select(col("xid").as("cid"), col("xvec").as("cvec"))
+    val fresh = Similarity.knnGraphBuild(all, cents,
+      Similarity.ivfProbesFor(cells), K,
+      Similarity.knnCellCapFor(n, cells, K))
+    val cleared = Similarity.knnStaleness(fresh, fresh).first()
+    info(s"post-reindex probe: $cleared")
+    assert(!cleared.getAs[Boolean]("stale"),
+      s"a fresh re-index must clear the dial: $cleared")
   }
 }

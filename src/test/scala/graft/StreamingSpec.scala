@@ -858,6 +858,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(ingest.lastBatch === 1L)
   }
 
+  test("knn ingest: resume from a saved checkpoint restores the replay cursor") {
+    // KnnIngest.resume's half of the crash/restart contract (RagIngest's
+    // is proven end-to-end below): the cursor rides the index store's
+    // commit marker, so a resumed ingest skips the replay prefix and a
+    // suffix fold lands on the chained append of the same batches.
+    import graft.operators.Similarity
+    import graft.streaming.KnnIngest
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 10 =!= 9)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val delta = emb.filter(col("vec_id") % 10 === 9)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val nb = base.count()
+    val cells = Similarity.ivfCellsFor(nb)
+    val centroids = base.orderBy(col("xid")).limit(cells)
+      .select(col("xid").as("cid"), col("xvec").as("cvec"))
+    val idx0 = Similarity.knnGraphBuild(base, centroids,
+      Similarity.ivfProbesFor(cells), 3,
+      Similarity.knnCellCapFor(nb, cells, 3))
+    val b0 = delta.filter(col("xid") % 2 === 0).localCheckpoint(true)
+    val b1 = delta.filter(col("xid") % 2 === 1).localCheckpoint(true)
+    val ingest = new KnnIngest(idx0)
+    ingest.foldBatch(b0, 0L)
+    val path = graft.core.Graft.scratch("spec_knn_resume")
+    ingest.save(path)
+
+    val resumed = KnnIngest.resume(spark, path)
+    assert(resumed.lastBatch === 0L, "replay cursor must load from the commit")
+    resumed.foldBatch(b0, 0L) // source replay — must skip
+    resumed.foldBatch(b1, 1L) // the genuine suffix
+    val got = resumed.edges.localCheckpoint(true)
+    val want = Similarity.mutualize(
+      Similarity.knnGraphAppend(
+        Similarity.knnIndexLoad(spark, path), b1).directed)
+      .localCheckpoint(true)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "resumed ingest diverged from one append of the suffix")
+    assert(resumed.lastBatch === 1L)
+  }
+
   test("rag ingest: resume from a saved checkpoint skips the replay prefix") {
     // crash/restart posture: fold batches 0–1, checkpoint (index + replay
     // cursor commit atomically), then a fresh ingest resumes from disk and
