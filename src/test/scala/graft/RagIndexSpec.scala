@@ -82,6 +82,39 @@ class RagIndexSpec extends AnyFunSuite {
       TextQueries.docIdOf("xid") === col("del_doc")).isEmpty)
   }
 
+  test("rag staleness probe: quiet on the daily append, fires on pathological growth") {
+    // the retrieval family's half of the staleness dial (the knn half is
+    // calibrated in RecallSpec): ragStaleness routes the RagIndex's dense
+    // artifacts through the shared indexStaleness core. The load-bearing
+    // dials here are GEOMETRY and OCCUPANCY — hashed-tf chunk vectors are
+    // zero-inflated (most buckets of most chunks sit at the per-dim
+    // minimum), so the boundary-rate calibration runs high on BOTH sides
+    // of the clamp compare and the quantizer dial is intentionally hard
+    // to trip for this family; corpus growth past the frozen √n cell
+    // sizing is what actually degrades the probe-pruned serve.
+    val daily = {
+      val base = docsAll.filter(col("doc_id") % 50 =!= 49)
+      val idx = TextQueries.ragIndexBuildOf(base)
+      TextQueries.ragStaleness(idx,
+        TextQueries.ragIndexAppend(idx, docsAll.filter(col("doc_id") % 50 === 49)))
+        .first()
+    }
+    info(s"rag daily probe: $daily")
+    assert(!daily.getAs[Boolean]("stale"),
+      s"a same-distribution 2% doc append must not trigger a re-index: $daily")
+
+    val grown = {
+      val base = docsAll.filter(col("doc_id") % 3 =!= 0)
+      val idx = TextQueries.ragIndexBuildOf(base)
+      TextQueries.ragStaleness(idx,
+        TextQueries.ragIndexAppend(idx, docsAll.filter(col("doc_id") % 3 === 0)))
+        .first()
+    }
+    info(s"rag grown probe: $grown")
+    assert(grown.getAs[Boolean]("stale_geometry") && grown.getAs[Boolean]("stale"),
+      s"a 33% growth append must fire the geometry dial: $grown")
+  }
+
   test("maintenance cycle: save → load → append → retire → save → load ≡ assembly of the net set") {
     val base = docsAll.filter(col("doc_id") % 50 =!= 49)
     val delta = docsAll.filter(col("doc_id") % 50 === 49)

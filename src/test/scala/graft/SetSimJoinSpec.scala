@@ -83,4 +83,44 @@ class SetSimJoinSpec extends AnyFunSuite {
       assert(want.exists { case (_, _, i, na, nb) => i < na || i < nb })
     }
   }
+
+  test("clique summary reconciles with the enumerated join (arithmetic ≡ counting)") {
+    import spark.implicits._
+    // the q128b contract, unit-level: setSimCliqueSummary's per-clique
+    // organic_pairs are computed ARITHMETICALLY (intra m(m-1)/2, cross
+    // m·m' per representative pair) — reconcile them against actually
+    // counting setSimJoin's enumerated pairs per touched clique, on the
+    // replica-heavy corpus where both intra and cross terms are live.
+    // An intra pair (both endpoints one clique) counts once; a cross
+    // pair counts once per side — so Σ organic_pairs = intra + 2·cross.
+    val reps = (0 until 36).map { j =>
+      val src = docs(if (j % 2 == 0) 0 else 3)
+      (1000L + j, src._2)
+    }
+    val heavy = docs ++ reps
+    val setOf = heavy.map { case (id, ws) => id -> ws.toSet }.toMap
+    val repOf = heavy.map { case (id, ws) =>
+      id -> heavy.filter(_._2.toSet == ws.toSet).map(_._1).min }.toMap
+    for (t <- Seq(80, 50)) {
+      val pairs = Dedup.setSimJoin(heavy.toDF("id", "toks"), t)
+        .select(col("a"), col("b")).as[(Long, Long)].collect()
+      val counted = scala.collection.mutable.Map.empty[Long, Long]
+      pairs.foreach { case (a, b) =>
+        counted(repOf(a)) = counted.getOrElse(repOf(a), 0L) + 1
+        if (repOf(b) != repOf(a))
+          counted(repOf(b)) = counted.getOrElse(repOf(b), 0L) + 1
+      }
+      val got = Dedup.setSimCliqueSummary(heavy.toDF("id", "toks"), t)
+        .as[(Long, Long, Long)].collect()
+        .map { case (rep, m, p) => rep -> (m, p) }.toMap
+      assert(got.keySet == counted.keySet,
+        s"t=$t cliques diverge: only-summary=${(got.keySet -- counted.keySet).take(5)} " +
+          s"only-counted=${(counted.keySet -- got.keySet).take(5)}")
+      counted.foreach { case (rep, n) =>
+        assert(got(rep)._2 == n, s"t=$t clique $rep: arithmetic ${got(rep)._2} vs counted $n")
+        assert(got(rep)._1 == heavy.count(d => setOf(d._1) == setOf(rep)),
+          s"t=$t clique $rep member count")
+      }
+    }
+  }
 }
