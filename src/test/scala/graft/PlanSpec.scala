@@ -457,6 +457,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("FileScan parquet"), p.take(3000))
   }
 
+  test("q150f streamed index: bucket pruning survives the CHAINED micro-batch unions") {
+    // the q150f shape — three RagIngest folds stack three Union layers
+    // on the postings plan; the serve's isin must still reach the base
+    // FileScan's PartitionFilters through ALL of them, or a long-running
+    // ingest silently degrades every serve to a full-store scan
+    import graft.queries.TextQueries
+    import graft.streaming.RagIngest
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val path = graft.core.Graft.scratch("planspec_rag_stream")
+    TextQueries.ragIndexSave(
+      TextQueries.ragIndexBuildOf(docs.filter(col("doc_id") % 50 =!= 49)), path)
+    val ingest = new RagIngest(TextQueries.ragIndexLoad(spark, path))
+    val delta = docs.filter(col("doc_id") % 50 === 49)
+    (0 until 3).foreach { r =>
+      ingest.foldBatch(delta.filter(col("doc_id") % 3 === r), r.toLong)
+    }
+    val p = ingest.index.postings.filter(col("tb").isin(3, 17, 41))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("tb"),
+      "bucket filter lost through the chained unions:\n" + p.take(3000))
+    assert(p.contains("FileScan parquet"), p.take(3000))
+  }
+
   test("q170 versioned replay never shuffles the snapshot: broadcast anti per batch") {
     val p = plan(graft.queries.DedupQueries.q170TimeTravel)
     assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
