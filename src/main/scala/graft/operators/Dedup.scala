@@ -165,6 +165,77 @@ object Dedup {
       .distinct()
   }
 
+  /** The DELTA-scale star edges an incremental CC batch feeds to
+    * [[ccIncrementalServe]] — q183 derives them as full-corpus
+    * [[bucketStarEdges]] filtered to delta involvement, which re-windows
+    * every bucket; at 100 TB a daily batch must touch only ITS buckets.
+    * This derivation is the scale shape: restrict the (persisted ∪
+    * delta) band table to buckets the delta lands in (one left-semi on
+    * the bucket key — delta-bounded), re-derive the star within those
+    * buckets only (hubs can CHANGE: a delta doc with a smaller id
+    * becomes the new hub and every base member re-points at it), and
+    * keep edges with a delta endpoint — base↔base edges inside touched
+    * buckets already exist in the base connectivity the labels encode,
+    * and untouched buckets' stars are unchanged by definition. Lossless
+    * by the same argument as q183's filter; the chained-ingest parity
+    * spec and q183b's oracle prove it end to end.
+    */
+  def ccDeltaStarEdges(bands: DataFrame, deltaBands: DataFrame): DataFrame = {
+    val touched = deltaBands.select(col("band"), col("key")).distinct()
+    val members = bands.unionByName(deltaBands)
+      .join(touched, Seq("band", "key"), "left_semi")
+    val bucket = Window.partitionBy(col("band"), col("key"))
+    val star = members
+      .select(col("id"), min(col("id")).over(bucket).as("hub"))
+      .filter(col("id") =!= col("hub"))
+      .select(col("id").as("a"), col("hub").as("b"))
+      .distinct()
+      .localCheckpoint(true) // both involvement semijoins read it
+    val deltaIds = deltaBands.select(col("id")).distinct()
+    star.join(deltaIds.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+      .unionByName(star
+        .join(deltaIds.withColumnRenamed("id", "b"), Seq("b"), "left_semi"))
+      .distinct()
+  }
+
+  /** PERSIST the incremental-CC artifacts (the dedup family's index: the
+    * band table under its frozen geometry + the component labels) as one
+    * crash-atomic committed version ([[graft.core.IndexStore]] — the
+    * same two-phase discipline as the k-NN and RAG stores; the marker
+    * carries the streaming replay cursor). Bands partition by `band`
+    * (bounded directories) so a rebuild or audit can read one band
+    * without the rest; labels and the 2-scalar geometry config are
+    * small tables.
+    */
+  def ccIndexSave(bands: DataFrame, labels: DataFrame,
+                  bnd: Int, rpb: Int, path: String,
+                  lastBatch: Long = -1L): Unit = {
+    val s = bands.sparkSession
+    import s.implicits._
+    val (dir, v) = graft.core.IndexStore.begin(s, path)
+    bands.repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
+    labels.write.mode("overwrite").parquet(s"$dir/labels")
+    Seq((bnd.toLong, rpb.toLong)).toDF("bands", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/config")
+    graft.core.IndexStore.commit(s, path, v, lastBatch)
+    graft.core.IndexStore.prune(s, path, v)
+  }
+
+  /** Reconstitute [[ccIndexSave]] artifacts from the latest committed
+    * version: (bands, labels, bandCount, rowsPerBand) — every frame a
+    * FileScan; the band partition column casts back to its build dtype.
+    */
+  def ccIndexLoad(s: org.apache.spark.sql.SparkSession,
+                  rootPath: String): (DataFrame, DataFrame, Int, Int) = {
+    val dir = graft.core.IndexStore.latestDir(s, rootPath)
+    val conf = s.read.parquet(s"$dir/config").first()
+    (s.read.parquet(s"$dir/bands")
+      .select(col("id"), col("band").cast("int").as("band"), col("key")),
+      s.read.parquet(s"$dir/labels").select(col("id"), col("lbl")),
+      conf.getAs[Long]("bands").toInt, conf.getAs[Long]("rows_per_band").toInt)
+  }
+
   /** Release the cached blocks behind a (possibly projected)
     * localCheckpoint'd frame. Safe only once nothing will recompute from
     * it — the checkpoint truncated its lineage, so a post-unpersist

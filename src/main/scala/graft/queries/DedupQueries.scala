@@ -1244,6 +1244,58 @@ object DedupQueries {
       .withColumn("keep", col("doc_id") === col("component"))
   }
 
+  /** q183 through the STREAMING ingest ([[graft.streaming.CcIngest]]) —
+    * the dedup family joins the k-NN (q167f) and RAG (q150f) streaming
+    * lanes, completing the symmetry: the base dedup index (band table
+    * under frozen geometry + component labels) persists through the
+    * crash-atomic store, a FRESH ingest resumes from it
+    * ([[graft.streaming.CcIngest.resume]] — so this query also pins the
+    * save/load hop), and the delta docs arrive as three deterministic
+    * micro-batches INCLUDING a replayed duplicate of batch 1, each
+    * folding delta-scale star edges ([[Dedup.ccDeltaStarEdges]] — only
+    * touched buckets re-window, hub takeovers included) through the
+    * contracted CC. The oracle is q183's full-graph recursive closure
+    * over the WHOLE corpus, so a green hash proves THREE things at
+    * once: chained incremental folds compound to the full recompute,
+    * the disk hop is lossless, and an at-least-once replay is invisible
+    * to the final components.
+    */
+  val q183bCcStreaming = Q.checked(
+    "q183b_cc_streaming",
+    s"""WITH RECURSIVE ${duckCandCtesWith(capped = false)}, edges AS (
+       |  SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand
+       |), reach AS (
+       |  SELECT DISTINCT a AS id, a AS lbl FROM edges
+       |  UNION
+       |  SELECT e.a AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+       |)
+       |SELECT id AS doc_id, min(lbl) AS component,
+       |       CAST(id = min(lbl) AS BOOLEAN) AS keep
+       |FROM reach GROUP BY id""") { (s, dir) =>
+    val docs = table(s, dir, "documents")
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val (bnd, rpb) = Dedup.lshGeometry(base.count())
+    val baseBands = Dedup.lshBands(
+      Dedup.minhash(base, col("doc_id"), Dedup.bigrams(col("text")), bnd * rpb),
+      bnd, rpb).localCheckpoint(true)
+    val baseLabels = Dedup.connectedComponents(Dedup.bucketStarEdges(baseBands))
+    // BUILD persists; the ingest RESUMES from the committed version —
+    // the daily pipeline's actual cross-session shape
+    val path = graft.core.Graft.scratch("q183b_cc_index")
+    Dedup.ccIndexSave(baseBands, baseLabels, bnd, rpb, path)
+    val ingest = graft.streaming.CcIngest.resume(s, path)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val b = (0 until 3).map(r =>
+      delta.filter(expr("doc_id div 10") % 3 === r).localCheckpoint(true))
+    ingest.foldBatch(b(0), 0L)
+    ingest.foldBatch(b(1), 1L)
+    ingest.foldBatch(b(1), 1L) // the at-least-once replay — must no-op
+    ingest.foldBatch(b(2), 2L)
+    ingest.labels
+      .select(col("id").as("doc_id"), col("lbl").as("component"),
+        (col("id") === col("lbl")).as("keep"))
+  }
+
   /** WEIGHTED single-source shortest paths (Bellman–Ford relaxation) —
     * the weighted complement of q160's unit-hop BFS, completing the
     * graph family's distance tier: edge cost 1 + (pair activity count
@@ -2072,7 +2124,8 @@ object DedupQueries {
       q133MergeUpsert,
       q142LabelProp, q144SourceOverlap, q155IvmAgg, q158BestKeeper,
       q160BfsDist, q166EntityResolution, q168Kcore, q170TimeTravel,
-      q175GoldenRecord, q182KanonAudit, q183IncrementalCc, q188WeightedSssp,
+      q175GoldenRecord, q182KanonAudit, q183IncrementalCc, q183bCcStreaming,
+      q188WeightedSssp,
       q193NormalizedDedup, q194ContainmentJoin, q194bContainmentNarrow,
       q196PersonalizedPagerank,
       q198LshDecontaminate, q209DegreeDist, q226MinhashCalibration,

@@ -899,6 +899,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(resumed.lastBatch === 1L)
   }
 
+  test("cc ingest: chained micro-batch folds equal the one-shot incremental serve") {
+    // the dedup family's streaming lane (CcIngest — q183b's engine):
+    // after k micro-batches the labels must equal ONE ccIncrementalServe
+    // of the union delta's star edges (chaining composes because every
+    // fold's output labels are again full-graph component minima), a
+    // replayed duplicate must no-op, and a resume from the committed
+    // store must restore the cursor and keep folding correctly.
+    import graft.operators.Dedup
+    import graft.streaming.CcIngest
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val (bnd, rpb) = Dedup.lshGeometry(base.count())
+    def bandsOf(d: org.apache.spark.sql.DataFrame) =
+      Dedup.lshBands(
+        Dedup.minhash(d, col("doc_id"), Dedup.bigrams(col("text")), bnd * rpb),
+        bnd, rpb)
+    val baseBands = bandsOf(base).localCheckpoint(true)
+    val baseLabels = Dedup.connectedComponents(Dedup.bucketStarEdges(baseBands))
+      .localCheckpoint(true)
+
+    val path = graft.core.Graft.scratch("spec_cc_resume")
+    Dedup.ccIndexSave(baseBands, baseLabels, bnd, rpb, path, lastBatch = -1L)
+    val ingest = CcIngest.resume(spark, path)
+    assert(ingest.lastBatch === -1L)
+    val b = (0 until 3).map(r =>
+      delta.filter(expr("doc_id div 10") % 3 === r).localCheckpoint(true))
+    ingest.foldBatch(b(0), 0L)
+    ingest.save(path) // checkpoint mid-stream: index + cursor commit together
+
+    val resumed = CcIngest.resume(spark, path)
+    assert(resumed.lastBatch === 0L, "replay cursor must load from the commit")
+    resumed.foldBatch(b(0), 0L) // source replay — must skip
+    resumed.foldBatch(b(1), 1L)
+    resumed.foldBatch(b(1), 1L) // duplicate — must no-op
+    resumed.foldBatch(b(2), 2L)
+    val got = resumed.labels.localCheckpoint(true)
+
+    // one-shot: the q183 shape over the same frozen geometry
+    val oneShotEdges = Dedup.ccDeltaStarEdges(baseBands, bandsOf(delta))
+    val want = Dedup.ccIncrementalServe(baseLabels, oneShotEdges)
+      .select(col("doc_id").as("id"), col("component").as("lbl"))
+      .localCheckpoint(true)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "chained streamed folds diverged from the one-shot incremental serve")
+    assert(got.count() > 0 && resumed.lastBatch === 2L)
+  }
+
   test("rag ingest: resume from a saved checkpoint skips the replay prefix") {
     // crash/restart posture: fold batches 0–1, checkpoint (index + replay
     // cursor commit atomically), then a fresh ingest resumes from disk and
