@@ -198,6 +198,87 @@ object Dedup {
       .distinct()
   }
 
+  /** RETIRE documents from the incremental-CC index (tombstone deletes —
+    * the dedup family's dual of [[ccIncrementalServe]], completing the
+    * retire symmetry with [[graft.operators.Similarity.knnGraphRetire]]
+    * and the RAG family's ragIndexRetire): deleting a doc can SPLIT its
+    * component (the doc may be the hub bridging two bucket
+    * neighborhoods), so unlike append there is no contraction shortcut —
+    * the affected components re-solve. What keeps it delta-scale is a
+    * structural fact of the star graph: ANY two co-bucketed docs are in
+    * the same component, so every bucket containing an affected member
+    * contains ONLY affected members (plus deleted ones) — the re-solve's
+    * edge list is drawn from affected-component buckets alone, never the
+    * corpus.
+    *
+    *  1. drop the deleted docs' band rows;
+    *  2. affected = surviving members of any component containing a
+    *     deleted doc (|tombstones| bounded: components are
+    *     near-dup cliques, not the corpus);
+    *  3. re-derive star edges within the buckets affected members still
+    *     occupy (hubs re-derive — a deleted hub's bucket re-points at
+    *     the surviving min) and re-run CC on that subgraph;
+    *  4. splice: unaffected labels pass through untouched, affected
+    *     members take their re-solved labels, affected members left
+    *     edge-less drop out (the build convention: only edge-having
+    *     docs carry labels).
+    *
+    * Returns (bands, labels) — the updated index. Parity: ≡ a full
+    * [[connectedComponents]] rebuild over the surviving band table
+    * (CcRetireSpec asserts the two-way exceptAll, hub deletions and
+    * component splits included).
+    */
+  def ccRetire(bands: DataFrame, labels: DataFrame,
+               docIds: DataFrame): (DataFrame, DataFrame) = {
+    val del = docIds.select(col(docIds.columns.head).cast("long").as("id"))
+      .distinct().localCheckpoint(true)
+    val bands2 = bands.join(broadcast(del), Seq("id"), "left_anti")
+      .localCheckpoint(true) // feeds the touched-bucket semi AND the result
+    val delComps = labels.join(broadcast(del), "id")
+      .select(col("lbl")).distinct().localCheckpoint(true)
+    val affected = labels.join(broadcast(delComps), "lbl")
+      .join(broadcast(del), Seq("id"), "left_anti")
+      .select(col("id")).localCheckpoint(true)
+    val touched = bands2.join(broadcast(affected), "id")
+      .select(col("band"), col("key")).distinct()
+    val members = bands2.join(touched, Seq("band", "key"), "left_semi")
+    val bucket = Window.partitionBy(col("band"), col("key"))
+    val subEdges = members
+      .select(col("id"), min(col("id")).over(bucket).as("hub"))
+      .filter(col("id") =!= col("hub"))
+      .select(col("id").as("a"), col("hub").as("b"))
+      .distinct()
+    val subLabels = connectedComponents(subEdges)
+    // the USING-key anti join fronts `lbl`; restore the (id, lbl) build
+    // order so consumers can rely on one column layout
+    val labels2 = labels.join(broadcast(delComps), Seq("lbl"), "left_anti")
+      .select(col("id"), col("lbl"))
+      .unionByName(subLabels.select(col("id"), col("lbl")))
+    (bands2, labels2)
+  }
+
+  /** CONFIG-STALENESS probe for the dedup index — the third family's
+    * re-index dial (the k-NN/RAG families' is
+    * [[graft.operators.Similarity.indexStaleness]]): the frozen LSH
+    * geometry derives from the corpus size at build time
+    * ([[lshGeometry]] — rows-per-band grows with log n, bands with the
+    * threshold), so the one decay mode is GROWTH — a corpus that
+    * outgrows its geometry bands too coarsely (recall drops) or floods
+    * buckets (candidate volume grows). One distinct-count over the
+    * already-persisted band table; fires when the re-derived geometry
+    * differs from the frozen one.
+    */
+  def ccStaleness(bands: DataFrame, bnd: Int, rpb: Int): DataFrame = {
+    val s = bands.sparkSession
+    import s.implicits._
+    val n = bands.select(col("id")).distinct().count()
+    val (rb, rr) = lshGeometry(math.max(1L, n))
+    Seq((n, bnd.toLong, rpb.toLong, rb.toLong, rr.toLong,
+      rb != bnd || rr != rpb))
+      .toDF("members", "bands_frozen", "rows_frozen",
+        "bands_recommended", "rows_recommended", "stale")
+  }
+
   /** PERSIST the incremental-CC artifacts (the dedup family's index: the
     * band table under its frozen geometry + the component labels) as one
     * crash-atomic committed version ([[graft.core.IndexStore]] — the
