@@ -536,6 +536,73 @@ class SoakTest extends AnyFunSuite {
       "incremental serve diverged from the full recompute")
   }
 
+  soakGated("100x soak: CC streaming ingest + retire at ~500k docs (the round-18 maintenance paths)") {
+    // the q183b/ccRetire paths priced at the posture scale the q183 soak
+    // established: BUILD once through the crash-atomic store, RESUME a
+    // fresh ingest from the committed version, fold the 10% delta as one
+    // streamed batch (ccDeltaStarEdges — touched buckets only), then
+    // tombstone 1000 docs incl. hubs through the affected-component
+    // re-solve, with the staleness dial read along the way
+    import graft.operators.Dedup
+    import graft.streaming.CcIngest
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak-ccing"
+    val docs0 = spark.read.parquet(s"$base/documents.parquet")
+    (0 until 100).map(i => docs0.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val baseDocs = docs.filter(col("doc_id") % 10 =!= 0)
+    val deltaDocs = docs.filter(col("doc_id") % 10 === 0)
+    val (bnd, rpb) = Dedup.lshGeometry(baseDocs.count())
+    def bandsOf(d: org.apache.spark.sql.DataFrame) =
+      Dedup.lshBands(
+        Dedup.minhash(d, col("doc_id"), Dedup.bigrams(col("text")), bnd * rpb),
+        bnd, rpb)
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"SOAKCC $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$rows")
+    }
+    time("build_save_committed") {
+      val bb = bandsOf(baseDocs).localCheckpoint(true)
+      val bl = Dedup.connectedComponents(Dedup.bucketStarEdges(bb))
+      Dedup.ccIndexSave(bb, bl, bnd, rpb, s"$dir/index")
+      bl.count()
+    }
+    val ingest = CcIngest.resume(spark, s"$dir/index")
+    time("stream_fold_10pct") {
+      ingest.foldBatch(deltaDocs, 0L)
+      ingest.labels.count()
+    }
+    time("staleness_probe") {
+      val r = Dedup.ccStaleness(ingest.bands, bnd, rpb).first()
+      println(s"SOAKCC staleness: $r")
+      assert(!r.getAs[Boolean]("stale"),
+        s"10% growth inside the geometry step must stay quiet: $r")
+      1L
+    }
+    var retired: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = null
+    time("retire_1000_incl_hubs") {
+      val dels = ingest.labels.filter(col("id") === col("lbl"))
+        .select(col("id")).limit(200)
+        .unionByName(ingest.labels.filter(col("id") % 997 === 3).select(col("id")))
+        .limit(1000).localCheckpoint(true)
+      retired = Dedup.ccRetire(ingest.bands, ingest.labels, dels)
+      retired._2.localCheckpoint(true).count()
+    }
+    // parity at posture scale: retire ≡ rebuild over the surviving bands
+    time("rebuild_for_parity") {
+      val full = Dedup.connectedComponents(
+        Dedup.bucketStarEdges(retired._1)).localCheckpoint(true)
+      assert(retired._2.exceptAll(full).isEmpty
+        && full.exceptAll(retired._2).isEmpty,
+        "posture-scale retire diverged from the rebuild")
+      full.count()
+    }
+  }
+
   soakGated("100x soak: round-13 tail families (SCD2, item CF, boolean BM25, SSSP, transitions, weighted pct)") {
     val base = "/root/testdata/sf0.1"
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak-r14"
