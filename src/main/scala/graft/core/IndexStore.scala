@@ -5,8 +5,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Crash-atomic versioning for the persisted index stores
   * ([[graft.operators.Similarity]]'s k-NN index,
-  * [[graft.queries.TextQueries]]'s RAG chunk index) — the two-phase
-  * commit discipline the reference applies to every job's output
+  * [[graft.queries.TextQueries]]'s RAG chunk index,
+  * [[graft.operators.Dedup]]'s CC index) — the two-phase commit
+  * discipline the reference applies to every job's output
   * (`src/mapred/org/apache/hadoop/mapred/FileOutputCommitter.java:41-42,121`
   * — `_temporary` staging + atomic promote), lifted to INDEX
   * granularity: a save writes its 6–8 artifact tables under a fresh
@@ -17,8 +18,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Layout under the store root:
   * {{{
-  *   $path/v=1/<tables...>   $path/v=1/COMMIT   <- committed
-  *   $path/v=2/<tables...>                      <- torn save: no COMMIT,
+  *   $path/v=1/<tables...>   $path/v=1/COMMIT   <- superseded, RETAINED
+  *   $path/v=2/<tables...>   $path/v=2/COMMIT   <- committed (served)
+  *   $path/v=3/<tables...>                      <- torn save: no COMMIT,
   *                                                 invisible to loaders
   * }}}
   *
@@ -28,14 +30,35 @@ import org.apache.spark.sql.SparkSession
   * RENAMED into place: rename-to-fresh-target is the one atomic
   * primitive every Hadoop `FileSystem` guarantees, so a marker either
   * exists with complete content or not at all — existence alone is the
-  * commit signal, exactly the `_SUCCESS` contract.
+  * commit signal, exactly the `_SUCCESS` contract. A marker that
+  * exists but cannot be PARSED (zero-byte or garbled — a filesystem
+  * that lied about rename atomicity) is treated as uncommitted: the
+  * loader warns and falls through to the next-highest committed
+  * version, honoring the layer's contract — never serve torn, always
+  * serve the best committed.
   *
-  * Loaders resolve the HIGHEST committed version; [[prune]] (called
-  * after a successful commit) deletes every other version directory,
-  * so steady state holds one committed version plus at most one
-  * in-flight save. A torn `v=<n>` is simply overwritten by the next
-  * save of the same version number (table writes are
-  * `mode("overwrite")`).
+  * SINGLE-WRITER per version: [[begin]] claims its version directory
+  * by atomically creating a `WRITER` lock file
+  * (`FileSystem.create(overwrite = false)` — create-if-absent), so two
+  * concurrent savers can never interleave table writes into one
+  * `v=<n>` directory; the slower one claims the next number. Note the
+  * lock guards the DIRECTORY, not the store: concurrent savers of the
+  * same store commit distinct versions and the highest wins — callers
+  * that need one logical winner still serialize at their own layer
+  * (the ingest classes are `synchronized`).
+  *
+  * CONCURRENT-READER RETENTION: [[prune]] (called after a successful
+  * commit) keeps the newest `retain` SUPERSEDED committed versions
+  * (default 1) and deletes the rest — so a long-lived serving JVM
+  * holding FileScans over `v=n` (the `KnnServeMain`/`RagServeMain`
+  * daemon posture) survives a writer committing `v=n+1`: its frames
+  * keep reading retained files. The serve-refresh contract: a reader
+  * re-resolves [[latestDir]] at its own cadence; one retained version
+  * buys one full re-index cycle of grace — a reader older than
+  * `retain` re-index cycles must re-resolve before its files are
+  * reclaimed. Torn (uncommitted) versions below the new commit are
+  * always deleted; versions ABOVE the kept one are left alone — they
+  * are a concurrent writer's in-flight staging, not garbage.
   */
 object IndexStore {
 
@@ -66,23 +89,39 @@ object IndexStore {
       .flatten
   }
 
-  /** The highest COMMITTED version and its metadata, or None when the
-    * store has never completed a save.
+  /** The marker metadata of version `v`, when `v` is committed AND its
+    * marker parses. A present-but-garbled marker warns and reads as
+    * uncommitted (fail-soft: the caller falls through to the next
+    * version rather than crashing the loader on one bad file).
+    */
+  private def committedMeta(fs: FileSystem, path: String,
+                            v: Long): Option[Commit] = {
+    val m = commitMarker(path, v)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      scala.util.Try(txt.split('\n').head.trim.toLong).toOption match {
+        case Some(b) => Some(Commit(v, b))
+        case None =>
+          System.err.println(
+            s"IndexStore: unreadable COMMIT marker at $m (content: " +
+              s"'${txt.take(64)}') — skipping v=$v, serving the " +
+              "next-highest committed version")
+          None
+      }
+    }
+  }
+
+  /** The highest committed version with a PARSEABLE marker and its
+    * metadata, or None when the store has never completed a save.
     */
   def latest(s: SparkSession, path: String): Option[Commit] = {
     val fs = fsOf(s, path)
     versions(fs, path).sorted(Ordering[Long].reverse)
-      .collectFirst(Function.unlift { v =>
-        val m = commitMarker(path, v)
-        if (!fs.exists(m)) None
-        else {
-          val in = fs.open(m)
-          val txt =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-            finally in.close()
-          Some(Commit(v, txt.split('\n').head.trim.toLong))
-        }
-      })
+      .collectFirst(Function.unlift(committedMeta(fs, path, _)))
   }
 
   /** Directory of the highest committed version — what loaders read.
@@ -96,13 +135,25 @@ object IndexStore {
     versionDir(path, c.version)
   }
 
-  /** Start a save: the next version number (past every existing
-    * directory, committed or torn) and its staging directory. Nothing
-    * is visible to loaders until [[commit]].
+  /** Start a save: claim the next free version directory (past every
+    * existing one, committed or torn) by atomically creating its
+    * `WRITER` lock file — create-if-absent, so two concurrent savers
+    * can never stage into the same directory; the loser claims the
+    * next number. Nothing is visible to loaders until [[commit]].
     */
   def begin(s: SparkSession, path: String): (String, Long) = {
-    val next = (versions(fsOf(s, path), path) :+ 0L).max + 1
-    (versionDir(path, next), next)
+    val fs = fsOf(s, path)
+    var next = (versions(fs, path) :+ 0L).max + 1
+    while (true) {
+      val dir = new Path(versionDir(path, next))
+      fs.mkdirs(dir)
+      val claimed =
+        try { fs.create(new Path(dir, "WRITER"), false).close(); true }
+        catch { case _: java.io.IOException => false } // another writer won
+      if (claimed) return (versionDir(path, next), next)
+      next += 1
+    }
+    sys.error("unreachable") // the while(true) above only exits by return
   }
 
   /** Atomically commit version `v`: write the marker content to
@@ -121,14 +172,22 @@ object IndexStore {
       sys.error(s"IndexStore: commit rename failed for $marker")
   }
 
-  /** Delete every version directory other than `keep` — called after a
-    * successful commit so the store doesn't accumulate superseded
-    * versions. Safe to crash mid-prune: loaders only ever resolve the
-    * highest committed version, which `keep` is.
+  /** Reclaim superseded versions after committing `keep`: among the
+    * versions BELOW `keep`, retain the newest `retain` committed ones
+    * (the concurrent-reader grace window — see the object doc) and
+    * delete the rest (older committed versions and every torn save).
+    * Versions above `keep` are never touched — they are a concurrent
+    * writer's in-flight staging. Safe to crash mid-prune: loaders only
+    * ever resolve the highest committed version.
     */
-  def prune(s: SparkSession, path: String, keep: Long): Unit = {
+  def prune(s: SparkSession, path: String, keep: Long,
+            retain: Int = 1): Unit = {
     val fs = fsOf(s, path)
-    versions(fs, path).filter(_ != keep)
+    val below = versions(fs, path).filter(_ < keep)
+    val retained = below
+      .filter(committedMeta(fs, path, _).isDefined)
+      .sorted(Ordering[Long].reverse).take(math.max(0, retain)).toSet
+    below.filterNot(retained)
       .foreach(v => fs.delete(new Path(versionDir(path, v)), true))
   }
 }

@@ -101,4 +101,101 @@ class IndexStoreSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no committed index version"))
   }
+
+  test("retention: frames loaded from v1 survive a v2 commit + prune") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 10 =!= 9)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val nb = base.count()
+    val cells = Similarity.ivfCellsFor(nb)
+    val cents = base.orderBy(col("xid")).limit(cells)
+      .select(col("xid").as("cid"), col("xvec").as("cvec"))
+    val idx = Similarity.knnGraphBuild(base, cents,
+      Similarity.ivfProbesFor(cells), 3,
+      Similarity.knnCellCapFor(nb, cells, 3))
+    val path = graft.core.Graft.scratch("spec_store_retain")
+
+    Similarity.knnIndexSave(idx, path) // v1, committed
+    // a long-lived serving JVM: its frames are FileScans over v1 files
+    // (NOT checkpointed — the point is that they keep READING v1's
+    // parquet after the writer moves on)
+    val reader = Similarity.knnIndexLoad(spark, path)
+    val expect = reader.directed.localCheckpoint(true)
+
+    // the writer re-indexes: v2 commits AND prunes (retain=1 keeps v1)
+    Similarity.knnIndexSave(idx, path, lastBatch = 11L)
+    assert(graft.core.IndexStore.latest(spark, path).get.version === 2L)
+
+    // the v1 reader still serves bit-exact from the retained files —
+    // the ADVICE r18 failure was FileNotFoundException right here
+    sameFrame(reader.directed, expect, "v1-loaded directed after v2 prune")
+    // and a serve over the stale index still runs end-to-end
+    val delta = emb.filter(col("vec_id") % 10 === 9)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    assert(Similarity.knnGraphServe(reader, delta).count() > 0,
+      "serve over the retained version must still run")
+
+    // one MORE re-index reclaims v1 (one retained version = one full
+    // re-index cycle of grace): only v2 and v3 remain on disk
+    Similarity.knnIndexSave(idx, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(left === Set("v=2", "v=3"),
+      s"retain=1 must keep exactly the newest superseded version: $left")
+  }
+
+  test("fail-soft markers: empty or garbled COMMIT resolves to the prior version") {
+    val store = graft.core.IndexStore
+    val path = graft.core.Graft.scratch("spec_store_garbled")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+
+    val (d1, v1) = store.begin(spark, path)
+    Seq((1L, "a")).toDF("id", "s").write.parquet(s"$d1/t")
+    store.commit(spark, path, v1, lastBatch = 5L)
+
+    // a zero-byte marker (a filesystem that lied about rename atomicity):
+    // the version must read as uncommitted, not crash the loader
+    val (d2, v2) = store.begin(spark, path)
+    Seq((2L, "b")).toDF("id", "s").write.parquet(s"$d2/t")
+    fs.create(new org.apache.hadoop.fs.Path(d2, "COMMIT"), true).close()
+    val afterEmpty = store.latest(spark, path).get
+    assert(afterEmpty.version === v1 && afterEmpty.lastBatch === 5L,
+      s"empty marker must fall through to v=$v1: $afterEmpty")
+    assert(store.latestDir(spark, path) === d1)
+
+    // a garbled marker behaves the same
+    val out = fs.create(new org.apache.hadoop.fs.Path(d2, "COMMIT"), true)
+    out.write("not-a-batch-id\n".getBytes("UTF-8")); out.close()
+    assert(store.latest(spark, path).get.version === v1,
+      "garbled marker must fall through to the prior version")
+
+    // and a later HEALTHY commit supersedes both
+    val (d3, v3) = store.begin(spark, path)
+    Seq((3L, "c")).toDF("id", "s").write.parquet(s"$d3/t")
+    store.commit(spark, path, v3, lastBatch = 9L)
+    assert(store.latest(spark, path).get === store.Commit(v3, 9L))
+  }
+
+  test("single-writer: concurrent begins claim distinct version directories") {
+    val store = graft.core.IndexStore
+    val path = graft.core.Graft.scratch("spec_store_writers")
+    // two savers race begin() with NO intervening commit: the WRITER
+    // lock (atomic create-if-absent) must hand them different dirs —
+    // the ADVICE r18 torn-store scenario was both staging into one
+    val (d1, v1) = store.begin(spark, path)
+    val (d2, v2) = store.begin(spark, path)
+    assert(d1 != d2 && v1 != v2,
+      s"concurrent begins must never share a staging dir: $d1 vs $d2")
+    // each commits its own version; the highest wins, both are intact
+    import spark.implicits._
+    Seq(1L).toDF("id").write.parquet(s"$d1/t")
+    Seq(2L).toDF("id").write.parquet(s"$d2/t")
+    store.commit(spark, path, v1, -1L)
+    store.commit(spark, path, v2, -1L)
+    assert(store.latest(spark, path).get.version === math.max(v1, v2))
+  }
 }
