@@ -264,16 +264,23 @@ object Dedup {
     * ([[lshGeometry]] — rows-per-band grows with log n, bands with the
     * threshold), so the one decay mode is GROWTH — a corpus that
     * outgrows its geometry bands too coarsely (recall drops) or floods
-    * buckets (candidate volume grows). One distinct-count over the
-    * already-persisted band table; fires when the re-derived geometry
-    * differs from the frozen one.
+    * buckets (candidate volume grows). Fires when the geometry
+    * re-derived from the CURRENT corpus count differs from the frozen
+    * one. `curCount` is the corpus count under the build's own
+    * definition (document count — [[ccIndexSave]] persists the build's
+    * and [[graft.streaming.CcIngest]] accumulates it per fold), NOT a
+    * band-table distinct: documents with <2 tokens produce no band rows,
+    * so the two n's differ and near a geometry step a band-derived
+    * probe could fire inconsistently with the build convention
+    * (ADVICE r18).
     */
-  def ccStaleness(bands: DataFrame, bnd: Int, rpb: Int): DataFrame = {
-    val s = bands.sparkSession
+  def ccStaleness(curCount: Long, bnd: Int, rpb: Int): DataFrame = {
+    require(curCount > 0,
+      s"ccStaleness: positive corpus count required, got $curCount")
+    val s = org.apache.spark.sql.SparkSession.active
     import s.implicits._
-    val n = bands.select(col("id")).distinct().count()
-    val (rb, rr) = lshGeometry(math.max(1L, n))
-    Seq((n, bnd.toLong, rpb.toLong, rb.toLong, rr.toLong,
+    val (rb, rr) = lshGeometry(curCount)
+    Seq((curCount, bnd.toLong, rpb.toLong, rb.toLong, rr.toLong,
       rb != bnd || rr != rpb))
       .toDF("members", "bands_frozen", "rows_frozen",
         "bands_recommended", "rows_recommended", "stale")
@@ -285,11 +292,12 @@ object Dedup {
     * same two-phase discipline as the k-NN and RAG stores; the marker
     * carries the streaming replay cursor). Bands partition by `band`
     * (bounded directories) so a rebuild or audit can read one band
-    * without the rest; labels and the 2-scalar geometry config are
-    * small tables.
+    * without the rest; labels and the 3-scalar config (geometry + the
+    * corpus count under the build's definition — what [[ccStaleness]]
+    * compares against) are small tables.
     */
   def ccIndexSave(bands: DataFrame, labels: DataFrame,
-                  bnd: Int, rpb: Int, path: String,
+                  bnd: Int, rpb: Int, corpusCount: Long, path: String,
                   lastBatch: Long = -1L): Unit = {
     val s = bands.sparkSession
     import s.implicits._
@@ -297,24 +305,27 @@ object Dedup {
     bands.repartition(col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
     labels.write.mode("overwrite").parquet(s"$dir/labels")
-    Seq((bnd.toLong, rpb.toLong)).toDF("bands", "rows_per_band")
+    Seq((bnd.toLong, rpb.toLong, corpusCount))
+      .toDF("bands", "rows_per_band", "corpus_count")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/config")
     graft.core.IndexStore.commit(s, path, v, lastBatch)
     graft.core.IndexStore.prune(s, path, v)
   }
 
   /** Reconstitute [[ccIndexSave]] artifacts from the latest committed
-    * version: (bands, labels, bandCount, rowsPerBand) — every frame a
-    * FileScan; the band partition column casts back to its build dtype.
+    * version: (bands, labels, bandCount, rowsPerBand, corpusCount) —
+    * every frame a FileScan; the band partition column casts back to
+    * its build dtype.
     */
   def ccIndexLoad(s: org.apache.spark.sql.SparkSession,
-                  rootPath: String): (DataFrame, DataFrame, Int, Int) = {
+                  rootPath: String): (DataFrame, DataFrame, Int, Int, Long) = {
     val dir = graft.core.IndexStore.latestDir(s, rootPath)
     val conf = s.read.parquet(s"$dir/config").first()
     (s.read.parquet(s"$dir/bands")
       .select(col("id"), col("band").cast("int").as("band"), col("key")),
       s.read.parquet(s"$dir/labels").select(col("id"), col("lbl")),
-      conf.getAs[Long]("bands").toInt, conf.getAs[Long]("rows_per_band").toInt)
+      conf.getAs[Long]("bands").toInt, conf.getAs[Long]("rows_per_band").toInt,
+      conf.getAs[Long]("corpus_count"))
   }
 
   /** Release the cached blocks behind a (possibly projected)

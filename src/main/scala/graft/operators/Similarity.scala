@@ -840,6 +840,14 @@ object Similarity {
       .localCheckpoint(true) // counted + rate-scanned
     val nAppend = appended.count()
     val baseN = baseAssign.count()
+    val curN = curAssign.count()
+    // probing an EMPTY base (or an emptied current) store is a caller
+    // bug, not a staleness state — fail with the contract instead of
+    // NaN dials (ADVICE r18)
+    require(baseN > 0 && curN > 0,
+      s"indexStaleness: non-empty base and current assignments required " +
+        s"(base=$baseN, current=$curN) — an empty store has no occupancy " +
+        "distribution to compare; rebuild instead of probing")
     // the base boundary rate is a CALIBRATION CONSTANT, not a per-probe
     // measurement — on a 100 TB store a full code scan per probe would
     // cost what the probe exists to avoid, and the rate is an average
@@ -851,15 +859,20 @@ object Similarity {
       if (calibStride == 1L) baseCodes
       else baseCodes.filter(pmod(col("xid"), lit(calibStride)) === 0L))
     val clampApp = if (nAppend == 0) 0L else boundaryPpm(appended)
-    val curN = curAssign.count()
-    val rec = ivfCellsFor(math.max(1L, curN))
+    val rec = ivfCellsFor(curN)
     val bc = baseAssign.groupBy(col("cid")).agg(count(lit(1)).as("bn"))
     val cc = curAssign.groupBy(col("cid")).agg(count(lit(1)).as("cn"))
-    val tvPpm = bc.join(cc, Seq("cid"), "full_outer")
+    // EXACT integer TV: Σ|cn·baseN − bn·curN| accumulates in DECIMAL
+    // (no overflow at any store size, no engine-ordered float sum —
+    // the dial is deterministic run-to-run and oracle-replayable),
+    // then one BigInt division lands the truncated ppm
+    val tvNum = bc.join(cc, Seq("cid"), "full_outer")
       .na.fill(0L, Seq("bn", "cn"))
-      .agg((sum(abs(col("cn").cast("double") / curN -
-        col("bn").cast("double") / baseN)) * 500000d).as("tv"))
-      .first().getDouble(0).toLong
+      .agg(sum(abs(col("cn").cast("decimal(38,0)") * baseN -
+        col("bn").cast("decimal(38,0)") * curN)).as("s"))
+      .first().getDecimal(0)
+    val tvPpm = (BigInt(tvNum.toBigInteger) * 500000 /
+      (BigInt(baseN) * BigInt(curN))).toLong
     val staleGeo = rec >= geometryFactor * frozenCells
     val staleQuant = nAppend > 0 && clampApp >
       math.max(clampFloor * 1000000L, clampFactor * clampBase)

@@ -1282,7 +1282,7 @@ object DedupQueries {
     // BUILD persists; the ingest RESUMES from the committed version —
     // the daily pipeline's actual cross-session shape
     val path = graft.core.Graft.scratch("q183b_cc_index")
-    Dedup.ccIndexSave(baseBands, baseLabels, bnd, rpb, path)
+    Dedup.ccIndexSave(baseBands, baseLabels, bnd, rpb, base.count(), path)
     val ingest = graft.streaming.CcIngest.resume(s, path)
     val delta = docs.filter(col("doc_id") % 10 === 0)
     val b = (0 until 3).map(r =>

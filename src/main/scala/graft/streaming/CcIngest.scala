@@ -38,11 +38,13 @@ import org.apache.spark.sql.functions._
   */
 final class CcIngest(initialBands: DataFrame, initialLabels: DataFrame,
                      nBands: Int, rowsPerBand: Int,
+                     initialCount: Long = 0L,
                      startAfterBatch: Long = -1L,
                      flattenEvery: Int = KnnIngest.DefaultFlattenEvery) {
   @volatile private var bandTable: DataFrame = initialBands
   @volatile private var lbls: DataFrame = initialLabels
   @volatile private var last: Long = startAfterBatch
+  @volatile private var nDocs: Long = initialCount
   private var folded: Long = 0L
 
   /** The live component labels (id, lbl) — full-graph component minima
@@ -56,6 +58,13 @@ final class CcIngest(initialBands: DataFrame, initialLabels: DataFrame,
   /** The last folded batch id — the replay cursor [[save]] persists. */
   def lastBatch: Long = last
 
+  /** The CURRENT corpus count under the build's definition (document
+    * count — build count + every folded batch's rows), the n
+    * [[Dedup.ccStaleness]] compares geometry against. Persisted with
+    * the index ([[save]]) so the definition survives the disk hop.
+    */
+  def docCount: Long = nDocs
+
   /** foreachBatch sink: fold one micro-batch of (doc_id, text) rows.
     * Document ids must be unique across the index and all batches.
     * Batches at or below the last folded id are REPLAYS (at-least-once
@@ -63,7 +72,8 @@ final class CcIngest(initialBands: DataFrame, initialLabels: DataFrame,
     */
   def foldBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
     if (batchId <= last) return
-    if (!batch.isEmpty) {
+    val batchN = batch.count()
+    if (batchN > 0) {
       val db = Dedup.lshBands(
         Dedup.minhash(batch, col("doc_id"), Dedup.bigrams(col("text")),
           nBands * rowsPerBand),
@@ -73,6 +83,7 @@ final class CcIngest(initialBands: DataFrame, initialLabels: DataFrame,
         .select(col("doc_id").as("id"), col("component").as("lbl"))
         .localCheckpoint(true) // the next fold contracts through it
       bandTable = bandTable.unionByName(db)
+      nDocs += batchN
       folded += 1
       if (flattenEvery > 0 && folded % flattenEvery == 0)
         bandTable = bandTable.localCheckpoint(true)
@@ -84,7 +95,7 @@ final class CcIngest(initialBands: DataFrame, initialLabels: DataFrame,
     * version ([[Dedup.ccIndexSave]]).
     */
   def save(path: String): Unit = synchronized {
-    Dedup.ccIndexSave(bandTable, lbls, nBands, rowsPerBand, path, last)
+    Dedup.ccIndexSave(bandTable, lbls, nBands, rowsPerBand, nDocs, path, last)
   }
 }
 
@@ -97,7 +108,7 @@ object CcIngest {
              flattenEvery: Int = KnnIngest.DefaultFlattenEvery): CcIngest = {
     val commit = graft.core.IndexStore.latest(s, path).getOrElse(sys.error(
       s"CcIngest.resume: no committed index at $path"))
-    val (bands, labels, bnd, rpb) = Dedup.ccIndexLoad(s, path)
-    new CcIngest(bands, labels, bnd, rpb, commit.lastBatch, flattenEvery)
+    val (bands, labels, bnd, rpb, n) = Dedup.ccIndexLoad(s, path)
+    new CcIngest(bands, labels, bnd, rpb, n, commit.lastBatch, flattenEvery)
   }
 }

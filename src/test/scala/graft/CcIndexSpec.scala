@@ -64,7 +64,8 @@ class CcIndexSpec extends AnyFunSuite {
     val dels = baseLabels.filter(col("id") === col("lbl"))
       .select(col("id")).limit(3).localCheckpoint(true)
     val (bands2, labels2) = Dedup.ccRetire(baseBands, baseLabels, dels)
-    val ingest = new CcIngest(bands2, labels2, bnd, rpb)
+    val ingest = new CcIngest(bands2, labels2, bnd, rpb,
+      base.count() - dels.count())
     ingest.foldBatch(delta, 0L)
 
     val net = bandsOf(base, bnd, rpb)
@@ -79,8 +80,7 @@ class CcIndexSpec extends AnyFunSuite {
     // lshGeometry is a step function of corpus size: constant across the
     // fixture's 10% delta (quiet), moved at a 100x hypothetical (fires)
     val (bnd, rpb) = Dedup.lshGeometry(docs.count() * 9 / 10)
-    val bands = bandsOf(docs, bnd, rpb)
-    val quiet = Dedup.ccStaleness(bands, bnd, rpb).first()
+    val quiet = Dedup.ccStaleness(docs.count(), bnd, rpb).first()
     info(s"cc staleness at 10% growth: $quiet")
     assert(!quiet.getAs[Boolean]("stale"),
       s"growth inside the geometry step must stay quiet: $quiet")
@@ -89,7 +89,7 @@ class CcIndexSpec extends AnyFunSuite {
     // shape of an index whose corpus shrank or grew across a step
     val (oldB, oldR) = Dedup.lshGeometry(100000L)
     assert((oldB, oldR) != (bnd, rpb), "fixture must straddle a geometry step")
-    val fired = Dedup.ccStaleness(bands, oldB, oldR).first()
+    val fired = Dedup.ccStaleness(docs.count(), oldB, oldR).first()
     info(s"cc staleness vs cross-step geometry: $fired")
     assert(fired.getAs[Boolean]("stale"),
       s"geometry-moving growth must fire: $fired")

@@ -568,7 +568,7 @@ class SoakTest extends AnyFunSuite {
     time("build_save_committed") {
       val bb = bandsOf(baseDocs).localCheckpoint(true)
       val bl = Dedup.connectedComponents(Dedup.bucketStarEdges(bb))
-      Dedup.ccIndexSave(bb, bl, bnd, rpb, s"$dir/index")
+      Dedup.ccIndexSave(bb, bl, bnd, rpb, baseDocs.count(), s"$dir/index")
       bl.count()
     }
     val ingest = CcIngest.resume(spark, s"$dir/index")
@@ -577,7 +577,7 @@ class SoakTest extends AnyFunSuite {
       ingest.labels.count()
     }
     time("staleness_probe") {
-      val r = Dedup.ccStaleness(ingest.bands, bnd, rpb).first()
+      val r = Dedup.ccStaleness(ingest.docCount, bnd, rpb).first()
       println(s"SOAKCC staleness: $r")
       assert(!r.getAs[Boolean]("stale"),
         s"10% growth inside the geometry step must stay quiet: $r")

@@ -923,7 +923,8 @@ class StreamingSpec extends AnyFunSuite {
       .localCheckpoint(true)
 
     val path = graft.core.Graft.scratch("spec_cc_resume")
-    Dedup.ccIndexSave(baseBands, baseLabels, bnd, rpb, path, lastBatch = -1L)
+    Dedup.ccIndexSave(baseBands, baseLabels, bnd, rpb, base.count(), path,
+      lastBatch = -1L)
     val ingest = CcIngest.resume(spark, path)
     assert(ingest.lastBatch === -1L)
     val b = (0 until 3).map(r =>
