@@ -92,8 +92,14 @@ object DedupQueries {
     * degenerate case the cap exists for.
     */
   private val BucketCap = 1000
-  private def duckCandCtesWith(capped: Boolean): String = {
+  // matBands renders the band table MATERIALIZED — load-bearing when the
+  // caller references it 3+ times (q183c: the candidate self-join AND the
+  // survivor filter); DuckDB inlines plain CTEs per reference (the q168
+  // lesson) and the minhash signature derivation re-expands with each
+  private def duckCandCtesWith(capped: Boolean,
+                               matBands: Boolean = false): String = {
     val pairSource = if (capped) "capped" else "bands"
+    val mat = if (matBands) "MATERIALIZED " else ""
     s"""toks AS (
        |  SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS sh
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
@@ -101,7 +107,7 @@ object DedupQueries {
        |  SELECT doc_id,
        |    $duckSig
        |  FROM toks GROUP BY doc_id
-       |), bands AS (
+       |), bands AS $mat(
        |  $duckBands
        |), capped AS (
        |  SELECT doc_id, band, key FROM (
@@ -1296,6 +1302,104 @@ object DedupQueries {
         (col("id") === col("lbl")).as("keep"))
   }
 
+  /** RETIRE documents from the dedup index, on the board
+    * ([[Dedup.ccRetire]] — the parity CcRetireSpec proves, now in the
+    * driver's gate currency; the third family's q167g/q150g twin):
+    * build the band table + component labels over the full corpus at
+    * frozen geometry, tombstone the DELIBERATELY-HARD set — every
+    * even-id component REPRESENTATIVE (the bucket-min hubs whose
+    * deletion forces hub re-derivation and can SPLIT a component) plus
+    * a flat id slice — and emit the retired labels. The oracle is the
+    * recursive closure over the SURVIVING band rows, with the tombstone
+    * set derived by a FIRST closure inside the same SQL (component
+    * minima are engine-independent), so a green hash proves the
+    * delta-scale re-solve (affected-component buckets only, never the
+    * corpus) equals the full rebuild over survivors — deletion, the
+    * weekly GDPR-class production event, under the hash gate at all
+    * three scales.
+    */
+  val q183cCcRetire = Q.checked(
+    "q183c_cc_retire",
+    // every CTE below that feeds the SECOND closure is MATERIALIZED
+    // (the q168 lesson, compounded: without it each reach2 iteration
+    // re-expands sband→del→comp→reach and the first closure re-runs
+    // inside the second's recursion — observed >30 min at sf0.1;
+    // materialized, the whole oracle is two sequential closures, 284 s)
+    s"""WITH RECURSIVE ${duckCandCtesWith(capped = false, matBands = true)}, edges AS (
+       |  SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand
+       |), reach AS (
+       |  SELECT DISTINCT a AS id, a AS lbl FROM edges
+       |  UNION
+       |  SELECT e.a AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+       |), comp AS MATERIALIZED (SELECT id, min(lbl) AS c FROM reach GROUP BY id),
+       |del AS MATERIALIZED (
+       |  SELECT id FROM comp WHERE id = c AND id % 2 = 0
+       |  UNION SELECT doc_id AS id FROM documents WHERE doc_id % 10 = 7
+       |), sband AS MATERIALIZED (
+       |  SELECT doc_id, band, key FROM bands
+       |  WHERE doc_id NOT IN (SELECT id FROM del)
+       |), cand2 AS MATERIALIZED (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM sband l JOIN sband r
+       |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+       |), edges2 AS (
+       |  SELECT a, b FROM cand2 UNION SELECT b AS a, a AS b FROM cand2
+       |), reach2 AS (
+       |  SELECT DISTINCT a AS id, a AS lbl FROM edges2
+       |  UNION
+       |  SELECT e.a AS id, r.lbl FROM edges2 e JOIN reach2 r ON r.id = e.b
+       |)
+       |SELECT id AS doc_id, min(lbl) AS component,
+       |       CAST(id = min(lbl) AS BOOLEAN) AS keep
+       |FROM reach2 GROUP BY id""") { (s, dir) =>
+    val docs = table(s, dir, "documents")
+    // geometry frozen at BUILD time over the full corpus (the q110/q183
+    // convention — retire never re-derives it from the shrunk corpus)
+    val (bnd, rpb) = Dedup.lshGeometry(docs.count())
+    val bands = Dedup.lshBands(
+      Dedup.minhash(docs, col("doc_id"), Dedup.bigrams(col("text")), bnd * rpb),
+      bnd, rpb).localCheckpoint(true)
+    val labels = Dedup.connectedComponents(Dedup.bucketStarEdges(bands))
+      .localCheckpoint(true) // tombstone derivation AND retire input
+    val dels = labels
+      .filter(col("id") === col("lbl") && col("id") % 2 === 0)
+      .select(col("id"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id").as("id")))
+    val (_, labels2) = Dedup.ccRetire(bands, labels, dels)
+    labels2.select(col("id").as("doc_id"), col("lbl").as("component"),
+      (col("id") === col("lbl")).as("keep"))
+  }
+
+  /** The CC family's STALENESS DIAL on the board ([[Dedup.ccStaleness]]
+    * — RecallSpec/CcIndexSpec calibrate the arc; this row puts the
+    * re-index trigger a scheduler acts on under the hash gate): the
+    * geometry frozen at base-build time (the 90% slice, the q183 CDC
+    * convention) probed against today's full corpus count. One row —
+    * the counts, frozen vs re-derived (bands, rows) geometry, and the
+    * stale bit. The oracle re-derives [[Dedup.lshGeometry]]'s log₂ law
+    * (r = max(2, ⌈log₂ n / 8⌉), b = max(2, round(0.35^−r))) from the
+    * same counts in SQL, so both engines agree at every corpus scale —
+    * the IVF-family geometry-macro convention applied to the LSH dial.
+    */
+  val q183dCcStaleness = Q.checked(
+    "q183d_cc_staleness",
+    """WITH nb AS (SELECT count(*) AS c FROM documents WHERE doc_id % 10 <> 0),
+      |nc AS (SELECT count(*) AS c FROM documents),
+      |gb AS (SELECT greatest(2, CAST(ceil(ln(CAST(c AS DOUBLE)) / ln(2.0) / 8.0) AS BIGINT)) AS r FROM nb),
+      |gc AS (SELECT greatest(2, CAST(ceil(ln(CAST(c AS DOUBLE)) / ln(2.0) / 8.0) AS BIGINT)) AS r FROM nc),
+      |fb AS (SELECT greatest(2, CAST(round(power(0.35, -CAST(r AS DOUBLE))) AS BIGINT)) AS b, r FROM gb),
+      |fc AS (SELECT greatest(2, CAST(round(power(0.35, -CAST(r AS DOUBLE))) AS BIGINT)) AS b, r FROM gc)
+      |SELECT nc.c AS members, fb.b AS bands_frozen, fb.r AS rows_frozen,
+      |  fc.b AS bands_recommended, fc.r AS rows_recommended,
+      |  (fc.b <> fb.b OR fc.r <> fb.r) AS stale
+      |FROM nc, fb, fc""") { (s, dir) =>
+    val docs = table(s, dir, "documents")
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val (bnd, rpb) = Dedup.lshGeometry(base.count()) // frozen at build
+    Dedup.ccStaleness(docs.count(), bnd, rpb)        // probed at today's n
+  }
+
   /** WEIGHTED single-source shortest paths (Bellman–Ford relaxation) —
     * the weighted complement of q160's unit-hop BFS, completing the
     * graph family's distance tier: edge cost 1 + (pair activity count
@@ -2125,6 +2229,7 @@ object DedupQueries {
       q142LabelProp, q144SourceOverlap, q155IvmAgg, q158BestKeeper,
       q160BfsDist, q166EntityResolution, q168Kcore, q170TimeTravel,
       q175GoldenRecord, q182KanonAudit, q183IncrementalCc, q183bCcStreaming,
+      q183cCcRetire, q183dCcStaleness,
       q188WeightedSssp,
       q193NormalizedDedup, q194ContainmentJoin, q194bContainmentNarrow,
       q196PersonalizedPagerank,

@@ -1022,6 +1022,191 @@ object SimilarityQueries {
     ingest.edges
   }
 
+  /** RETIRE vectors from the capped k-NN graph, on the board
+    * ([[Similarity.knnGraphRetire]] — the parity KnnIncrementalSpec
+    * proves, now in the driver's gate currency; q183c/q150g's dense
+    * twin): build the full-corpus capped index under frozen config,
+    * tombstone a flat 2% id slice PLUS the highest-id OVER-CAP member
+    * (assigned but not serving — deleting a servable member of its cell
+    * forces exactly the re-promotion path), and emit the mutualized
+    * retired graph. The oracle is the frozen-config rebuild over the
+    * SURVIVORS (the q167d oracle convention applied to deletes):
+    * centroids, quantizer, cells/probes/cap all stay the build's;
+    * survivors re-rank within their cells under the cap; deleted ids
+    * neither query nor serve. The tombstone set derives inside the SQL
+    * from the same capped ranking, so a green hash proves the
+    * delta-scale delete (touched-cell re-ranks + lost-neighbor
+    * re-scores + merge splices) equals the rebuild — deletion under
+    * the hash gate at all three scales.
+    */
+  val q167gKnnGraphRetire = Q.checked(
+    "q167g_knn_graph_retire",
+    s"""WITH sv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |sn AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, e -> e*e)) AS DOUBLE) AS n2 FROM sv),
+       |cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM sn WHERE vec_id < $ivfCellsSql),
+       |dots AS (
+       |  SELECT x.vec_id AS xid, c.cid,
+       |    x.n2 - 2 * CAST(list_sum(list_transform(list_zip(x.v, c.cv), p -> p[1]*p[2])) AS DOUBLE) + c.cn2 AS d2
+       |  FROM sn x, cent c
+       |), ranked AS (
+       |  SELECT xid, cid, d2, row_number() OVER (PARTITION BY xid ORDER BY d2, cid) AS rn
+       |  FROM dots
+       |), crn0 AS (
+       |  SELECT xid, cid, d2, row_number() OVER (PARTITION BY cid ORDER BY d2, xid) AS crn
+       |  FROM ranked WHERE rn = 1
+       |), oc AS (SELECT max(xid) AS oid FROM crn0 WHERE crn > $knnCapSql),
+       |del AS (
+       |  SELECT vec_id AS did FROM embeddings WHERE vec_id % 50 = 3
+       |  UNION SELECT oid AS did FROM oc WHERE oid IS NOT NULL
+       |), assign AS (
+       |  SELECT nid, cid FROM (
+       |    SELECT xid AS nid, cid, row_number() OVER (PARTITION BY cid ORDER BY d2, xid) AS crn
+       |    FROM ranked WHERE rn = 1 AND xid NOT IN (SELECT did FROM del))
+       |  WHERE crn <= $knnCapSql
+       |),
+       |probes AS (
+       |  SELECT xid AS qid, cid FROM ranked
+       |  WHERE rn <= $ivfProbesSql AND xid NOT IN (SELECT did FROM del)),
+       |cand AS (SELECT p.qid, a.nid FROM probes p JOIN assign a ON a.cid = p.cid WHERE a.nid <> p.qid),
+       |el AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+       |         ${sc("unnest(embedding)")} AS sval
+       |  FROM embeddings
+       |), stats AS (
+       |  SELECT dim, min(sval) AS mn, max(sval) AS mx FROM el GROUP BY dim
+       |), recon AS (
+       |  SELECT vec_id, e.dim,
+       |    255 * mn + (CASE WHEN mx = mn THEN 0
+       |                     ELSE ((sval - mn) * 255) // (mx - mn) END) * (mx - mn) AS r
+       |  FROM el e JOIN stats s ON s.dim = e.dim
+       |), rl AS (
+       |  SELECT vec_id, list(r ORDER BY dim) AS rv FROM recon GROUP BY vec_id
+       |), rn2 AS (
+       |  SELECT vec_id, rv, CAST(list_sum(list_transform(rv, e -> e*e)) AS DOUBLE) AS n2r FROM rl
+       |), e AS (
+       |  SELECT c.qid, c.nid,
+       |    CAST(list_sum(list_transform(list_zip(q.v, x.rv), p -> p[1]*p[2])) AS DOUBLE) / (sqrt(q.n2) * sqrt(x.n2r)) AS cos
+       |  FROM cand c JOIN sn q ON q.vec_id = c.qid JOIN rn2 x ON x.vec_id = c.nid
+       |), er AS (
+       |  SELECT qid, nid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM e
+       |), d AS (SELECT qid, nid, cos FROM er WHERE rank <= $K)
+       |SELECT f.qid AS a, f.nid AS b, f.cos AS cos
+       |FROM d f JOIN d r ON f.qid = r.nid AND f.nid = r.qid
+       |WHERE f.qid < f.nid""") { (s, dir) =>
+    val emb = table(s, dir, "embeddings")
+    val n = emb.count()
+    val cells = Similarity.ivfCellsFor(n)
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val centroids = emb.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val idx = Similarity.knnGraphBuild(corpus, centroids,
+      Similarity.ivfProbesFor(cells), K, Similarity.knnCellCapFor(n, cells, K))
+    // tombstones: the flat slice plus the highest-id assigned-not-serving
+    // member, so the delete path exercises a real re-promotion
+    val overCap = idx.assignD2.select(col("nid"), col("cid"))
+      .join(idx.servable, Seq("nid", "cid"), "left_anti")
+      .agg(max(col("nid")).as("nid")).filter(col("nid").isNotNull)
+    val dels = emb.filter(col("vec_id") % 50 === 3)
+      .select(col("vec_id").as("nid")).unionByName(overCap)
+    Similarity.mutualize(Similarity.knnGraphRetire(idx, dels).directed)
+  }
+
+  /** The k-NN family's STALENESS DIAL on the board
+    * ([[Similarity.knnStaleness]] — RecallSpec calibrates the
+    * quiet/fire/clear arc; this row puts the re-index trigger a
+    * scheduler acts on under the hash gate): the q167d base build
+    * (99% slice, frozen config) appended with the 1% delta, then
+    * probed. One row — member counts, frozen vs recommended cells,
+    * boundary-clamp ppm rates (base calibration at the deterministic
+    * xid-residue stride vs appended), the exact-integer occupancy TV
+    * ppm, and the three per-mode stale bits plus their OR. The oracle
+    * replays every dial from the same artifacts the probe reads:
+    * assignments are the frozen-centroid argmin, boundary codes
+    * reconstruct by the identical 255·mn / 255·mx bound formula, and
+    * the TV is the same Σ|cn·baseN − bn·curN| // (baseN·curN) integer
+    * arithmetic — so a green hash pins the trigger itself, not just
+    * the artifacts it reads.
+    */
+  val q167hKnnStaleness = Q.checked(
+    "q167h_knn_staleness",
+    s"""WITH sv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |sn AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, e -> e*e)) AS DOUBLE) AS n2 FROM sv),
+       |cent AS (
+       |  SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM sn
+       |  $baseWhere ORDER BY vec_id LIMIT $ivfCellsBaseSql),
+       |dots AS (
+       |  SELECT x.vec_id AS xid, c.cid,
+       |    x.n2 - 2 * CAST(list_sum(list_transform(list_zip(x.v, c.cv), p -> p[1]*p[2])) AS DOUBLE) + c.cn2 AS d2
+       |  FROM sn x, cent c
+       |), assign AS (
+       |  SELECT xid, cid FROM (
+       |    SELECT xid, cid, row_number() OVER (PARTITION BY xid ORDER BY d2, cid) AS rn
+       |    FROM dots) WHERE rn = 1
+       |), el AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+       |         ${sc("unnest(embedding)")} AS sval
+       |  FROM embeddings
+       |), stats AS (
+       |  SELECT dim, min(sval) AS mn, max(sval) AS mx FROM el $baseWhere GROUP BY dim
+       |), recon AS (
+       |  SELECT e.vec_id, e.dim, mn, mx,
+       |    255 * mn + least(255, greatest(0,
+       |      CASE WHEN mx = mn THEN 0
+       |           ELSE ((sval - mn) * 255) // (mx - mn) END)) * (mx - mn) AS r
+       |  FROM el e JOIN stats s ON s.dim = e.dim
+       |), hits AS (
+       |  SELECT vec_id,
+       |    sum(CASE WHEN mx > mn AND (r = 255 * mn OR r = 255 * mx) THEN 1 ELSE 0 END) AS h
+       |  FROM recon GROUP BY vec_id
+       |), de AS (SELECT greatest(1, count(*)) AS d FROM stats WHERE mx > mn),
+       |nb AS (SELECT count(*) AS c FROM embeddings $baseWhere),
+       |na AS (SELECT count(*) AS c FROM embeddings WHERE vec_id % 100 = 99),
+       |ncur AS (SELECT count(*) AS c FROM embeddings),
+       |cb AS (
+       |  SELECT CAST(1000000 * sum(h) // (count(*) * (SELECT d FROM de)) AS BIGINT) AS ppm
+       |  FROM hits WHERE vec_id % 100 <> 99
+       |    AND vec_id % (SELECT greatest(1, c // 65536) FROM nb) = 0),
+       |ca AS (
+       |  SELECT CAST(CASE WHEN count(*) = 0 THEN 0
+       |    ELSE 1000000 * sum(h) // (count(*) * (SELECT d FROM de)) END AS BIGINT) AS ppm
+       |  FROM hits WHERE vec_id % 100 = 99),
+       |bb AS (SELECT cid, count(*) AS bn FROM assign WHERE xid % 100 <> 99 GROUP BY cid),
+       |cc AS (SELECT cid, count(*) AS cn FROM assign GROUP BY cid),
+       |tv AS (
+       |  SELECT CAST(500000 * sum(abs(coalesce(cn, 0) * (SELECT c FROM nb)
+       |                             - coalesce(bn, 0) * (SELECT c FROM ncur)))
+       |    // ((SELECT c FROM nb) * (SELECT c FROM ncur)) AS BIGINT) AS ppm
+       |  FROM bb FULL OUTER JOIN cc USING (cid)),
+       |dial AS (
+       |  SELECT (SELECT c FROM nb) AS base_members,
+       |    (SELECT c FROM ncur) AS cur_members,
+       |    (SELECT c FROM na) AS appended,
+       |    $ivfCellsBaseSql AS cells_frozen,
+       |    (SELECT greatest(4, least(65536, CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM embeddings) AS cells_recommended,
+       |    (SELECT ppm FROM cb) AS clamp_base_ppm,
+       |    (SELECT ppm FROM ca) AS clamp_appended_ppm,
+       |    (SELECT ppm FROM tv) AS occ_tv_ppm)
+       |SELECT base_members, cur_members, appended, cells_frozen,
+       |  cells_recommended, clamp_base_ppm, clamp_appended_ppm, occ_tv_ppm,
+       |  (cells_recommended >= CAST(1.15 AS DOUBLE) * cells_frozen) AS stale_geometry,
+       |  (appended > 0 AND clamp_appended_ppm >
+       |    greatest(CAST(0.05 AS DOUBLE) * 1000000, CAST(5.0 AS DOUBLE) * clamp_base_ppm)) AS stale_quantizer,
+       |  (occ_tv_ppm > CAST(0.10 AS DOUBLE) * 1000000) AS stale_occupancy,
+       |  ((cells_recommended >= CAST(1.15 AS DOUBLE) * cells_frozen)
+       |   OR (appended > 0 AND clamp_appended_ppm >
+       |       greatest(CAST(0.05 AS DOUBLE) * 1000000, CAST(5.0 AS DOUBLE) * clamp_base_ppm))
+       |   OR (occ_tv_ppm > CAST(0.10 AS DOUBLE) * 1000000)) AS stale
+       |FROM dial""") { (s, dir) =>
+    val (idx, delta) = knnIncrementalBuild(s, dir)
+    Similarity.knnStaleness(idx, Similarity.knnGraphAppend(idx, delta))
+  }
+
   /** IVF CELL-BALANCE audit — the index-quality gate that runs after
     * build and before serving traffic (the ANN twin of q173's join-skew
     * audit): per coarse cell, the member count and integer-ppm share of
@@ -1198,6 +1383,7 @@ object SimilarityQueries {
       q116SemanticDedup, q119Sq8Ann, q120PqAnn, q120bPqTrained,
       q124IvfSq8Ann, q125IvfPqAnn, q135HybridRetrieval, q167KnnGraph,
       q167bKnnGraphSq8, q167cKnnGraphCapped, q167dKnnGraphIncremental,
-      q167eKnnGraphPersisted, q167fKnnStreaming, q197CellBalance,
+      q167eKnnGraphPersisted, q167fKnnStreaming, q167gKnnGraphRetire,
+      q167hKnnStaleness, q197CellBalance,
       q171SemanticDecon, q177ProjectEmbed, q187EmbedQa)
 }

@@ -1914,9 +1914,20 @@ object TextQueries {
     * full-corpus config. The reconstruction clamps codes to [0, 255]
     * ([[graft.operators.Similarity.sq8EncodeFrozen]]'s saturation — a
     * no-op when the quantizer trained on the full corpus).
+    *
+    * The third parameter is the RETIRE dual (q150g): `corpusPred`
+    * restricts the MEMBER corpus — every count-shaped artifact
+    * (tf/cl-counts/totals/df) and every scored member (assignment,
+    * reconstruction) — to the chunks satisfying it, while the CONFIG
+    * (geometry, centroids, quantizer stats) still derives from the
+    * chunk set `basePred` selects over the FULL corpus: exactly
+    * [[ragIndexRetire]]'s contract, where counts shrink with the
+    * survivors but the frozen dense config keeps its build-time
+    * anchors (including centroid chunks of retired docs).
     */
   private def ragHybridOracleSql(qdoc: Long,
-                                 basePred: String = "TRUE"): String =
+                                 basePred: String = "TRUE",
+                                 corpusPred: String = "TRUE"): String =
     s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |idx AS (
        |  SELECT doc_id, w,
@@ -1927,10 +1938,10 @@ object TextQueries {
        |    array_to_string(w[(k*$ChunkS+1):(k*$ChunkS+$ChunkW)], ' ') AS chunk_text
        |  FROM idx),
        |ctoks AS (SELECT xid, unnest(string_split(chunk_text, ' ')) AS term FROM chunks),
-       |tf AS (SELECT xid, term, count(*) AS tf FROM ctoks GROUP BY 1, 2),
+       |tf AS (SELECT xid, term, count(*) AS tf FROM ctoks WHERE $corpusPred GROUP BY 1, 2),
        |cl AS (SELECT xid, count(*) AS dl FROM ctoks GROUP BY 1),
-       |tot AS (SELECT (SELECT count(*) FROM cl) AS nd,
-       |               (SELECT count(*) FROM ctoks) AS tt),
+       |tot AS (SELECT (SELECT count(*) FROM cl WHERE $corpusPred) AS nd,
+       |               (SELECT count(*) FROM ctoks WHERE $corpusPred) AS tt),
        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
        |qt AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
        |       FROM documents WHERE doc_id = $qdoc),
@@ -1956,7 +1967,7 @@ object TextQueries {
        |cent AS (SELECT c.cid, x.d, x.v FROM cids c JOIN xel x ON x.xid = c.cid
        |         WHERE c.rn <= (SELECT cells FROM geo2)),
        |d2 AS (SELECT x.xid, ct.cid, sum((x.v - ct.v) * (x.v - ct.v)) AS d
-       |       FROM xel x JOIN cent ct ON ct.d = x.d GROUP BY 1, 2),
+       |       FROM xel x JOIN cent ct ON ct.d = x.d WHERE $corpusPred GROUP BY 1, 2),
        |assign AS (SELECT xid, cid FROM (
        |  SELECT xid, cid, row_number() OVER (PARTITION BY xid ORDER BY d, cid) AS rn
        |  FROM d2) WHERE rn = 1),
@@ -1978,7 +1989,7 @@ object TextQueries {
        |    255 * s.mn + least(255, greatest(0,
        |      CASE WHEN s.mx = s.mn THEN 0
        |           ELSE ((e.v - s.mn) * 255) // (s.mx - s.mn) END)) * (s.mx - s.mn) AS r
-       |  FROM xel e JOIN stats s USING (d)),
+       |  FROM xel e JOIN stats s USING (d) WHERE $corpusPred),
        |cand AS (SELECT a.xid FROM assign a JOIN probes p ON p.cid = a.cid),
        |dots AS (
        |  SELECT r.xid,
@@ -2452,6 +2463,138 @@ object TextQueries {
     ragServeDisk(ingest.index,
       ragQueryTermsOf(docs, 31L).localCheckpoint(true),
       ragQueryVector(s, dir, 31L).localCheckpoint(true), 20)
+  }
+
+  /** RETIRE documents from the RAG chunk index, on the board
+    * ([[ragIndexRetire]] — the parity RagIndexSpec proves, now in the
+    * driver's gate currency; q167g/q183c's retrieval twin): build the
+    * full-corpus index, persist it, tombstone a flat doc slice
+    * (doc_id % 9 = 4) through the LOADED index, and serve the bucket/
+    * cell-PRUNED disk path over the retired index. The oracle is the
+    * hybrid SQL over the SURVIVING corpus with the CONFIG still the
+    * full build's (`corpusPred` — counts shrink exactly with the
+    * removed posting rows, df decrements term-by-term, the totals row
+    * subtracts, retired codes leave the dense side, while geometry /
+    * centroids / quantizer keep their build-time anchors, retired
+    * centroid chunks included). Asked as doc 17 (a survivor), so a
+    * green hash proves deletion composes with the pruned serve —
+    * the GDPR-class production event under the hash gate.
+    */
+  val q150gRagRetire = Q.checked(
+    "q150g_rag_retire",
+    ragHybridOracleSql(17, corpusPred = "(xid // 1000000) % 9 <> 4")) { (s, dir) =>
+    val docs = table(s, dir, "documents")
+    val path = graft.core.Graft.scratch("q150g_rag_index")
+    ragIndexSave(ragIndexBuild(s, dir), path)
+    val idx = ragIndexRetire(ragIndexLoad(s, path),
+      docs.filter(col("doc_id") % 9 === 4).select(col("doc_id")))
+    ragServeDisk(idx,
+      ragQueryTermsOf(docs, 17L).localCheckpoint(true),
+      ragQueryVector(s, dir, 17L).localCheckpoint(true), 20)
+  }
+
+  /** The RAG family's STALENESS DIAL on the board ([[ragStaleness]] —
+    * RagIndexSpec calibrates the arc; q167h/q183d's retrieval twin,
+    * completing the three-family staleness symmetry): the dense half
+    * of the chunk index shares the k-NN family's config-decay modes
+    * exactly — frozen √n cells, frozen SQ8 quantizer over the 64
+    * hashed term-frequency buckets, cell occupancy — because it IS the
+    * same artifact shape. Base = the 49/50 doc slice's index (the
+    * q150e convention), cur = after appending the held-out docs; the
+    * probe returns the one dial row a re-index scheduler acts on. The
+    * oracle replays every dial from the chunk artifacts: assignments
+    * are the frozen-centroid argmin over the bucket vectors, boundary
+    * codes reconstruct by the same 255·mn / 255·mx bound formula, and
+    * the occupancy TV is the same exact Σ|cn·baseN − bn·curN| //
+    * (baseN·curN) integer arithmetic.
+    */
+  val q150hRagStaleness = Q.checked(
+    "q150h_rag_staleness",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |idx AS (
+       |  SELECT doc_id, w,
+       |    unnest(generate_series(0, CAST(ceil(greatest(len(w) - $ChunkW, 0) / $ChunkS.0) AS INT))) AS k
+       |  FROM words),
+       |chunks AS (
+       |  SELECT doc_id * 1000000 + k AS xid,
+       |    array_to_string(w[(k*$ChunkS+1):(k*$ChunkS+$ChunkW)], ' ') AS chunk_text
+       |  FROM idx),
+       |ctoks AS (SELECT xid, unnest(string_split(chunk_text, ' ')) AS term FROM chunks),
+       |cl AS (SELECT xid, count(*) AS dl FROM ctoks GROUP BY 1),
+       |tfb AS (SELECT xid, ('0x'||substring(md5(term),1,8))::BIGINT % 64 AS d, count(*) AS c
+       |        FROM ctoks GROUP BY 1, 2),
+       |xel AS (
+       |  SELECT g.xid, g.d,
+       |    CAST(round((CAST(coalesce(tfb.c, 0) AS DOUBLE) / CAST(g.dl AS DOUBLE)) * 1000000) AS BIGINT) AS v
+       |  FROM (SELECT cl.xid, cl.dl, dd.d FROM cl, (SELECT unnest(range(0, 64)) AS d) dd) g
+       |  LEFT JOIN tfb ON tfb.xid = g.xid AND tfb.d = g.d),
+       |geo2 AS (SELECT greatest(4, least(65536, CAST(ceil(sqrt(count(*))) AS BIGINT))) AS cells
+       |         FROM cl WHERE (xid // 1000000) % 50 <> 49),
+       |cids AS (SELECT xid AS cid, row_number() OVER (ORDER BY xid) AS rn
+       |         FROM cl WHERE (xid // 1000000) % 50 <> 49),
+       |cent AS (SELECT c.cid, x.d, x.v FROM cids c JOIN xel x ON x.xid = c.cid
+       |         WHERE c.rn <= (SELECT cells FROM geo2)),
+       |d2 AS (SELECT x.xid, ct.cid, sum((x.v - ct.v) * (x.v - ct.v)) AS d
+       |       FROM xel x JOIN cent ct ON ct.d = x.d GROUP BY 1, 2),
+       |assign AS (SELECT xid, cid FROM (
+       |  SELECT xid, cid, row_number() OVER (PARTITION BY xid ORDER BY d, cid) AS rn
+       |  FROM d2) WHERE rn = 1),
+       |stats AS (SELECT d, min(v) AS mn, max(v) AS mx FROM xel
+       |          WHERE (xid // 1000000) % 50 <> 49 GROUP BY d),
+       |recon AS (
+       |  SELECT e.xid, s.mn, s.mx,
+       |    255 * s.mn + least(255, greatest(0,
+       |      CASE WHEN s.mx = s.mn THEN 0
+       |           ELSE ((e.v - s.mn) * 255) // (s.mx - s.mn) END)) * (s.mx - s.mn) AS r
+       |  FROM xel e JOIN stats s USING (d)),
+       |hits AS (
+       |  SELECT xid,
+       |    sum(CASE WHEN mx > mn AND (r = 255 * mn OR r = 255 * mx) THEN 1 ELSE 0 END) AS h
+       |  FROM recon GROUP BY xid
+       |), de AS (SELECT greatest(1, count(*)) AS d FROM stats WHERE mx > mn),
+       |nb AS (SELECT count(*) AS c FROM cl WHERE (xid // 1000000) % 50 <> 49),
+       |na AS (SELECT count(*) AS c FROM cl WHERE (xid // 1000000) % 50 = 49),
+       |ncur AS (SELECT count(*) AS c FROM cl),
+       |cb AS (
+       |  SELECT CAST(1000000 * sum(h) // (count(*) * (SELECT d FROM de)) AS BIGINT) AS ppm
+       |  FROM hits WHERE (xid // 1000000) % 50 <> 49
+       |    AND xid % (SELECT greatest(1, c // 65536) FROM nb) = 0),
+       |ca AS (
+       |  SELECT CAST(CASE WHEN count(*) = 0 THEN 0
+       |    ELSE 1000000 * sum(h) // (count(*) * (SELECT d FROM de)) END AS BIGINT) AS ppm
+       |  FROM hits WHERE (xid // 1000000) % 50 = 49),
+       |bb AS (SELECT cid, count(*) AS bn FROM assign
+       |       WHERE (xid // 1000000) % 50 <> 49 GROUP BY cid),
+       |cc AS (SELECT cid, count(*) AS cn FROM assign GROUP BY cid),
+       |tv AS (
+       |  SELECT CAST(500000 * sum(abs(coalesce(cn, 0) * (SELECT c FROM nb)
+       |                             - coalesce(bn, 0) * (SELECT c FROM ncur)))
+       |    // ((SELECT c FROM nb) * (SELECT c FROM ncur)) AS BIGINT) AS ppm
+       |  FROM bb FULL OUTER JOIN cc USING (cid)),
+       |dial AS (
+       |  SELECT (SELECT c FROM nb) AS base_members,
+       |    (SELECT c FROM ncur) AS cur_members,
+       |    (SELECT c FROM na) AS appended,
+       |    (SELECT cells FROM geo2) AS cells_frozen,
+       |    (SELECT greatest(4, least(65536, CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM cl) AS cells_recommended,
+       |    (SELECT ppm FROM cb) AS clamp_base_ppm,
+       |    (SELECT ppm FROM ca) AS clamp_appended_ppm,
+       |    (SELECT ppm FROM tv) AS occ_tv_ppm)
+       |SELECT base_members, cur_members, appended, cells_frozen,
+       |  cells_recommended, clamp_base_ppm, clamp_appended_ppm, occ_tv_ppm,
+       |  (cells_recommended >= CAST(1.15 AS DOUBLE) * cells_frozen) AS stale_geometry,
+       |  (appended > 0 AND clamp_appended_ppm >
+       |    greatest(CAST(0.05 AS DOUBLE) * 1000000, CAST(5.0 AS DOUBLE) * clamp_base_ppm)) AS stale_quantizer,
+       |  (occ_tv_ppm > CAST(0.10 AS DOUBLE) * 1000000) AS stale_occupancy,
+       |  ((cells_recommended >= CAST(1.15 AS DOUBLE) * cells_frozen)
+       |   OR (appended > 0 AND clamp_appended_ppm >
+       |       greatest(CAST(0.05 AS DOUBLE) * 1000000, CAST(5.0 AS DOUBLE) * clamp_base_ppm))
+       |   OR (occ_tv_ppm > CAST(0.10 AS DOUBLE) * 1000000)) AS stale
+       |FROM dial""") { (s, dir) =>
+    val docs = table(s, dir, "documents")
+    val base = ragIndexBuildOf(docs.filter(col("doc_id") % 50 =!= 49))
+    val cur = ragIndexAppend(base, docs.filter(col("doc_id") % 50 === 49))
+    ragStaleness(base, cur)
   }
 
   /** Quality-first budget selection — the composition a budgeted
@@ -3051,6 +3194,7 @@ object TextQueries {
       q123BigramLm, q129Bm25, q136TermDrift, q140DsirSelect, q143TrainShuffle,
       q146HtmlExtract, q147PerceptronTrain, q150RagPipeline, q150bRagHybrid,
       q150dRagServeDisk, q150eRagIncremental, q150fRagStreaming,
+      q150gRagRetire, q150hRagStaleness,
       q150cRagServe,
       q156QualityBudget, q162WeightedSample, q164NewTerms, q184BpeApply,
       q186BooleanBm25, q207ExactKSample, q213PrioritySample, q214FeatureHash,

@@ -92,10 +92,18 @@ final class CcIngest(initialBands: DataFrame, initialLabels: DataFrame,
   }
 
   /** Checkpoint the live index + replay cursor as one atomic committed
-    * version ([[Dedup.ccIndexSave]]).
+    * version ([[Dedup.ccIndexSave]]), then RE-POINT the live frames at
+    * the version just committed, so a long-lived ingest keeps folding
+    * correctly past a SECOND save's prune (the retained version buys
+    * one cycle of grace; the reload makes the cadence unbounded —
+    * ADVICE r18). The reload also flattens the band table's lazy union
+    * chain to a FileScan.
     */
   def save(path: String): Unit = synchronized {
     Dedup.ccIndexSave(bandTable, lbls, nBands, rowsPerBand, nDocs, path, last)
+    val (b2, l2, _, _, _) = Dedup.ccIndexLoad(bandTable.sparkSession, path)
+    bandTable = b2
+    lbls = l2
   }
 }
 

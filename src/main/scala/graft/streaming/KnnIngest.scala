@@ -80,10 +80,18 @@ final class KnnIngest(initial: Similarity.KnnIndex,
   }
 
   /** Checkpoint the live index + replay cursor as one atomic committed
-    * version ([[Similarity.knnIndexSave]]).
+    * version ([[Similarity.knnIndexSave]]), then RE-POINT the live
+    * index at the version just committed: the frames held before the
+    * save may still reference an older on-disk version that the NEXT
+    * save's prune reclaims (retention buys exactly one re-index cycle
+    * of grace — ADVICE r18's resume→fold→save→keep-folding shape needs
+    * the reload to keep folding past a second save). The reload also
+    * flattens every lazy union chain to FileScans — the disk round-trip
+    * IS the flatten.
     */
   def save(path: String): Unit = synchronized {
     Similarity.knnIndexSave(current, path, last)
+    current = Similarity.knnIndexLoad(current.centroids.sparkSession, path)
   }
 
   /** The mutual k-NN edges of everything ingested so far. */

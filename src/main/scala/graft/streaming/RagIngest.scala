@@ -66,10 +66,17 @@ final class RagIngest(initial: TextQueries.RagIndex,
   }
 
   /** Checkpoint the live index + replay cursor as one atomic committed
-    * version ([[TextQueries.ragIndexSave]]).
+    * version ([[TextQueries.ragIndexSave]]), then RE-POINT the live
+    * index at the version just committed, so a long-lived ingest keeps
+    * folding correctly past a SECOND save's prune (the retained
+    * version buys one cycle of grace; the reload makes the cadence
+    * unbounded — ADVICE r18). The reload also flattens the lazy union
+    * chains to FileScans.
     */
   def save(path: String): Unit = synchronized {
     TextQueries.ragIndexSave(current, path, last)
+    current = TextQueries.ragIndexLoad(
+      current.postings.sparkSession, path)
   }
 }
 

@@ -790,24 +790,37 @@ class SoakTest extends AnyFunSuite {
     * build — and return its one-line JSON. The child rides tools/run.sh
     * (compiled classes + spark jars, the driver's own launch shape);
     * stderr inherits so Spark warnings stay visible in the soak log.
+    *
+    * Runs the child TWICE and reports the MIN wall (round-19 item 5:
+    * one-shot child walls swung 3× between same-session runs on a
+    * contended host — the round-6 failure mode, solved for the board
+    * with min-of-2 pins and applied here so the recurring COVERAGE
+    * serve-latency rows are trustworthy round-over-round). Both raw
+    * walls print for provenance; the returned JSON is the min run's.
     */
   private def freshJvm(env: Map[String, String], args: String*): String = {
     import scala.jdk.CollectionConverters._
-    val pb = new ProcessBuilder(
-      (Seq("/root/repo/tools/run.sh") ++ args).asJava)
-    pb.directory(new java.io.File("/root/repo"))
-    env.foreach { case (k, v) => pb.environment().put(k, v) }
-    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-    val t0 = System.nanoTime()
-    val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val code = proc.waitFor()
-    assert(code == 0, s"child JVM exited $code: $out")
-    val line = out.linesIterator.filter(_.startsWith("{")).toSeq.lastOption
-      .getOrElse(fail(s"child JVM printed no JSON line: $out"))
-    println(f"FRESHJVM total_child_wall ${(System.nanoTime() - t0) / 1e9}%7.1fs  $line")
-    line
+    def once(): (Double, String) = {
+      val pb = new ProcessBuilder(
+        (Seq("/root/repo/tools/run.sh") ++ args).asJava)
+      pb.directory(new java.io.File("/root/repo"))
+      env.foreach { case (k, v) => pb.environment().put(k, v) }
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val t0 = System.nanoTime()
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val code = proc.waitFor()
+      assert(code == 0, s"child JVM exited $code: $out")
+      val line = out.linesIterator.filter(_.startsWith("{")).toSeq.lastOption
+        .getOrElse(fail(s"child JVM printed no JSON line: $out"))
+      ((System.nanoTime() - t0) / 1e9, line)
+    }
+    val (w1, l1) = once()
+    val (w2, l2) = once()
+    println(f"FRESHJVM child_walls raw ${w1}%.1fs / ${w2}%.1fs  " +
+      f"min ${math.min(w1, w2)}%.1fs  ${if (w2 <= w1) l2 else l1}")
+    if (w2 <= w1) l2 else l1
   }
 
   soakGated("soak: q167e persisted knn index — fresh-JVM load+serve vs build at 190k") {

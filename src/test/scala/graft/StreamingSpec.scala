@@ -899,6 +899,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(resumed.lastBatch === 1L)
   }
 
+  test("knn ingest: fold→save→fold→save→fold stays exact past the second prune") {
+    // ADVICE r18's exact shape: one long-lived ingest saving at a
+    // checkpoint cadence while it keeps folding. The SECOND save's
+    // prune reclaims the version the pre-first-save frames referenced
+    // (retention buys one cycle of grace); save()'s re-point at the
+    // just-committed version is what keeps fold #3 off deleted files.
+    import graft.operators.Similarity
+    import graft.streaming.KnnIngest
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 10 =!= 9)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val delta = emb.filter(col("vec_id") % 10 === 9)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val nb = base.count()
+    val cells = Similarity.ivfCellsFor(nb)
+    val centroids = base.orderBy(col("xid")).limit(cells)
+      .select(col("xid").as("cid"), col("xvec").as("cvec"))
+    val idx0 = Similarity.knnGraphBuild(base, centroids,
+      Similarity.ivfProbesFor(cells), 3,
+      Similarity.knnCellCapFor(nb, cells, 3))
+    val b = (0 until 3).map(r =>
+      delta.filter(col("xid") % 3 === r).localCheckpoint(true))
+    val path = graft.core.Graft.scratch("spec_knn_save_chain")
+    val ingest = new KnnIngest(idx0)
+    ingest.foldBatch(b(0), 0L)
+    ingest.save(path) // v1
+    ingest.foldBatch(b(1), 1L)
+    ingest.save(path) // v2 commits; prune retains v1
+    ingest.foldBatch(b(2), 2L) // v3 era: pre-v1 frames would be gone
+    ingest.save(path) // v3 commits; prune RECLAIMS v1
+    // serving and one more fold must still work from the live frames
+    val got = ingest.edges.localCheckpoint(true)
+    val want = Similarity.mutualize(Similarity.knnGraphAppend(
+        Similarity.knnGraphAppend(Similarity.knnGraphAppend(
+          idx0, b(0)), b(1)), b(2)).directed)
+      .localCheckpoint(true)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "save-interleaved folds diverged from the chained appends")
+    assert(graft.core.IndexStore.latest(spark, path).get.version === 3L)
+  }
+
   test("cc ingest: chained micro-batch folds equal the one-shot incremental serve") {
     // the dedup family's streaming lane (CcIngest — q183b's engine):
     // after k micro-batches the labels must equal ONE ccIncrementalServe
