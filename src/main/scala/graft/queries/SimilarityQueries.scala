@@ -1207,6 +1207,155 @@ object SimilarityQueries {
     Similarity.knnStaleness(idx, Similarity.knnGraphAppend(idx, delta))
   }
 
+  /** The REINDEX ARC on the board — q167h's dial is the trigger; this
+    * row gates the whole loop a production scheduler runs on it
+    * (RecallSpec calibrates the same arc in-spec): a 33%-regime append
+    * (base = the 2/3 slice vec_id % 3 ≠ 0) outgrows the frozen
+    * geometry, the probe FIRES (cells recommended ≥ 1.15× frozen at
+    * every verify scale — 23 vs 19 at 500 vectors, 45 vs 37 at 2000),
+    * the pipeline re-indexes the full corpus at the RE-DERIVED
+    * geometry, and the post-reindex probe is QUIET on every dial
+    * (zero appends, zero occupancy TV, geometry at its own
+    * recommendation). Output = both dial rows tagged by phase, so the
+    * green hash pins the transition itself — fire before, clear
+    * after — not just each endpoint. The oracle replays both probes
+    * from the artifacts: the before-phase dials under the base-slice
+    * config (the q167h rendering at the 1/3 split), the after-phase
+    * under the full-corpus config where appended/TV are exactly zero
+    * by construction and the clamp calibration re-reads the full
+    * store under its own quantizer.
+    */
+  val q167iKnnReindex = Q.checked(
+    "q167i_knn_reindex",
+    s"""WITH sv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |sn AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, e -> e*e)) AS DOUBLE) AS n2 FROM sv),
+       |nb AS (SELECT count(*) AS c FROM embeddings WHERE vec_id % 3 <> 0),
+       |na AS (SELECT count(*) AS c FROM embeddings WHERE vec_id % 3 = 0),
+       |ncur AS (SELECT count(*) AS c FROM embeddings),
+       |cellsb AS (SELECT greatest(4, least(65536, CAST(ceil(sqrt(c)) AS BIGINT))) AS cells FROM nb),
+       |cellsf AS (SELECT greatest(4, least(65536, CAST(ceil(sqrt(c)) AS BIGINT))) AS cells FROM ncur),
+       |centb AS (
+       |  SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM sn
+       |  WHERE vec_id % 3 <> 0 ORDER BY vec_id LIMIT (SELECT cells FROM cellsb)),
+       |centf AS (
+       |  SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM sn
+       |  WHERE vec_id < (SELECT cells FROM cellsf)),
+       |el AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+       |         ${sc("unnest(embedding)")} AS sval
+       |  FROM embeddings),
+       |statsb AS (SELECT dim, min(sval) AS mn, max(sval) AS mx FROM el WHERE vec_id % 3 <> 0 GROUP BY dim),
+       |statsf AS (SELECT dim, min(sval) AS mn, max(sval) AS mx FROM el GROUP BY dim),
+       |reconb AS (
+       |  SELECT e.vec_id, s.mn, s.mx,
+       |    255 * s.mn + least(255, greatest(0,
+       |      CASE WHEN s.mx = s.mn THEN 0
+       |           ELSE ((e.sval - s.mn) * 255) // (s.mx - s.mn) END)) * (s.mx - s.mn) AS r
+       |  FROM el e JOIN statsb s ON s.dim = e.dim),
+       |reconf AS (
+       |  SELECT e.vec_id, s.mn, s.mx,
+       |    255 * s.mn + least(255, greatest(0,
+       |      CASE WHEN s.mx = s.mn THEN 0
+       |           ELSE ((e.sval - s.mn) * 255) // (s.mx - s.mn) END)) * (s.mx - s.mn) AS r
+       |  FROM el e JOIN statsf s ON s.dim = e.dim),
+       |hitsb AS (
+       |  SELECT vec_id,
+       |    sum(CASE WHEN mx > mn AND (r = 255 * mn OR r = 255 * mx) THEN 1 ELSE 0 END) AS h
+       |  FROM reconb GROUP BY vec_id),
+       |hitsf AS (
+       |  SELECT vec_id,
+       |    sum(CASE WHEN mx > mn AND (r = 255 * mn OR r = 255 * mx) THEN 1 ELSE 0 END) AS h
+       |  FROM reconf GROUP BY vec_id),
+       |deb AS (SELECT greatest(1, count(*)) AS d FROM statsb WHERE mx > mn),
+       |def AS (SELECT greatest(1, count(*)) AS d FROM statsf WHERE mx > mn),
+       |cbb AS (
+       |  SELECT CAST(1000000 * sum(h) // (count(*) * (SELECT d FROM deb)) AS BIGINT) AS ppm
+       |  FROM hitsb WHERE vec_id % 3 <> 0
+       |    AND vec_id % (SELECT greatest(1, c // 65536) FROM nb) = 0),
+       |cab AS (
+       |  SELECT CAST(CASE WHEN count(*) = 0 THEN 0
+       |    ELSE 1000000 * sum(h) // (count(*) * (SELECT d FROM deb)) END AS BIGINT) AS ppm
+       |  FROM hitsb WHERE vec_id % 3 = 0),
+       |cbf AS (
+       |  SELECT CAST(1000000 * sum(h) // (count(*) * (SELECT d FROM def)) AS BIGINT) AS ppm
+       |  FROM hitsf WHERE vec_id % (SELECT greatest(1, c // 65536) FROM ncur) = 0),
+       |dotsb AS (
+       |  SELECT x.vec_id AS xid, c.cid,
+       |    x.n2 - 2 * CAST(list_sum(list_transform(list_zip(x.v, c.cv), p -> p[1]*p[2])) AS DOUBLE) + c.cn2 AS d2
+       |  FROM sn x, centb c),
+       |assignb AS (
+       |  SELECT xid, cid FROM (
+       |    SELECT xid, cid, row_number() OVER (PARTITION BY xid ORDER BY d2, cid) AS rn
+       |    FROM dotsb) WHERE rn = 1),
+       |bb AS (SELECT cid, count(*) AS bn FROM assignb WHERE xid % 3 <> 0 GROUP BY cid),
+       |cc AS (SELECT cid, count(*) AS cn FROM assignb GROUP BY cid),
+       |tvb AS (
+       |  SELECT CAST(500000 * sum(abs(coalesce(cn, 0) * (SELECT c FROM nb)
+       |                             - coalesce(bn, 0) * (SELECT c FROM ncur)))
+       |    // ((SELECT c FROM nb) * (SELECT c FROM ncur)) AS BIGINT) AS ppm
+       |  FROM bb FULL OUTER JOIN cc USING (cid)),
+       |dials AS (
+       |  SELECT 'before' AS phase,
+       |    (SELECT c FROM nb) AS base_members, (SELECT c FROM ncur) AS cur_members,
+       |    (SELECT c FROM na) AS appended,
+       |    (SELECT cells FROM cellsb) AS cells_frozen,
+       |    (SELECT cells FROM cellsf) AS cells_recommended,
+       |    (SELECT ppm FROM cbb) AS clamp_base_ppm,
+       |    (SELECT ppm FROM cab) AS clamp_appended_ppm,
+       |    (SELECT ppm FROM tvb) AS occ_tv_ppm
+       |  UNION ALL
+       |  SELECT 'after' AS phase,
+       |    (SELECT c FROM ncur), (SELECT c FROM ncur), 0,
+       |    (SELECT cells FROM cellsf), (SELECT cells FROM cellsf),
+       |    (SELECT ppm FROM cbf), 0, 0)
+       |SELECT phase, base_members, cur_members, appended, cells_frozen,
+       |  cells_recommended, clamp_base_ppm, clamp_appended_ppm, occ_tv_ppm,
+       |  (cells_recommended >= CAST(1.15 AS DOUBLE) * cells_frozen) AS stale_geometry,
+       |  (appended > 0 AND clamp_appended_ppm >
+       |    greatest(CAST(0.05 AS DOUBLE) * 1000000, CAST(5.0 AS DOUBLE) * clamp_base_ppm)) AS stale_quantizer,
+       |  (occ_tv_ppm > CAST(0.10 AS DOUBLE) * 1000000) AS stale_occupancy,
+       |  ((cells_recommended >= CAST(1.15 AS DOUBLE) * cells_frozen)
+       |   OR (appended > 0 AND clamp_appended_ppm >
+       |       greatest(CAST(0.05 AS DOUBLE) * 1000000, CAST(5.0 AS DOUBLE) * clamp_base_ppm))
+       |   OR (occ_tv_ppm > CAST(0.10 AS DOUBLE) * 1000000)) AS stale
+       |FROM dials""") { (s, dir) =>
+    val emb = table(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val nb = base.count()
+    val cellsB = Similarity.ivfCellsFor(nb)
+    val centB = base.orderBy(col("xid")).limit(cellsB)
+      .select(col("xid").as("cid"), col("xvec").as("cvec"))
+    val idx = Similarity.knnGraphBuild(base, centB,
+      Similarity.ivfProbesFor(cellsB), K,
+      Similarity.knnCellCapFor(nb, cellsB, K))
+    val before = Similarity
+      .knnStaleness(idx, Similarity.knnGraphAppend(idx, delta))
+      .withColumn("phase", lit("before"))
+    // the geometry dial FIRED — re-index the full corpus at the
+    // re-derived config (the production response the dial schedules)
+    val n = emb.count()
+    val cells = Similarity.ivfCellsFor(n)
+    val corpus = emb.select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val cent = emb.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val idx2 = Similarity.knnGraphBuild(corpus, cent,
+      Similarity.ivfProbesFor(cells), K,
+      Similarity.knnCellCapFor(n, cells, K))
+    val after = Similarity.knnStaleness(idx2, idx2)
+      .withColumn("phase", lit("after"))
+    before.unionByName(after)
+      .select(col("phase"), col("base_members"), col("cur_members"),
+        col("appended"), col("cells_frozen"), col("cells_recommended"),
+        col("clamp_base_ppm"), col("clamp_appended_ppm"),
+        col("occ_tv_ppm"), col("stale_geometry"), col("stale_quantizer"),
+        col("stale_occupancy"), col("stale"))
+  }
+
   /** IVF CELL-BALANCE audit — the index-quality gate that runs after
     * build and before serving traffic (the ANN twin of q173's join-skew
     * audit): per coarse cell, the member count and integer-ppm share of
@@ -1384,6 +1533,6 @@ object SimilarityQueries {
       q124IvfSq8Ann, q125IvfPqAnn, q135HybridRetrieval, q167KnnGraph,
       q167bKnnGraphSq8, q167cKnnGraphCapped, q167dKnnGraphIncremental,
       q167eKnnGraphPersisted, q167fKnnStreaming, q167gKnnGraphRetire,
-      q167hKnnStaleness, q197CellBalance,
+      q167hKnnStaleness, q167iKnnReindex, q197CellBalance,
       q171SemanticDecon, q177ProjectEmbed, q187EmbedQa)
 }

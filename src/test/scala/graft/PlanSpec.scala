@@ -437,6 +437,28 @@ class PlanSpec extends AnyFunSuite {
       "cell filter must prune the code store:\n" + dp.take(2000))
   }
 
+  test("q150g retired index: bucket/cell pruning survives the tombstone anti-joins") {
+    import graft.queries.TextQueries
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val path = graft.core.Graft.scratch("planspec_rag_retire")
+    TextQueries.ragIndexSave(TextQueries.ragIndexBuildOf(docs), path)
+    val idx = TextQueries.ragIndexRetire(TextQueries.ragIndexLoad(spark, path),
+      docs.filter(col("doc_id") % 9 === 4).select(col("doc_id")))
+    // the serve's isin sits on TOP of the retire's broadcast left-anti;
+    // pushdown must carry it past the join into the FileScan's
+    // PartitionFilters — else every post-delete serve rescans the store
+    val sp = idx.postings.filter(col("tb").isin(3, 17, 41))
+      .queryExecution.executedPlan.toString
+    assert(sp.contains("FileScan parquet"), sp.take(3000))
+    assert(sp.contains("PartitionFilters: [") && sp.contains("tb"),
+      "bucket filter lost through the retire anti-join:\n" + sp.take(3000))
+    val dp = idx.index.filter(col("cid").isin(1L, 2L))
+      .queryExecution.executedPlan.toString
+    assert(dp.contains("PartitionFilters: [") && dp.contains("cid"),
+      "cell filter lost through the retire anti-join:\n" + dp.take(3000))
+  }
+
   test("q150e appended index: the bucket filter prunes the base store through the union") {
     import graft.queries.TextQueries
     import org.apache.spark.sql.functions.col
