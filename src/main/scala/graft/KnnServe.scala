@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions.col
   * steady state (artifacts already pinned, only the delta moves) while
   * batch 1 carries the cold-start load.
   *
+  * SERVE-REFRESH: before each batch the daemon re-resolves the store's
+  * committed version (one directory listing + marker read — cheap at
+  * batch granularity) and, when a writer committed a newer version,
+  * re-loads and re-pins from it before folding — the committed store
+  * supersedes local fold state (the writer owns the index; this JVM's
+  * folds are serve-side scratch). Between the commit and this refresh
+  * the old frames keep reading the RETAINED prior version — the
+  * [[graft.core.IndexStore.prune]] grace window the two-JVM soak
+  * exercises against a live writer.
+  *
   * Usage: KnnServeMain <indexPath> <deltaParquet> [<deltaParquet2> ...]
   * (delta parquet schema: xid long, xvec array<float>; ids unique
   * across index ∪ all deltas — the append contract)
@@ -38,23 +48,33 @@ object KnnServeMain {
       .getOrCreate()
     graft.core.Graft.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
-    val t0 = System.nanoTime()
-    val raw = graft.operators.Similarity.knnIndexLoad(spark, indexPath)
     // serving posture: pin the NARROW artifacts (ids/cells/ranks — ~1% of
     // the index bytes) so the serve's repeated uses don't re-list the
     // cell-partitioned store; the wide vector/code tables stream from disk
-    var idx = raw.copy(
+    def pinned(raw: graft.operators.Similarity.KnnIndex) = raw.copy(
       servable = raw.servable.localCheckpoint(true),
       probes = raw.probes.localCheckpoint(true),
       assignD2 = raw.assignD2.localCheckpoint(true),
       directed = raw.directed.localCheckpoint(true))
+    val t0 = System.nanoTime()
+    var v = graft.core.IndexStore.latest(spark, indexPath).getOrElse(
+      sys.error(s"KnnServeMain: no committed index at $indexPath")).version
+    var idx = pinned(graft.operators.Similarity.knnIndexLoad(spark, indexPath))
     val load = (System.nanoTime() - t0) / 1e9
     val batches = args.drop(1).toSeq.map { deltaPath =>
       val t1 = System.nanoTime()
+      val nv = graft.core.IndexStore.latest(spark, indexPath).get.version
+      if (nv != v) { // a writer moved the store — refresh before folding
+        idx = pinned(graft.operators.Similarity.knnIndexLoad(spark, indexPath))
+        v = nv
+      }
       val delta = spark.read.parquet(deltaPath).select(col("xid"), col("xvec"))
       idx = graft.operators.Similarity.knnGraphAppend(idx, delta)
       val edges = graft.operators.Similarity.mutualize(idx.directed).count()
-      f"""{"edges":$edges,"sec":${(System.nanoTime() - t1) / 1e9}%.1f}"""
+      val line =
+        f"""{"edges":$edges,"v":$v,"sec":${(System.nanoTime() - t1) / 1e9}%.1f}"""
+      System.err.println(s"KNNSERVE_BATCH $line") // streamed for 2-JVM soaks
+      line
     }
     println(f"""{"load_sec":$load%.1f,"batches":[${batches.mkString(",")}]}""")
     spark.stop()
@@ -71,6 +91,15 @@ object KnnServeMain {
   * Per-query timings separate the cold first query (artifact listing,
   * codegen warmup) from the steady-state marginal cost q150c's curve
   * measures in-session.
+  *
+  * SERVE-REFRESH: before each query the daemon re-resolves the store's
+  * committed version and re-loads when a writer moved it — between the
+  * commit and the refresh, in-flight reads keep hitting the RETAINED
+  * prior version (the prune grace window). Each per-query record
+  * carries the version it answered from plus a result checksum
+  * (Σ (doc_id·chunkBase + chunk_id)·rank over the fused top-k), so the
+  * two-JVM soak can assert the answers match the right config on BOTH
+  * sides of a live writer's version flip.
   *
   * Usage: RagServeMain <indexPath> <documentsParquet> <qdoc>[,<qdoc>...] [k]
   */
@@ -98,19 +127,34 @@ object RagServeMain {
     graft.core.Graft.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val idx = graft.queries.TextQueries.ragIndexLoad(spark, indexPath)
+    var v = graft.core.IndexStore.latest(spark, indexPath).getOrElse(
+      sys.error(s"RagServeMain: no committed index at $indexPath")).version
+    var idx = graft.queries.TextQueries.ragIndexLoad(spark, indexPath)
     val load = (System.nanoTime() - t0) / 1e9
     val queries = qdocs.map { qdoc =>
       val t1 = System.nanoTime()
+      val nv = graft.core.IndexStore.latest(spark, indexPath).get.version
+      if (nv != v) { // a writer moved the store — serve the new version
+        idx = graft.queries.TextQueries.ragIndexLoad(spark, indexPath)
+        v = nv
+      }
       // the query doc is ONE row — scan the corpus for it once (pushdown
       // on doc_id), then derive terms and the dense vector from that row
       val qdocRow = spark.read.parquet(docsPath)
         .filter(col("doc_id") === qdoc).localCheckpoint(true)
-      val hits = graft.queries.TextQueries.ragServeDisk(idx,
+      val res = graft.queries.TextQueries.ragServeDisk(idx,
         graft.queries.TextQueries.ragQueryTermsOf(qdocRow, qdoc).localCheckpoint(true),
         graft.queries.TextQueries.ragQueryVectorOf(qdocRow, qdoc).localCheckpoint(true),
-        k).count()
-      f"""{"qdoc":$qdoc,"hits":$hits,"sec":${(System.nanoTime() - t1) / 1e9}%.1f}"""
+        k).localCheckpoint(true)
+      val hits = res.count()
+      val sum = res.agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.expr(
+          s"sum((doc_id * ${graft.queries.TextQueries.ChunkIdBase} + chunk_id) * rank)"),
+        org.apache.spark.sql.functions.lit(0L))).first().getLong(0)
+      val line = f"""{"qdoc":$qdoc,"hits":$hits,"sum":$sum,"v":$v,""" +
+        f""""sec":${(System.nanoTime() - t1) / 1e9}%.1f}"""
+      System.err.println(s"RAGSERVE_QUERY $line") // streamed for 2-JVM soaks
+      line
     }
     println(f"""{"load_sec":$load%.1f,"queries":[${queries.mkString(",")}]}""")
     spark.stop()

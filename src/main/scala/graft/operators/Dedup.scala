@@ -277,7 +277,13 @@ object Dedup {
   def ccStaleness(curCount: Long, bnd: Int, rpb: Int): DataFrame = {
     require(curCount > 0,
       s"ccStaleness: positive corpus count required, got $curCount")
-    val s = org.apache.spark.sql.SparkSession.active
+    // resolve active-OR-default: an external scheduler thread driving
+    // the re-index trigger has no thread-local active session, and
+    // SparkSession.active throws there (ADVICE r19)
+    val s = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException(
+        "ccStaleness: no active or default SparkSession in this JVM"))
     import s.implicits._
     val (rb, rr) = lshGeometry(curCount)
     Seq((curCount, bnd.toLong, rpb.toLong, rb.toLong, rr.toLong,
@@ -298,7 +304,8 @@ object Dedup {
     */
   def ccIndexSave(bands: DataFrame, labels: DataFrame,
                   bnd: Int, rpb: Int, corpusCount: Long, path: String,
-                  lastBatch: Long = -1L): Unit = {
+                  lastBatch: Long = -1L, baseVersion: Long = -1L,
+                  retain: Int = 1): Unit = {
     val s = bands.sparkSession
     import s.implicits._
     val (dir, v) = graft.core.IndexStore.begin(s, path)
@@ -308,8 +315,8 @@ object Dedup {
     Seq((bnd.toLong, rpb.toLong, corpusCount))
       .toDF("bands", "rows_per_band", "corpus_count")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/config")
-    graft.core.IndexStore.commit(s, path, v, lastBatch)
-    graft.core.IndexStore.prune(s, path, v)
+    graft.core.IndexStore.commit(s, path, v, lastBatch, baseVersion)
+    graft.core.IndexStore.prune(s, path, v, retain)
   }
 
   /** Reconstitute [[ccIndexSave]] artifacts from the latest committed
@@ -327,6 +334,57 @@ object Dedup {
       conf.getAs[Long]("bands").toInt, conf.getAs[Long]("rows_per_band").toInt,
       conf.getAs[Long]("corpus_count"))
   }
+
+  /** The dedup family's unified maintenance entry — the third twin of
+    * [[graft.operators.Similarity.knnMaintain]], one cron-able call:
+    * load the committed index's FROZEN geometry + labels, probe
+    * [[ccStaleness]] at the CURRENT corpus count (`docs` is the source
+    * of truth — the q183d convention), and when the geometry step
+    * fires re-index the corpus at [[lshGeometry]]'s re-derived
+    * (bands, rows), save as the new baseline, probe again. Unlike the
+    * k-NN/RAG dials, CC's staleness needs no baseline artifacts — the
+    * geometry law is count-only — so the store's config alone carries
+    * the frozen side. Each phase row also carries the label-table
+    * stats (`n_labeled`, `n_components`) of the index SERVING in that
+    * phase, so the gate hash pins the rebuild's artifacts, not just
+    * its config arithmetic (q183f gates the fired arc against q183e's
+    * oracle). The rebuild carries the replay cursor forward.
+    */
+  def ccMaintain(s: org.apache.spark.sql.SparkSession, path: String,
+                 docs: DataFrame, retain: Int = 1): DataFrame = {
+    val store = graft.core.IndexStore
+    val c = store.latest(s, path).getOrElse(sys.error(
+      s"ccMaintain: no committed index at $path — build and save first"))
+    val (_, labels, bnd, rpb, _) = ccIndexLoad(s, path)
+    val n = docs.count()
+    val before = ccPhaseRow("before", n, bnd, rpb, labels)
+    if (!before.first().getAs[Boolean]("stale"))
+      return graft.operators.Similarity.phased(before)
+    val (b2, r2) = lshGeometry(n)
+    val bands2 = lshBands(
+      minhash(docs, col("doc_id"), bigrams(col("text")), b2 * r2),
+      b2, r2).localCheckpoint(true)
+    val labels2 = connectedComponents(bucketStarEdges(bands2))
+    ccIndexSave(bands2, labels2, b2, r2, n, path, lastBatch = c.lastBatch,
+      retain = retain)
+    val (_, loaded2, _, _, _) = ccIndexLoad(s, path)
+    graft.operators.Similarity.phased(before.unionByName(
+      ccPhaseRow("after", n, b2, r2, loaded2)))
+  }
+
+  /** One phase-tagged dial row of the CC maintenance arc: the
+    * [[ccStaleness]] columns plus the serving label table's row and
+    * component counts (artifact-derived — what makes the arc's hash
+    * pin the rebuild itself).
+    */
+  private[graft] def ccPhaseRow(phase: String, curCount: Long,
+      bnd: Int, rpb: Int, labels: DataFrame): DataFrame =
+    ccStaleness(curCount, bnd, rpb)
+      .withColumn("phase", lit(phase))
+      .crossJoin(broadcast(labels.agg(
+        count(lit(1)).as("n_labeled"),
+        count_distinct(col("lbl")).as("n_components"))))
+      .localCheckpoint(true)
 
   /** Release the cached blocks behind a (possibly projected)
     * localCheckpoint'd frame. Safe only once nothing will recompute from

@@ -697,13 +697,18 @@ object Similarity {
     * [[knnIndexLoad]] always resolves the latest COMMITTED version.
     * `lastBatch` persists the streaming ingest's replay cursor
     * ([[graft.streaming.KnnIngest]]); −1 for non-streaming saves.
+    * `baseVersion` is the staleness baseline this save's config
+    * descends from (−1 ⇒ this save IS a full build); `retain` widens
+    * the concurrent-reader grace window ([[graft.core.IndexStore
+    * .prune]]) without library edits.
     */
-  def knnIndexSave(idx: KnnIndex, path: String, lastBatch: Long = -1L): Unit = {
+  def knnIndexSave(idx: KnnIndex, path: String, lastBatch: Long = -1L,
+                   baseVersion: Long = -1L, retain: Int = 1): Unit = {
     val s = idx.centroids.sparkSession
     val (dir, v) = graft.core.IndexStore.begin(s, path)
     knnIndexSaveTables(idx, dir)
-    graft.core.IndexStore.commit(s, path, v, lastBatch)
-    graft.core.IndexStore.prune(s, path, v)
+    graft.core.IndexStore.commit(s, path, v, lastBatch, baseVersion)
+    graft.core.IndexStore.prune(s, path, v, retain)
   }
 
   /** The uncommitted table writes of [[knnIndexSave]] — package-visible
@@ -746,8 +751,15 @@ object Similarity {
     * that crashed between tables is invisible.
     */
   def knnIndexLoad(s: org.apache.spark.sql.SparkSession,
-                   rootPath: String): KnnIndex = {
-    val path = graft.core.IndexStore.latestDir(s, rootPath)
+                   rootPath: String): KnnIndex =
+    knnIndexLoadAt(s, graft.core.IndexStore.latestDir(s, rootPath))
+
+  /** [[knnIndexLoad]] of one EXPLICIT committed version directory —
+    * how [[knnMaintain]] reconstitutes the staleness baseline while
+    * the latest version keeps serving.
+    */
+  private[graft] def knnIndexLoadAt(s: org.apache.spark.sql.SparkSession,
+                                    path: String): KnnIndex = {
     val conf = s.read.parquet(s"$path/config").first()
     val stats = s.read.parquet(s"$path/stats").orderBy(col("dim")).collect()
       .map(r => (r.getAs[Long]("mn"), r.getAs[Long]("rng"))).toSeq
@@ -888,6 +900,11 @@ object Similarity {
 
   /** [[indexStaleness]] over two [[KnnIndex]] states — base = the
     * persisted build, cur = after its appends (loaded or chained).
+    * The frozen geometry is read from CUR's own centroids: identical
+    * to base's while cur descends from it (appends never re-derive
+    * config), and still correct the probe after a REBUILD resets the
+    * baseline — base's old cell count is then history, not the frozen
+    * config being probed.
     */
   def knnStaleness(base: KnnIndex, cur: KnnIndex): DataFrame =
     indexStaleness(
@@ -895,7 +912,60 @@ object Similarity {
       cur.enc.select(col("xid"), col("rx")),
       base.assignD2.select(col("cid")),
       cur.assignD2.select(col("cid")),
-      cur.stats, base.centroids.count().toInt)
+      cur.stats, cur.centroids.count().toInt)
+
+  /** The UNIFIED MAINTENANCE ENTRY a scheduler crons against a
+    * persisted k-NN store — one call composing the gated pieces the
+    * q167i arc wires by hand: load the latest committed version and
+    * its recorded staleness BASELINE (the last full build — the
+    * commit marker names it and [[graft.core.IndexStore.prune]] never
+    * reclaims it), probe [[knnStaleness]] between them, and when the
+    * dial FIRES re-index `corpus` (the raw (xid, xvec) source of
+    * truth — geometry, centroids and quantizer all re-derive from it)
+    * at the re-derived config, save it as the NEW baseline (the
+    * rebuild commit names itself, releasing the old baseline for
+    * reclaim), and probe again. Returns the phase-tagged dial rows —
+    * `before` alone when the store is healthy, `before` + a quiet
+    * `after` when a re-index ran (exactly q167i's two-row arc, which
+    * is how q167j gates this call against the same oracle). The
+    * rebuild carries the replay cursor forward: the corpus already
+    * contains every folded batch, so a resumed ingest must keep
+    * skipping them.
+    */
+  def knnMaintain(s: org.apache.spark.sql.SparkSession, path: String,
+                  corpus: DataFrame, retain: Int = 1): DataFrame = {
+    val store = graft.core.IndexStore
+    val c = store.latest(s, path).getOrElse(sys.error(
+      s"knnMaintain: no committed index at $path — build and save first"))
+    val cur = knnIndexLoadAt(s, store.committedDirOf(s, path, c.version).get)
+    val base =
+      if (c.baseVersion == c.version) cur
+      else knnIndexLoadAt(s, store.committedDirOf(s, path, c.baseVersion)
+        .getOrElse(sys.error(
+          s"knnMaintain: baseline v=${c.baseVersion} of $path is gone — " +
+            "it must stay retained until a rebuild resets it (widen " +
+            "`retain` if an external cleaner removed it)")))
+    val before = knnStaleness(base, cur)
+      .withColumn("phase", lit("before")).localCheckpoint(true)
+    if (!before.first().getAs[Boolean]("stale")) return phased(before)
+    val n = corpus.count()
+    val cells = ivfCellsFor(n)
+    val cents = corpus.orderBy(col("xid")).limit(cells)
+      .select(col("xid").as("cid"), col("xvec").as("cvec"))
+    val idx2 = knnGraphBuild(corpus, cents, ivfProbesFor(cells), cur.k,
+      knnCellCapFor(n, cells, cur.k))
+    knnIndexSave(idx2, path, lastBatch = c.lastBatch, retain = retain)
+    val cur2 = knnIndexLoad(s, path)
+    phased(before.unionByName(
+      knnStaleness(cur2, cur2).withColumn("phase", lit("after"))))
+  }
+
+  /** Column order of the maintain/arc dial rows — phase first (shared
+    * by the three families' maintain entries).
+    */
+  private[graft] def phased(dials: DataFrame): DataFrame =
+    dials.select(col("phase") +:
+      dials.columns.filterNot(_ == "phase").map(col).toSeq: _*)
 
   /** The ONE md5-parity ±1 matrix derivation behind [[srpSigns]] and
     * [[projSigns]]: entry (j, d) = parity of the last digest byte of

@@ -68,20 +68,32 @@ object DedupQueries {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
   }
 
-  private def duckSig: String =
-    (0 until Seeds).map { i =>
+  /** [[duckSig]] at an explicit seed count — the oracle rendering of
+    * [[Dedup.minhash]]'s md5 hash family (4 32-bit members per digest,
+    * group 0 unprefixed — the [[graft.functions.Hashing
+    * .hash32FamilyGroup]] convention).
+    */
+  private def duckSigOf(seeds: Int): String =
+    (0 until seeds).map { i =>
       val g = i / 4
       val digest = if (g == 0) "md5(sh)" else s"md5('$g:'||sh)"
       s"min(('0x'||substring($digest,${1 + 8 * (i % 4)},8))::BIGINT) AS mh$i"
     }.mkString(",\n    ")
 
-  private def duckBands: String =
-    (0 until Bands).map { b =>
-      val key = (0 until RowsPerBand)
-        .map(r => s"CAST(mh${b * RowsPerBand + r} AS VARCHAR)")
+  private def duckSig: String = duckSigOf(Seeds)
+
+  /** [[duckBands]] at an explicit geometry over an explicit signature
+    * CTE — the oracle rendering of [[Dedup.lshBands]].
+    */
+  private def duckBandsOf(bands: Int, rows: Int, sigCte: String): String =
+    (0 until bands).map { b =>
+      val key = (0 until rows)
+        .map(r => s"CAST(mh${b * rows + r} AS VARCHAR)")
         .mkString(" || '_' || ")
-      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+      s"SELECT doc_id, $b AS band, $key AS key FROM $sigCte"
     }.mkString("\n  UNION ALL\n  ")
+
+  private def duckBands: String = duckBandsOf(Bands, RowsPerBand, "sig")
 
   /** Shared oracle CTE prefix: shingles → minhash signature → LSH bands →
     * distinct candidate pairs. ONE definition so the pairing predicate can
@@ -1400,6 +1412,175 @@ object DedupQueries {
     Dedup.ccStaleness(docs.count(), bnd, rpb)        // probed at today's n
   }
 
+  /** The grown-corpus geometry of the reindex arc, derived (never
+    * hand-tuned) at the first step past the 2^16 boundary: the arc's
+    * replication pins the grown count into (2^16, 2^17], where
+    * [[Dedup.lshGeometry]]'s log₂ law is constant at 23 bands × 3
+    * rows — so one oracle string is scale-true for every original
+    * corpus of ≤ 65536 docs (all verify scales).
+    */
+  private val GrownGeom = Dedup.lshGeometry(65537L)
+
+  /** q183e's oracle — shared verbatim by q183f (the [[Dedup
+    * .ccMaintain]] gate). Both closures run over the ORIGINAL corpus:
+    * identical texts have identical signatures, so the replicated
+    * corpus's components are the originals' expanded by pure
+    * arithmetic — copies of a doc share ALL its band keys, adding no
+    * connectivity between distinct originals, turning former
+    * singletons into F-cliques labeled by their original id (minimum
+    * of the copy set), and every component's minimum stays the
+    * original minimum. n_labeled therefore expands to F × sig-docs
+    * and n_components to the distinct coalesce(component, id) count —
+    * the oracle pays ONE 69-seed signature over originals instead of
+    * F of them. Every CTE feeding a closure is MATERIALIZED (the
+    * q183c lesson).
+    */
+  private def ccReindexOracleSql: String = {
+    val (b2, r2) = GrownGeom
+    s"""WITH RECURSIVE toks AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |), sig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    $duckSig
+       |  FROM toks GROUP BY doc_id
+       |), bands AS MATERIALIZED (
+       |  $duckBands
+       |), cand AS MATERIALIZED (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+       |), edges AS (
+       |  SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand
+       |), reach AS (
+       |  SELECT DISTINCT a AS id, a AS lbl FROM edges
+       |  UNION
+       |  SELECT e.a AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+       |), comp AS MATERIALIZED (SELECT id, min(lbl) AS c FROM reach GROUP BY id),
+       |sig2 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ${duckSigOf(b2 * r2)}
+       |  FROM toks GROUP BY doc_id
+       |), bands2 AS MATERIALIZED (
+       |  ${duckBandsOf(b2, r2, "sig2")}
+       |), cand2 AS MATERIALIZED (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands2 l JOIN bands2 r
+       |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+       |), edges2 AS (
+       |  SELECT a, b FROM cand2 UNION SELECT b AS a, a AS b FROM cand2
+       |), reach2 AS (
+       |  SELECT DISTINCT a AS id, a AS lbl FROM edges2
+       |  UNION
+       |  SELECT e.a AS id, r.lbl FROM edges2 e JOIN reach2 r ON r.id = e.b
+       |), comp2 AS MATERIALIZED (SELECT id, min(lbl) AS c FROM reach2 GROUP BY id),
+       |sd AS (SELECT count(DISTINCT doc_id) AS c FROM toks),
+       |n AS (SELECT count(*) AS c FROM documents),
+       |fr AS (SELECT 65536 // c + 1 AS f FROM n),
+       |m AS (SELECT (SELECT f FROM fr) * (SELECT c FROM n) AS c),
+       |gb AS (SELECT greatest(2, CAST(ceil(ln(CAST(c AS DOUBLE)) / ln(2.0) / 8.0) AS BIGINT)) AS r FROM n),
+       |gc AS (SELECT greatest(2, CAST(ceil(ln(CAST(c AS DOUBLE)) / ln(2.0) / 8.0) AS BIGINT)) AS r FROM m),
+       |fb AS (SELECT greatest(2, CAST(round(power(0.35, -CAST(r AS DOUBLE))) AS BIGINT)) AS b, r FROM gb),
+       |fc AS (SELECT greatest(2, CAST(round(power(0.35, -CAST(r AS DOUBLE))) AS BIGINT)) AS b, r FROM gc),
+       |lb AS (SELECT count(*) AS nl, count(DISTINCT c) AS ncmp FROM comp),
+       |la AS (SELECT (SELECT f FROM fr) * (SELECT c FROM sd) AS nl,
+       |  (SELECT count(DISTINCT coalesce(c2.c, t.doc_id))
+       |   FROM (SELECT DISTINCT doc_id FROM toks) t
+       |   LEFT JOIN comp2 c2 ON c2.id = t.doc_id) AS ncmp),
+       |dials AS (
+       |  SELECT 'before' AS phase, (SELECT c FROM m) AS members,
+       |    (SELECT b FROM fb) AS bands_frozen, (SELECT r FROM fb) AS rows_frozen,
+       |    (SELECT b FROM fc) AS bands_recommended, (SELECT r FROM fc) AS rows_recommended,
+       |    ((SELECT b FROM fc) <> (SELECT b FROM fb)
+       |     OR (SELECT r FROM fc) <> (SELECT r FROM fb)) AS stale,
+       |    (SELECT nl FROM lb) AS n_labeled, (SELECT ncmp FROM lb) AS n_components
+       |  UNION ALL
+       |  SELECT 'after', (SELECT c FROM m),
+       |    (SELECT b FROM fc), (SELECT r FROM fc),
+       |    (SELECT b FROM fc), (SELECT r FROM fc),
+       |    FALSE, (SELECT nl FROM la), (SELECT ncmp FROM la))
+       |SELECT phase, members, bands_frozen, rows_frozen, bands_recommended,
+       |  rows_recommended, stale, n_labeled, n_components
+       |FROM dials""".stripMargin
+  }
+
+  /** The CC REINDEX ARC on the board — q183d's dial is the trigger;
+    * the third family's q167i/q150i twin, completing the
+    * fire→re-index→clear symmetry: the corpus GROWS ACROSS THE 2^16
+    * GEOMETRY STEP (the one decay mode of [[Dedup.lshGeometry]]'s
+    * log₂ law — gate-scale growth is id-shifted replication of the
+    * corpus, realistic near-dup-heavy growth whose count is all the
+    * dial reads), the probe FIRES (8×2 frozen vs 23×3 re-derived at
+    * every verify scale), the pipeline re-indexes the grown corpus at
+    * the re-derived 69-seed geometry — a REAL full build over 66–70k
+    * docs: minhash, 23-band table, star edges, connected components —
+    * and the post-reindex probe is QUIET. Each phase row carries the
+    * serving label table's row/component counts, so the green hash
+    * pins the rebuild's artifacts (the components that come out of
+    * the 69-seed signature), not just the config arithmetic.
+    */
+  val q183eCcReindex = Q.checked(
+    "q183e_cc_reindex",
+    ccReindexOracleSql) { (s, dir) =>
+    val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val (bnd, rpb) = Dedup.lshGeometry(n) // frozen at build
+    val bands = Dedup.lshBands(
+      Dedup.minhash(docs, col("doc_id"), Dedup.bigrams(col("text")), bnd * rpb),
+      bnd, rpb)
+    val labels = Dedup.connectedComponents(Dedup.bucketStarEdges(bands))
+      .localCheckpoint(true)
+    // growth across the geometry step: F id-shifted corpus copies
+    val f = (65536L / n + 1L).toInt
+    val cur = (0 until f).map(j => docs.select(
+        (col("doc_id") + lit(j.toLong * 100000000L)).as("doc_id"),
+        col("text")))
+      .reduce(_ unionByName _)
+    val curN = n * f
+    val before = Dedup.ccPhaseRow("before", curN, bnd, rpb, labels)
+    // the geometry dial FIRED — re-index the grown corpus at the
+    // re-derived config (the production response the dial schedules)
+    val (b2, r2) = Dedup.lshGeometry(curN)
+    val bands2 = Dedup.lshBands(
+      Dedup.minhash(cur, col("doc_id"), Dedup.bigrams(col("text")), b2 * r2),
+      b2, r2)
+    val labels2 = Dedup.connectedComponents(Dedup.bucketStarEdges(bands2))
+      .localCheckpoint(true)
+    val after = Dedup.ccPhaseRow("after", curN, b2, r2, labels2)
+    graft.operators.Similarity.phased(before.unionByName(after))
+  }
+
+  /** q183e's arc through [[Dedup.ccMaintain]] — the third family's
+    * one-call maintenance operator on the board: the base build
+    * persists through the crash-atomic store (frozen geometry + labels
+    * + the corpus count under the build's definition), and then ONE
+    * maintain call probes the dial at the grown corpus's count, fires,
+    * re-indexes at the re-derived 69-seed geometry, saves as the new
+    * baseline, and probes again — its after row reading the REBUILT
+    * label table back from the store. The oracle is q183e's verbatim —
+    * green proves the one-call composition reproduces the hand-wired
+    * arc, disk hops included.
+    */
+  val q183fCcMaintain = Q.checked(
+    "q183f_cc_maintain",
+    ccReindexOracleSql) { (s, dir) =>
+    val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val (bnd, rpb) = Dedup.lshGeometry(n)
+    val bands = Dedup.lshBands(
+      Dedup.minhash(docs, col("doc_id"), Dedup.bigrams(col("text")), bnd * rpb),
+      bnd, rpb).localCheckpoint(true)
+    val labels = Dedup.connectedComponents(Dedup.bucketStarEdges(bands))
+    val path = graft.core.Graft.scratch("q183f_cc_index")
+    Dedup.ccIndexSave(bands, labels, bnd, rpb, n, path)
+    val f = (65536L / n + 1L).toInt
+    val cur = (0 until f).map(j => docs.select(
+        (col("doc_id") + lit(j.toLong * 100000000L)).as("doc_id"),
+        col("text")))
+      .reduce(_ unionByName _)
+    Dedup.ccMaintain(s, path, cur)
+  }
+
   /** WEIGHTED single-source shortest paths (Bellman–Ford relaxation) —
     * the weighted complement of q160's unit-hop BFS, completing the
     * graph family's distance tier: edge cost 1 + (pair activity count
@@ -2229,7 +2410,7 @@ object DedupQueries {
       q142LabelProp, q144SourceOverlap, q155IvmAgg, q158BestKeeper,
       q160BfsDist, q166EntityResolution, q168Kcore, q170TimeTravel,
       q175GoldenRecord, q182KanonAudit, q183IncrementalCc, q183bCcStreaming,
-      q183cCcRetire, q183dCcStaleness,
+      q183cCcRetire, q183dCcStaleness, q183eCcReindex, q183fCcMaintain,
       q188WeightedSssp,
       q193NormalizedDedup, q194ContainmentJoin, q194bContainmentNarrow,
       q196PersonalizedPagerank,

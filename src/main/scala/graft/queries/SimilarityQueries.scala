@@ -1225,8 +1225,7 @@ object SimilarityQueries {
     * by construction and the clamp calibration re-reads the full
     * store under its own quantizer.
     */
-  val q167iKnnReindex = Q.checked(
-    "q167i_knn_reindex",
+  private def knnReindexOracleSql: String =
     s"""WITH sv AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
        |  FROM embeddings),
@@ -1320,7 +1319,11 @@ object SimilarityQueries {
        |   OR (appended > 0 AND clamp_appended_ppm >
        |       greatest(CAST(0.05 AS DOUBLE) * 1000000, CAST(5.0 AS DOUBLE) * clamp_base_ppm))
        |   OR (occ_tv_ppm > CAST(0.10 AS DOUBLE) * 1000000)) AS stale
-       |FROM dials""") { (s, dir) =>
+       |FROM dials"""
+
+  val q167iKnnReindex = Q.checked(
+    "q167i_knn_reindex",
+    knnReindexOracleSql) { (s, dir) =>
     val emb = table(s, dir, "embeddings")
     val base = emb.filter(col("vec_id") % 3 =!= 0)
       .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
@@ -1354,6 +1357,43 @@ object SimilarityQueries {
         col("clamp_base_ppm"), col("clamp_appended_ppm"),
         col("occ_tv_ppm"), col("stale_geometry"), col("stale_quantizer"),
         col("stale_occupancy"), col("stale"))
+  }
+
+  /** q167i's arc through [[Similarity.knnMaintain]] — the one-call
+    * maintenance operator a scheduler crons, on the board: the base
+    * build persists as its own baseline (v1), the 33% delta arrives
+    * through the STREAMING ingest and saves (v2, baseline v1 — the
+    * store's prune keeps v1 loadable), and then maintain alone does
+    * the whole arc: load cur + baseline from the store, probe (FIRES,
+    * with the same dial values as q167i's before row — now computed
+    * purely from persisted artifacts), re-index the corpus at the
+    * re-derived geometry, save as the new baseline, probe again
+    * (QUIET). The oracle is q167i's verbatim — green proves the
+    * composition reproduces the hand-wired arc exactly, disk hops and
+    * baseline bookkeeping included.
+    */
+  val q167jKnnMaintain = Q.checked(
+    "q167j_knn_maintain",
+    knnReindexOracleSql) { (s, dir) =>
+    val emb = table(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val nb = base.count()
+    val cellsB = Similarity.ivfCellsFor(nb)
+    val centB = base.orderBy(col("xid")).limit(cellsB)
+      .select(col("xid").as("cid"), col("xvec").as("cvec"))
+    val idx = Similarity.knnGraphBuild(base, centB,
+      Similarity.ivfProbesFor(cellsB), K,
+      Similarity.knnCellCapFor(nb, cellsB, K))
+    val path = graft.core.Graft.scratch("q167j_knn_index")
+    Similarity.knnIndexSave(idx, path)
+    val ingest = graft.streaming.KnnIngest.resume(s, path)
+    ingest.foldBatch(emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+      .localCheckpoint(true), 0L)
+    ingest.save(path)
+    Similarity.knnMaintain(s, path,
+      emb.select(col("vec_id").as("xid"), col("embedding").as("xvec")))
   }
 
   /** IVF CELL-BALANCE audit — the index-quality gate that runs after
@@ -1533,6 +1573,6 @@ object SimilarityQueries {
       q124IvfSq8Ann, q125IvfPqAnn, q135HybridRetrieval, q167KnnGraph,
       q167bKnnGraphSq8, q167cKnnGraphCapped, q167dKnnGraphIncremental,
       q167eKnnGraphPersisted, q167fKnnStreaming, q167gKnnGraphRetire,
-      q167hKnnStaleness, q167iKnnReindex, q197CellBalance,
+      q167hKnnStaleness, q167iKnnReindex, q167jKnnMaintain, q197CellBalance,
       q171SemanticDecon, q177ProjectEmbed, q187EmbedQa)
 }

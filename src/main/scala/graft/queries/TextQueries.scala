@@ -2166,12 +2166,13 @@ object TextQueries {
     * ([[graft.streaming.RagIngest]]); −1 for non-streaming saves.
     */
   private[graft] def ragIndexSave(idx: RagIndex, path: String,
-      lastBatch: Long = -1L): Unit = {
+      lastBatch: Long = -1L, baseVersion: Long = -1L,
+      retain: Int = 1): Unit = {
     val s = idx.postings.sparkSession
     val (dir, v) = graft.core.IndexStore.begin(s, path)
     ragIndexSaveTables(idx, dir)
-    graft.core.IndexStore.commit(s, path, v, lastBatch)
-    graft.core.IndexStore.prune(s, path, v)
+    graft.core.IndexStore.commit(s, path, v, lastBatch, baseVersion)
+    graft.core.IndexStore.prune(s, path, v, retain)
   }
 
   /** The uncommitted table writes of [[ragIndexSave]] — package-visible
@@ -2209,8 +2210,14 @@ object TextQueries {
     * ([[graft.core.IndexStore.latestDir]]) — a torn save is invisible.
     */
   private[graft] def ragIndexLoad(s: org.apache.spark.sql.SparkSession,
-                                  rootPath: String): RagIndex = {
-    val path = graft.core.IndexStore.latestDir(s, rootPath)
+                                  rootPath: String): RagIndex =
+    ragIndexLoadAt(s, graft.core.IndexStore.latestDir(s, rootPath))
+
+  /** [[ragIndexLoad]] of one EXPLICIT committed version directory —
+    * how [[ragMaintain]] reconstitutes the staleness baseline.
+    */
+  private[graft] def ragIndexLoadAt(s: org.apache.spark.sql.SparkSession,
+                                    path: String): RagIndex = {
     val conf = s.read.parquet(s"$path/config").first()
     RagIndex(
       s.read.parquet(s"$path/postings"),
@@ -2333,7 +2340,45 @@ object TextQueries {
       cur.index.select(col("xid"), col("rx")),
       base.index.select(col("cid")),
       cur.index.select(col("cid")),
-      cur.stats, base.cells)
+      cur.stats, cur.cells) // cur's frozen geometry (≡ base's while cur
+                            // descends from it; right after a rebuild)
+
+  /** The RAG family's unified maintenance entry — the retrieval twin
+    * of [[graft.operators.Similarity.knnMaintain]], one cron-able
+    * call: load the latest committed chunk index and its recorded
+    * staleness baseline (the last full build — prune keeps it), probe
+    * [[ragStaleness]], and when the dial fires re-index `docs` (the
+    * raw (doc_id, text) corpus) with [[ragIndexBuildOf]] at the
+    * re-derived geometry, save as the new baseline, probe again.
+    * Returns the phase-tagged dial rows (`before` alone when quiet —
+    * q150j gates the fired arc against q150i's oracle). The rebuild
+    * carries the replay cursor forward (the corpus already contains
+    * every folded batch).
+    */
+  private[graft] def ragMaintain(s: org.apache.spark.sql.SparkSession,
+      path: String, docs: org.apache.spark.sql.DataFrame,
+      retain: Int = 1): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Similarity
+    val store = graft.core.IndexStore
+    val c = store.latest(s, path).getOrElse(sys.error(
+      s"ragMaintain: no committed index at $path — build and save first"))
+    val cur = ragIndexLoadAt(s, store.committedDirOf(s, path, c.version).get)
+    val base =
+      if (c.baseVersion == c.version) cur
+      else ragIndexLoadAt(s, store.committedDirOf(s, path, c.baseVersion)
+        .getOrElse(sys.error(
+          s"ragMaintain: baseline v=${c.baseVersion} of $path is gone — " +
+            "it must stay retained until a rebuild resets it")))
+    val before = ragStaleness(base, cur)
+      .withColumn("phase", lit("before")).localCheckpoint(true)
+    if (!before.first().getAs[Boolean]("stale"))
+      return Similarity.phased(before)
+    val idx2 = ragIndexBuildOf(docs)
+    ragIndexSave(idx2, path, lastBatch = c.lastBatch, retain = retain)
+    val cur2 = ragIndexLoad(s, path)
+    Similarity.phased(before.unionByName(
+      ragStaleness(cur2, cur2).withColumn("phase", lit("after"))))
+  }
 
   /** The RAG serve from DISK artifacts — q150c made the build/serve
     * split's cost honest; this row makes it DEPLOYABLE: the index is
@@ -2595,6 +2640,170 @@ object TextQueries {
     val base = ragIndexBuildOf(docs.filter(col("doc_id") % 50 =!= 49))
     val cur = ragIndexAppend(base, docs.filter(col("doc_id") % 50 === 49))
     ragStaleness(base, cur)
+  }
+
+  /** The RAG REINDEX ARC on the board — q150h's dial is the trigger;
+    * this row gates the fire→re-index→clear loop for the retrieval
+    * family exactly as q167i does for k-NN (the round-19 capstone's
+    * template): a 33%-regime document append (base = the 2/3 slice
+    * doc_id % 3 ≠ 0) outgrows the chunk index's frozen √n geometry,
+    * the probe FIRES (cells recommended ≥ 1.15× frozen at every
+    * verify scale — 27 vs 22 at ~700 chunks, 84 vs 68 at ~6.9k), the
+    * pipeline re-indexes the FULL corpus with [[ragIndexBuildOf]] at
+    * the re-derived geometry, and the post-reindex probe is QUIET on
+    * every dial (zero appends, zero occupancy TV, geometry at its own
+    * recommendation). Output = both dial rows tagged by phase, so the
+    * green hash pins the transition itself. The oracle replays both
+    * probes from the chunk artifacts: the before phase under the
+    * base-slice config (q150h's rendering at the 1/3 split), the
+    * after phase under the full-corpus config where appended/TV are
+    * exactly zero by construction and the clamp calibration re-reads
+    * the full chunk store under its own quantizer.
+    */
+  val q150iRagReindex = Q.checked(
+    "q150i_rag_reindex",
+    ragReindexOracleSql) { (s, dir) =>
+    val docs = table(s, dir, "documents")
+    val base = ragIndexBuildOf(docs.filter(col("doc_id") % 3 =!= 0))
+    val cur = ragIndexAppend(base, docs.filter(col("doc_id") % 3 === 0))
+    val before = ragStaleness(base, cur).withColumn("phase", lit("before"))
+    // the geometry dial FIRED — re-index the full corpus at the
+    // re-derived config (the production response the dial schedules)
+    val idx2 = ragIndexBuildOf(docs)
+    val after = ragStaleness(idx2, idx2).withColumn("phase", lit("after"))
+    graft.operators.Similarity.phased(before.unionByName(after))
+  }
+
+  /** q150i's oracle — shared verbatim by q150j (the [[ragMaintain]]
+    * gate): the maintain call must reproduce the hand-composed arc's
+    * phase rows exactly.
+    */
+  private def ragReindexOracleSql: String =
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |idx AS (
+       |  SELECT doc_id, w,
+       |    unnest(generate_series(0, CAST(ceil(greatest(len(w) - $ChunkW, 0) / $ChunkS.0) AS INT))) AS k
+       |  FROM words),
+       |chunks AS (
+       |  SELECT doc_id * 1000000 + k AS xid,
+       |    array_to_string(w[(k*$ChunkS+1):(k*$ChunkS+$ChunkW)], ' ') AS chunk_text
+       |  FROM idx),
+       |ctoks AS (SELECT xid, unnest(string_split(chunk_text, ' ')) AS term FROM chunks),
+       |cl AS (SELECT xid, count(*) AS dl FROM ctoks GROUP BY 1),
+       |tfb AS (SELECT xid, ('0x'||substring(md5(term),1,8))::BIGINT % 64 AS d, count(*) AS c
+       |        FROM ctoks GROUP BY 1, 2),
+       |xel AS (
+       |  SELECT g.xid, g.d,
+       |    CAST(round((CAST(coalesce(tfb.c, 0) AS DOUBLE) / CAST(g.dl AS DOUBLE)) * 1000000) AS BIGINT) AS v
+       |  FROM (SELECT cl.xid, cl.dl, dd.d FROM cl, (SELECT unnest(range(0, 64)) AS d) dd) g
+       |  LEFT JOIN tfb ON tfb.xid = g.xid AND tfb.d = g.d),
+       |nb AS (SELECT count(*) AS c FROM cl WHERE (xid // 1000000) % 3 <> 0),
+       |na AS (SELECT count(*) AS c FROM cl WHERE (xid // 1000000) % 3 = 0),
+       |ncur AS (SELECT count(*) AS c FROM cl),
+       |cellsb AS (SELECT greatest(4, least(65536, CAST(ceil(sqrt(c)) AS BIGINT))) AS cells FROM nb),
+       |cellsf AS (SELECT greatest(4, least(65536, CAST(ceil(sqrt(c)) AS BIGINT))) AS cells FROM ncur),
+       |cidsb AS (SELECT xid AS cid, row_number() OVER (ORDER BY xid) AS rn
+       |          FROM cl WHERE (xid // 1000000) % 3 <> 0),
+       |centb AS (SELECT c.cid, x.d, x.v FROM cidsb c JOIN xel x ON x.xid = c.cid
+       |          WHERE c.rn <= (SELECT cells FROM cellsb)),
+       |d2b AS (SELECT x.xid, ct.cid, sum((x.v - ct.v) * (x.v - ct.v)) AS d
+       |        FROM xel x JOIN centb ct ON ct.d = x.d GROUP BY 1, 2),
+       |assignb AS (SELECT xid, cid FROM (
+       |  SELECT xid, cid, row_number() OVER (PARTITION BY xid ORDER BY d, cid) AS rn
+       |  FROM d2b) WHERE rn = 1),
+       |statsb AS (SELECT d, min(v) AS mn, max(v) AS mx FROM xel
+       |           WHERE (xid // 1000000) % 3 <> 0 GROUP BY d),
+       |statsf AS (SELECT d, min(v) AS mn, max(v) AS mx FROM xel GROUP BY d),
+       |reconb AS (
+       |  SELECT e.xid, s.mn, s.mx,
+       |    255 * s.mn + least(255, greatest(0,
+       |      CASE WHEN s.mx = s.mn THEN 0
+       |           ELSE ((e.v - s.mn) * 255) // (s.mx - s.mn) END)) * (s.mx - s.mn) AS r
+       |  FROM xel e JOIN statsb s USING (d)),
+       |reconf AS (
+       |  SELECT e.xid, s.mn, s.mx,
+       |    255 * s.mn + least(255, greatest(0,
+       |      CASE WHEN s.mx = s.mn THEN 0
+       |           ELSE ((e.v - s.mn) * 255) // (s.mx - s.mn) END)) * (s.mx - s.mn) AS r
+       |  FROM xel e JOIN statsf s USING (d)),
+       |hitsb AS (
+       |  SELECT xid,
+       |    sum(CASE WHEN mx > mn AND (r = 255 * mn OR r = 255 * mx) THEN 1 ELSE 0 END) AS h
+       |  FROM reconb GROUP BY xid),
+       |hitsf AS (
+       |  SELECT xid,
+       |    sum(CASE WHEN mx > mn AND (r = 255 * mn OR r = 255 * mx) THEN 1 ELSE 0 END) AS h
+       |  FROM reconf GROUP BY xid),
+       |deb AS (SELECT greatest(1, count(*)) AS d FROM statsb WHERE mx > mn),
+       |def AS (SELECT greatest(1, count(*)) AS d FROM statsf WHERE mx > mn),
+       |cbb AS (
+       |  SELECT CAST(1000000 * sum(h) // (count(*) * (SELECT d FROM deb)) AS BIGINT) AS ppm
+       |  FROM hitsb WHERE (xid // 1000000) % 3 <> 0
+       |    AND xid % (SELECT greatest(1, c // 65536) FROM nb) = 0),
+       |cab AS (
+       |  SELECT CAST(CASE WHEN count(*) = 0 THEN 0
+       |    ELSE 1000000 * sum(h) // (count(*) * (SELECT d FROM deb)) END AS BIGINT) AS ppm
+       |  FROM hitsb WHERE (xid // 1000000) % 3 = 0),
+       |cbf AS (
+       |  SELECT CAST(1000000 * sum(h) // (count(*) * (SELECT d FROM def)) AS BIGINT) AS ppm
+       |  FROM hitsf WHERE xid % (SELECT greatest(1, c // 65536) FROM ncur) = 0),
+       |bb AS (SELECT cid, count(*) AS bn FROM assignb
+       |       WHERE (xid // 1000000) % 3 <> 0 GROUP BY cid),
+       |cc AS (SELECT cid, count(*) AS cn FROM assignb GROUP BY cid),
+       |tvb AS (
+       |  SELECT CAST(500000 * sum(abs(coalesce(cn, 0) * (SELECT c FROM nb)
+       |                             - coalesce(bn, 0) * (SELECT c FROM ncur)))
+       |    // ((SELECT c FROM nb) * (SELECT c FROM ncur)) AS BIGINT) AS ppm
+       |  FROM bb FULL OUTER JOIN cc USING (cid)),
+       |dials AS (
+       |  SELECT 'before' AS phase,
+       |    (SELECT c FROM nb) AS base_members, (SELECT c FROM ncur) AS cur_members,
+       |    (SELECT c FROM na) AS appended,
+       |    (SELECT cells FROM cellsb) AS cells_frozen,
+       |    (SELECT cells FROM cellsf) AS cells_recommended,
+       |    (SELECT ppm FROM cbb) AS clamp_base_ppm,
+       |    (SELECT ppm FROM cab) AS clamp_appended_ppm,
+       |    (SELECT ppm FROM tvb) AS occ_tv_ppm
+       |  UNION ALL
+       |  SELECT 'after' AS phase,
+       |    (SELECT c FROM ncur), (SELECT c FROM ncur), 0,
+       |    (SELECT cells FROM cellsf), (SELECT cells FROM cellsf),
+       |    (SELECT ppm FROM cbf), 0, 0)
+       |SELECT phase, base_members, cur_members, appended, cells_frozen,
+       |  cells_recommended, clamp_base_ppm, clamp_appended_ppm, occ_tv_ppm,
+       |  (cells_recommended >= CAST(1.15 AS DOUBLE) * cells_frozen) AS stale_geometry,
+       |  (appended > 0 AND clamp_appended_ppm >
+       |    greatest(CAST(0.05 AS DOUBLE) * 1000000, CAST(5.0 AS DOUBLE) * clamp_base_ppm)) AS stale_quantizer,
+       |  (occ_tv_ppm > CAST(0.10 AS DOUBLE) * 1000000) AS stale_occupancy,
+       |  ((cells_recommended >= CAST(1.15 AS DOUBLE) * cells_frozen)
+       |   OR (appended > 0 AND clamp_appended_ppm >
+       |       greatest(CAST(0.05 AS DOUBLE) * 1000000, CAST(5.0 AS DOUBLE) * clamp_base_ppm))
+       |   OR (occ_tv_ppm > CAST(0.10 AS DOUBLE) * 1000000)) AS stale
+       |FROM dials""".stripMargin
+
+  /** q150i's arc through [[ragMaintain]] — the operator a scheduler
+    * actually crons, on the board: the base build persists (v1, its
+    * own baseline), the delta arrives through the STREAMING ingest
+    * and saves (v2, baseline v1 — prune keeps v1 loadable), and then
+    * ONE maintain call does everything the arc wires by hand: load
+    * cur + baseline, probe (FIRES — same dial values as q150i's
+    * before row, now computed purely from store artifacts), re-index
+    * the corpus at the re-derived geometry, save as the new baseline,
+    * probe again (QUIET). The oracle is q150i's verbatim — green
+    * proves the one-call composition reproduces the hand-composed
+    * arc's phase rows exactly, disk hop included.
+    */
+  val q150jRagMaintain = Q.checked(
+    "q150j_rag_maintain",
+    ragReindexOracleSql) { (s, dir) =>
+    val docs = table(s, dir, "documents")
+    val path = graft.core.Graft.scratch("q150j_rag_index")
+    ragIndexSave(ragIndexBuildOf(docs.filter(col("doc_id") % 3 =!= 0)), path)
+    val ingest = graft.streaming.RagIngest.resume(s, path)
+    ingest.foldBatch(
+      docs.filter(col("doc_id") % 3 === 0).localCheckpoint(true), 0L)
+    ingest.save(path)
+    ragMaintain(s, path, docs)
   }
 
   /** Quality-first budget selection — the composition a budgeted
@@ -3194,7 +3403,7 @@ object TextQueries {
       q123BigramLm, q129Bm25, q136TermDrift, q140DsirSelect, q143TrainShuffle,
       q146HtmlExtract, q147PerceptronTrain, q150RagPipeline, q150bRagHybrid,
       q150dRagServeDisk, q150eRagIncremental, q150fRagStreaming,
-      q150gRagRetire, q150hRagStaleness,
+      q150gRagRetire, q150hRagStaleness, q150iRagReindex, q150jRagMaintain,
       q150cRagServe,
       q156QualityBudget, q162WeightedSample, q164NewTerms, q184BpeApply,
       q186BooleanBm25, q207ExactKSample, q213PrioritySample, q214FeatureHash,

@@ -40,7 +40,8 @@ final class CcIngest(initialBands: DataFrame, initialLabels: DataFrame,
                      nBands: Int, rowsPerBand: Int,
                      initialCount: Long = 0L,
                      startAfterBatch: Long = -1L,
-                     flattenEvery: Int = KnnIngest.DefaultFlattenEvery) {
+                     flattenEvery: Int = KnnIngest.DefaultFlattenEvery,
+                     baseVersion: Long = -1L) {
   @volatile private var bandTable: DataFrame = initialBands
   @volatile private var lbls: DataFrame = initialLabels
   @volatile private var last: Long = startAfterBatch
@@ -100,7 +101,9 @@ final class CcIngest(initialBands: DataFrame, initialLabels: DataFrame,
     * chain to a FileScan.
     */
   def save(path: String): Unit = synchronized {
-    Dedup.ccIndexSave(bandTable, lbls, nBands, rowsPerBand, nDocs, path, last)
+    // append-saves propagate the staleness baseline they resumed from
+    Dedup.ccIndexSave(bandTable, lbls, nBands, rowsPerBand, nDocs, path,
+      last, baseVersion)
     val (b2, l2, _, _, _) = Dedup.ccIndexLoad(bandTable.sparkSession, path)
     bandTable = b2
     lbls = l2
@@ -117,6 +120,7 @@ object CcIngest {
     val commit = graft.core.IndexStore.latest(s, path).getOrElse(sys.error(
       s"CcIngest.resume: no committed index at $path"))
     val (bands, labels, bnd, rpb, n) = Dedup.ccIndexLoad(s, path)
-    new CcIngest(bands, labels, bnd, rpb, n, commit.lastBatch, flattenEvery)
+    new CcIngest(bands, labels, bnd, rpb, n, commit.lastBatch, flattenEvery,
+      commit.baseVersion)
   }
 }

@@ -48,7 +48,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class KnnIngest(initial: Similarity.KnnIndex,
                       startAfterBatch: Long = -1L,
-                      flattenEvery: Int = KnnIngest.DefaultFlattenEvery) {
+                      flattenEvery: Int = KnnIngest.DefaultFlattenEvery,
+                      baseVersion: Long = -1L) {
   @volatile private var current: Similarity.KnnIndex = initial
   @volatile private var last: Long = startAfterBatch
   private var folded: Long = 0L
@@ -90,7 +91,10 @@ final class KnnIngest(initial: Similarity.KnnIndex,
     * IS the flatten.
     */
   def save(path: String): Unit = synchronized {
-    Similarity.knnIndexSave(current, path, last)
+    // append-saves PROPAGATE the staleness baseline they resumed from
+    // (the last full build's version) — a maintain probe over the store
+    // compares against the build, not against yesterday's append-save
+    Similarity.knnIndexSave(current, path, last, baseVersion)
     current = Similarity.knnIndexLoad(current.centroids.sparkSession, path)
   }
 
@@ -124,6 +128,6 @@ object KnnIngest {
     val commit = graft.core.IndexStore.latest(s, path).getOrElse(sys.error(
       s"KnnIngest.resume: no committed index at $path"))
     new KnnIngest(Similarity.knnIndexLoad(s, path), commit.lastBatch,
-      flattenEvery)
+      flattenEvery, commit.baseVersion)
   }
 }

@@ -36,7 +36,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class RagIngest(initial: TextQueries.RagIndex,
                       startAfterBatch: Long = -1L,
-                      flattenEvery: Int = KnnIngest.DefaultFlattenEvery) {
+                      flattenEvery: Int = KnnIngest.DefaultFlattenEvery,
+                      baseVersion: Long = -1L) {
   @volatile private var current: TextQueries.RagIndex = initial
   @volatile private var last: Long = startAfterBatch
   private var folded: Long = 0L
@@ -74,7 +75,8 @@ final class RagIngest(initial: TextQueries.RagIndex,
     * chains to FileScans.
     */
   def save(path: String): Unit = synchronized {
-    TextQueries.ragIndexSave(current, path, last)
+    // append-saves propagate the staleness baseline they resumed from
+    TextQueries.ragIndexSave(current, path, last, baseVersion)
     current = TextQueries.ragIndexLoad(
       current.postings.sparkSession, path)
   }
@@ -90,6 +92,6 @@ object RagIngest {
     val commit = graft.core.IndexStore.latest(s, path).getOrElse(sys.error(
       s"RagIngest.resume: no committed index at $path"))
     new RagIngest(TextQueries.ragIndexLoad(s, path), commit.lastBatch,
-      flattenEvery)
+      flattenEvery, commit.baseVersion)
   }
 }

@@ -76,6 +76,50 @@ class CcIndexSpec extends AnyFunSuite {
     same(ingest.labels, rebuilt, "retire→append chain")
   }
 
+  test("maintenance cycle through the store: save → load → append → retire → save → load ≡ rebuild") {
+    // the full ops loop over the VERSIONED store — the symmetry case
+    // KnnIncrementalSpec and RagIndexSpec already pin for their
+    // families: every maintenance step operates on a LOADED index, the
+    // retired index round-trips the store, and the reloaded labels
+    // equal the frozen-geometry rebuild of the net corpus. This is
+    // also the tombstone-bytes-leave-disk check (the GDPR story): the
+    // latest committed band store must hold NO deleted id.
+    import graft.streaming.CcIngest
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0).localCheckpoint(true)
+    val (bnd, rpb) = Dedup.lshGeometry(base.count())
+    val baseBands = bandsOf(base, bnd, rpb).localCheckpoint(true)
+    val baseLabels = Dedup.connectedComponents(Dedup.bucketStarEdges(baseBands))
+    val p = graft.core.Graft.scratch("spec_cc_cycle")
+    Dedup.ccIndexSave(baseBands, baseLabels, bnd, rpb, base.count(), p)
+    // day 1: resume from disk, stream the delta in
+    val ingest = CcIngest.resume(spark, p)
+    ingest.foldBatch(delta, 0L)
+    // retire hubs + a residue slice from the APPENDED state (the
+    // hardest delete shape: splits possible)
+    val appended = ingest.labels.localCheckpoint(true)
+    val dels = appended.filter(col("id") === col("lbl")).select(col("id"))
+      .limit(4)
+      .unionByName(appended.filter(col("id") % 13 === 2).select(col("id")))
+      .distinct().localCheckpoint(true)
+    assert(dels.count() > 0, "fixture must delete something")
+    val (bands2, labels2) = Dedup.ccRetire(ingest.bands, appended, dels)
+    Dedup.ccIndexSave(bands2, labels2, bnd, rpb,
+      ingest.docCount - dels.count(), p)
+    val (bandsL, labelsL, bndL, rpbL, cntL) = Dedup.ccIndexLoad(spark, p)
+    assert((bndL, rpbL) === ((bnd, rpb)), "frozen geometry must round-trip")
+    assert(cntL === ingest.docCount - dels.count(),
+      "the corpus-count definition must round-trip")
+    val net = bandsOf(base, bnd, rpb).unionByName(bandsOf(delta, bnd, rpb))
+      .join(dels.withColumnRenamed("id", "d"), col("id") === col("d"),
+        "left_anti")
+      .select("id", "band", "key")
+    same(labelsL, Dedup.connectedComponents(Dedup.bucketStarEdges(net)),
+      "store-cycled labels")
+    assert(bandsL.join(dels, Seq("id")).isEmpty,
+      "deleted ids' band rows must leave the persisted store")
+  }
+
   test("cc staleness dial: quiet under frozen-geometry growth, fires when geometry moves") {
     // lshGeometry is a step function of corpus size: constant across the
     // fixture's 10% delta (quiet), moved at a 100x hypothetical (fires)

@@ -177,7 +177,80 @@ class IndexStoreSpec extends AnyFunSuite {
     val (d3, v3) = store.begin(spark, path)
     Seq((3L, "c")).toDF("id", "s").write.parquet(s"$d3/t")
     store.commit(spark, path, v3, lastBatch = 9L)
-    assert(store.latest(spark, path).get === store.Commit(v3, 9L))
+    assert(store.latest(spark, path).get === store.Commit(v3, 9L, v3))
+  }
+
+  private def dirsUnder(path: String): Set[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+  }
+
+  test("baseline retention: append-saves never reclaim the build; a rebuild does") {
+    val store = graft.core.IndexStore
+    val path = graft.core.Graft.scratch("spec_store_baseline")
+    import spark.implicits._
+    def save(batch: Long, base: Long = -1L): Long = {
+      val (d, v) = store.begin(spark, path)
+      Seq(v).toDF("v").write.parquet(s"$d/t")
+      store.commit(spark, path, v, batch, base)
+      store.prune(spark, path, v)
+      v
+    }
+    val v1 = save(0L) // the build — its own baseline
+    assert(store.latest(spark, path).get.baseVersion === v1,
+      "a build commit must be its own baseline")
+    save(1L, v1)      // append-save day 1 (the ingest cadence)
+    val v3 = save(2L, v1) // append-save day 2
+    // retain=1 alone would reclaim v1 after the THIRD commit; the
+    // baseline rule keeps it loadable for the staleness probe
+    assert(dirsUnder(path) === Set("v=1", "v=2", "v=3"),
+      s"the baseline (v=1) and the grace version (v=2) must both survive")
+    assert(store.latest(spark, path).get === store.Commit(v3, 2L, v1))
+    assert(store.committedDirOf(spark, path, v1).isDefined,
+      "the baseline must stay resolvable for maintain's probe")
+    save(3L) // the REBUILD — baseline resets to itself, old history frees
+    assert(dirsUnder(path) === Set("v=3", "v=4"),
+      s"a rebuild commit must release the old baseline: ${dirsUnder(path)}")
+  }
+
+  test("retain=2 widens the reader grace window through the save paths") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 10 =!= 9)
+      .select(col("vec_id").as("xid"), col("embedding").as("xvec"))
+    val nb = base.count()
+    val cells = Similarity.ivfCellsFor(nb)
+    val cents = base.orderBy(col("xid")).limit(cells)
+      .select(col("xid").as("cid"), col("xvec").as("cvec"))
+    val idx = Similarity.knnGraphBuild(base, cents,
+      Similarity.ivfProbesFor(cells), 3,
+      Similarity.knnCellCapFor(nb, cells, 3))
+    val path = graft.core.Graft.scratch("spec_store_retain2")
+    (1 to 4).foreach(i =>
+      Similarity.knnIndexSave(idx, path, lastBatch = i, retain = 2))
+    // two superseded committed versions retained (v2, v3) + the live v4:
+    // a reader may lag TWO full re-index cycles before re-resolving
+    assert(dirsUnder(path) === Set("v=2", "v=3", "v=4"),
+      s"retain=2 must keep the two newest superseded versions: ${dirsUnder(path)}")
+    assert(Similarity.knnIndexLoad(spark, path).directed.count() ===
+      idx.directed.count())
+  }
+
+  test("pre-baseline markers read as their own baseline") {
+    val store = graft.core.IndexStore
+    val path = graft.core.Graft.scratch("spec_store_oldmarker")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    val (d1, v1) = store.begin(spark, path)
+    Seq(1L).toDF("v").write.parquet(s"$d1/t")
+    // a round-19 marker: one line, no base= — written before baseline
+    // tracking existed; it must parse with baseVersion = the version
+    val out = fs.create(new org.apache.hadoop.fs.Path(d1, "COMMIT"), true)
+    out.write("7\n".getBytes("UTF-8")); out.close()
+    assert(store.latest(spark, path).get === store.Commit(v1, 7L, v1),
+      "a marker without base= must read as its own baseline")
   }
 
   test("single-writer: concurrent begins claim distinct version directories") {

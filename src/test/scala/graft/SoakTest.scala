@@ -969,6 +969,96 @@ class SoakTest extends AnyFunSuite {
     assert(served == 10, s"appended-index serve returned $served hits")
   }
 
+  soakGated("soak: two-JVM writer/reader — reader serves across a live commit+prune") {
+    // The cross-PROCESS proof of IndexStoreSpec's retention story — the
+    // last gap between the in-process spec and the daemon posture: a
+    // READER child (RagServeMain) serves the same query in a loop while
+    // THIS JVM, the writer, folds a delta through the ingest and
+    // commits v2 (+prune) mid-loop. Required: the reader (a) survives
+    // the commit — its in-flight v1 FileScans keep reading retained
+    // files, no FileNotFoundException; (b) picks up v2 at its next
+    // query via the serve-refresh re-resolve; (c) answers match the
+    // parent-computed expected checksum for WHICHEVER version each
+    // query ran against — correct on both sides of the flip. This is a
+    // MECHANISM soak (concurrency across processes), not a pricing
+    // one, so it runs the un-replicated sf0.1 corpus and asserts no
+    // walls.
+    import graft.queries.TextQueries
+    import scala.jdk.CollectionConverters._
+    val base = "/root/testdata/sf0.1"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak-2jvm"
+    val qdoc = 13L
+    spark.read.parquet(s"$base/documents.parquet")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    TextQueries.ragIndexSave(TextQueries.ragIndexBuildOf(docs), s"$dir/index")
+    assert(graft.core.IndexStore.latest(spark, s"$dir/index").get.version == 1L)
+    def checksum(idx: TextQueries.RagIndex): Long = {
+      val row = docs.filter(col("doc_id") === qdoc).localCheckpoint(true)
+      val res = TextQueries.ragServeDisk(idx,
+        TextQueries.ragQueryTermsOf(row, qdoc).localCheckpoint(true),
+        TextQueries.ragQueryVectorOf(row, qdoc).localCheckpoint(true), 20)
+        .localCheckpoint(true)
+      res.agg(coalesce(
+        expr(s"sum((doc_id * ${TextQueries.ChunkIdBase} + chunk_id) * rank)"),
+        lit(0L))).first().getLong(0)
+    }
+    val expectV1 = checksum(TextQueries.ragIndexLoad(spark, s"$dir/index"))
+    // READER child: the same query doc 20 times, re-resolving between
+    val pb = new ProcessBuilder(Seq("/root/repo/tools/run.sh",
+      "graft.RagServeMain", s"$dir/index", s"$dir/documents.parquet",
+      Seq.fill(20)(qdoc.toString).mkString(","), "20").asJava)
+    pb.directory(new java.io.File("/root/repo"))
+    pb.environment().put("SPARK_GRAFT_CPUS", "8")
+    pb.environment().put("SPARK_DRIVER_MEM", "8g")
+    val proc = pb.start()
+    val firstServed = new java.util.concurrent.CountDownLatch(1)
+    val errThread = new Thread(() => {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getErrorStream))
+      Iterator.continually(br.readLine()).takeWhile(_ != null).foreach { l =>
+        if (l.startsWith("RAGSERVE_QUERY")) {
+          println(s"SOAK2JVM reader: $l")
+          firstServed.countDown()
+        }
+      }
+    })
+    errThread.setDaemon(true); errThread.start()
+    assert(firstServed.await(600, java.util.concurrent.TimeUnit.SECONDS),
+      "reader child never served its first query")
+    // WRITER (this JVM): fold a delta batch, commit v2, prune — while
+    // the reader is mid-loop on v1
+    val newDocs = docs.filter(col("doc_id") % 20 === 7)
+      .withColumn("doc_id", col("doc_id") + lit(500000000L))
+      .localCheckpoint(true)
+    val ingest = graft.streaming.RagIngest.resume(spark, s"$dir/index")
+    ingest.foldBatch(newDocs, 0L)
+    val tW = System.nanoTime()
+    ingest.save(s"$dir/index")
+    println(f"SOAK2JVM writer commit+prune ${(System.nanoTime() - tW) / 1e9}%7.1fs")
+    assert(graft.core.IndexStore.latest(spark, s"$dir/index").get.version == 2L)
+    val expectV2 = checksum(TextQueries.ragIndexLoad(spark, s"$dir/index"))
+    assert(expectV1 != expectV2,
+      "fixture must change the answer across the flip, or the soak is vacuous")
+    val out = new String(proc.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val code = proc.waitFor()
+    assert(code == 0, s"reader child exited $code: $out")
+    val rec = """"sum":(-?\d+),"v":(\d+)""".r
+    val got = rec.findAllMatchIn(out)
+      .map(m => (m.group(2).toLong, m.group(1).toLong)).toSeq
+    assert(got.size == 20, s"reader must answer all 20 queries: $out")
+    val (atV1, atV2) = (got.count(_._1 == 1L), got.count(_._1 == 2L))
+    println(s"SOAK2JVM reader queries: $atV1 at v1, $atV2 at v2")
+    assert(atV1 >= 1, s"no query served at v1 — writer flipped too early: $out")
+    assert(atV2 >= 1, s"no query served at v2 — reader never refreshed: $out")
+    got.foreach { case (v, sum) =>
+      val want = if (v == 1L) expectV1 else expectV2
+      assert(sum == want,
+        s"reader answer at v=$v was $sum, expected $want — wrong config served")
+    }
+  }
+
   soakGated("soak: exact-audit growth laws (q194 containment to dense x100, q226/q237 at 100x)") {
     // Two fixture families isolate the q194 cost law (candidates =
     // Σ_A Σ_{w ∈ prefix(A)} df(w) over DISTINCT sets):
