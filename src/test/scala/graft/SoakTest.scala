@@ -988,6 +988,9 @@ class SoakTest extends AnyFunSuite {
     val base = "/root/testdata/sf0.1"
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-soak-2jvm"
     val qdoc = 13L
+    // the store is VERSIONED — wipe it so this run's build commits v=1
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$dir/index"))
     spark.read.parquet(s"$base/documents.parquet")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -1012,6 +1015,7 @@ class SoakTest extends AnyFunSuite {
     pb.environment().put("SPARK_GRAFT_CPUS", "8")
     pb.environment().put("SPARK_DRIVER_MEM", "8g")
     val proc = pb.start()
+    try {
     val firstServed = new java.util.concurrent.CountDownLatch(1)
     val errThread = new Thread(() => {
       val br = new java.io.BufferedReader(
@@ -1027,8 +1031,12 @@ class SoakTest extends AnyFunSuite {
     assert(firstServed.await(600, java.util.concurrent.TimeUnit.SECONDS),
       "reader child never served its first query")
     // WRITER (this JVM): fold a delta batch, commit v2, prune — while
-    // the reader is mid-loop on v1
+    // the reader is mid-loop on v1. The delta includes near-copies of
+    // the QUERY doc itself (full term overlap + identical dense vector
+    // → they MUST enter its fused top-k), so the v1→v2 answer flip is
+    // guaranteed observable, plus an ordinary doc slice for bulk.
     val newDocs = docs.filter(col("doc_id") % 20 === 7)
+      .unionByName(docs.filter(col("doc_id") === qdoc))
       .withColumn("doc_id", col("doc_id") + lit(500000000L))
       .localCheckpoint(true)
     val ingest = graft.streaming.RagIngest.resume(spark, s"$dir/index")
@@ -1057,6 +1065,7 @@ class SoakTest extends AnyFunSuite {
       assert(sum == want,
         s"reader answer at v=$v was $sum, expected $want — wrong config served")
     }
+    } finally proc.destroyForcibly() // no orphan on assertion failure
   }
 
   soakGated("soak: exact-audit growth laws (q194 containment to dense x100, q226/q237 at 100x)") {
