@@ -309,7 +309,10 @@ object Dedup {
     val s = bands.sparkSession
     import s.implicits._
     val (dir, v) = graft.core.IndexStore.begin(s, path)
-    bands.repartition(col("band"))
+    // explicit shuffle width: repartition(col) alone lets AQE coalesce a
+    // small shuffle to one partition, serializing every band directory's
+    // write through a single task (see knnIndexSaveTables)
+    bands.repartition(s.sessionState.conf.numShufflePartitions, col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
     labels.write.mode("overwrite").parquet(s"$dir/labels")
     Seq((bnd.toLong, rpb.toLong, corpusCount))

@@ -727,16 +727,21 @@ object Similarity {
       .toDF("n_probe", "k", "cap").coalesce(1).write.mode("overwrite")
       .parquet(s"$path/config")
     // repartition BY cid before partitionBy: each cell's rows land in one
-    // task, so the store writes ~one file per cell, not tasks × cells
+    // task, so the store writes ~one file per cell, not tasks × cells.
+    // The count is EXPLICIT (session shuffle parallelism): without it AQE
+    // coalesces the small shuffle to one partition and a single task
+    // writes every cell directory sequentially — the measured bulk of
+    // the save wall. One file per cell either way.
+    val p = s.sessionState.conf.numShufflePartitions
     idx.enc
       .join(idx.assignD2.select(col("nid").as("xid"), col("cid"), col("d2")), "xid")
       .join(idx.servable.select(col("nid").as("xid"), col("cid"),
         lit(true).as("serving")), Seq("xid", "cid"), "left")
       .na.fill(false, Seq("serving"))
-      .repartition(col("cid"))
+      .repartition(p, col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/members")
     idx.xn.write.mode("overwrite").parquet(s"$path/xn")
-    idx.probes.repartition(col("cid"))
+    idx.probes.repartition(p, col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/probes")
     idx.directed.write.mode("overwrite").parquet(s"$path/directed")
   }
@@ -1405,18 +1410,25 @@ object Similarity {
     * at training time.
     */
   private[graft] def sq8StatsOf(corpus: DataFrame): Seq[(Long, Long)] = {
-    val stats = corpus.select(scaled(col("xvec")).as("xs"))
-      .select(posexplode(col("xs")).as(Seq("dim", "v")))
-      .groupBy(col("dim"))
-      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-      .orderBy(col("dim"))
-      .collect()
-    val maxAbs = stats.map(r => math.max(math.abs(r.getLong(1)), math.abs(r.getLong(2)))).max
-    val budget = sq8Budget(stats.length)
+    // one single-group aggregation with 2·dims min/max expressions over
+    // the array elements — the former posexplode multiplied the corpus
+    // by dims through a shuffle before aggregating; this shape partial-
+    // aggregates map-side to ONE row (guide §2.3), same exact stats.
+    // dims probes one row (vectors are fixed-width by contract).
+    val dims = corpus.select(size(col("xvec")).as("d")).first().getInt(0)
+    val aggs = (0 until dims).flatMap(d => Seq(
+      min(col("xs")(d)).as(s"mn$d"), max(col("xs")(d)).as(s"mx$d")))
+    val row = corpus.select(scaled(col("xvec")).as("xs"))
+      .agg(aggs.head, aggs.tail: _*)
+      .first()
+    val stats = (0 until dims).map(d =>
+      (row.getLong(2 * d), row.getLong(2 * d + 1)))
+    val maxAbs = stats.map(s => math.max(math.abs(s._1), math.abs(s._2))).max
+    val budget = sq8Budget(dims)
     require(maxAbs <= budget,
       s"sq8TopK: scaled coordinate magnitude $maxAbs exceeds the 255x-domain " +
-        s"overflow budget $budget for ${stats.length} dims — the long norm sum would wrap")
-    stats.map(r => (r.getLong(1), r.getLong(2) - r.getLong(1))).toSeq
+        s"overflow budget $budget for $dims dims — the long norm sum would wrap")
+    stats.map { case (mn, mx) => (mn, mx - mn) }
   }
 
   /** SQ8 encode+reconstruct under a GIVEN quantizer: codes CLAMP to
@@ -1486,18 +1498,23 @@ object Similarity {
     * cid tiebreak): the BUILD half of the composed indexes — (xid, cid).
     */
   private[graft] def cellAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // argmin by (d2, cid) as a hash aggregation (min over the orderable
+    // (d2, cid) struct — lexicographic, so the cid tiebreak is identical
+    // to the former window's orderBy(d2, cid) rn=1) instead of a sort
+    // window: partial aggregation collapses the corpus×cells candidate
+    // rows map-side, so the exchange carries one row per vector and
+    // nothing sorts (guide §2.3). |x|² is constant per vector and |c|²
+    // per centroid, so the argmin over cc − 2·x·c is the argmin over the
+    // full d² — exact integer math, one dot per pair instead of three.
     val cs = centroids.select(col("cid"), scaled(col("cvec")).as("cs"))
+      .withColumn("ccn", dotScaled(col("cs"), col("cs")))
     corpus.select(col("xid"), scaled(col("xvec")).as("xs"))
       .crossJoin(broadcast(cs))
       .select(col("xid"), col("cid"),
-        (dotScaled(col("xs"), col("xs")) -
-          lit(2L) * dotScaled(col("xs"), col("cs")) +
-          dotScaled(col("cs"), col("cs"))).as("d2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("xid")).orderBy(col("d2"), col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("xid"), col("cid"))
+        (col("ccn") - lit(2L) * dotScaled(col("xs"), col("cs"))).as("d2"))
+      .groupBy(col("xid"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("xid"), col("m.cid").as("cid"))
   }
 
   /** The nProbe nearest cells per query (same d² tree): the per-batch

@@ -1779,12 +1779,25 @@ object TextQueries {
     ragChunkToksOf(table(s, dir, "documents"))
 
   private[graft] def ragChunkToksOf(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import graft.operators.Dedup
-    ragChunksOf(docs)
-      .select(col("xid"), explode(Dedup.tokens(col("chunk_text"))).as("term"))
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    // Token stream DIRECTLY from the chunk slices — the chunk_text
+    // array_join → re-split round trip of [[ragChunksOf]] + tokens() is
+    // the identity on the slice (tokens come from a split on ' ', so no
+    // element contains the separator; slices are never empty — the last
+    // chunk's start k·S+1 ≤ n−(W−S) < n because W > S, and a short doc's
+    // single k=0 slice is the whole w, which is non-empty even for empty
+    // text) — so skipping the string build + re-tokenize is value-exact
+    // while saving one string materialization per chunk per direction
+    // (guide §1.2 step 2: per-task work).
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .select(col("doc_id"), col("w"), explode(expr(
+        s"sequence(0, cast(ceil(greatest(n - $ChunkW, 0) / $ChunkS.0) as int))"))
+        .as("k"))
+      .select((col("doc_id") * ChunkIdBase + col("k")).as("xid"),
+        explode(expr(s"slice(w, k * $ChunkS + 1, $ChunkW)")).as("term"))
       .localCheckpoint(true)
-  }
 
   /** 64-dim hashed-unigram tf vectors (the feature-hashing trick, the
     * q147 dimensioning) over the chunk corpus: dim = md5-hash(term) mod
@@ -1793,18 +1806,21 @@ object TextQueries {
     * domain. Returns (xid, xvec).
     */
   private[graft] def ragChunkVectors(
-      ctoks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val cl = ctoks.groupBy(col("xid")).agg(count(lit(1)).as("dl"))
+      ctoks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    // dl (the chunk's token count) is EXACTLY Σ_d c — every token hashes
+    // to one bucket — so the former separate count(*) pass over the raw
+    // token stream plus the dl join collapse into the second-level
+    // aggregation itself: one less full-corpus shuffle per build/append
+    // (guide §2.3 "aggregate before you shuffle"), bit-identical xvec.
     ctoks
       .groupBy(col("xid"), (Hashing.hash32(col("term")) % 64).as("d"))
       .agg(count(lit(1)).as("c"))
-      .join(cl, "xid")
-      .groupBy(col("xid"), col("dl"))
-      .agg(map_from_entries(collect_list(struct(col("d"), col("c")))).as("m"))
+      .groupBy(col("xid"))
+      .agg(sum(col("c")).as("dl"),
+        map_from_entries(collect_list(struct(col("d"), col("c")))).as("m"))
       .select(col("xid"), expr(
         "transform(sequence(0L, 63L), d -> cast(coalesce(m[d], 0L) as double) / cast(dl as double))")
         .as("xvec"))
-  }
 
   /** A query doc's whole text featurized the same way — the dense query
     * vector (qid, qvec). q150b asks as doc 42, q150c as doc 7.
@@ -1837,10 +1853,13 @@ object TextQueries {
     import graft.operators.Dedup
     import org.apache.spark.sql.expressions.Window
     val tf = ctoks.groupBy(col("xid"), col("term")).agg(count(lit(1)).as("tf"))
-    val cl = ctoks.groupBy(col("xid")).agg(count(lit(1)).as("dl"))
+    // dl = Σ_term tf and (nd, tt) = (rows, Σ dl) of the chunk-grain cl:
+    // both derive from tf's exchange (reused by the planner) instead of
+    // two more full passes over the raw token stream — exact counts
+    val cl = tf.groupBy(col("xid")).agg(sum(col("tf")).as("dl"))
     val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val tot = broadcast(ctoks.agg(
-      count_distinct(col("xid")).as("nd"), count(lit(1)).as("tt")))
+    val tot = broadcast(cl.agg(
+      count(lit(1)).as("nd"), sum(col("dl")).as("tt")))
     val qt = broadcast(table(s, dir, "documents")
       .filter(col("doc_id") === 42)
       .select(explode(Dedup.tokens(col("text"))).as("term")).distinct())
@@ -2046,13 +2065,19 @@ object TextQueries {
     import graft.operators.Similarity
     val ctoks = ragChunkToksOf(docs)
     val tf = ctoks.groupBy(col("xid"), col("term")).agg(count(lit(1)).as("tf"))
-    val cl = ctoks.groupBy(col("xid")).agg(count(lit(1)).as("dl"))
+    // dl = Σ_term tf per chunk — derived from tf (whose exchange the
+    // planner reuses for both branches) instead of a second full pass
+    // over the raw token stream; checkpointed because totals read it too
+    val cl = tf.groupBy(col("xid")).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint(true)
     val postings = tf.join(cl, "xid").localCheckpoint(true)
     val termStats = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .localCheckpoint(true)
-    // tt = Σ tf ≡ the token count the inline path takes from ctoks
-    val tot = broadcast(postings.agg(
-      count_distinct(col("xid")).as("nd"), sum(col("tf")).as("tt")))
+    // nd = one row per chunk in cl; tt = Σ dl ≡ Σ tf ≡ the token count —
+    // a 2-scalar agg over the chunk-grain cl instead of a
+    // count_distinct(xid) expansion over the posting grain
+    val tot = broadcast(cl.agg(
+      count(lit(1)).as("nd"), sum(col("dl")).as("tt")))
     val corpus = ragChunkVectors(ctoks).localCheckpoint(true)
     val n = corpus.count()
     val cells = Similarity.ivfCellsFor(n)
@@ -2179,9 +2204,17 @@ object TextQueries {
     * so the torn-save spec can stage a version without committing it.
     */
   private[graft] def ragIndexSaveTables(idx: RagIndex, path: String): Unit = {
+    // explicit shuffle width: repartition(col) alone lets AQE coalesce
+    // the (small) shuffle to ONE partition, which serializes every
+    // partition-directory's file write through a single task — the
+    // measured bulk of the save wall. An explicit count (the session's
+    // shuffle parallelism — scale-adaptive, not a local constant) keeps
+    // the writers parallel; each bucket/cell still lands wholly in one
+    // task, so the one-file-per-directory layout is unchanged.
+    val p = idx.postings.sparkSession.sessionState.conf.numShufflePartitions
     def tb(d: org.apache.spark.sql.DataFrame) =
       d.withColumn("tb", (Hashing.hash32(col("term")) % 64).cast("int"))
-        .repartition(col("tb"))
+        .repartition(p, col("tb"))
     tb(idx.postings)
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
     tb(idx.termStats)
@@ -2197,7 +2230,7 @@ object TextQueries {
       .write.mode("overwrite").parquet(s"$path/stats")
     idx.centroids.coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    idx.index.repartition(col("cid"))
+    idx.index.repartition(p, col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
   }
 
@@ -2254,7 +2287,8 @@ object TextQueries {
     import graft.operators.Similarity
     val dtoks = ragChunkToksOf(newDocs)
     val tfD = dtoks.groupBy(col("xid"), col("term")).agg(count(lit(1)).as("tf"))
-    val clD = dtoks.groupBy(col("xid")).agg(count(lit(1)).as("dl"))
+    // dl = Σ_term tf — same single-pass derivation as the build
+    val clD = tfD.groupBy(col("xid")).agg(sum(col("tf")).as("dl"))
     val postingsD = tfD.join(clD, "xid").localCheckpoint(true)
     // a LOADED index carries the term-bucket partition column; delta rows
     // compute theirs so bucket pruning stays exact over the union

@@ -732,8 +732,14 @@ class PlanSpec extends AnyFunSuite {
       emb.filter(col("vec_id") < 23)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
     val pa = assign.queryExecution.executedPlan.toString
-    assert(pa.contains("WindowGroupLimit"),
+    // round 20: the argmin is a min(struct(d2, cid)) AGGREGATION — the
+    // partial_min below the exchange is the map-side prune (one row per
+    // vector crosses the wire), replacing the former WindowGroupLimit
+    // sort-window shape
+    assert(pa.contains("partial_min(struct(d2"),
       "nearest-cell argmin must prune map-side:\n" + pa.take(3000))
+    assert(!pa.contains("Window"),
+      "the argmin must be an aggregation, not a sort window:\n" + pa.take(3000))
   }
 
   test("q198 lsh decontamination meets on band buckets: no cartesian, no nested loop") {
