@@ -112,6 +112,39 @@ object Prof {
           Similarity.sq8EncodeFrozen(corpus, stats)
             .join(Similarity.cellAssign(corpus, centroids), "xid")
             .localCheckpoint(true))
+      case "rag_incr_detail" =>
+        import org.apache.spark.sql.functions._
+        val docs = graft.core.Graft.table(spark, sfDir, "documents")
+        val path = graft.core.Graft.scratch("prof_rag_incr")
+        val baseIdx = phase("base build (49/50)")(
+          queries.TextQueries.ragIndexBuildOf(docs.filter(col("doc_id") % 50 =!= 49)))
+        phase("save")(queries.TextQueries.ragIndexSave(baseIdx, path))
+        val loaded = phase("load")(queries.TextQueries.ragIndexLoad(spark, path))
+        val appended = phase("append 1/50")(
+          queries.TextQueries.ragIndexAppend(loaded, docs.filter(col("doc_id") % 50 === 49)))
+        val qt = queries.TextQueries.ragQueryTermsOf(docs, 23L).localCheckpoint(true)
+        val qv = queries.TextQueries.ragQueryVectorOf(docs, 23L).localCheckpoint(true)
+        val served = phase("serve plan")(
+          queries.TextQueries.ragServeDisk(appended, qt, qv, 20))
+        phase("serve exec")(drain(served))
+      case "setsim_detail" =>
+        import org.apache.spark.sql.functions._
+        import graft.operators.Dedup
+        val docs = graft.core.Graft.table(spark, sfDir, "documents")
+          .select(col("doc_id").as("id"),
+            array_distinct(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("toks"))
+        val (sorted, pref, cand) = phase("setsim sorted build")(
+          Dedup.setSimParts(docs, 80))
+        phase("setsim pref count")(drain(pref.select(col("id"))))
+        val c = phase("setsim cand distinct")(cand.localCheckpoint(true))
+        System.err.println(s"[prof] cand rows ${c.count()}")
+        phase("setsim verify join")(drain(
+          c.join(sorted.select(col("id").as("a"), col("ws").as("wa"), col("n").as("na")), "a")
+            .join(sorted.select(col("id").as("b"), col("ws").as("wb"), col("n").as("nb")), "b")
+            .withColumn("inter", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+            .filter(lit(100) * col("inter") >= lit(80) * (col("na") + col("nb") - col("inter")))
+            .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))))
+        phase("setsim FULL q128")(drain(Dedup.setSimJoin(docs, 80)))
       case "knn_persisted" =>
         val q = SparkEntry.registry.find(_.name == "q167e_knn_graph_persisted").get
         phase("q167e full")(drain(q.run(spark, sfDir)))

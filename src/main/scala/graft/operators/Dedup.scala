@@ -825,9 +825,13 @@ object Dedup {
   def containmentJoin(docs: DataFrame, tPct: Int,
       broadcastTokenBudget: Long = ContainmentBroadcastTokens): DataFrame = {
     require(tPct > 0 && tPct <= 100, s"containmentJoin: tPct in (0,100], got $tPct")
+    // hash-keyed df aggregation + join — see [[setSimSorted]]: any shared
+    // total order satisfies the prefix theorem, so the 8-byte hash key
+    // replaces the token string through both exchanges
     val tok = docs.select(col("id"), explode(col("toks")).as("w"))
-    val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val sortedAll = tok.join(dfreq, "w")
+      .withColumn("wh", xxhash64(col("w")))
+    val dfreq = tok.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+    val sortedAll = tok.join(dfreq, "wh")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("ord"),
         count(lit(1)).as("n"))
@@ -860,10 +864,15 @@ object Dedup {
     // before the verify touches any token payload. This is the only
     // structural prune containment admits: no length filter exists for
     // it.
+    // hash-keyed candidate join (see [[setSimPrefCand]]): collisions only
+    // ADD candidate rows, and the min-position bound below can only
+    // LOOSEN from extra rows (min over more positions) — a superset of
+    // candidates, each verified exactly downstream
     val cand = pref.select(col("id").as("a"), col("n").as("na"),
-        col("pa"), col("w"))
+        col("pa"), xxhash64(col("w")).as("wh"))
       .join(sorted.select(col("id").as("b"), col("n").as("nb"),
-        posexplode(col("ws")).as(Seq("pb", "w"))), "w")
+        posexplode(col("ws")).as(Seq("pb", "w")))
+        .select(col("b"), col("nb"), col("pb"), xxhash64(col("w")).as("wh")), "wh")
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b"))
       .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"),
@@ -944,9 +953,20 @@ object Dedup {
     * [[setSimParts]] and [[setSimJoin]].
     */
   private def setSimSorted(docs: DataFrame): DataFrame = {
+    // The global token order only has to be a TOTAL order shared by every
+    // document for the prefix theorem to hold — rarest-first tuning needs
+    // df counts, not exact ones. So frequencies aggregate and join on the
+    // 8-byte xxhash64 of the token instead of the token string (guide
+    // §2.3 narrower keys): the order becomes (df over hash groups, w) —
+    // still total (w breaks ties), still frequency-ranked (64-bit
+    // collisions are ~nonexistent at vocab scale, and a collision only
+    // merges two tokens' df values — the order stays valid, the answer
+    // exact because ws/n are untouched and the verify intersects real
+    // tokens).
     val tok = docs.select(col("id"), explode(col("toks")).as("w"))
-    val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    tok.join(dfreq, "w")
+      .withColumn("wh", xxhash64(col("w")))
+    val dfreq = tok.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+    tok.join(dfreq, "wh")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("ord"),
         count(lit(1)).as("n"))
@@ -984,10 +1004,15 @@ object Dedup {
     // bare (a, b). High thresholds make prefixes 1–3 tokens (c ≈ 1 ⇒
     // same bound); at t=0.80 the first-match bound already rejects the
     // same pairs. Kept: first-match per-row bound + narrow distinct.
+    // the candidate equi-join keys on xxhash64(token) — 8 bytes through
+    // the exchange instead of the token string (guide §2.3). Lossless: a
+    // qualifying pair always shares a REAL prefix token (the prefix
+    // theorem), whose hashes match; a 64-bit collision can only ADD a
+    // candidate, and every candidate is verified exactly downstream.
     val cand = pref.select(col("id").as("a"), col("n").as("_na"),
-        col("p").as("_pa"), col("w"))
+        col("p").as("_pa"), xxhash64(col("w")).as("wh"))
       .join(pref.select(col("id").as("b"), col("n").as("_nb"),
-        col("p").as("_pb"), col("w")), "w")
+        col("p").as("_pb"), xxhash64(col("w")).as("wh")), "wh")
       .filter(col("a") < col("b"))
       .filter(lit(tPct) * greatest(col("_na"), col("_nb")) <=
         lit(100) * least(col("_na"), col("_nb")))

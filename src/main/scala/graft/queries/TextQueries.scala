@@ -1807,19 +1807,22 @@ object TextQueries {
     */
   private[graft] def ragChunkVectors(
       ctoks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    // dl (the chunk's token count) is EXACTLY Σ_d c — every token hashes
-    // to one bucket — so the former separate count(*) pass over the raw
-    // token stream plus the dl join collapse into the second-level
-    // aggregation itself: one less full-corpus shuffle per build/append
-    // (guide §2.3 "aggregate before you shuffle"), bit-identical xvec.
+    // ONE grouped aggregation with 64 bucket counters (plus dl = their
+    // sum, since every token hashes to exactly one bucket): the former
+    // shape paid two shuffle rounds — (xid, d) counts, then a per-xid
+    // map assembly (and before round 20, a third pass for dl) — where a
+    // fixed 64-bucket histogram is a flat aggregation buffer that
+    // partial-aggregates map-side straight to one row per chunk (guide
+    // §2.3). cs[d] ≡ the old coalesce(m[d], 0) count, dl identical, so
+    // the c/dl doubles — and the xvec — are bit-identical.
     ctoks
-      .groupBy(col("xid"), (Hashing.hash32(col("term")) % 64).as("d"))
-      .agg(count(lit(1)).as("c"))
+      .select(col("xid"), (Hashing.hash32(col("term")) % 64).as("d"))
       .groupBy(col("xid"))
-      .agg(sum(col("c")).as("dl"),
-        map_from_entries(collect_list(struct(col("d"), col("c")))).as("m"))
+      .agg(count(lit(1)).as("dl"),
+        array((0 until 64).map(i =>
+          sum(when(col("d") === i, 1L).otherwise(0L))): _*).as("cs"))
       .select(col("xid"), expr(
-        "transform(sequence(0L, 63L), d -> cast(coalesce(m[d], 0L) as double) / cast(dl as double))")
+        "transform(cs, c -> cast(coalesce(c, 0L) as double) / cast(dl as double))")
         .as("xvec"))
 
   /** A query doc's whole text featurized the same way — the dense query
