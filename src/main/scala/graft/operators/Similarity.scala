@@ -841,23 +841,24 @@ object Similarity {
     val hi = typedlit(stats.map { case (m, r) =>
       if (r == 0) Long.MinValue else 255L * (m + r) })
     val dimsEff = math.max(1, stats.count(_._2 > 0))
-    def boundaryPpm(codes: DataFrame): Long = {
-      val bounded =
-        aggregate(zip_with(col("rx"), lo,
-          (x, l) => when(x === l, 1L).otherwise(0L)), lit(0L), _ + _) +
-        aggregate(zip_with(col("rx"), hi,
-          (x, h) => when(x === h, 1L).otherwise(0L)), lit(0L), _ + _)
-      val r = codes.agg(
-        sum(bounded).as("b"), count(lit(1)).as("n")).first()
-      if (r.isNullAt(1) || r.getLong(1) == 0L) 0L
-      else 1000000L * r.getLong(0) / (r.getLong(1) * dimsEff)
-    }
-    val appended = curCodes.select(col("xid"), col("rx"))
-      .join(baseCodes.select(col("xid")), Seq("xid"), "left_anti")
-      .localCheckpoint(true) // counted + rate-scanned
-    val nAppend = appended.count()
-    val baseN = baseAssign.count()
-    val curN = curAssign.count()
+    // ---- round-20 probe-latency shape: the probe used to run ~7 driver
+    // actions (appended checkpoint + 3 counts + 2 clamp scans + 1 TV
+    // agg); it now runs TWO — one bounded occupancy collect and one
+    // tagged union scan — with every emitted dial value bit-identical.
+    // (1) Per-cell occupancy of both sides in ONE collect: the cell
+    // count is bounded by [[ivfCellsFor]]'s 65536 clamp, so the joined
+    // (bn, cn) table is a bounded driver payload, and baseN / curN /
+    // the exact TV all derive from it in exact BigInt arithmetic (no
+    // engine-ordered float sum — deterministic and oracle-replayable,
+    // as before).
+    val occ = baseAssign.groupBy(col("cid")).agg(count(lit(1)).as("bn"))
+      .join(curAssign.groupBy(col("cid")).agg(count(lit(1)).as("cn")),
+        Seq("cid"), "full_outer")
+      .na.fill(0L, Seq("bn", "cn"))
+      .select(col("bn"), col("cn"))
+      .collect()
+    val baseN = occ.iterator.map(_.getLong(0)).sum
+    val curN = occ.iterator.map(_.getLong(1)).sum
     // probing an EMPTY base (or an emptied current) store is a caller
     // bug, not a staleness state — fail with the contract instead of
     // NaN dials (ADVICE r18)
@@ -865,31 +866,41 @@ object Similarity {
       s"indexStaleness: non-empty base and current assignments required " +
         s"(base=$baseN, current=$curN) — an empty store has no occupancy " +
         "distribution to compare; rebuild instead of probing")
-    // the base boundary rate is a CALIBRATION CONSTANT, not a per-probe
-    // measurement — on a 100 TB store a full code scan per probe would
-    // cost what the probe exists to avoid, and the rate is an average
-    // whose estimator converges long before the corpus does. Sample the
-    // base deterministically (residue on xid — stable across probe runs)
-    // down to ~64k codes; small stores stay exact.
+    val tvPpm = (occ.iterator.map(r =>
+      (BigInt(r.getLong(1)) * baseN - BigInt(r.getLong(0)) * curN).abs)
+      .sum * 500000 / (BigInt(baseN) * BigInt(curN))).toLong
+    // (2) Both boundary-rate scans — the ~64k-residue base calibration
+    // sample and the appended codes — union into ONE tagged aggregation;
+    // the appended count rides along, so the anti-join is consumed once
+    // and never checkpointed. The base sample stays the deterministic
+    // xid-residue of before (stable across probe runs; small stores
+    // exact, a 100 TB store never full-scans per probe).
+    val bounded =
+      aggregate(zip_with(col("rx"), lo,
+        (x, l) => when(x === l, 1L).otherwise(0L)), lit(0L), _ + _) +
+      aggregate(zip_with(col("rx"), hi,
+        (x, h) => when(x === h, 1L).otherwise(0L)), lit(0L), _ + _)
     val calibStride = math.max(1L, baseN / 65536L)
-    val clampBase = boundaryPpm(
-      if (calibStride == 1L) baseCodes
-      else baseCodes.filter(pmod(col("xid"), lit(calibStride)) === 0L))
-    val clampApp = if (nAppend == 0) 0L else boundaryPpm(appended)
+    val baseSample =
+      (if (calibStride == 1L) baseCodes
+       else baseCodes.filter(pmod(col("xid"), lit(calibStride)) === 0L))
+        .select(lit(false).as("app"), col("rx"))
+    val appended = curCodes.select(col("xid"), col("rx"))
+      .join(baseCodes.select(col("xid")), Seq("xid"), "left_anti")
+      .select(lit(true).as("app"), col("rx"))
+    val scan = baseSample.unionByName(appended)
+      .groupBy(col("app"))
+      .agg(sum(bounded).as("b"), count(lit(1)).as("n"))
+      .collect() // ≤ 2 rows
+    def ppmOf(app: Boolean): Long = scan.find(_.getBoolean(0) == app) match {
+      case Some(r) if !r.isNullAt(1) && !r.isNullAt(2) && r.getLong(2) > 0L =>
+        1000000L * r.getLong(1) / (r.getLong(2) * dimsEff)
+      case _ => 0L // absent group ≡ empty scan ≡ the old 0 rate
+    }
+    val nAppend = scan.find(_.getBoolean(0)).map(_.getLong(2)).getOrElse(0L)
+    val clampBase = ppmOf(false)
+    val clampApp = ppmOf(true)
     val rec = ivfCellsFor(curN)
-    val bc = baseAssign.groupBy(col("cid")).agg(count(lit(1)).as("bn"))
-    val cc = curAssign.groupBy(col("cid")).agg(count(lit(1)).as("cn"))
-    // EXACT integer TV: Σ|cn·baseN − bn·curN| accumulates in DECIMAL
-    // (no overflow at any store size, no engine-ordered float sum —
-    // the dial is deterministic run-to-run and oracle-replayable),
-    // then one BigInt division lands the truncated ppm
-    val tvNum = bc.join(cc, Seq("cid"), "full_outer")
-      .na.fill(0L, Seq("bn", "cn"))
-      .agg(sum(abs(col("cn").cast("decimal(38,0)") * baseN -
-        col("bn").cast("decimal(38,0)") * curN)).as("s"))
-      .first().getDecimal(0)
-    val tvPpm = (BigInt(tvNum.toBigInteger) * 500000 /
-      (BigInt(baseN) * BigInt(curN))).toLong
     val staleGeo = rec >= geometryFactor * frozenCells
     val staleQuant = nAppend > 0 && clampApp >
       math.max(clampFloor * 1000000L, clampFactor * clampBase)

@@ -1077,15 +1077,24 @@ object MiscQueries {
     }) { (s, dir) =>
     val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
       "l_returnflag", "l_linestatus")
-    val aggs = cols.flatMap(c => Seq(
+    // The exact ndv pass and the min/max/count pass SPLIT (round 20):
+    // fused, the multi-distinct Expand (k+1 stream copies) also carried
+    // min/max(string) aggregates, whose variable-size buffers force
+    // SortAggregate — a full 6-key SORT of the expanded stream. Split,
+    // the Expand side is counts-only (HashAggregate, map-side partial,
+    // no sort anywhere) and the min/max side is one single-group pass
+    // over the un-expanded scan; the two 1-row results cross-join back.
+    // Same aggregates, same values — the second scan is far cheaper
+    // than sorting the expanded stream (and prunes to the same 5
+    // columns).
+    val base = table(s, dir, "lineitem").select(cols.map(col): _*)
+    val mmAggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
       count(col(c)).as(s"nn_$c"),
-      count_distinct(col(c)).as(s"ndv_$c"),
       min(col(c)).cast("string").as(s"min_$c"),
       max(col(c)).cast("string").as(s"max_$c")))
-    val allAggs = count(lit(1)).as("n_rows") +: aggs
-    val one = table(s, dir, "lineitem")
-      .select(cols.map(col): _*)
-      .agg(allAggs.head, allAggs.tail: _*)
+    val ndvAggs = cols.map(c => count_distinct(col(c)).as(s"ndv_$c"))
+    val one = base.agg(mmAggs.head, mmAggs.tail: _*)
+      .crossJoin(base.agg(ndvAggs.head, ndvAggs.tail: _*))
     one.select(explode(array(cols.map(c => struct(
         lit(c).as("col_name"),
         col("n_rows"),

@@ -230,11 +230,19 @@ class PlanSpec extends AnyFunSuite {
       "query-term/df/dl sides must broadcast at this scale:\n" + p.take(3000))
   }
 
-  test("q132 profiler is one scan: a single FileScan feeds the Expand") {
+  test("q132 profiler: ndv Expand is counts-only (hash agg, no sort); min/max ride a second un-expanded scan") {
+    // round 20: the exact-ndv Expand and the min/max(string) pass SPLIT —
+    // fused, the string min/max buffers forced SortAggregate, i.e. a full
+    // 6-key SORT of the (k+1)x expanded stream; split, the Expand side
+    // hash-aggregates (counts only) and min/max run single-group over the
+    // un-expanded scan. Two column-pruned scans beat sorting the expanded
+    // stream at any scale.
     val p = plan(graft.queries.MiscQueries.q132Profile)
     assert(p.contains("Expand"), "multi-distinct should compile to Expand:\n" + p.take(2000))
-    assert("FileScan parquet".r.findAllIn(p).size == 1,
-      "profiler must scan lineitem exactly once:\n" + p.take(3000))
+    assert("FileScan parquet".r.findAllIn(p).size == 2,
+      "profiler reads lineitem once per pass (ndv + min/max):\n" + p.take(3000))
+    assert(!p.contains("Sort "),
+      "no sort anywhere: the Expand side must stay hash-aggregable:\n" + p.take(3000))
   }
 
   // "Window [" matches only plain WindowExec nodes (WindowGroupLimit
