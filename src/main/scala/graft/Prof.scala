@@ -88,17 +88,17 @@ object Prof {
         val tf = phase("tf agg+ckpt")(
           ctoks.groupBy(col("xid"), col("term")).agg(count(lit(1)).as("tf"))
             .localCheckpoint(true))
-        val cl = phase("cl agg")(
-          ctoks.groupBy(col("xid")).agg(count(lit(1)).as("dl"))
+        val cl = phase("cl agg (from tf)")(
+          tf.groupBy(col("xid")).agg(sum(col("tf")).as("dl"))
             .localCheckpoint(true))
         val postings = phase("postings join+ckpt")(
           tf.join(cl, "xid").localCheckpoint(true))
         phase("termStats agg+ckpt")(
           postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
             .localCheckpoint(true))
-        phase("tot agg")(
-          postings.agg(count_distinct(col("xid")).as("nd"),
-            sum(col("tf")).as("tt")).localCheckpoint(true))
+        phase("tot agg (from cl)")(
+          cl.agg(count(lit(1)).as("nd"),
+            sum(col("dl")).as("tt")).localCheckpoint(true))
         val corpus = phase("chunk vectors+ckpt")(
           queries.TextQueries.ragChunkVectors(ctoks).localCheckpoint(true))
         val n = phase("corpus count")(corpus.count())
